@@ -1,0 +1,99 @@
+"""BM25/TF-IDF top-k query scoring — the CSR×CSC product as a join-agg plan.
+
+Reference semantics:
+
+- ``SparseMatrixSimilarity.get_similarities`` (gensim/similarities/docsim.py:
+  1254-1299): ``index · queryᵀ`` — per nonzero query term, walk its postings
+  and accumulate ``Σ_t q_t · w_{t,d}`` per doc. ≙ equi-join on term_id +
+  groupBy(doc_id) sum (SURVEY.md §1.1).
+- Query weighting for BM25 is binary tf, no idf, no norm
+  (``TfidfModel(smartirs='bnn')``, docsim.py:1149-1161).
+- ``num_best`` clip (gensim/interfaces.py:305-353, matutils.py:435-468):
+  top-k by **absolute** score, exact-zero scores dropped, ties broken by
+  ascending doc position (argpartition/argsort index order).
+
+Scale: queries are tiny → broadcast side of the join; postings partition-prune
+to the query's term buckets when the index is bucketed by term_id
+(gensim_spark.index). Per-query top-k is a rank window partitioned by
+query_id — for single queries Catalyst plans orderBy+limit as
+TakeOrderedAndProject (partial per-partition top-k, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def query_terms_df(spark, queries: dict[int, list[int]],
+                   weights: dict[int, dict[int, float]] | None = None) -> DataFrame:
+    """{query_id: [term_id, ...]} → (query_id, term_id, q_weight).
+
+    Default query model = smartirs 'bnn': binary tf (dupes collapse to 1.0),
+    no idf, no norm (docsim.py:1149).
+    """
+    rows = []
+    for qid, terms in queries.items():
+        if weights and qid in weights:
+            for t, w in weights[qid].items():
+                rows.append((int(qid), int(t), float(w)))
+        else:
+            for t in sorted(set(terms)):
+                rows.append((int(qid), int(t), 1.0))
+    return spark.createDataFrame(rows, "query_id int, term_id long, q_weight double")
+
+
+def score(weighted_postings: DataFrame, query_terms: DataFrame) -> DataFrame:
+    """(doc_id, term_id, weight) ⋈ (query_id, term_id, q_weight) →
+    (query_id, doc_id, score). The disjunctive BM25 accumulation (any shared
+    term contributes; SURVEY.md §2.6 set-ops note)."""
+    return (
+        weighted_postings.join(F.broadcast(query_terms), "term_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("weight") * F.col("q_weight")).alias("score"))
+    )
+
+
+def topk(scores: DataFrame, k: int, by_abs: bool = True,
+         drop_zeros: bool = True) -> DataFrame:
+    """Per-query top-k with gensim's exact tie/zero semantics:
+    rank by |score| desc (interfaces.py:339-353), drop exact zeros
+    (matutils.py:435-468), ties by doc_id ascending (argsort index order)."""
+    if drop_zeros:
+        scores = scores.filter(F.col("score") != 0.0)
+    rank_key = F.abs(F.col("score")) if by_abs else F.col("score")
+    w = Window.partitionBy("query_id").orderBy(rank_key.desc(), F.col("doc_id").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def search(weighted_postings: DataFrame, query_terms: DataFrame,
+           k: int = 10) -> DataFrame:
+    """The flagship plan: score + top-k clip."""
+    return topk(score(weighted_postings, query_terms), k)
+
+
+def all_pairs_similarity(weighted_postings: DataFrame,
+                         min_score: float = 0.0) -> DataFrame:
+    """All-vs-all self-similarity (interfaces.py:355-398 ``__iter__``) as a
+    self-join of postings on term_id. Emits (doc_a, doc_b, score), doc_a <
+    doc_b (symmetric half). Shuffles on term_id; head terms are the skew
+    hazard — pair with df-capped vocab (filter_extremes) at web scale."""
+    a = weighted_postings.select(
+        "term_id", F.col("doc_id").alias("doc_a"), F.col("weight").alias("w_a")
+    )
+    b = weighted_postings.select(
+        "term_id", F.col("doc_id").alias("doc_b"), F.col("weight").alias("w_b")
+    )
+    pairs = (
+        a.join(b, "term_id")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("score"))
+    )
+    if min_score > 0.0:
+        pairs = pairs.filter(F.col("score") >= min_score)
+    return pairs

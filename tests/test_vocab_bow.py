@@ -1,0 +1,165 @@
+"""M1: vocabulary build + doc2bow postings vs the oracle (SURVEY.md §1.4/§2.3)."""
+
+import pytest
+
+from tests.conftest import docs_df
+from tests.oracle import PyDictionary
+
+
+@pytest.fixture(scope="module")
+def vocab_and_oracle(spark, common_texts):
+    from gensim_spark.operators import vocab as V
+
+    df = docs_df(spark, common_texts)
+    vocab = V.build_vocab(df).cache()
+    oracle = PyDictionary(common_texts)
+    return df, vocab, oracle
+
+
+def test_term_id_assignment_matches_reference(vocab_and_oracle):
+    _, vocab, oracle = vocab_and_oracle
+    got = {r["token"]: r["term_id"] for r in vocab.collect()}
+    assert got == oracle.token2id
+
+
+def test_term_id_assignment_windowed_path(spark, common_texts):
+    from gensim_spark.operators import vocab as V
+
+    df = docs_df(spark, common_texts)
+    got = {
+        r["token"]: r["term_id"]
+        for r in V.build_vocab(df, distributed=False).collect()
+    }
+    assert got == PyDictionary(common_texts).token2id
+
+
+def test_df_cf_stats(vocab_and_oracle):
+    _, vocab, oracle = vocab_and_oracle
+    rows = {r["term_id"]: (r["df"], r["cf"]) for r in vocab.collect()}
+    assert rows == {t: (oracle.dfs[t], oracle.cfs[t]) for t in oracle.dfs}
+
+
+def test_corpus_stats(spark, common_texts, vocab_and_oracle):
+    from gensim_spark.operators import vocab as V
+
+    df, vocab, oracle = vocab_and_oracle
+    stats = V.corpus_stats(df, vocab)
+    assert stats["num_docs"] == oracle.num_docs
+    assert stats["num_pos"] == oracle.num_pos
+    assert stats["num_nnz"] == oracle.num_nnz
+    assert stats["num_terms"] == len(oracle.token2id)
+
+
+def test_doc2bow_postings(spark, common_texts, vocab_and_oracle):
+    from gensim_spark.operators import bow as B
+
+    df, vocab, oracle = vocab_and_oracle
+    postings = B.doc2bow_postings(df, vocab)
+    got = {
+        (r["doc_id"], r["term_id"]): r["tf"] for r in postings.collect()
+    }
+    want = {}
+    for i, doc in enumerate(common_texts):
+        for t, f in oracle.doc2bow(doc):
+            want[(i, t)] = f
+    assert got == want
+
+
+def test_doc2bow_vectors_sorted(spark, common_texts, vocab_and_oracle):
+    from gensim_spark.operators import bow as B
+
+    df, vocab, oracle = vocab_and_oracle
+    vecs = {
+        r["doc_id"]: [(s["term_id"], s["tf"]) for s in r["bow"]]
+        for r in B.doc2bow_vectors(B.doc2bow_postings(df, vocab)).collect()
+    }
+    for i, doc in enumerate(common_texts):
+        assert vecs[i] == oracle.doc2bow(doc)
+
+
+def test_unknown_tokens_dropped_and_missing(spark, common_texts, vocab_and_oracle):
+    from gensim_spark.operators import bow as B
+
+    df, vocab, oracle = vocab_and_oracle
+    extra = docs_df(spark, [["human", "zebra", "zebra"]])
+    postings = B.doc2bow_postings(extra, vocab)
+    assert {r["term_id"] for r in postings.collect()} == {
+        oracle.token2id["human"]
+    }
+    missing = B.missing_tokens(extra, vocab).collect()
+    assert [(r["token"], r["tf"]) for r in missing] == [("zebra", 2)]
+
+
+def test_filter_extremes_matches_reference(spark, common_texts):
+    from gensim_spark.operators import vocab as V
+
+    df = docs_df(spark, common_texts)
+    vocab = V.build_vocab(df)
+    oracle = PyDictionary(common_texts)
+    filtered = V.filter_extremes(vocab, oracle.num_docs, no_below=2,
+                                 no_above=1.0, keep_n=5)
+    oracle.filter_extremes(no_below=2, no_above=1.0, keep_n=5)
+    got = {r["token"]: r["term_id"] for r in filtered.collect()}
+    assert got == oracle.token2id
+
+
+def test_most_common(spark, common_texts):
+    from gensim_spark.operators import vocab as V
+
+    df = docs_df(spark, common_texts)
+    vocab = V.build_vocab(df)
+    oracle = PyDictionary(common_texts)
+    got = [(r["token"], r["cf"]) for r in V.most_common(vocab, 3).collect()]
+    id2token = {v: k for k, v in oracle.token2id.items()}
+    want = sorted(oracle.cfs.items(), key=lambda p: (-p[1], p[0]))[:3]
+    assert got == [(id2token[t], cf) for t, cf in want]
+
+
+def test_doc2idx(spark, common_texts):
+    from gensim_spark.operators import vocab as V
+
+    df = docs_df(spark, common_texts)
+    vocab = V.build_vocab(df)
+    oracle = PyDictionary(common_texts)
+    extra = docs_df(spark, [["human", "zebra", "system"]])
+    got = V.doc2idx(extra, vocab).collect()[0]["idx"]
+    assert got == [oracle.token2id["human"], -1, oracle.token2id["system"]]
+
+
+def test_hash_dictionary_adler32(spark):
+    from zlib import adler32
+
+    from pyspark.sql import functions as F
+
+    from gensim_spark.operators import vocab as V
+
+    toks = spark.createDataFrame(
+        [("human",), ("interface",), ("ünïcode",)], "token string"
+    )
+    got = {
+        r["token"]: r["tid"]
+        for r in toks.select(
+            "token", V.adler32_term_id_col(F.col("token")).alias("tid")
+        ).collect()
+    }
+    for tok, tid in got.items():
+        assert tid == (adler32(tok.encode("utf8")) & 0xFFFFFFFF) % 32000
+
+
+def test_merge_with(spark):
+    from gensim_spark.operators import vocab as V
+
+    a_texts = [["cat", "dog"], ["cat", "mouse"]]
+    b_texts = [["dog", "lion"], ["lion", "tiger"]]
+    a = V.build_vocab(docs_df(spark, a_texts))
+    b = V.build_vocab(docs_df(spark, b_texts))
+    merged = {r["token"]: r["term_id"] for r in V.merge_with(a, b).collect()}
+    oa, ob = PyDictionary(a_texts), PyDictionary(b_texts)
+    # gensim merge: shared tokens keep a's id; b-only tokens appended in b-id order
+    want = dict(oa.token2id)
+    next_id = len(want)
+    for tok, _ in sorted(ob.token2id.items(), key=lambda p: p[1]):
+        if tok not in want:
+            want[tok] = next_id
+            next_id += 1
+    assert merged == want
