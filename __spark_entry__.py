@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship BM25 pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (+ the training-data-pipeline operators); ``oracle_sql()`` gives
+the DuckDB-equivalent ANSI SQL for each. Column names, types and float
+rounding are aligned on both sides; every hash-derived operator uses the
+cross-engine ``hash60`` (md5-based) so results match bit-for-bit.
 """
 
 from __future__ import annotations
@@ -12,27 +13,710 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --- fixed reference query set (tokens drawn from the synthetic corpus) ------
+
+QUERY_SET = {
+    0: "spark query join filter",
+    1: "hash merge sort",
+    2: "stream window agg nosuchtoken",
+}
+TOPK_K = 10
+BATCH_K = 5
+
+_FE = dict(no_below=2, no_above=0.6, keep_n=20)   # filter_extremes params
+_MINHASH = dict(num_hashes=4, shingle_n=3)
+_BANDS = dict(bands=2, rows_per_band=2)
+_SIMHASH_BITS = 16
+_PHRASE_MIN_COUNT = 2
+_KNN_QUERIES = 3          # embeddings vec_id < 3 used as queries
+_KNN_K = 5
+_LSH_PLANES = 4
+_EMB_DIMS = 64
+_NEAR_DUP_T = 0.9
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gensim_spark.plans import pipeline as P
+
+    # ASCII fast path: JVM-side tokenizer, exact on this corpus and identical
+    # to the oracle's regex; the unicode-parity path is the Arrow UDF (tested
+    # against the reference semantics in tests/).
+    return P.tokenize(_docs(spark, sf_dir), ascii_fast_path=True)
+
+
+def _index(spark: SparkSession, sf_dir: str, variant: str = "okapi"):
+    from gensim_spark.plans import pipeline as P
+
+    return P.build(_tokenized(spark, sf_dir), variant=variant)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 Okapi top-10 for the reference query set on sf0.001."""
+    from gensim_spark.plans import pipeline as P
+
+    idx = _index(spark, "/root/testdata/sf0.001")
+    return P.query_text(spark, idx, QUERY_SET, k=TOPK_K, ascii_fast_path=True)
+
+
+# --- Spark-side queries ------------------------------------------------------
+
+def _q_tokens_count(spark, sf_dir):
+    return _tokenized(spark, sf_dir).select(
+        "doc_id", F.size("tokens").cast("long").alias("n_tokens")
+    )
+
+
+def _q_vocab(spark, sf_dir):
+    return _index(spark, sf_dir).vocab.select(
+        "token", "term_id", "df", "cf", "first_doc"
+    )
+
+
+def _q_vocab_filter_extremes(spark, sf_dir):
+    from gensim_spark.operators import vocab as V
+
+    idx = _index(spark, sf_dir)
+    return V.filter_extremes(idx.vocab, idx.num_docs, **_FE).select(
+        "token", "term_id", "df", "cf"
+    )
+
+
+def _q_most_common(spark, sf_dir):
+    from gensim_spark.operators import vocab as V
+
+    return V.most_common(_index(spark, sf_dir).vocab, 20)
+
+
+def _q_doc2bow(spark, sf_dir):
+    return _index(spark, sf_dir).postings
+
+
+def _q_doclen(spark, sf_dir):
+    return _index(spark, sf_dir).doclen
+
+
+def _bm25_weights(spark, sf_dir, variant):
+    idx = _index(spark, sf_dir, variant=variant)
+    return idx.weighted.select(
+        "doc_id", "term_id", F.round("weight", 6).alias("weight")
+    )
+
+
+def _q_bm25_topk(spark, sf_dir):
+    from gensim_spark.plans import pipeline as P
+
+    idx = _index(spark, sf_dir)
+    out = P.query_text(spark, idx, {0: QUERY_SET[0]}, k=TOPK_K,
+                       ascii_fast_path=True)
+    return out.select("query_id", "doc_id", F.round("score", 6).alias("score"),
+                      "rank")
+
+
+def _q_bm25_topk_batch(spark, sf_dir):
+    from gensim_spark.plans import pipeline as P
+
+    idx = _index(spark, sf_dir)
+    out = P.query_text(spark, idx, QUERY_SET, k=BATCH_K, ascii_fast_path=True)
+    return out.select("query_id", "doc_id", F.round("score", 6).alias("score"),
+                      "rank")
+
+
+def _q_tfidf_nfc(spark, sf_dir):
+    from gensim_spark.operators import tfidf as TF
+
+    idx = _index(spark, sf_dir)
+    out = TF.tfidf_postings(idx.postings, idx.vocab.select("term_id", "df"),
+                            idx.num_docs, smartirs="nfc")
+    return out.select("doc_id", "term_id", F.round("weight", 6).alias("weight"))
+
+
+def _q_logentropy(spark, sf_dir):
+    from gensim_spark.operators import tfidf as TF
+
+    idx = _index(spark, sf_dir)
+    out = TF.log_entropy_postings(idx.postings)
+    return out.select("doc_id", "term_id", F.round("weight", 6).alias("weight"))
+
+
+def _q_phrases(spark, sf_dir):
+    from gensim_spark.operators import phrases as PH
+
+    out = PH.scored_bigrams(_tokenized(spark, sf_dir),
+                            min_count=_PHRASE_MIN_COUNT)
+    return out.select("word_a", "word_b", "bigram_count",
+                      F.round("score", 6).alias("score"))
+
+
+def _q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from gensim_spark.operators import dedup as D
+
+    return D.exact_dup_groups(_docs(spark, sf_dir))
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    from gensim_spark.operators import dedup as D
+
+    return D.minhash_signatures(_tokenized(spark, sf_dir), **_MINHASH)
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    from gensim_spark.operators import dedup as D
+
+    sigs = D.minhash_signatures(_tokenized(spark, sf_dir), **_MINHASH)
+    return D.minhash_band_pairs(sigs, **_BANDS)
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from gensim_spark.operators import dedup as D
+
+    tok = _tokenized(spark, sf_dir)
+    sigs = D.minhash_signatures(tok, **_MINHASH)
+    pairs = D.minhash_band_pairs(sigs, **_BANDS)
+    out = D.ngram_jaccard(tok, pairs, shingle_n=_MINHASH["shingle_n"])
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_simhash(spark, sf_dir):
+    from gensim_spark.operators import dedup as D
+
+    return D.simhash(_tokenized(spark, sf_dir), bits=_SIMHASH_BITS)
+
+
+def _q_quality(spark, sf_dir):
+    from gensim_spark.operators import textstats as TS
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tok = _tokenized(spark, sf_dir)
+    joined = docs.join(tok, "doc_id")
+    return TS.quality_stats(joined)
+
+
+def _q_lang_id(spark, sf_dir):
+    from gensim_spark.operators import textstats as TS
+
+    return TS.lang_id(_tokenized(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from gensim_spark.operators import textstats as TS
+
+    return TS.fingerprint(_tokenized(spark, sf_dir))
+
+
+def _q_knn_cosine(spark, sf_dir):
+    from gensim_spark.operators import simsearch as S
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.cosine_topk(emb, q, k=_KNN_K)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+                      "rank")
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from gensim_spark.operators import simsearch as S
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.lsh_topk(emb, q, k=_KNN_K, planes=_LSH_PLANES, dims=_EMB_DIMS)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+                      "rank")
+
+
+def _q_embedding_near_dups(spark, sf_dir):
+    from gensim_spark.operators import dedup as D
+
+    out = D.embedding_near_dups(_emb(spark, sf_dir), threshold=_NEAR_DUP_T)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tokens_count": _q_tokens_count,
+        "vocab": _q_vocab,
+        "vocab_filter_extremes": _q_vocab_filter_extremes,
+        "most_common": _q_most_common,
+        "doc2bow": _q_doc2bow,
+        "doclen": _q_doclen,
+        "bm25_okapi": lambda s, d: _bm25_weights(s, d, "okapi"),
+        "bm25_lucene": lambda s, d: _bm25_weights(s, d, "lucene"),
+        "bm25_atire": lambda s, d: _bm25_weights(s, d, "atire"),
+        "bm25_topk": _q_bm25_topk,
+        "bm25_topk_batch": _q_bm25_topk_batch,
+        "tfidf_nfc": _q_tfidf_nfc,
+        "logentropy": _q_logentropy,
+        "phrases_bigrams": _q_phrases,
+        "events_hourly": _q_events_hourly,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_signatures": _q_minhash_signatures,
+        "dedup_minhash_pairs": _q_minhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "quality_stats": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "knn_cosine": _q_knn_cosine,
+        "ann_lsh": _q_ann_lsh,
+        "embedding_near_dups": _q_embedding_near_dups,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --- DuckDB oracles ----------------------------------------------------------
+
+def _h60(expr: str) -> str:
+    from gensim_spark.functions.hashing import hash60_sql
+
+    return hash60_sql(expr)
+
+
+# shared CTE prelude: tokenize → long form → vocab ids → postings → doclen
+_PRELUDE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '[a-z_]+'),
+                     t -> len(t) BETWEEN 2 AND 15 AND t[1] <> '_') AS tokens
+  FROM documents
+),
+tlong AS (SELECT doc_id, unnest(tokens) AS token FROM tok),
+vocab AS (
+  SELECT token, count(*) AS cf, count(DISTINCT doc_id) AS df,
+         min(doc_id) AS first_doc
+  FROM tlong GROUP BY token
+),
+vocab_ids AS (
+  SELECT token, cf, df, first_doc,
+         CAST(row_number() OVER (ORDER BY first_doc, token) - 1 AS BIGINT)
+           AS term_id
+  FROM vocab
+),
+postings AS (
+  SELECT l.doc_id, v.term_id, count(*) AS tf
+  FROM tlong l JOIN vocab_ids v USING (token)
+  GROUP BY l.doc_id, v.term_id
+),
+doclen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+           FROM postings GROUP BY doc_id),
+nd AS (SELECT count(*) AS n FROM documents)
+"""
+
+
+def _bm25_sql(variant: str) -> str:
+    if variant == "okapi":
+        idf = """
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw)"""
+        num = "p.tf * 2.5"
+    elif variant == "lucene":
+        idf = """
+idf AS (SELECT term_id, ln((SELECT n FROM nd) + 1.0) - ln(df + 0.5) AS idf
+        FROM vocab_ids)"""
+        num = "p.tf * 1.0"
+    else:  # atire
+        idf = """
+idf AS (SELECT term_id, ln((SELECT n FROM nd)::DOUBLE) - ln(df::DOUBLE) AS idf
+        FROM vocab_ids)"""
+        num = "p.tf * 2.5"
+    return f"""{_PRELUDE},
+{idf},
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+weights AS (
+  SELECT p.doc_id, p.term_id,
+         i.idf * ({num} / (p.tf + 1.5 * (0.25 + 0.75 * d.dl
+                                         / (SELECT a FROM avgdl)))) AS weight
+  FROM postings p
+  JOIN doclen d USING (doc_id)
+  JOIN idf i USING (term_id))
+SELECT doc_id, term_id, round(weight, 6) AS weight FROM weights
+"""
+
+
+def _topk_sql(queries_: dict[int, str], k: int) -> str:
+    vals = ", ".join(f"({qid}, '{text}')" for qid, text in queries_.items())
+    return f"""{_PRELUDE},
+qraw AS (SELECT * FROM (VALUES {vals}) AS q(query_id, qtext)),
+qtok AS (
+  SELECT query_id,
+         unnest(list_filter(regexp_extract_all(lower(qtext), '[a-z_]+'),
+                t -> len(t) BETWEEN 2 AND 15 AND t[1] <> '_')) AS token
+  FROM qraw),
+qterms AS (SELECT DISTINCT query_id, v.term_id
+           FROM qtok JOIN vocab_ids v USING (token)),
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+weights AS (
+  SELECT p.doc_id, p.term_id,
+         i.idf * (p.tf * 2.5 / (p.tf + 1.5 * (0.25 + 0.75 * d.dl
+                                              / (SELECT a FROM avgdl)))) AS weight
+  FROM postings p JOIN doclen d USING (doc_id) JOIN idf i USING (term_id)),
+scores AS (
+  SELECT q.query_id, w.doc_id, sum(w.weight * 1.0) AS score
+  FROM weights w JOIN qterms q USING (term_id)
+  GROUP BY q.query_id, w.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY abs(score) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scores WHERE score <> 0.0)
+SELECT query_id, doc_id, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+_SHINGLES = """
+shing AS (
+  SELECT DISTINCT doc_id, s AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(greatest(len(tokens) - 2, 0)),
+                  i -> array_to_string(tokens[i + 1 : i + 3], ' '))) AS s
+    FROM tok))
+"""
+
+
+def _minhash_sig_sql() -> str:
+    cols = ", ".join(
+        f"min({_h60(f''''{h}:' || shingle''')}) AS sig_{h}"
+        for h in range(_MINHASH["num_hashes"])
+    )
+    return f"""{_PRELUDE},
+{_SHINGLES}
+SELECT doc_id, {cols} FROM shing GROUP BY doc_id
+"""
+
+
+def _minhash_pairs_sql() -> str:
+    cols = ", ".join(
+        f"min({_h60(f''''{h}:' || shingle''')}) AS sig_{h}"
+        for h in range(_MINHASH["num_hashes"])
+    )
+    band_rows = []
+    for b in range(_BANDS["bands"]):
+        parts = " || '_' || ".join(
+            f"CAST(sig_{b * _BANDS['rows_per_band'] + r} AS VARCHAR)"
+            for r in range(_BANDS["rows_per_band"])
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band_id, "
+                         f"{_h60(parts)} AS band_hash FROM sigs")
+    banded = " UNION ALL ".join(band_rows)
+    return f"""{_PRELUDE},
+{_SHINGLES},
+sigs AS (SELECT doc_id, {cols} FROM shing GROUP BY doc_id),
+banded AS ({banded})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def _ngram_jaccard_sql() -> str:
+    cols = ", ".join(
+        f"min({_h60(f''''{h}:' || shingle''')}) AS sig_{h}"
+        for h in range(_MINHASH["num_hashes"])
+    )
+    band_rows = []
+    for b in range(_BANDS["bands"]):
+        parts = " || '_' || ".join(
+            f"CAST(sig_{b * _BANDS['rows_per_band'] + r} AS VARCHAR)"
+            for r in range(_BANDS["rows_per_band"])
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band_id, "
+                         f"{_h60(parts)} AS band_hash FROM sigs")
+    banded = " UNION ALL ".join(band_rows)
+    return f"""{_PRELUDE},
+{_SHINGLES},
+sigs AS (SELECT doc_id, {cols} FROM shing GROUP BY doc_id),
+banded AS ({banded}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN shing sa ON sa.doc_id = p.doc_a
+  JOIN shing sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter::DOUBLE / (za.n_sh + zb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+"""
+
+
+def _simhash_sql() -> str:
+    return f"""{_PRELUDE},
+tfc AS (SELECT doc_id, token, count(*) AS tf FROM tlong GROUP BY 1, 2),
+th AS (SELECT doc_id, tf, {_h60('token')} AS th FROM tfc),
+votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (th >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range({_SIMHASH_BITS})) AS bit) b
+  GROUP BY doc_id, b.bit)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def _stopword_list_sql() -> str:
+    from gensim_spark.functions.stopwords import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+
+def _lang_sql() -> str:
+    from gensim_spark.operators.textstats import _LANG_MARKERS
+
+    ratio_cols = []
+    for lang in sorted(_LANG_MARKERS):
+        lst = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+        ratio_cols.append(
+            f"CASE WHEN len(tokens) > 0 THEN "
+            f"len(list_filter(tokens, t -> t IN ({lst})))::DOUBLE / len(tokens) "
+            f"ELSE 0.0 END AS r_{lang}"
+        )
+    langs = sorted(_LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"r_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN best < 0.05 THEN 'unk' " + " ".join(
+        f"WHEN r_{lg} = best THEN '{lg}'" for lg in langs
+    ) + " ELSE 'unk' END"
+    return f"""{_PRELUDE},
+ratios AS (SELECT doc_id, {', '.join(ratio_cols)} FROM tok),
+withbest AS (SELECT *, {best} AS best FROM ratios)
+SELECT doc_id, {case} AS pred_lang, round(best, 6) AS lang_score FROM withbest
+"""
+
+
+def _knn_sql() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {_KNN_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {_KNN_K}
+"""
+
+
+def _lsh_sql() -> str:
+    sgn = _h60("CAST(p.p AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)")
+    return f"""
+WITH planes AS (
+  SELECT p.p, i.i,
+         CASE WHEN {sgn} % 2 = 1 THEN 1.0 ELSE -1.0 END AS sgn
+  FROM (SELECT unnest(range({_LSH_PLANES})) AS p) p
+  CROSS JOIN (SELECT unnest(range({_EMB_DIMS})) AS i) i),
+comp AS (
+  SELECT vec_id, c.i, c.v FROM (
+    SELECT vec_id,
+           unnest(list_transform(embedding,
+                  (x, j) -> struct_pack(v := x::DOUBLE, i := j - 1))) AS c
+    FROM embeddings)),
+proj AS (
+  SELECT comp.vec_id, planes.p, sum(comp.v * planes.sgn) AS s
+  FROM comp JOIN planes ON planes.i = comp.i
+  GROUP BY comp.vec_id, planes.p),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id),
+q AS (SELECT b.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, b.bucket
+      FROM buckets b JOIN embeddings e USING (vec_id)
+      WHERE b.vec_id < {_KNN_QUERIES}),
+cand AS (SELECT b.vec_id, e.embedding::DOUBLE[] AS v, b.bucket
+         FROM buckets b JOIN embeddings e USING (vec_id)),
+scored AS (
+  SELECT q.query_id, cand.vec_id,
+         list_dot_product(cand.v, q.qv)
+         / (sqrt(list_dot_product(cand.v, cand.v))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM cand JOIN q USING (bucket)),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {_KNN_K}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = _stopword_list_sql()
+    return {
+        "tokens_count": f"{_PRELUDE} SELECT doc_id, CAST(len(tokens) AS BIGINT)"
+                        " AS n_tokens FROM tok",
+        "vocab": f"{_PRELUDE} SELECT token, term_id, df, cf, first_doc"
+                 " FROM vocab_ids",
+        "vocab_filter_extremes": f"""{_PRELUDE},
+good AS (SELECT * FROM vocab_ids
+         WHERE df BETWEEN {_FE['no_below']}
+           AND CAST(floor({_FE['no_above']} * (SELECT n FROM nd)) AS BIGINT)),
+top AS (SELECT * FROM good
+        QUALIFY row_number() OVER (ORDER BY df DESC, term_id ASC)
+          <= {_FE['keep_n']})
+SELECT token,
+       CAST(row_number() OVER (ORDER BY term_id) - 1 AS BIGINT) AS term_id,
+       df, cf
+FROM top""",
+        "most_common": f"""{_PRELUDE}
+SELECT token, cf FROM vocab_ids ORDER BY cf DESC, term_id ASC LIMIT 20""",
+        "doc2bow": f"{_PRELUDE} SELECT doc_id, term_id, tf FROM postings",
+        "doclen": f"{_PRELUDE} SELECT doc_id, dl FROM doclen",
+        "bm25_okapi": _bm25_sql("okapi"),
+        "bm25_lucene": _bm25_sql("lucene"),
+        "bm25_atire": _bm25_sql("atire"),
+        "bm25_topk": _topk_sql({0: QUERY_SET[0]}, TOPK_K),
+        "bm25_topk_batch": _topk_sql(QUERY_SET, BATCH_K),
+        "tfidf_nfc": f"""{_PRELUDE},
+idf AS (SELECT term_id, ln((SELECT n FROM nd)::DOUBLE / df) / ln(2.0) AS idf
+        FROM vocab_ids),
+w0 AS (SELECT p.doc_id, p.term_id, p.tf * i.idf AS w
+       FROM postings p JOIN idf i USING (term_id)
+       WHERE abs(i.idf) > 1e-12),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w0 GROUP BY doc_id)
+SELECT w0.doc_id, w0.term_id,
+       round(CASE WHEN nn > 0 THEN w / nn ELSE w END, 6) AS weight
+FROM w0 JOIN nrm USING (doc_id)""",
+        "logentropy": f"""{_PRELUDE},
+cfs AS (SELECT term_id, CAST(sum(tf) AS BIGINT) AS cf
+        FROM postings GROUP BY 1),
+pr AS (SELECT p.doc_id, p.term_id, p.tf, p.tf::DOUBLE / c.cf AS pp
+       FROM postings p JOIN cfs c USING (term_id)),
+ent AS (SELECT term_id,
+        1.0 + sum(pp * ln(pp) / ln(2.0))
+              / (ln((SELECT n FROM nd) + 1.0) / ln(2.0)) AS entropy
+        FROM pr GROUP BY term_id),
+w0 AS (SELECT p.doc_id, p.term_id,
+       (ln(p.tf + 1.0) / ln(2.0)) * e.entropy AS w
+       FROM postings p JOIN ent e USING (term_id)),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w0 GROUP BY doc_id)
+SELECT w0.doc_id, w0.term_id,
+       round(CASE WHEN nn > 0 THEN w / nn ELSE w END, 6) AS weight
+FROM w0 JOIN nrm USING (doc_id)""",
+        "phrases_bigrams": f"""{_PRELUDE},
+pl AS (SELECT doc_id, s.tok AS w, s.pos FROM (
+         SELECT doc_id,
+                unnest(list_transform(tokens,
+                       (x, i) -> struct_pack(tok := x, pos := i))) AS s
+         FROM tok)),
+bi AS (SELECT doc_id, w AS word_a,
+              lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS word_b
+       FROM pl),
+bic AS (SELECT word_a, word_b, count(*) AS bigram_count
+        FROM bi WHERE word_b IS NOT NULL
+        GROUP BY 1, 2 HAVING count(*) >= {_PHRASE_MIN_COUNT}),
+uni AS (SELECT token AS word, count(*) AS cnt FROM tlong GROUP BY 1),
+vl AS (SELECT count(*)::DOUBLE AS v FROM uni)
+SELECT word_a, word_b, bigram_count,
+       round((bigram_count - {_PHRASE_MIN_COUNT}) * (SELECT v FROM vl)
+             / (ua.cnt * ub.cnt), 6) AS score
+FROM bic
+JOIN uni ua ON ua.word = word_a
+JOIN uni ub ON ub.word = word_b""",
+        "events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value), 4) AS total
+FROM events GROUP BY 1, 2""",
+        "dedup_exact": """
+SELECT doc_id, md5(text) AS text_hash,
+       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+FROM documents""",
+        "minhash_signatures": _minhash_sig_sql(),
+        "dedup_minhash_pairs": _minhash_pairs_sql(),
+        "ngram_jaccard": _ngram_jaccard_sql(),
+        "simhash": _simhash_sql(),
+        "quality_stats": f"""{_PRELUDE},
+joined AS (SELECT d.doc_id, d.text, t.tokens
+           FROM documents d JOIN tok t USING (doc_id))
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(tokens) AS BIGINT) AS n_tokens,
+  round(CASE WHEN len(tokens) > 0 THEN
+    list_sum(list_transform(tokens, t -> len(t)))::DOUBLE / len(tokens)
+    ELSE 0.0 END, 6) AS mean_token_len,
+  round(CASE WHEN len(tokens) > 0 THEN
+    len(list_filter(tokens, t -> t IN ({sw})))::DOUBLE / len(tokens)
+    ELSE 0.0 END, 6) AS stopword_ratio,
+  round(CASE WHEN length(text) > 0 THEN
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)
+    ELSE 0.0 END, 6) AS alpha_ratio,
+  round(
+    (CASE WHEN len(tokens) >= 10 THEN 0.4 ELSE 0.0 END)
+    + (CASE WHEN len(tokens) > 0
+            AND list_sum(list_transform(tokens, t -> len(t)))::DOUBLE
+                / len(tokens) BETWEEN 3.0 AND 10.0
+       THEN 0.3 ELSE 0.0 END)
+    + (CASE WHEN len(tokens) > 0
+            AND len(list_filter(tokens, t -> t IN ({sw})))::DOUBLE
+                / len(tokens) BETWEEN 0.05 AND 0.6
+       THEN 0.3 ELSE 0.0 END), 2) AS quality
+FROM joined""",
+        "lang_id": _lang_sql(),
+        "fingerprint": f"""{_PRELUDE}
+SELECT doc_id, md5(array_to_string(tokens, ' ')) AS fp FROM tok""",
+        "knn_cosine": _knn_sql(),
+        "ann_lsh": _lsh_sql(),
+        "embedding_near_dups": f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+         6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+      >= {_NEAR_DUP_T}""",
+    }

@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: docs_per_sec (indexing throughput incl. tokenize→vocab→postings→
+BM25 weights), query_p95_ms (single-query BM25 top-10 latency), and — when
+SPARK_GRAFT_SCALING=1 — a two-parallelism scaling run on a deterministic
+synthetic corpus with the measured efficiency (BASELINE.md gate: ≥ 0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+SCALING = os.environ.get("SPARK_GRAFT_SCALING", "0") == "1"
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "400000"))
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def run_suite():
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from gensim_spark.plans import pipeline as P
+    from gensim_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=2 * CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, float] = {}
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+
+    # 1. index build end-to-end (tokenize → vocab → postings → weights)
+    def build():
+        tok = P.tokenize(docs, ascii_fast_path=True)
+        idx = P.build(tok, cache=True)
+        return idx, idx.weighted.count()
+
+    t_build, (idx, nnz) = timed(build)
+    results["index_build"] = round(t_build, 3)
+    docs_per_sec = n_docs / t_build
+
+    idx.weighted.cache().count()
+
+    # 2. single-query latency: 10 queries, p95
+    lat = []
+    texts = list(E.QUERY_SET.values())
+    for i in range(10):
+        q = {0: texts[i % len(texts)]}
+        t, _ = timed(lambda: P.query_text(
+            spark, idx, q, k=10, ascii_fast_path=True).collect())
+        lat.append(t)
+    lat.sort()
+    p95_ms = 1000 * lat[min(len(lat) - 1, int(0.95 * len(lat)))]
+    results["bm25_query_single"] = round(sum(lat) / len(lat), 4)
+
+    # 3. batch query
+    t, _ = timed(lambda: P.query_text(
+        spark, idx, E.QUERY_SET, k=10, ascii_fast_path=True).collect())
+    results["bm25_query_batch"] = round(t, 3)
+
+    # 4. tf-idf weights
+    from gensim_spark.operators import tfidf as TF
+
+    t, _ = timed(lambda: TF.tfidf_postings(
+        idx.postings, idx.vocab.select("term_id", "df"), idx.num_docs,
+        smartirs="nfc").count())
+    results["tfidf_nfc"] = round(t, 3)
+
+    # 5. minhash dedup (signatures + band pairs)
+    from gensim_spark.operators import dedup as D
+
+    def mh():
+        sigs = D.minhash_signatures(idx.docs, num_hashes=4)
+        return D.minhash_band_pairs(sigs, bands=2, rows_per_band=2).count()
+
+    t, _ = timed(mh)
+    results["dedup_minhash"] = round(t, 3)
+
+    # 6. brute-force knn over embeddings
+    from gensim_spark.operators import simsearch as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    t, _ = timed(lambda: S.cosine_topk(emb, q, k=10).count())
+    results["knn_cosine"] = round(t, 3)
+
+    spark.stop()
+    total = round(sum(results.values()), 3)
+    out = {
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "docs_per_sec": round(docs_per_sec, 1),
+        "query_p95_ms": round(p95_ms, 1),
+    }
+    return out
+
+
+def _scaling_inner(cores: int, n_docs: int) -> float:
+    """Index-build wall time for the full north-rule pipeline: read parquet
+    (html) → Arrow-UDF extraction → Arrow-UDF tokenize → vocab → postings →
+    BM25 weights. The synthetic corpus is materialized to parquet once
+    (untimed setup — deterministic, so both cluster sizes read identical
+    bytes). The explicit repartition gives the UDF stage enough tasks to fill
+    the cores even though the small corpus has few input splits (a real
+    crawl has thousands of splits and doesn't need it)."""
+    from gensim_spark.functions import textprep
+    from gensim_spark.plans import pipeline as P
+    from gensim_spark.session import get_spark
+    from gensim_spark.sources.synth import generate_pages
+
+    corpus = f"/tmp/gensim_spark_bench/html_v2_{n_docs}"
+    spark = get_spark(f"scale_{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=2 * cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(corpus + "/_SUCCESS"):
+        generate_pages(spark, n_docs, partitions=128).select(
+            "doc_id", "url", "warc_ts", "html", "lang"
+        ).write.mode("overwrite").parquet(corpus)
+    pages = spark.read.parquet(corpus).repartition(4 * cores)
+    t0 = time.perf_counter()
+    idx = P.build_from_pages(pages, num_docs=n_docs)
+    idx.weighted.count()
+    t = time.perf_counter() - t0
+    spark.stop()
+    return t
+
+
+def scaling_run(cores: int, n_docs: int) -> float:
+    """Run the measurement in a FRESH subprocess: the py4j gateway JVM
+    survives spark.stop() within one Python process, so back-to-back sessions
+    would share a dirty heap and pollute the comparison (BASELINE.md:
+    cold-cache-equivalent conditions, fresh SparkSession per run)."""
+    import subprocess
+
+    code = (
+        "import bench, json; "
+        f"print(json.dumps(bench._scaling_inner({cores}, {n_docs})))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    out = run_suite()
+    if SCALING:
+        # N vs 4N cores on identical input. Default N=2 (→ pair 2/8): raw-CPU
+        # calibration of this VM shows the host delivers ~4x real parallelism
+        # from 2→8 vCPUs but only ~2x from 8→32 (hypervisor steal), so 2→8 is
+        # the pair where hardware actually provides the 4x being measured.
+        # Override with SPARK_GRAFT_SCALE_N.
+        n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        n4 = 4 * n
+        best = {}
+        for cores in (n4, n):
+            best[cores] = min(scaling_run(cores, SCALE_DOCS)
+                              for _ in range(2))
+        eff = (best[n] / best[n4]) / (n4 / n)
+        out["scaling"] = {
+            "docs": SCALE_DOCS, "cores_n": n, "cores_4n": n4,
+            "t_n_sec": round(best[n], 2), "t_4n_sec": round(best[n4], 2),
+            "docs_per_sec_n": round(SCALE_DOCS / best[n], 1),
+            "docs_per_sec_4n": round(SCALE_DOCS / best[n4], 1),
+            "efficiency": round(eff, 3),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,10 +14,19 @@ gensim/parsing/preprocessing.py:398-445 (preprocess_string); see textref.py.
 
 from __future__ import annotations
 
+from collections import Counter
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType, StringType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from gensim_spark.functions import textref
 
@@ -80,6 +89,24 @@ def preprocess_string_udf(text: pd.Series) -> pd.Series:
     )
 
 
+_BOW_TYPE = ArrayType(
+    StructType([
+        StructField("token", StringType()),
+        StructField("tf", LongType()),
+    ])
+)
+
+
+@F.pandas_udf(_BOW_TYPE)
+def bow_counts_udf(tokens: pd.Series) -> pd.Series:
+    """tokens → [(token, tf)] sorted by token — the per-document Counter of
+    ``doc2bow`` (gensim/corpora/dictionary.py:244-247) fused into the Arrow
+    batch, so the postings build needs NO doc-keyed shuffle at all."""
+    return tokens.map(
+        lambda ts: sorted(Counter(ts).items()) if ts is not None else None
+    )
+
+
 # --- JVM-side column expressions (codegen path, exact on ASCII) -------------
 
 # Catalyst regex is Java; on ASCII text these are equivalent to the Python
@@ -129,6 +156,44 @@ def remove_short_tokens_col(tokens: Column, minsize: int = 3) -> Column:
 
 
 # --- document-level pipeline helpers ----------------------------------------
+
+BOW_LONG_SCHEMA = "doc_id long, token string, tf long, dl long"
+
+
+def extract_tokenize_bow(pages: DataFrame, html_col: str = "html",
+                         doc_col: str = "doc_id") -> DataFrame:
+    """pages(doc_id, html, …) → (doc_id, token, tf, dl) in ONE Python pass.
+
+    The full per-document text layer — extraction cascade, simple_preprocess
+    tokenization, doc2bow Counter, doc length — fused into a single
+    ``mapInPandas`` stage: one JVM↔Python Arrow crossing, plain columnar
+    output (no array-of-struct conversion). This is the north-rule build
+    front-end: everything after it is narrow until the vocab aggregation.
+    """
+    from gensim_spark.functions import textref
+
+    def batches(it):
+        from collections import Counter
+
+        for pdf in it:
+            out_doc, out_tok, out_tf, out_dl = [], [], [], []
+            for doc_id, html in zip(pdf[doc_col], pdf[html_col]):
+                text = textref.extract_html_text(html)
+                toks = textref.simple_preprocess(text)
+                dl = len(toks)
+                for t, f in sorted(Counter(toks).items()):
+                    out_doc.append(doc_id)
+                    out_tok.append(t)
+                    out_tf.append(f)
+                    out_dl.append(dl)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "token": out_tok, "tf": out_tf,
+                 "dl": out_dl}
+            )
+
+    return pages.select(doc_col, html_col).mapInPandas(
+        batches, schema=BOW_LONG_SCHEMA
+    )
 
 def extract_pages(pages: DataFrame, html_col: str = "html",
                   out_col: str = "text") -> DataFrame:

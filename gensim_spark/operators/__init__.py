@@ -2,4 +2,14 @@
 (BM25 family, TF-IDF SMART schemes, log-entropy), top-k query scoring, phrases,
 dedup, similarity search, text statistics."""
 
-from gensim_spark.operators import bm25, bow, tfidf, topk, vocab  # noqa: F401
+from gensim_spark.operators import (  # noqa: F401
+    bm25,
+    bow,
+    dedup,
+    phrases,
+    simsearch,
+    textstats,
+    tfidf,
+    topk,
+    vocab,
+)

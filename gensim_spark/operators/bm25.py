@@ -120,17 +120,20 @@ def _weight_col(variant: str, k1: float, b: float, avgdl: float):
 
 
 def weight_postings(postings: DataFrame, stats: BM25Stats,
-                    dl: DataFrame | None = None) -> DataFrame:
+                    dl: DataFrame | str | None = None) -> DataFrame:
     """postings(doc_id, term_id, tf) → weighted (doc_id, term_id, weight).
 
-    dl join is on doc_id (shuffle unless both sides share a doc_id bucketing);
-    idf join is broadcast. Missing idf coalesces to 0.0 — together with the
-    ``or 0.0`` quirk this means idf==0 terms contribute 0 (bm25model.py:130).
+    dl: None → computed and joined on doc_id; a DataFrame → joined; the string
+    ``"inline"`` → postings already carry a ``dl`` column (window-computed,
+    saves the join shuffle — the pipeline's default). idf join is broadcast.
+    Missing idf coalesces to 0.0 — together with the ``or 0.0`` quirk this
+    means idf==0 terms contribute 0 (bm25model.py:130).
     """
     if dl is None:
         dl = doclens(postings)
+    joined = postings if isinstance(dl, str) else postings.join(dl, "doc_id")
     return (
-        postings.join(dl, "doc_id")
+        joined
         .join(F.broadcast(stats.idfs), "term_id", "left")
         .withColumn("idf", F.coalesce(F.col("idf"), F.lit(0.0)))
         .select(

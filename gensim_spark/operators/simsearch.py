@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline (the analogue of gensim's
+``MatrixSimilarity`` dense path, gensim/similarities/docsim.py:761-880, but as
+a join-agg plan instead of BLAS GEMM), plus a sign-random-projection LSH
+bucketed variant as the scale path (the analogue of gensim's ANN integrations,
+gensim/similarities/annoy.py — re-expressed as deterministic SQL-friendly
+hyperplanes so results are oracle-checkable).
+
+Scale notes: brute force is O(N·Q) — fine for Q small (queries broadcast).
+LSH restricts candidates to equal-bucket docs: the bucket build is one narrow
+projection (hyperplane matrix is a broadcast literal), the query probe is a
+bucket-equijoin. Dot products stay JVM-side via higher-order array functions
+(zip_with + aggregate) — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gensim_spark.functions.hashing import hash60
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (whole-stage codegen, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact brute-force top-k: (query_id, vec_id, cosine, rank).
+
+    ``queries``: (query_id, embedding). Broadcast (queries ≪ corpus); ties
+    broken by vec_id ascending; self-matches are the caller's concern.
+    """
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+    scored = (
+        embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id",
+                cosine_expr(F.col("_v"), F.col("_qv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_sign_expr(vec: Column, plane: int, dims: int) -> Column:
+    """Deterministic pseudo-random hyperplane sign: component d of plane j is
+    +1 if hash60('j_d') is odd else -1. Same construction is expressible in
+    ANSI SQL, making the LSH bucketing oracle-checkable."""
+    signs = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda d: F.when(
+            hash60(F.concat(F.lit(f"{plane}_"), d.cast("string"))) % 2 == 1,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    return dot_expr(vec, signs)
+
+
+def lsh_buckets(embeddings: DataFrame, planes: int = 6, dims: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, bucket): sign-random-projection bucket id (``planes`` bits)."""
+    bucket = None
+    for j in range(planes):
+        bit = F.when(
+            hyperplane_sign_expr(F.col(vec_col), j, dims) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return embeddings.select(F.col(id_col).alias("vec_id"),
+                             bucket.cast("long").alias("bucket"))
+
+
+def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+             planes: int = 6, dims: int = 64, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k: candidates share the query's bucket, ranked by true
+    cosine. (query_id, vec_id, cosine, rank)."""
+    b = lsh_buckets(embeddings, planes, dims, id_col, vec_col)
+    eb = embeddings.join(b, embeddings[id_col] == b.vec_id).select(
+        b.vec_id, F.col(vec_col).alias("_v"), "bucket"
+    )
+    qb = lsh_buckets(queries, planes, dims, query_id_col, vec_col)
+    q = queries.join(qb, queries[query_id_col] == qb.vec_id).select(
+        qb.vec_id.alias("query_id"), F.col(vec_col).alias("_qv"), "bucket"
+    )
+    scored = (
+        eb.join(F.broadcast(q), "bucket")
+        .select("query_id", "vec_id",
+                cosine_expr(F.col("_v"), F.col("_qv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

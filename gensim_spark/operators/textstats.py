@@ -1,0 +1,104 @@
+"""Text analysis operators: quality scoring, language-ID heuristic, token
+counting, document fingerprinting.
+
+Training-data-pipeline surface (not in the gensim reference): the per-document
+quality/selection signals a 100 TB corpus build computes before indexing.
+Everything is a narrow JVM-side projection (regexp/array expressions —
+whole-stage codegen, no shuffle, no Python), so these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gensim_spark.functions.stopwords import STOPWORDS
+
+# deterministic marker-word sets for the n-gram language heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "las", "es", "una", "para", "con", "por"],
+}
+
+
+def token_count_col(tokens: Column) -> Column:
+    return F.size(tokens)
+
+
+def stopword_count_col(tokens: Column, words=None) -> Column:
+    lit = F.array(*[F.lit(w) for w in sorted(words or STOPWORDS)])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lit, t)))
+
+
+def quality_stats(docs: DataFrame, text_col: str = "text",
+                  tokens_col: str = "tokens",
+                  doc_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, mean_token_len, stopword_ratio,
+    alpha_ratio, quality): composite heuristic quality score in [0, 1]."""
+    toks = F.col(tokens_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    mean_tok = F.when(n_tokens > 0, tok_chars / n_tokens).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tokens > 0,
+        stopword_count_col(toks).cast("double") / n_tokens,
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")).cast("double")
+        / n_chars,
+    ).otherwise(F.lit(0.0))
+    # quality: enough tokens, sane mean token length, some (but not all) stopwords
+    quality = (
+        F.when(n_tokens >= 10, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_tok >= 3.0) & (mean_tok <= 10.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(quality, 2).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, tokens_col: str = "tokens",
+            doc_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pred_lang, lang_score): marker-word-ratio language heuristic.
+    Deterministic tie-break: highest ratio wins, then language code ascending."""
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    ratios = {}
+    for lang in sorted(_LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        cnt = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        ratios[lang] = F.when(n > 0, cnt.cast("double") / n).otherwise(F.lit(0.0))
+    best = F.greatest(*ratios.values())
+    pred = F.lit("unk")
+    # CASE checks in lang-ascending order → smallest code wins score ties
+    chain = F.when(best < 0.05, F.lit("unk"))
+    for lang in sorted(_LANG_MARKERS):
+        chain = chain.when(ratios[lang] == best, F.lit(lang))
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        chain.otherwise(pred).alias("pred_lang"),
+        F.round(best, 6).alias("lang_score"),
+    )
+
+
+def fingerprint(docs: DataFrame, tokens_col: str = "tokens",
+                doc_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fp): md5 fingerprint of the normalized token stream — the
+    canonical 'same content after normalization' identity."""
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.md5(F.concat_ws(" ", F.col(tokens_col))).alias("fp"),
+    )

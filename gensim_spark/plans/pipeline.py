@@ -1,0 +1,173 @@
+"""The canonical build pipeline (SURVEY.md §3.1), composed from operators.
+
+``pages (or documents) → tokenize → vocab → postings → doclen → BM25 stats →
+weighted postings`` — each arrow a Catalyst plan; the driver-facing entry
+points and bench call these.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gensim_spark.functions import textprep
+from gensim_spark.operators import bm25 as M
+from gensim_spark.operators import bow as B
+from gensim_spark.operators import topk as T
+from gensim_spark.operators import vocab as V
+
+
+@dataclass
+class IndexedCorpus:
+    docs: DataFrame | None  # (doc_id, tokens); None when built from counts
+    vocab: DataFrame      # (token, term_id, df, cf, first_doc)
+    postings: DataFrame   # (doc_id, term_id, tf)
+    doclen: DataFrame     # (doc_id, dl)
+    num_docs: int
+    stats: M.BM25Stats | None = None
+    weighted: DataFrame | None = None  # (doc_id, term_id, weight)
+
+
+def tokenize(docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id",
+             ascii_fast_path: bool = False) -> DataFrame:
+    """(doc_id, tokens) via simple_preprocess semantics. ascii_fast_path stays
+    JVM-side (exact on ASCII corpora; the parity default is the Arrow UDF)."""
+    return textprep.tokenize_pages(
+        docs, text_col=text_col, ascii_fast_path=ascii_fast_path
+    ).select(F.col(doc_col).alias("doc_id"), "tokens")
+
+
+def build(tokenized: DataFrame, variant: str = M.OKAPI, k1: float = 1.5,
+          b: float = 0.75, epsilon: float = 0.25, num_docs: int | None = None,
+          distributed_ids: bool = False, cache: bool = True,
+          bow_mode: str = "udf") -> IndexedCorpus:
+    """tokenized (doc_id, tokens) → fully weighted index (dictionary fit path).
+
+    Single-pass shape: the token stream is exploded and counted ONCE
+    (shuffle 1, with map-side partial agg); the vocabulary is derived from the
+    much smaller counts table (shuffle 2, vocab-sized); postings = counts ⋈
+    broadcast(vocab) (no shuffle); doclen is a window over the postings'
+    doc_id partitioning (shuffle 3); idf broadcasts onto that (no shuffle).
+    Three shuffles total, each strictly smaller than the last — this shape is
+    what holds at 10^12 docs (the counts cache becomes a checkpoint table in
+    the sharded index build, gensim_spark.index).
+
+    ``distributed_ids=False`` (default): the term-id rank runs as a plain
+    window — one task sorting the *vocabulary* (≪ corpus; fine up to ~10^7
+    terms). Set True for the range-partitioned zipWithIndex rank when the
+    vocabulary itself is huge; it costs one extra pass over the cached counts.
+
+    ``cache=True`` (default) persists the (doc,term,tf) counts and the vocab:
+    the counts feed three downstream consumers (vocab agg, postings, stats),
+    and the vocab feeds every scoring plan — without the cache the full
+    token explode recomputes per consumer.
+    """
+    if num_docs is None:
+        num_docs = tokenized.count()
+    # row-local doc2bow: (doc_id, token, tf, dl) with no shuffle.
+    # "udf": per-doc Counter fused into an Arrow batch stage;
+    # "jvm": array-expression counting (no Python at all; O(distinct·len)
+    #        comparisons per doc — fine for short docs);
+    # "explode": classic explode + groupBy(doc_id, token) (one extra
+    #        doc-keyed shuffle; the fallback shape).
+    if bow_mode == "udf":
+        from gensim_spark.functions.textprep import bow_counts_udf
+
+        counts = tokenized.select(
+            "doc_id",
+            F.size("tokens").cast("long").alias("dl"),
+            F.explode(bow_counts_udf("tokens")).alias("e"),
+        ).select("doc_id", F.col("e.token").alias("token"),
+                 F.col("e.tf").alias("tf"), "dl")
+    elif bow_mode == "jvm":
+        counts = B.doc2bow_rowlocal(tokenized)
+    else:
+        from pyspark.sql import Window
+
+        counts = (
+            tokenized.select("doc_id", F.explode("tokens").alias("token"))
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+        )
+    return index_from_counts(counts, num_docs, variant=variant, k1=k1, b=b,
+                             epsilon=epsilon, distributed_ids=distributed_ids,
+                             cache=cache, docs=tokenized)
+
+
+def build_from_pages(pages: DataFrame, variant: str = M.OKAPI, k1: float = 1.5,
+                     b: float = 0.75, epsilon: float = 0.25,
+                     num_docs: int | None = None,
+                     distributed_ids: bool = False,
+                     cache: bool = True) -> IndexedCorpus:
+    """The north-rule front door: pages(doc_id, html, …) → index, with the
+    whole text layer fused into one mapInPandas stage (textprep
+    .extract_tokenize_bow)."""
+    from gensim_spark.functions.textprep import extract_tokenize_bow
+
+    if num_docs is None:
+        num_docs = pages.count()
+    counts = extract_tokenize_bow(pages)
+    return index_from_counts(counts, num_docs, variant=variant, k1=k1, b=b,
+                             epsilon=epsilon, distributed_ids=distributed_ids,
+                             cache=cache)
+
+
+def index_from_counts(counts: DataFrame, num_docs: int,
+                      variant: str = M.OKAPI, k1: float = 1.5, b: float = 0.75,
+                      epsilon: float = 0.25, distributed_ids: bool = False,
+                      cache: bool = True,
+                      docs: DataFrame | None = None) -> IndexedCorpus:
+    """counts(doc_id, token, tf, dl) → index. The ONLY exchange here is the
+    vocabulary aggregation (vocab-sized output, map-side partial agg);
+    postings/weights are broadcast joins + projections over counts."""
+    if cache:
+        # materialize NOW: every downstream consumer (vocab agg, postings,
+        # stats) then reads the cache; without the explicit action the first
+        # consumer to run — historically the zipWithIndex rank, whose two
+        # internal jobs bypass un-materialized DataFrame caches — re-executes
+        # the whole text pipeline per job.
+        counts = counts.persist()
+        counts.count()
+    term_stats = counts.groupBy("token").agg(
+        F.sum("tf").alias("cf"),
+        F.count(F.lit(1)).alias("df"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    vocab = V.assign_term_ids(term_stats, distributed=distributed_ids).select(
+        "token", "term_id", "df", "cf", "first_doc"
+    ).cache()
+    postings = counts.join(
+        F.broadcast(vocab.select("token", "term_id")), "token"
+    ).select("doc_id", "term_id", "tf")
+    stats = M.fit_from_vocab(vocab, num_docs, variant=variant, k1=k1, b=b,
+                             epsilon=epsilon)
+    with_dl = counts.join(
+        F.broadcast(vocab.select("token", "term_id")), "token"
+    ).select("doc_id", "term_id", "tf", "dl")
+    weighted = M.weight_postings(with_dl, stats, dl="inline")
+    dl = counts.select("doc_id", "dl").distinct()
+    return IndexedCorpus(docs=docs, vocab=vocab, postings=postings,
+                         doclen=dl, num_docs=num_docs, stats=stats,
+                         weighted=weighted)
+
+
+def query_text(spark, index: IndexedCorpus, queries: dict[int, str],
+               k: int = 10, ascii_fast_path: bool = False) -> DataFrame:
+    """Text queries → tokenize with the same pipeline → binary ('bnn') query
+    weights via vocab lookup → top-k (docsim.py:1149 query model)."""
+    qdf = spark.createDataFrame(
+        [(qid, text) for qid, text in queries.items()], "query_id int, text string"
+    )
+    qtok = tokenize(qdf, doc_col="query_id", ascii_fast_path=ascii_fast_path)
+    qterms = (
+        qtok.select(F.col("doc_id").alias("query_id"),
+                    F.explode_outer("tokens").alias("token"))
+        .join(F.broadcast(index.vocab.select("token", "term_id")), "token")
+        .select("query_id", "term_id")
+        .distinct()
+        .withColumn("q_weight", F.lit(1.0))
+    )
+    return T.search(index.weighted, qterms, k=k)

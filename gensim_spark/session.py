@@ -47,9 +47,15 @@ def get_spark(
         # Broadcast threshold: vocab/idf tables for realistic vocabularies
         # (~10^6 terms * ~40B) fit comfortably; postings never broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = single driver JVM doing all executor work: size the heap
+        # for the core count or GC serializes every stage (observed: flat
+        # scaling 8→32 cores at 8g).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # finer input splits: more waves per stage → better balance under
+        # noisy/contended cores; at cluster scale override upward.
+        .config("spark.sql.files.maxPartitionBytes", "32m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
