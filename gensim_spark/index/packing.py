@@ -1,0 +1,112 @@
+"""Posting-run packing: sorted doc_ids delta+varint-encoded, float32 weights,
+per-block max-weight metadata.
+
+The packed run is the analogue of gensim's CSR index column
+(gensim/similarities/docsim.py:1241-1248 stores docs×terms CSR; a CSC column
+per term IS a posting run) — re-laid-out for web scale: delta+varint doc-id
+blobs compress zipfian gaps to ~1-2 bytes/posting, and the per-block maxima
+are the skip structure block-max WAND needs (Ding & Suel, SIGIR'11).
+
+Pure-numpy encode/decode — runs inside mapInPandas during shard builds and
+query traversal; no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def encode_varint_deltas(doc_ids: np.ndarray) -> bytes:
+    """Sorted int64 doc_ids → delta+varint blob (LEB128, numpy-vectorized)."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    if doc_ids.size == 0:
+        return b""
+    deltas = np.empty_like(doc_ids)
+    deltas[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+    # LEB128: 7 bits per byte, high bit = continuation
+    vals = deltas.astype(np.uint64)
+    nbytes = np.maximum((64 - np.uint64(0) - _clz64(vals) + 6) // 7, 1)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    pos = np.concatenate(([0], np.cumsum(nbytes)[:-1])).astype(np.int64)
+    rem = vals.copy()
+    max_len = int(nbytes.max())
+    for b in range(max_len):
+        mask = nbytes > b
+        idx = pos[mask] + b
+        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > b + 1).astype(np.uint8) << 7
+        out[idx] = byte | cont
+        rem[mask] = rem[mask] >> np.uint64(7)
+    return out.tobytes()
+
+
+def _clz64(v: np.ndarray) -> np.ndarray:
+    """Count leading zeros of uint64 array (via bit_length emulation)."""
+    v = v.astype(np.uint64)
+    bl = np.zeros(v.shape, dtype=np.uint64)
+    x = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = x >= (np.uint64(1) << np.uint64(shift))
+        bl[mask] += np.uint64(shift)
+        x[mask] = x[mask] >> np.uint64(shift)
+    bl[v > 0] += np.uint64(1)  # bit_length
+    return np.uint64(64) - bl
+
+
+def decode_varint_deltas(blob: bytes) -> np.ndarray:
+    """Inverse of :func:`encode_varint_deltas` → sorted int64 doc_ids."""
+    raw = np.frombuffer(blob, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.int64)
+    cont = (raw & 0x80) != 0
+    ends = np.nonzero(~cont)[0]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    payload = (raw & 0x7F).astype(np.uint64)
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    max_len = int(lengths.max())
+    for b in range(max_len):
+        mask = lengths > b
+        vals[mask] |= payload[starts[mask] + b] << np.uint64(7 * b)
+    return np.cumsum(vals.astype(np.int64))
+
+
+def pack_run(doc_ids: np.ndarray, weights: np.ndarray,
+             block_size: int = BLOCK_SIZE):
+    """One term's postings (sorted by doc_id) → packed run dict:
+    doc_blob, weight_blob (float32 LE), n, block_max (float32[]),
+    block_last_doc (int64[]) — per-block skip metadata."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    weights = np.asarray(weights, dtype=np.float32)
+    n = doc_ids.size
+    nblocks = (n + block_size - 1) // block_size
+    bmax = np.empty(nblocks, dtype=np.float32)
+    blast = np.empty(nblocks, dtype=np.int64)
+    for i in range(nblocks):
+        sl = slice(i * block_size, min((i + 1) * block_size, n))
+        bmax[i] = np.abs(weights[sl]).max()
+        blast[i] = doc_ids[sl.stop - 1]
+    return {
+        "n": int(n),
+        "doc_blob": encode_varint_deltas(doc_ids),
+        "weight_blob": weights.tobytes(),
+        "block_max": bmax.tobytes(),
+        "block_last_doc": blast.tobytes(),
+    }
+
+
+def unpack_run(run) -> tuple[np.ndarray, np.ndarray]:
+    """Packed run (dict/Row with doc_blob, weight_blob) → (doc_ids, weights)."""
+    doc_ids = decode_varint_deltas(bytes(run["doc_blob"]))
+    weights = np.frombuffer(bytes(run["weight_blob"]), dtype=np.float32)
+    return doc_ids, weights
+
+
+def unpack_blocks(run) -> tuple[np.ndarray, np.ndarray]:
+    bmax = np.frombuffer(bytes(run["block_max"]), dtype=np.float32)
+    blast = np.frombuffer(bytes(run["block_last_doc"]), dtype=np.int64)
+    return bmax, blast

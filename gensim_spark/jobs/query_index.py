@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Query job: text query → tokenize with the build pipeline → vocab lookup →
+block-max WAND top-k over the packed shard index."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True, help="index dir (from build)")
+    ap.add_argument("--query", required=True, action="append",
+                    help="query text (repeatable)")
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from gensim_spark.functions import textref
+    from gensim_spark.index.wand import wand_topk
+    from gensim_spark.session import get_spark
+
+    spark = get_spark("gensim_spark_query")
+    vocab = spark.read.parquet(f"{args.index}/vocab")
+    tokens = {qid: textref.simple_preprocess(q)
+              for qid, q in enumerate(args.query)}
+    all_tokens = sorted({t for ts in tokens.values() for t in ts})
+    tid = {
+        r["token"]: r["term_id"]
+        for r in vocab.filter(F.col("token").isin(all_tokens)).collect()
+    }
+    query_terms = {
+        qid: {int(tid[t]): 1.0 for t in set(ts) if t in tid}
+        for qid, ts in tokens.items()
+    }
+    t0 = time.perf_counter()
+    rows = wand_topk(spark, args.index, query_terms, k=args.k).collect()
+    wall = time.perf_counter() - t0
+    out = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        out.setdefault(str(r["query_id"]), []).append(
+            {"doc_id": r["doc_id"], "score": r["score"], "rank": r["rank"]}
+        )
+    print(json.dumps({"results": out, "wall_sec": round(wall, 3)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

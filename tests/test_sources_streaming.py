@@ -1,0 +1,175 @@
+"""Sources (Matrix Market, text corpus, vocab TSV), streaming incremental
+build, and multimodal plumbing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import docs_df
+from tests.oracle import PyDictionary
+
+
+def test_mm_roundtrip(spark, common_texts, tmp_path):
+    from gensim_spark.operators import bow as B
+    from gensim_spark.operators import vocab as V
+    from gensim_spark.sources import matrix_market as MM
+
+    df = docs_df(spark, common_texts)
+    vocab = V.build_vocab(df)
+    postings = B.doc2bow_postings(df, vocab)
+    path = str(tmp_path / "corpus.mm")
+    nd, nt, nnz = MM.write_mm(postings, path, weight_col="tf")
+    odict = PyDictionary(common_texts)
+    assert nd == odict.num_docs and nnz == odict.num_nnz
+    with open(path) as f:
+        assert f.readline().startswith("%%MatrixMarket")
+        assert f.readline().split() == [str(nd), str(nt), str(nnz)]
+    back = MM.read_mm(spark, path)
+    got = {(r["doc_id"], r["term_id"]): r["weight"] for r in back.collect()}
+    want = {(r["doc_id"], r["term_id"]): float(r["tf"])
+            for r in postings.collect()}
+    assert got == want
+    assert MM.mm_stats(spark, path) == (nd, nt, nnz)
+
+
+def test_mm_writer_drops_near_zero(spark, tmp_path):
+    from gensim_spark.sources import matrix_market as MM
+
+    p = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, 1e-15), (1, 0, -2.5)],
+        "doc_id long, term_id long, weight double",
+    )
+    path = str(tmp_path / "z.mm")
+    nd, nt, nnz = MM.write_mm(p, path)
+    assert nnz == 2  # |1e-15| <= 1e-12 dropped (matutils.py MmWriter)
+
+
+def test_text_corpus_reader(spark, tmp_path):
+    from gensim_spark.sources import textcorpus as TC
+
+    f = tmp_path / "docs.txt"
+    f.write_text("The quick brown fox jumped\nand all we see is trees\n")
+    df = TC.read_text_corpus(spark, str(f))
+    rows = {r["doc_id"]: r["tokens"] for r in df.collect()}
+    # default pipeline: lower, deaccent, tokenize, stopwords out, len>=3
+    assert rows[0] == ["quick", "brown", "fox", "jumped"]
+    assert rows[1] == ["trees"]
+
+
+def test_vocab_tsv_roundtrip(spark, common_texts, tmp_path):
+    from gensim_spark.operators import vocab as V
+    from gensim_spark.sources import textcorpus as TC
+
+    df = docs_df(spark, common_texts)
+    vocab = V.build_vocab(df)
+    path = str(tmp_path / "vocab.tsv")
+    TC.save_vocab_as_text(vocab, path, num_docs=len(common_texts))
+    back, nd = TC.load_vocab_from_text(spark, path)
+    assert nd == len(common_texts)
+    got = {r["token"]: (r["term_id"], r["df"]) for r in back.collect()}
+    want = {r["token"]: (r["term_id"], r["df"]) for r in vocab.collect()}
+    assert got == want
+
+
+def test_streaming_incremental_build(spark, tmp_path):
+    """Micro-batched incremental build: ids stay gensim-deterministic across
+    batches (same token keeps id; new tokens appended)."""
+    from gensim_spark.sources.synth import generate_pages
+    from gensim_spark.streaming.incremental import (compact,
+                                                    start_incremental_build)
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    pages = generate_pages(spark, 200, tokens_per_doc=30, partitions=2)
+    pages.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = start_incremental_build(spark, stream, store, ckpt)
+    q.awaitTermination(120)
+
+    counts = spark.read.parquet(f"{store}/counts")
+    vocab = spark.read.parquet(f"{store}/vocab")
+    assert counts.select("doc_id").distinct().count() == 200
+    # vocabulary ids are unique and gap-free
+    ids = sorted(r["term_id"] for r in vocab.collect())
+    assert ids == list(range(len(ids)))
+
+    idx_dir = str(tmp_path / "packed")
+    manifest = compact(spark, store, idx_dir)
+    assert all(g["committed"] for g in manifest["groups"].values())
+    # a second batch of new pages extends the vocab without changing old ids
+    before = {r["token"]: r["term_id"] for r in vocab.collect()}
+    more = generate_pages(spark, 50, tokens_per_doc=30, partitions=1).withColumn(
+        "doc_id", F.col("doc_id") + 200
+    )
+    more.write.mode("append").parquet(src)
+    q2 = start_incremental_build(
+        spark,
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        store, ckpt,
+    )
+    q2.awaitTermination(120)
+    after = {r["token"]: r["term_id"]
+             for r in spark.read.parquet(f"{store}/vocab").collect()}
+    for tok, tid in before.items():
+        assert after[tok] == tid
+
+
+def test_streaming_event_stats_plan(spark):
+    """The watermarked windowed agg compiles and carries the event-time
+    watermark (no real stream needed to validate the plan)."""
+    from gensim_spark.streaming.incremental import streaming_event_stats
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(F.col("timestamp").alias("ts"),
+                F.lit("a").alias("event_type"),
+                F.col("value").cast("double").alias("value"))
+    )
+    out = streaming_event_stats(stream)
+    assert out.isStreaming
+    assert "window_start" in out.columns
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "watermark" in plan.lower()
+
+
+def test_multimodal_feature_plumbing(spark):
+    from gensim_spark.operators import multimodal as MM
+
+    media = MM.make_fake_media(spark, 32)
+    feats = MM.extract_features(media).collect()
+    assert len(feats) == 32
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(len(r["feature"]) == 16 for r in feats)
+    # deterministic: same payload → same feature
+    again = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert by_id[0]["feature"] == again[0]["feature"]
+    # n_bytes matches payload length
+    raw = {r["media_id"]: len(bytes(r["payload"])) for r in media.collect()}
+    assert all(by_id[i]["n_bytes"] == raw[i] for i in raw)
+
+
+def test_multimodal_decode_stub_raises(spark):
+    import pandas as pd
+
+    from gensim_spark.operators import multimodal as MM
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_image_batch(pd.Series([b"x"]))
+
+
+def test_frame_sample_plan(spark):
+    from gensim_spark.operators import multimodal as MM
+
+    media = MM.make_fake_media(spark, 12)
+    frames = MM.frame_sample_plan(media, every_ms=1000)
+    rows = frames.groupBy("media_id").count().collect()
+    durations = {r["media_id"]: r["duration_ms"]
+                 for r in media.filter(F.col("kind") == "video").collect()}
+    for r in rows:
+        assert r["count"] == max(durations[r["media_id"]] // 1000, 1)
