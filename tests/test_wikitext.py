@@ -1,0 +1,58 @@
+"""Wiki-markup cascade (wikicorpus.py semantics) — behavior goldens."""
+
+from gensim_spark.functions import wikitext as W
+
+
+def test_remove_template_nested():
+    assert W.remove_template("a {{tpl {{inner}} x}} b") == "a  b"
+    assert W.remove_template("{{a}}{{b}}c") == "c"
+    assert W.remove_template("plain") == "plain"
+    # unclosed template drops the tail (reference scan semantics)
+    assert W.remove_template("keep {{oops") == "keep "
+
+
+def test_remove_file_keeps_caption():
+    s = "x\n[[File:Pic.jpg|thumb|A caption]] y"
+    out = W.remove_file(s)
+    assert "A caption" in out and "Pic.jpg" not in out
+
+
+def test_filter_wiki_cascade():
+    raw = (
+        "'''Title''' is a {{infobox|a=1}} thing.<ref>cite</ref>\n"
+        "<!-- hidden -->See [[target|description]] and [[Plainlink]].\n"
+        "[http://example.org ext desc]\n"
+        "[[Category:Stuff]]\n"
+        "<math>x^2</math>here"
+    )
+    out = W.filter_wiki(raw)
+    assert "infobox" not in out
+    assert "cite" not in out
+    assert "hidden" not in out
+    assert "description" in out and "target" not in out
+    assert "Plainlink" in out  # promoted to plain text
+    assert "ext desc" in out and "example.org" not in out
+    assert "Category" not in out
+    assert "here" in out and "x^2" not in out
+    assert "'''Title'''" in out  # bold markup is NOT stripped by the cascade
+
+
+def test_entities_decoded_before_markup():
+    assert "\xa0" in W.filter_wiki("a&nbsp;b")
+
+
+def test_wiki_tokenize_rules():
+    toks = W.wiki_tokenize("The Quick _hidden x " + "y" * 20 + " brown")
+    assert toks == ["the", "quick", "brown"]
+
+
+def test_wiki_articles_pipeline(spark):
+    rows = [
+        (0, "Good Article", "word " * 60),
+        (1, "Talk:Ignored", "word " * 60),
+        (2, "Short", "too short article"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, title string, markup string")
+    out = W.wiki_articles_to_tokens(df).collect()
+    assert [r["doc_id"] for r in out] == [0]
+    assert len(out[0]["tokens"]) == 60
