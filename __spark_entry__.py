@@ -256,6 +256,45 @@ def _q_embedding_near_dups(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+_FUZZY_QUERIES = ["spark", "querz", "window"]  # exact, typo, typo
+_FUZZY_TOPN = 5
+_FUZZY_MAXDIST = 2
+
+
+def _q_fuzzy_terms(spark, sf_dir):
+    from gensim_spark.operators import fuzzy as FZ
+
+    idx = _index(spark, sf_dir)
+    fastss = FZ.build_fastss_index(idx.vocab, max_dist=_FUZZY_MAXDIST)
+    out = FZ.most_similar_terms(spark, fastss, _FUZZY_QUERIES,
+                                topn=_FUZZY_TOPN, max_distance=_FUZZY_MAXDIST)
+    return out.select("query", "token", "distance",
+                      F.round("similarity", 6).alias("similarity"), "rank")
+
+
+def _q_soft_cosine(spark, sf_dir):
+    from gensim_spark.operators import softcosine as SC
+
+    idx = _index(spark, sf_dir)
+    postings = idx.postings.select(
+        "doc_id", "term_id", F.col("tf").cast("double").alias("weight")
+    )
+    S = idx.vocab.select(
+        F.col("term_id").alias("term_i"), F.col("term_id").alias("term_j"),
+        F.lit(1.0).alias("sim"),
+    )
+    qtok = ["spark", "query", "join"]
+    tid = {r["token"]: r["term_id"] for r in
+           idx.vocab.filter(F.col("token").isin(qtok)).collect()}
+    q = spark.createDataFrame(
+        [(0, int(t), 1.0) for t in sorted(tid.values())],
+        "query_id int, term_id long, weight double",
+    )
+    out = SC.soft_cosine_topk(postings, q, S, k=10)
+    return out.select("query_id", "doc_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokens_count": _q_tokens_count,
@@ -284,6 +323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _q_knn_cosine,
         "ann_lsh": _q_ann_lsh,
         "embedding_near_dups": _q_embedding_near_dups,
+        "fuzzy_terms": _q_fuzzy_terms,
+        "soft_cosine": _q_soft_cosine,
     }
 
 
@@ -706,6 +747,45 @@ FROM joined""",
         "lang_id": _lang_sql(),
         "fingerprint": f"""{_PRELUDE}
 SELECT doc_id, md5(array_to_string(tokens, ' ')) AS fp FROM tok""",
+        "fuzzy_terms": f"""{_PRELUDE},
+q AS (SELECT unnest(['spark', 'querz', 'window']) AS query),
+cand AS (
+  SELECT q.query, v.token,
+         CAST(levenshtein(q.query, v.token) AS INTEGER) AS distance
+  FROM q CROSS JOIN vocab_ids v
+  WHERE q.query <> v.token
+    AND levenshtein(q.query, v.token) <= {_FUZZY_MAXDIST}),
+scored AS (
+  SELECT query, token, distance,
+         1.8 * pow(1.0 - distance::DOUBLE
+                   / greatest(length(query), length(token), 1), 5.0) AS sim
+  FROM cand),
+ranked AS (
+  SELECT query, token, distance, sim,
+         CAST(row_number() OVER (PARTITION BY query
+              ORDER BY sim DESC, token ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT query, token, distance, round(sim, 6) AS similarity, rank
+FROM ranked WHERE rank <= {_FUZZY_TOPN}""",
+        "soft_cosine": f"""{_PRELUDE},
+qt AS (SELECT v.term_id, 1.0 AS qw FROM vocab_ids v
+       WHERE v.token IN ('spark', 'query', 'join')),
+dots AS (
+  SELECT p.doc_id, sum(p.tf * q.qw) AS dot
+  FROM postings p JOIN qt q USING (term_id) GROUP BY p.doc_id),
+dnorm AS (SELECT doc_id, sqrt(sum(tf * tf)) AS dn FROM postings
+          GROUP BY doc_id),
+qnorm AS (SELECT sqrt(sum(qw * qw)) AS qn FROM qt),
+scored AS (
+  SELECT d.doc_id, d.dot / (n.dn * (SELECT qn FROM qnorm)) AS score
+  FROM dots d JOIN dnorm n USING (doc_id)),
+ranked AS (
+  SELECT 0 AS query_id, doc_id, score,
+         CAST(row_number() OVER (ORDER BY abs(score) DESC, doc_id ASC)
+              AS INTEGER) AS rank
+  FROM scored WHERE score <> 0.0)
+SELECT query_id, doc_id, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= 10""",
         "knn_cosine": _knn_sql(),
         "ann_lsh": _lsh_sql(),
         "embedding_near_dups": f"""

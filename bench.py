@@ -129,15 +129,18 @@ def _scaling_inner(cores: int, n_docs: int) -> float:
     from gensim_spark.session import get_spark
     from gensim_spark.sources.synth import generate_pages
 
-    corpus = f"/tmp/gensim_spark_bench/html_v2_{n_docs}"
+    corpus = f"/tmp/gensim_spark_bench/html_v4_{n_docs}"
     spark = get_spark(f"scale_{cores}", master=f"local[{cores}]",
-                      shuffle_partitions=2 * cores)
+                      shuffle_partitions=2 * cores,
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "16m"})
     spark.sparkContext.setLogLevel("ERROR")
     if not os.path.exists(corpus + "/_SUCCESS"):
-        generate_pages(spark, n_docs, partitions=128).select(
+        generate_pages(spark, n_docs, tokens_per_doc=60, partitions=128).select(
             "doc_id", "url", "warc_ts", "html", "lang"
         ).write.mode("overwrite").parquet(corpus)
-    pages = spark.read.parquet(corpus).repartition(4 * cores)
+    # no repartition: the 16 MB input splits already give every width enough
+    # tasks, and shuffling raw html bytes costs more than the whole text stage
+    pages = spark.read.parquet(corpus)
     t0 = time.perf_counter()
     idx = P.build_from_pages(pages, num_docs=n_docs)
     idx.weighted.count()

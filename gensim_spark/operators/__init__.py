@@ -6,8 +6,11 @@ from gensim_spark.operators import (  # noqa: F401
     bm25,
     bow,
     dedup,
+    fuzzy,
+    multimodal,
     phrases,
     simsearch,
+    softcosine,
     textstats,
     tfidf,
     topk,

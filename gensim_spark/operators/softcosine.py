@@ -1,0 +1,151 @@
+"""Soft Cosine Measure — ``qᵀ·S·d`` with a sparse term-similarity matrix.
+
+Reference semantics:
+- ``SoftCosineSimilarity`` (gensim/similarities/docsim.py:883-1006):
+  ``softcos(q,d) = qᵀSd / (√(qᵀSq) · √(dᵀSd))``, S a sparse term-similarity
+  matrix with unit diagonal built from a ``TermSimilarityIndex``
+  (gensim/similarities/termsim.py:31-629, SparseTermSimilarityMatrix:
+  symmetric, per-term ``nonzero_limit`` cap on off-diagonal entries).
+- Relational form (SURVEY.md §2.5): a two-hop join —
+  postings ⋈ S on one side of the pair ⋈ query terms, grouped per doc.
+
+Scale: S is vocab-sized and sparse (nonzero_limit ≈ 100 off-diagonals/term)
+→ broadcastable far beyond 10^6 terms; both hops are broadcast hash joins,
+so the per-query plan is scan → broadcast² → agg → top-k, same shape as BM25.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+
+def term_sim_matrix_from_fuzzy(spark: SparkSession, vocab: DataFrame,
+                               max_distance: int = 1, alpha: float = 1.8,
+                               beta: float = 5.0,
+                               nonzero_limit: int = 100) -> DataFrame:
+    """Build S (term_i, term_j, sim) from Levenshtein similarity over the
+    vocabulary (the LevenshteinSimilarityIndex source), symmetric with unit
+    diagonal; off-diagonals capped at ``nonzero_limit`` strongest per term."""
+    from gensim_spark.operators.fuzzy import build_fastss_index
+
+    idx = build_fastss_index(vocab, max_dist=max_distance)
+    a = idx.withColumnRenamed("token", "token_i")
+    b = idx.withColumnRenamed("token", "token_j")
+    from gensim_spark.operators.fuzzy import edit_distance
+
+    @F.pandas_udf(IntegerType())
+    def dist_udf(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(
+            [edit_distance(p, q, band=max_distance) for p, q in zip(x, y)]
+        )
+
+    pairs = (
+        a.join(b, "variant")
+        .select("token_i", "token_j")
+        .filter(F.col("token_i") < F.col("token_j"))
+        .distinct()
+        .withColumn("distance", dist_udf("token_i", "token_j"))
+        .filter(F.col("distance") <= max_distance)
+    )
+    max_len = F.greatest(F.length("token_i"), F.length("token_j"), F.lit(1))
+    sim = (F.lit(alpha)
+           * F.pow(F.lit(1.0) - F.col("distance") / max_len, F.lit(beta)))
+    half = pairs.withColumn("sim", sim).select("token_i", "token_j", "sim")
+    v = vocab.select("token", "term_id")
+    ids = (
+        half.join(v.withColumnRenamed("token", "token_i")
+                  .withColumnRenamed("term_id", "term_i"), "token_i")
+        .join(v.withColumnRenamed("token", "token_j")
+              .withColumnRenamed("term_id", "term_j"), "token_j")
+        .select("term_i", "term_j", "sim")
+    )
+    sym = ids.unionByName(
+        ids.select(F.col("term_j").alias("term_i"),
+                   F.col("term_i").alias("term_j"), "sim")
+    )
+    w = Window.partitionBy("term_i").orderBy(F.col("sim").desc(),
+                                             F.col("term_j").asc())
+    capped = (
+        sym.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= nonzero_limit)
+        .drop("_r")
+    )
+    diag = v.select(F.col("term_id").alias("term_i"),
+                    F.col("term_id").alias("term_j"),
+                    F.lit(1.0).alias("sim"))
+    return capped.unionByName(diag)
+
+
+def inner_product(x: DataFrame, y: DataFrame, S: DataFrame,
+                  x_id: str = "doc_id", y_id: str = "query_id") -> DataFrame:
+    """⟨x, y⟩_S = Σ_ij x_i · S_ij · y_j per (x_id, y_id) pair.
+
+    x: (x_id, term_id, weight); y: (y_id, term_id, weight). Two broadcast
+    hops: x ⋈ S on term_id=term_i, then ⋈ y on term_j.
+    """
+    xs = (
+        x.withColumnRenamed("term_id", "term_i")
+        .join(F.broadcast(S), "term_i")
+        .select(x_id, "term_j", (F.col("weight") * F.col("sim")).alias("_xs"))
+    )
+    yv = y.select(F.col(y_id), F.col("term_id").alias("term_j"),
+                  F.col("weight").alias("_yw"))
+    return (
+        xs.join(F.broadcast(yv), "term_j")
+        .groupBy(x_id, y_id)
+        .agg(F.sum(F.col("_xs") * F.col("_yw")).alias("inner"))
+    )
+
+
+def self_norms(x: DataFrame, S: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """‖x‖_S = √(xᵀSx) per id — x ⋈ S then an equi-join back onto x keyed by
+    (id, term_j): strictly linear in nnz(x)·avg-S-row, never pairwise."""
+    xs = (
+        x.withColumnRenamed("term_id", "term_i")
+        .join(F.broadcast(S), "term_i")
+        .select(id_col, "term_j", (F.col("weight") * F.col("sim")).alias("_xs"))
+    )
+    back = x.select(F.col(id_col), F.col("term_id").alias("term_j"),
+                    F.col("weight").alias("_yw"))
+    return (
+        xs.join(back, [id_col, "term_j"])
+        .groupBy(id_col)
+        .agg(F.sqrt(F.sum(F.col("_xs") * F.col("_yw"))).alias("norm"))
+    )
+
+
+def soft_cosine_topk(weighted_postings: DataFrame, query_terms: DataFrame,
+                     S: DataFrame, k: int = 10) -> DataFrame:
+    """(query_id, doc_id, score, rank) by the Soft Cosine Measure.
+
+    query_terms: (query_id, term_id, weight)."""
+    q = query_terms
+    qd = inner_product(weighted_postings, q, S)
+    d_self = self_norms(weighted_postings, S).select(
+        "doc_id", F.col("norm").alias("_dnorm")
+    )
+    q_self = self_norms(
+        q.select("query_id", "term_id", "weight"), S, id_col="query_id"
+    ).select("query_id", F.col("norm").alias("_qnorm"))
+    scored = (
+        qd.join(d_self, "doc_id")
+        .join(F.broadcast(q_self), "query_id")
+        .select(
+            "query_id", "doc_id",
+            F.when(
+                (F.col("_dnorm") > 0) & (F.col("_qnorm") > 0),
+                F.col("inner") / (F.col("_dnorm") * F.col("_qnorm")),
+            ).otherwise(F.lit(0.0)).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.abs(F.col("score")).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.filter(F.col("score") != 0.0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -157,17 +157,28 @@ def index_from_counts(counts: DataFrame, num_docs: int,
 def query_text(spark, index: IndexedCorpus, queries: dict[int, str],
                k: int = 10, ascii_fast_path: bool = False) -> DataFrame:
     """Text queries → tokenize with the same pipeline → binary ('bnn') query
-    weights via vocab lookup → top-k (docsim.py:1149 query model)."""
-    qdf = spark.createDataFrame(
-        [(qid, text) for qid, text in queries.items()], "query_id int, text string"
-    )
-    qtok = tokenize(qdf, doc_col="query_id", ascii_fast_path=ascii_fast_path)
-    qterms = (
-        qtok.select(F.col("doc_id").alias("query_id"),
-                    F.explode_outer("tokens").alias("token"))
-        .join(F.broadcast(index.vocab.select("token", "term_id")), "token")
-        .select("query_id", "term_id")
-        .distinct()
-        .withColumn("q_weight", F.lit(1.0))
+    weights via vocab lookup → top-k (docsim.py:1149 query model).
+
+    Queries are tiny, so tokenization runs driver-side with the *same*
+    reference functions the distributed UDFs wrap (byte-identical by
+    construction), and term-id resolution is one vocab filter job returning
+    a handful of rows — the scoring plan is then a single broadcast join +
+    hash agg + rank (3 stages), not a per-query mini-pipeline.
+    """
+    from gensim_spark.functions import textref
+
+    tokens = {qid: set(textref.simple_preprocess(text))
+              for qid, text in queries.items()}
+    all_tokens = sorted({t for ts in tokens.values() for t in ts})
+    tid = {
+        r["token"]: r["term_id"]
+        for r in index.vocab.filter(F.col("token").isin(all_tokens)).collect()
+    }
+    rows = [
+        (int(qid), int(tid[t]), 1.0)
+        for qid, ts in tokens.items() for t in sorted(ts) if t in tid
+    ]
+    qterms = spark.createDataFrame(
+        rows, "query_id int, term_id long, q_weight double"
     )
     return T.search(index.weighted, qterms, k=k)

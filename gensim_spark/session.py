@@ -43,7 +43,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # bounded Arrow batches: binary-heavy rows (html/media) at 10k rows
+        # per batch would mean multi-hundred-MB allocations per task
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # Broadcast threshold: vocab/idf tables for realistic vocabularies
         # (~10^6 terms * ~40B) fit comfortably; postings never broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

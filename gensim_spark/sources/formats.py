@@ -1,0 +1,182 @@
+"""Additional corpus interchange formats: Blei LDA-C, SVMlight, GibbsLDA++.
+
+Reference semantics (all yield/consume BoW, SURVEY.md §2.1):
+- ``BleiCorpus`` (gensim/corpora/bleicorpus.py:22-180): one doc per line,
+  ``N term:count term:count …`` with 0-based ids, plus a ``.vocab`` file of
+  one token per line (line number = id).
+- ``SvmLightCorpus`` (gensim/corpora/svmlightcorpus.py:22-185): one doc per
+  line, ``target termid:weight …`` with **1-based** ids (0 reserved); gensim
+  writes target 0 and ignores it on read (labels returned separately).
+- ``LowCorpus`` (GibbsLDA++, gensim/corpora/lowcorpus.py:19-270): first line
+  = number of docs, then one doc per line of space-separated *words*
+  (positions, not counts).
+
+These are interchange formats for corpus-sized data: readers are fully
+distributed (doc ids from line positions via zipWithIndex); writers coalesce
+to a single file like the reference.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _lines_with_docno(spark: SparkSession, path: str,
+                      skip_first: bool = False) -> DataFrame:
+    lines = spark.read.text(path)
+    rdd = lines.rdd.zipWithIndex().map(lambda ri: (ri[1], ri[0]["value"]))
+    df = spark.createDataFrame(rdd, "lineno long, value string")
+    if skip_first:
+        df = df.filter(F.col("lineno") > 0).withColumn(
+            "doc_id", F.col("lineno") - 1
+        )
+    else:
+        df = df.withColumn("doc_id", F.col("lineno"))
+    return df.select("doc_id", "value")
+
+
+def _single_file(df: DataFrame, path: str, header: str | None = None) -> None:
+    tmp = path + ".parts"
+    df.coalesce(1).write.mode("overwrite").text(tmp)
+    part = next(p for p in sorted(os.listdir(tmp)) if p.startswith("part-"))
+    with open(path, "w") as out:
+        if header is not None:
+            out.write(header + "\n")
+        with open(os.path.join(tmp, part)) as f:
+            out.write(f.read())
+    shutil.rmtree(tmp)
+
+
+# --- Blei LDA-C --------------------------------------------------------------
+
+def read_blei(spark: SparkSession, path: str) -> DataFrame:
+    """→ postings (doc_id, term_id, tf)."""
+    docs = _lines_with_docno(spark, path)
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.slice(F.split(F.trim("value"), r"\s+"), 2, 10**9))
+        .alias("pair"),
+    )
+    kv = F.split(F.col("pair"), ":")
+    return pairs.select(
+        "doc_id",
+        kv.getItem(0).cast("long").alias("term_id"),
+        kv.getItem(1).cast("long").alias("tf"),
+    )
+
+
+def write_blei(postings: DataFrame, path: str,
+               vocab: DataFrame | None = None) -> None:
+    """postings (doc_id, term_id, tf) → LDA-C file (+ ``.vocab`` if vocab
+    given). Terms sorted by id within each doc line (bleicorpus semantics)."""
+    lines = (
+        postings.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_sort(F.collect_list(F.struct("term_id", "tf"))).alias("b"),
+        )
+        .orderBy("doc_id")
+        .select(
+            F.concat_ws(
+                " ",
+                F.col("n").cast("string"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.col("b"),
+                        lambda s: F.concat_ws(
+                            ":", s["term_id"].cast("string"),
+                            s["tf"].cast("string")
+                        ),
+                    ),
+                ),
+            ).alias("value")
+        )
+    )
+    _single_file(lines, path)
+    if vocab is not None:
+        _single_file(
+            vocab.orderBy("term_id").select(F.col("token").alias("value")),
+            path + ".vocab",
+        )
+
+
+# --- SVMlight ----------------------------------------------------------------
+
+def read_svmlight(spark: SparkSession, path: str) -> DataFrame:
+    """→ (doc_id, term_id, weight, label) — ids converted to 0-based."""
+    docs = _lines_with_docno(spark, path)
+    docs = docs.filter(~F.col("value").startswith("#")
+                       & (F.length(F.trim("value")) > 0))
+    parts = F.split(F.trim("value"), r"\s+")
+    base = docs.select(
+        "doc_id",
+        parts.getItem(0).cast("double").alias("label"),
+        F.explode(F.slice(parts, 2, 10**9)).alias("pair"),
+    )
+    kv = F.split(F.col("pair"), ":")
+    return base.select(
+        "doc_id",
+        (kv.getItem(0).cast("long") - 1).alias("term_id"),
+        kv.getItem(1).cast("double").alias("weight"),
+        "label",
+    )
+
+
+def write_svmlight(postings: DataFrame, path: str,
+                   weight_col: str = "tf", labels: DataFrame | None = None) -> None:
+    """postings → SVMlight lines ``label termid+1:weight …`` (gensim writes
+    label 0 when none given, svmlightcorpus.py)."""
+    base = postings.select(
+        "doc_id", "term_id", F.col(weight_col).cast("double").alias("w")
+    )
+    if labels is not None:
+        base = base.join(labels, "doc_id", "left").withColumn(
+            "label", F.coalesce(F.col("label"), F.lit(0)).cast("long")
+        )
+    else:
+        base = base.withColumn("label", F.lit(0))
+    lines = (
+        base.groupBy("doc_id", "label")
+        .agg(F.array_sort(F.collect_list(F.struct("term_id", "w"))).alias("b"))
+        .orderBy("doc_id")
+        .select(
+            F.concat_ws(
+                " ",
+                F.col("label").cast("string"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.col("b"),
+                        lambda s: F.concat_ws(
+                            ":", (s["term_id"] + 1).cast("string"),
+                            F.format_string("%.12g", s["w"]),
+                        ),
+                    ),
+                ),
+            ).alias("value")
+        )
+    )
+    _single_file(lines, path)
+
+
+# --- GibbsLDA++ LOW ----------------------------------------------------------
+
+def read_low(spark: SparkSession, path: str) -> DataFrame:
+    """→ (doc_id, tokens array<string>); first line is the doc count."""
+    docs = _lines_with_docno(spark, path, skip_first=True)
+    return docs.select(
+        "doc_id", F.split(F.trim("value"), r"\s+").alias("tokens")
+    )
+
+
+def write_low(docs: DataFrame, path: str, tokens_col: str = "tokens") -> None:
+    n = docs.count()
+    lines = docs.orderBy("doc_id").select(
+        F.concat_ws(" ", F.col(tokens_col)).alias("value")
+    )
+    _single_file(lines, path, header=str(n))

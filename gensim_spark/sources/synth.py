@@ -58,12 +58,18 @@ def generate_pages(spark: SparkSession, n_docs: int, tokens_per_doc: int = 200,
         ),
     )
     text = F.concat_ws(" ", tok)
-    # per-token markup: <span class="t w-{token}" data-i="…">{token}&nbsp;</span>
+    # per-token markup with crawl-realistic attribute, entity and comment
+    # noise (~100 bytes of markup per text token; real web pages are heavy on
+    # entities and inline comments, which is where extraction spends cycles)
     marked = F.transform(
         tok,
         lambda w: F.concat(
-            F.lit('<span class="t w-'), w, F.lit('" data-i="x">'),
-            w, F.lit("&#32;</span>"),
+            F.lit('<span class="t tok inline-block m-0 p-1 w-'), w,
+            F.lit('" data-idx="x" data-track="click:token;view:page" style="'
+                  'color:#334; margin:0 1px">'),
+            w,
+            F.lit("&#32;<!-- t --><b>&amp;&quot;&lt;&gt;&#xa0;&ndash;"
+                  "&hellip;&copy;</b>&#32;</span>"),
         ),
     )
     body = F.concat_ws("<!-- sep --><p class='s'>", marked)

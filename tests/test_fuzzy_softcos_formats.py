@@ -1,0 +1,202 @@
+"""Fuzzy term kNN (FastSS/Levenshtein), Soft Cosine, and corpus formats."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import docs_df
+from tests.oracle import PyDictionary
+
+
+def py_edit_distance(a, b):
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def test_edit_distance_kernel():
+    from gensim_spark.operators.fuzzy import edit_distance
+
+    import random
+    random.seed(5)
+    for _ in range(200):
+        a = "".join(random.choice("abcd") for _ in range(random.randint(0, 8)))
+        b = "".join(random.choice("abcd") for _ in range(random.randint(0, 8)))
+        want = py_edit_distance(a, b)
+        assert edit_distance(a, b) == want
+        banded = edit_distance(a, b, band=2)
+        assert banded == want if want <= 2 else banded > 2
+
+
+def test_deletion_variants_recall():
+    """FastSS guarantee: words at distance ≤ d share a deletion variant when
+    each drops ≤ d chars."""
+    from gensim_spark.operators.fuzzy import deletion_variants
+
+    pairs = [("hello", "hallo"), ("cat", "cart"), ("spark", "spar"),
+             ("word", "ward"), ("abc", "cba")]
+    for a, b in pairs:
+        d = py_edit_distance(a, b)
+        if d <= 2:
+            va, vb = set(deletion_variants(a, d)), set(deletion_variants(b, d))
+            assert va & vb, (a, b)
+
+
+def test_most_similar_terms(spark):
+    from gensim_spark.operators.fuzzy import (build_fastss_index, levsim,
+                                              most_similar_terms)
+
+    words = ["apple", "apples", "appl", "ample", "orange", "orang", "grape",
+             "grapes", "graph"]
+    vocab = spark.createDataFrame([(w,) for w in words], "token string")
+    idx = build_fastss_index(vocab, max_dist=2)
+    out = most_similar_terms(spark, idx, ["apple", "graph"], topn=5,
+                             max_distance=2)
+    rows = {}
+    for r in out.collect():
+        rows.setdefault(r["query"], []).append(
+            (r["rank"], r["token"], r["distance"], r["similarity"])
+        )
+    # oracle: brute force over the vocabulary
+    for q in ["apple", "graph"]:
+        cands = []
+        for w in words:
+            if w == q:
+                continue
+            d = py_edit_distance(q, w)
+            if d <= 2:
+                cands.append((levsim(q, w, d), w, d))
+        cands.sort(key=lambda p: (-p[0], p[1]))
+        got = sorted(rows.get(q, []))
+        assert [t for _, t, _, _ in got] == [w for _, w, _ in cands[:5]]
+        for (_, _, gd, gs), (ws, ww, wd) in zip(got, cands):
+            assert gd == wd
+            assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_soft_cosine_reduces_to_cosine_with_identity_S(spark, common_texts):
+    """With S = I the Soft Cosine Measure IS the cosine similarity."""
+    from gensim_spark.operators import bow as B
+    from gensim_spark.operators import vocab as V
+    from gensim_spark.operators.softcosine import soft_cosine_topk
+
+    df = docs_df(spark, common_texts)
+    vocab = V.build_vocab(df)
+    postings = B.doc2bow_postings(df, vocab).select(
+        "doc_id", "term_id", F.col("tf").cast("double").alias("weight")
+    )
+    S = vocab.select(F.col("term_id").alias("term_i"),
+                     F.col("term_id").alias("term_j"),
+                     F.lit(1.0).alias("sim"))
+    odict = PyDictionary(common_texts)
+    q_terms = [odict.token2id["graph"], odict.token2id["user"]]
+    q = spark.createDataFrame([(0, t, 1.0) for t in q_terms],
+                              "query_id int, term_id long, weight double")
+    got = {r["doc_id"]: r["score"]
+           for r in soft_cosine_topk(postings, q, S, k=10).collect()}
+    # cosine oracle
+    qvec = {t: 1.0 for t in q_terms}
+    qn = math.sqrt(len(q_terms))
+    for i, doc in enumerate(common_texts):
+        bow = dict(odict.doc2bow(doc))
+        dot = sum(v * qvec.get(t, 0.0) for t, v in bow.items())
+        dn = math.sqrt(sum(v * v for v in bow.values()))
+        want = dot / (dn * qn)
+        if want != 0:
+            assert got[i] == pytest.approx(want, rel=1e-9)
+        else:
+            assert i not in got
+
+
+def test_soft_cosine_with_term_similarity(spark):
+    """Hand-check qᵀSd with one off-diagonal similarity pair."""
+    from gensim_spark.operators.softcosine import soft_cosine_topk
+
+    # doc0 has only term 1; query has only term 0; S(0,1)=0.5
+    postings = spark.createDataFrame([(0, 1, 1.0)],
+                                     "doc_id long, term_id long, weight double")
+    q = spark.createDataFrame([(0, 0, 1.0)],
+                              "query_id int, term_id long, weight double")
+    S = spark.createDataFrame(
+        [(0, 0, 1.0), (1, 1, 1.0), (0, 1, 0.5), (1, 0, 0.5)],
+        "term_i long, term_j long, sim double",
+    )
+    r = soft_cosine_topk(postings, q, S, k=1).collect()[0]
+    # inner = 0.5; ||d||_S = 1; ||q||_S = 1 → score 0.5
+    assert r["score"] == pytest.approx(0.5)
+
+
+def test_term_sim_matrix_from_fuzzy(spark):
+    from gensim_spark.operators.softcosine import term_sim_matrix_from_fuzzy
+
+    vocab = spark.createDataFrame(
+        [("cat", 0), ("cart", 1), ("dog", 2)], "token string, term_id long"
+    )
+    S = term_sim_matrix_from_fuzzy(spark, vocab, max_distance=1)
+    rows = {(r["term_i"], r["term_j"]): r["sim"] for r in S.collect()}
+    assert rows[(0, 0)] == 1.0 and rows[(2, 2)] == 1.0
+    assert (0, 1) in rows and (1, 0) in rows  # cat↔cart at distance 1
+    assert (0, 2) not in rows                 # cat↔dog beyond max_distance
+    assert rows[(0, 1)] == rows[(1, 0)]
+
+
+def test_blei_roundtrip(spark, common_texts, tmp_path):
+    from gensim_spark.operators import bow as B
+    from gensim_spark.operators import vocab as V
+    from gensim_spark.sources import formats as FM
+
+    df = docs_df(spark, common_texts)
+    vocab = V.build_vocab(df)
+    postings = B.doc2bow_postings(df, vocab)
+    path = str(tmp_path / "c.lda-c")
+    FM.write_blei(postings, path, vocab=vocab)
+    with open(path) as f:
+        first = f.readline().split()
+    assert int(first[0]) == len(first) - 1  # N then N pairs
+    back = FM.read_blei(spark, path)
+    got = {(r["doc_id"], r["term_id"]): r["tf"] for r in back.collect()}
+    want = {(r["doc_id"], r["term_id"]): r["tf"] for r in postings.collect()}
+    assert got == want
+    with open(path + ".vocab") as f:
+        toks = [ln.strip() for ln in f if ln.strip()]
+    vorder = [r["token"] for r in vocab.orderBy("term_id").collect()]
+    assert toks == vorder
+
+
+def test_svmlight_roundtrip(spark, common_texts, tmp_path):
+    from gensim_spark.operators import bow as B
+    from gensim_spark.operators import vocab as V
+    from gensim_spark.sources import formats as FM
+
+    df = docs_df(spark, common_texts)
+    vocab = V.build_vocab(df)
+    postings = B.doc2bow_postings(df, vocab)
+    path = str(tmp_path / "c.svmlight")
+    FM.write_svmlight(postings, path)
+    with open(path) as f:
+        assert f.readline().startswith("0 ")  # default target 0
+    back = FM.read_svmlight(spark, path)
+    got = {(r["doc_id"], r["term_id"]): r["weight"] for r in back.collect()}
+    want = {(r["doc_id"], r["term_id"]): float(r["tf"])
+            for r in postings.collect()}
+    assert got == want
+
+
+def test_low_roundtrip(spark, common_texts, tmp_path):
+    from gensim_spark.sources import formats as FM
+
+    df = docs_df(spark, common_texts)
+    path = str(tmp_path / "c.low")
+    FM.write_low(df, path)
+    with open(path) as f:
+        assert int(f.readline().strip()) == len(common_texts)
+    back = FM.read_low(spark, path)
+    got = {r["doc_id"]: r["tokens"] for r in back.collect()}
+    assert got == {i: t for i, t in enumerate(common_texts)}
