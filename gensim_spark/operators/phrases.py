@@ -18,6 +18,7 @@ global.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -78,6 +79,38 @@ def scored_bigrams(docs: DataFrame, tokens_col: str = "tokens",
     else:
         raise ValueError(f"unknown scoring {scoring!r}")
     return j.select("word_a", "word_b", "bigram_count", score.alias("score"))
+
+
+def apply_phrases(docs: DataFrame, phrase_set: set[tuple[str, str]],
+                  delimiter: str = "_", tokens_col: str = "tokens") -> DataFrame:
+    """FrozenPhrases transform (phrases.py:226-275 ``analyze_sentence``):
+    greedy left-to-right merge — when (tokens[i], tokens[i+1]) is a detected
+    phrase, emit ``a_b`` and skip both; merged tokens never chain into the
+    next pair. Broadcast phrase set inside an Arrow-batched UDF."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    phrases = {f"{a}\0{b}" for a, b in phrase_set}
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def merge(tokens: pd.Series) -> pd.Series:
+        def run(ts):
+            if ts is None:
+                return None
+            out = []
+            i = 0
+            n = len(ts)
+            while i < n:
+                if i + 1 < n and f"{ts[i]}\0{ts[i + 1]}" in phrases:
+                    out.append(ts[i] + delimiter + ts[i + 1])
+                    i += 2
+                else:
+                    out.append(ts[i])
+                    i += 1
+            return out
+
+        return tokens.map(run)
+
+    return docs.withColumn(tokens_col, merge(F.col(tokens_col)))
 
 
 def export_phrases(docs: DataFrame, threshold: float = 10.0,

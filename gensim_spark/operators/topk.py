@@ -76,6 +76,38 @@ def search(weighted_postings: DataFrame, query_terms: DataFrame,
     return topk(score(weighted_postings, query_terms), k)
 
 
+def similarity_by_id(weighted_postings: DataFrame, doc_id: int,
+                     k: int = 10, exclude_self: bool = False) -> DataFrame:
+    """``vector_by_id`` + query (docsim.py:584-652): use an indexed
+    document's own vector as the query (q_weight = its stored weights,
+    normalize off) and rank all docs against it."""
+    q = weighted_postings.filter(F.col("doc_id") == doc_id).select(
+        F.lit(0).alias("query_id"), "term_id",
+        F.col("weight").alias("q_weight"),
+    )
+    out = topk(score(weighted_postings, q), k + (1 if exclude_self else 0))
+    if exclude_self:
+        w = Window.partitionBy("query_id").orderBy(
+            F.abs(F.col("score")).desc(), F.col("doc_id").asc()
+        )
+        out = (
+            out.filter(F.col("doc_id") != doc_id)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    return out
+
+
+def toptexts(scores: DataFrame, texts: DataFrame, n: int = 10) -> DataFrame:
+    """utils.toptexts (gensim/utils.py:1553-1578): top-n result rows joined
+    back to their document text."""
+    return (
+        scores.orderBy(F.abs(F.col("score")).desc(), F.col("doc_id").asc())
+        .limit(n)
+        .join(texts, "doc_id")
+    )
+
+
 def all_pairs_similarity(weighted_postings: DataFrame,
                          min_score: float = 0.0) -> DataFrame:
     """All-vs-all self-similarity (interfaces.py:355-398 ``__iter__``) as a

@@ -210,6 +210,38 @@ def merge_with(vocab: DataFrame, other: DataFrame) -> DataFrame:
     return merged_common.unionByName(fresh)
 
 
+def patch_with_special_tokens(vocab: DataFrame,
+                              special: dict[str, int]) -> DataFrame:
+    """Force specific tokens onto specific ids (dictionary.py:593-637):
+    the displaced holders of those ids move to the special tokens' old ids
+    (an id swap), new special tokens get the requested id outright."""
+    current = {r["token"]: r["term_id"] for r in
+               vocab.select("token", "term_id").collect()}
+    id2tok = {v: k for k, v in current.items()}
+    mapping = dict(current)
+    for tok, want in special.items():
+        old = mapping.get(tok)
+        displaced = id2tok.get(want)
+        mapping[tok] = want
+        if displaced is not None and displaced != tok:
+            # displaced token takes the special token's old id (or is pushed
+            # to a fresh id if the special token was new)
+            mapping[displaced] = old if old is not None else max(
+                mapping.values()) + 1
+        id2tok = {v: k for k, v in mapping.items()}
+    spark = vocab.sparkSession
+    map_df = spark.createDataFrame(
+        list(mapping.items()), "token string, new_id long"
+    )
+    out = vocab.drop("term_id").join(F.broadcast(map_df), "token", "right")
+    return out.select(
+        "token", F.col("new_id").alias("term_id"),
+        F.coalesce("df", F.lit(0)).alias("df"),
+        F.coalesce("cf", F.lit(0)).alias("cf"),
+        F.coalesce("first_doc", F.lit(-1)).alias("first_doc"),
+    )
+
+
 # --- HashDictionary (stateless ids) ------------------------------------------
 
 def hash_term_id_col(token_col, id_range: int = 32000):

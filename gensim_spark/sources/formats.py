@@ -164,6 +164,31 @@ def write_svmlight(postings: DataFrame, path: str,
     _single_file(lines, path)
 
 
+# --- CSV corpus (gensim/corpora/csvcorpus.py:21-76) --------------------------
+
+def read_csv_corpus(spark: SparkSession, path: str,
+                    header: bool = False) -> DataFrame:
+    """Each row = dense vector of numeric fields → postings
+    (doc_id, term_id, weight); doc ids from line order, term ids from column
+    position (CsvCorpus yields dense rows as BoW)."""
+    df = spark.read.option("header", "false").csv(path)
+    rdd = df.rdd.zipWithIndex().map(
+        lambda ri: (ri[1], [ri[0][c] for c in range(len(ri[0]))])
+    )
+    wide = spark.createDataFrame(rdd, "doc_id long, vals array<string>")
+    if header:
+        wide = wide.filter(F.col("doc_id") > 0).withColumn(
+            "doc_id", F.col("doc_id") - 1
+        )
+    return wide.select(
+        "doc_id",
+        F.posexplode("vals").alias("term_id", "w"),
+    ).select(
+        "doc_id", F.col("term_id").cast("long").alias("term_id"),
+        F.col("w").cast("double").alias("weight"),
+    ).filter(F.col("weight").isNotNull())
+
+
 # --- GibbsLDA++ LOW ----------------------------------------------------------
 
 def read_low(spark: SparkSession, path: str) -> DataFrame:
