@@ -95,6 +95,83 @@ def lsh_buckets(embeddings: DataFrame, planes: int = 6, dims: int = 64,
                              bucket.cast("long").alias("bucket"))
 
 
+def ivf_fit(embeddings: DataFrame, n_cells: int = 16, seed: int = 42,
+            vec_col: str = "embedding"):
+    """IVF coarse quantizer: k-means centroids over the corpus (pyspark.ml,
+    deterministic seed). Returns the fitted KMeans model."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = embeddings.select(array_to_vector(F.col(vec_col)).alias("features"))
+    return KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+
+
+def ivf_assign(embeddings: DataFrame, model, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell): inverted-file cell assignment."""
+    from pyspark.ml.functions import array_to_vector
+
+    withf = embeddings.withColumn(
+        "features", array_to_vector(F.col(vec_col))
+    )
+    return model.transform(withf).select(
+        F.col(id_col).alias("vec_id"), F.col(model.getPredictionCol())
+        .alias("cell")
+    )
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+             n_cells: int = 16, n_probe: int = 2, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` nearest cells per query,
+    rank candidates by true cosine. (query_id, vec_id, cosine, rank).
+
+    The index (cell assignments) partitions the corpus; a query touches
+    n_probe/n_cells of it — the standard recall/latency dial. Centroids are
+    broadcast as literals (n_cells · dims floats)."""
+    model = ivf_fit(embeddings, n_cells=n_cells, seed=seed, vec_col=vec_col)
+    assigned = embeddings.join(
+        ivf_assign(embeddings, model, id_col, vec_col), id_col
+    )
+    centers = [c.tolist() for c in model.clusterCenters()]
+    centers_lit = F.array(*[
+        F.struct(F.lit(i).alias("cell"),
+                 F.array(*[F.lit(float(x)) for x in c]).alias("cv"))
+        for i, c in enumerate(centers)
+    ])
+    # per query: n_probe nearest centroids by cosine
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+    probed = (
+        q.select("query_id", "_qv", F.explode(centers_lit).alias("c"))
+        .select("query_id", "_qv", F.col("c.cell").alias("cell"),
+                cosine_expr(F.col("_qv"), F.col("c.cv")).alias("_csim"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_csim").desc(), F.col("cell").asc()
+    )
+    probes = (
+        probed.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "_qv", "cell")
+    )
+    cand = assigned.select("vec_id", F.col(vec_col).alias("_v"), "cell").join(
+        F.broadcast(probes), "cell"
+    )
+    scored = cand.select(
+        "query_id", "vec_id", cosine_expr(F.col("_v"), F.col("_qv"))
+        .alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              planes: int = 6, dims: int = 64, id_col: str = "vec_id",
              vec_col: str = "embedding",

@@ -1,0 +1,84 @@
+"""Similarity search: brute-force exactness vs numpy, LSH and IVF recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs,
+    )
+
+
+def brute_topk(vecs, qids, k):
+    out = {}
+    norms = np.linalg.norm(vecs, axis=1)
+    for q in qids:
+        sims = vecs @ vecs[q] / (norms * norms[q])
+        order = sorted(range(len(vecs)), key=lambda i: (-sims[i], i))[:k]
+        out[q] = [(i, float(sims[i])) for i in order]
+    return out
+
+
+def test_cosine_topk_exact(spark, emb):
+    from gensim_spark.operators import simsearch as S
+
+    df, vecs = emb
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in S.cosine_topk(df, q, k=5).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine"])
+        )
+    want = brute_topk(vecs, [0, 1, 2], 5)
+    for qid in want:
+        rows = sorted(got[qid])
+        assert [v for _, v, _ in rows] == [i for i, _ in want[qid]]
+        for (_, _, gc), (_, wc) in zip(rows, want[qid]):
+            assert gc == pytest.approx(wc, rel=1e-5)  # float32 inputs
+
+
+def test_ivf_topk_recall(spark, emb):
+    from gensim_spark.operators import simsearch as S
+
+    df, vecs = emb
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in S.ivf_topk(df, q, k=10, n_cells=8, n_probe=3).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    want = brute_topk(vecs, range(5), 10)
+    # self must always be found (its own cell is the nearest probe)
+    recalls = []
+    for qid in want:
+        assert qid in got[qid]
+        truth = {i for i, _ in want[qid]}
+        recalls.append(len(got[qid] & truth) / len(truth))
+    assert sum(recalls) / len(recalls) >= 0.5  # random data, 3/8 cells probed
+
+
+def test_lsh_topk_subset_of_bucket(spark, emb):
+    from gensim_spark.operators import simsearch as S
+
+    df, vecs = emb
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = S.lsh_topk(df, q, k=5, planes=4, dims=16).collect()
+    buckets = {r["vec_id"]: r["bucket"]
+               for r in S.lsh_buckets(df, planes=4, dims=16).collect()}
+    for r in rows:
+        assert buckets[r["vec_id"]] == buckets[r["query_id"]]
+        # cosine is the true cosine
+        a, b = vecs[r["query_id"]], vecs[r["vec_id"]]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r["cosine"] == pytest.approx(want, rel=1e-5)
