@@ -105,6 +105,34 @@ def run_suite():
     t, _ = timed(lambda: S.cosine_topk(emb, q, k=10).count())
     results["knn_cosine"] = round(t, 3)
 
+    # 7. packed-shard build + block-max WAND query
+    import shutil
+    import tempfile
+
+    from gensim_spark.index import layout, wand
+
+    shard_dir = tempfile.mkdtemp(prefix="bench_shards_")
+    try:
+        t, _ = timed(lambda: layout.write_packed_shards(
+            idx.weighted, shard_dir, docs_per_shard=1024, num_groups=2,
+            resume=False))
+        results["packed_shard_build"] = round(t, 3)
+        qterms = {}
+        vocab_map = {r["token"]: r["term_id"] for r in idx.vocab.collect()}
+        for qid, text in enumerate(texts):
+            ids = {vocab_map[t]: 1.0 for t in text.split() if t in vocab_map}
+            if ids:
+                qterms[qid] = ids
+        packed = layout.read_packed_shards(spark, shard_dir).cache()
+        packed.count()
+        wand.wand_topk(spark, shard_dir, qterms, k=10,
+                       packed=packed).collect()  # warm
+        t, _ = timed(lambda: wand.wand_topk(
+            spark, shard_dir, qterms, k=10, packed=packed).collect())
+        results["wand_query_batch"] = round(t, 3)
+    finally:
+        shutil.rmtree(shard_dir, ignore_errors=True)
+
     spark.stop()
     total = round(sum(results.values()), 3)
     out = {
@@ -115,6 +143,14 @@ def run_suite():
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs_per_sec": round(docs_per_sec, 1),
         "query_p95_ms": round(p95_ms, 1),
+        # measured once per round with SPARK_GRAFT_SCALING=1 (interleaved
+        # reps, min-of, fresh subprocess per run); see BASELINE.md §Measured
+        "scaling_reference": {
+            "docs": 400000, "cores_n": 2, "cores_4n": 8,
+            "t_n_sec": 165.7, "t_4n_sec": 51.8,
+            "docs_per_sec_4n": 7722.0, "efficiency": 0.800,
+            "measured": "round 1, BASELINE.md",
+        },
     }
     return out
 
