@@ -7,6 +7,7 @@ from gensim_spark.operators import (  # noqa: F401
     bow,
     dedup,
     fuzzy,
+    matutils,
     multimodal,
     phrases,
     simsearch,
