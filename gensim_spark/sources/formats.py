@@ -164,6 +164,77 @@ def write_svmlight(postings: DataFrame, path: str,
     _single_file(lines, path)
 
 
+# --- Mallet (gensim/corpora/malletcorpus.py:19-215) --------------------------
+
+def read_mallet(spark: SparkSession, path: str) -> DataFrame:
+    """Each line ``docid lang word word …`` → (doc_id, mallet_id, lang,
+    tokens). doc_id is the line position (gensim's docno); mallet_id is the
+    file's own first field (returned as metadata, malletcorpus line2doc)."""
+    docs = _lines_with_docno(spark, path)
+    parts = F.split(F.trim("value"), r"\s+")
+    return docs.select(
+        "doc_id",
+        parts.getItem(0).alias("mallet_id"),
+        parts.getItem(1).alias("lang"),
+        F.slice(parts, 3, 10**9).alias("tokens"),
+    )
+
+
+def write_mallet(docs: DataFrame, path: str, tokens_col: str = "tokens",
+                 lang: str = "__unknown__") -> None:
+    """gensim writes ``docno __unknown__ tokens…`` when no metadata given."""
+    lines = docs.orderBy("doc_id").select(
+        F.concat_ws(
+            " ", F.col("doc_id").cast("string"), F.lit(lang),
+            F.concat_ws(" ", F.col(tokens_col)),
+        ).alias("value")
+    )
+    _single_file(lines, path)
+
+
+# --- UCI BoW (gensim/corpora/ucicorpus.py:24-280) ----------------------------
+
+def read_uci(spark: SparkSession, path: str) -> DataFrame:
+    """3 header lines (num_docs/num_terms/num_nnz) then 1-based
+    ``docID wordID count`` triples → postings (doc_id, term_id, tf)."""
+    docs = _lines_with_docno(spark, path)
+    body = docs.filter(F.col("doc_id") >= 3)
+    parts = F.split(F.trim("value"), r"\s+")
+    return body.select(
+        (parts.getItem(0).cast("long") - 1).alias("doc_id"),
+        (parts.getItem(1).cast("long") - 1).alias("term_id"),
+        parts.getItem(2).cast("long").alias("tf"),
+    )
+
+
+def uci_stats(spark: SparkSession, path: str) -> tuple[int, int, int]:
+    with open(path) as f:
+        return int(f.readline()), int(f.readline()), int(f.readline())
+
+
+def write_uci(postings: DataFrame, path: str,
+              vocab: DataFrame | None = None) -> None:
+    stats = postings.agg(
+        (F.max("doc_id") + 1).alias("nd"), (F.max("term_id") + 1).alias("nt"),
+        F.count(F.lit(1)).alias("nnz"),
+    ).collect()[0]
+    lines = (
+        postings.orderBy("doc_id", "term_id")
+        .select(F.concat_ws(
+            " ", (F.col("doc_id") + 1).cast("string"),
+            (F.col("term_id") + 1).cast("string"),
+            F.col("tf").cast("string"),
+        ).alias("value"))
+    )
+    header = f"{int(stats['nd'] or 0)}\n{int(stats['nt'] or 0)}\n{stats['nnz']}"
+    _single_file(lines, path, header=header)
+    if vocab is not None:
+        _single_file(
+            vocab.orderBy("term_id").select(F.col("token").alias("value")),
+            path + ".vocab",
+        )
+
+
 # --- CSV corpus (gensim/corpora/csvcorpus.py:21-76) --------------------------
 
 def read_csv_corpus(spark: SparkSession, path: str,

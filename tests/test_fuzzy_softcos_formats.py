@@ -200,3 +200,39 @@ def test_low_roundtrip(spark, common_texts, tmp_path):
     back = FM.read_low(spark, path)
     got = {r["doc_id"]: r["tokens"] for r in back.collect()}
     assert got == {i: t for i, t in enumerate(common_texts)}
+
+
+def test_mallet_roundtrip(spark, common_texts, tmp_path):
+    from gensim_spark.sources import formats as FM
+
+    df = docs_df(spark, common_texts)
+    path = str(tmp_path / "c.mallet")
+    FM.write_mallet(df, path)
+    with open(path) as f:
+        first = f.readline().split(None, 2)
+    assert first[0] == "0" and first[1] == "__unknown__"
+    back = FM.read_mallet(spark, path)
+    got = {r["doc_id"]: (r["lang"], r["tokens"]) for r in back.collect()}
+    for i, t in enumerate(common_texts):
+        assert got[i] == ("__unknown__", t)
+
+
+def test_uci_roundtrip(spark, common_texts, tmp_path):
+    from gensim_spark.operators import bow as B
+    from gensim_spark.operators import vocab as V
+    from gensim_spark.sources import formats as FM
+    from tests.oracle import PyDictionary
+
+    df = docs_df(spark, common_texts)
+    vocab = V.build_vocab(df)
+    postings = B.doc2bow_postings(df, vocab)
+    path = str(tmp_path / "c.uci")
+    FM.write_uci(postings, path, vocab=vocab)
+    odict = PyDictionary(common_texts)
+    nd, nt, nnz = FM.uci_stats(spark, path)
+    assert (nd, nt, nnz) == (odict.num_docs, len(odict.token2id),
+                             odict.num_nnz)
+    back = FM.read_uci(spark, path)
+    got = {(r["doc_id"], r["term_id"]): r["tf"] for r in back.collect()}
+    want = {(r["doc_id"], r["term_id"]): r["tf"] for r in postings.collect()}
+    assert got == want

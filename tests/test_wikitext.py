@@ -56,3 +56,33 @@ def test_wiki_articles_pipeline(spark):
     out = W.wiki_articles_to_tokens(df).collect()
     assert [r["doc_id"] for r in out] == [0]
     assert len(out[0]["tokens"]) == 60
+
+
+def test_read_wiki_dump(spark, tmp_path):
+    xml = """<mediawiki>
+  <siteinfo><sitename>Test</sitename></siteinfo>
+  <page>
+    <title>Article One</title>
+    <revision><text bytes="120">'''One''' is a {{num}} article with """ + "word " * 60 + """</text></revision>
+  </page>
+  <page>
+    <title>Talk:Ignored</title>
+    <revision><text>chatter """ + "word " * 60 + """</text></revision>
+  </page>
+  <page>
+    <title>Two</title>
+    <revision><text>short stub</text></revision>
+  </page>
+</mediawiki>"""
+    f = tmp_path / "dump.xml"
+    f.write_text(xml)
+    from gensim_spark.functions import wikitext as W
+
+    pages = {r["title"]: r["markup"] for r in
+             W.read_wiki_dump(spark, str(f)).collect()}
+    assert set(pages) == {"Article One", "Talk:Ignored", "Two"}
+    assert "{{num}}" in pages["Article One"]
+    arts = W.wiki_corpus(spark, str(f)).collect()
+    assert [r["title"] for r in arts] == ["Article One"]
+    toks = arts[0]["tokens"]
+    assert "num" not in toks and toks.count("word") == 60
