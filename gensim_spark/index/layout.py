@@ -124,13 +124,22 @@ def write_packed_shards(weighted: DataFrame, out_dir: str,
         if manifest["groups"].get(key, {}).get("committed"):
             continue
         t0 = time.perf_counter()
+        # exactly-once resume: each group owns its subdirectory; an
+        # uncommitted (crashed mid-write) group is wiped before rewriting,
+        # so re-running after any failure never duplicates rows.
+        group_dir = os.path.join(data_dir, f"group={g}")
+        if os.path.exists(group_dir):
+            import shutil
+
+            shutil.rmtree(group_dir)
         part = base.filter(F.pmod(F.col("shard_id"), F.lit(num_groups)) == g)
         packed = (
             part.repartition("shard_id")
             .sortWithinPartitions("shard_id", "term_id", "doc_id")
             .mapInPandas(_pack_partition, schema=PACKED_SCHEMA)
         )
-        (packed.write.mode("append").partitionBy("shard_id").parquet(data_dir))
+        (packed.write.mode("overwrite").partitionBy("shard_id")
+         .parquet(group_dir))
         agg = part.groupBy().agg(
             F.countDistinct("doc_id").alias("docs"),
             F.countDistinct("term_id").alias("terms"),

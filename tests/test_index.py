@@ -96,6 +96,10 @@ def test_checkpoint_resume_skips_committed(spark, synth_index, tmp_path):
     # untouched groups keep their original committed_at metrics
     for g in ("0", "1", "3"):
         assert m2["groups"][g]["wall_sec"] == wall_before[g]
+    # exactly-once: the redone group holds exactly one copy of its runs
+    packed = layout.read_packed_shards(spark, out)
+    total = packed.groupBy().agg(F.sum("n")).collect()[0][0]
+    assert total == idx.weighted.count()
 
 
 def test_bucketed_layout_prunes(spark, synth_index, tmp_path):

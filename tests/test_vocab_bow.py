@@ -163,3 +163,20 @@ def test_merge_with(spark):
             want[tok] = next_id
             next_id += 1
     assert merged == want
+
+
+def test_build_with_empty_documents(spark):
+    """Docs with no tokens still count toward num_docs/avgdl (gensim counts
+    every processed doc), produce no postings, and never crash the build."""
+    from gensim_spark.plans import pipeline as P
+    from tests.oracle import PyBM25, PyDictionary
+
+    texts = [["cat", "dog"], [], ["cat"], []]
+    df = docs_df(spark, texts)
+    idx = P.build(df, num_docs=len(texts))
+    assert idx.num_docs == 4
+    odict = PyDictionary(texts)
+    want = PyBM25(dictionary=odict)
+    assert idx.stats.avgdl == want.avgdl  # 3 positions / 4 docs
+    assert idx.postings.filter("doc_id in (1, 3)").count() == 0
+    assert idx.weighted.count() == 3
