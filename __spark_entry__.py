@@ -140,6 +140,26 @@ def _q_tfidf_nfc(spark, sf_dir):
     return out.select("doc_id", "term_id", F.round("weight", 6).alias("weight"))
 
 
+def _q_tfidf_lfc(spark, sf_dir):
+    from gensim_spark.operators import tfidf as TF
+
+    idx = _index(spark, sf_dir)
+    out = TF.tfidf_postings(idx.postings, idx.vocab.select("term_id", "df"),
+                            idx.num_docs, smartirs="lfc")
+    return out.select("doc_id", "term_id", F.round("weight", 6).alias("weight"))
+
+
+def _q_tfidf_bnn(spark, sf_dir):
+    """The BM25 query-weighting scheme (binary tf, no idf, no norm —
+    docsim.py:1149). Terms survive because 'n' global weight is 1.0."""
+    from gensim_spark.operators import tfidf as TF
+
+    idx = _index(spark, sf_dir)
+    out = TF.tfidf_postings(idx.postings, idx.vocab.select("term_id", "df"),
+                            idx.num_docs, smartirs="bnn")
+    return out.select("doc_id", "term_id", F.round("weight", 6).alias("weight"))
+
+
 def _q_logentropy(spark, sf_dir):
     from gensim_spark.operators import tfidf as TF
 
@@ -309,6 +329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_batch": _q_bm25_topk_batch,
         "tfidf_nfc": _q_tfidf_nfc,
+        "tfidf_lfc": _q_tfidf_lfc,
+        "tfidf_bnn": _q_tfidf_bnn,
         "logentropy": _q_logentropy,
         "phrases_bigrams": _q_phrases,
         "events_hourly": _q_events_hourly,
@@ -670,6 +692,21 @@ nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w0 GROUP BY doc_id)
 SELECT w0.doc_id, w0.term_id,
        round(CASE WHEN nn > 0 THEN w / nn ELSE w END, 6) AS weight
 FROM w0 JOIN nrm USING (doc_id)""",
+        "tfidf_lfc": f"""{_PRELUDE},
+idf AS (SELECT term_id, ln((SELECT n FROM nd)::DOUBLE / df) / ln(2.0) AS idf
+        FROM vocab_ids),
+w0 AS (SELECT p.doc_id, p.term_id,
+       (1.0 + ln(p.tf::DOUBLE) / ln(2.0)) * i.idf AS w
+       FROM postings p JOIN idf i USING (term_id)
+       WHERE abs(i.idf) > 1e-12),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w0 GROUP BY doc_id)
+SELECT w0.doc_id, w0.term_id,
+       round(CASE WHEN nn > 0 THEN w / nn ELSE w END, 6) AS weight
+FROM w0 JOIN nrm USING (doc_id)""",
+        "tfidf_bnn": f"""{_PRELUDE}
+SELECT doc_id, term_id,
+       round(CASE WHEN tf <> 0 THEN 1.0 ELSE 0.0 END, 6) AS weight
+FROM postings""",
         "logentropy": f"""{_PRELUDE},
 cfs AS (SELECT term_id, CAST(sum(tf) AS BIGINT) AS cf
         FROM postings GROUP BY 1),
