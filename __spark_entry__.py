@@ -736,7 +736,10 @@ bic AS (SELECT word_a, word_b, count(*) AS bigram_count
         FROM bi WHERE word_b IS NOT NULL
         GROUP BY 1, 2 HAVING count(*) >= {_PHRASE_MIN_COUNT}),
 uni AS (SELECT token AS word, count(*) AS cnt FROM tlong GROUP BY 1),
-vl AS (SELECT count(*)::DOUBLE AS v FROM uni)
+-- len_vocab = unigram keys + ALL distinct bigram keys (phrases.py:685-687)
+vl AS (SELECT ((SELECT count(*) FROM uni)
+             + (SELECT count(*) FROM (SELECT DISTINCT word_a, word_b
+                                      FROM bi WHERE word_b IS NOT NULL)))::DOUBLE AS v)
 SELECT word_a, word_b, bigram_count,
        round((bigram_count - {_PHRASE_MIN_COUNT}) * (SELECT v FROM vl)
              / (ua.cnt * ub.cnt), 6) AS score

@@ -9,10 +9,13 @@ Reference semantics (piskvorky/gensim):
   (tfidfmodel.py:183-208), all log2.
 - Apply: ``wlocal(tf) · idf``; positions with ``|idf| ≤ eps`` (1e-12) are
   dropped *before* normalization (tfidfmodel.py:495-506).
-- Normalization: 'c' = per-doc L2 unit; pivoted ('u'/'b' with pivot set):
-  ``w / ((1 − slope)·pivot + slope·‖w‖₂)``, slope default 0.65
-  (tfidfmodel.py:534-543); pivot auto = num_nnz/num_docs for 'u'
-  (tfidfmodel.py:400-406).
+- Normalization: 'c' = per-doc L2 unit; pivoted (pivot set):
+  ``w / ((1 − slope)·pivot + slope·old_norm)`` where old_norm is L2 for
+  'n'/'c', the unique (nonzero-count) norm for 'u', and the char-length norm
+  for 'b'; slope default 0.25 (tfidfmodel.py:262,512-543); auto-pivot =
+  num_nnz/num_docs for 'u', Σ cf·(len+1)/num_docs for 'b'
+  (tfidfmodel.py:400-406). A second |w|>eps drop follows normalization
+  (tfidfmodel.py:536-541).
 - ``LogEntropyModel`` (gensim/models/logentropy_model.py:59-152): global pass
   ``p = tf/cf``, ``entropy(term) = 1 + Σ_docs p·log₂(p) / log₂(num_docs+1)``;
   apply ``log₂(tf+1) · entropy``, then L2 unit if normalize.
@@ -82,12 +85,23 @@ def tfidf_postings(
     smartirs: str = "nfc",
     eps: float = 1e-12,
     pivot: float | None = None,
-    slope: float = 0.65,
+    slope: float = 0.25,
+    term_lens: DataFrame | None = None,
 ) -> DataFrame:
     """postings(doc_id, term_id, tf) → (doc_id, term_id, weight) per SMART-IRS.
 
     dfs = (term_id, df). Matches ``TfidfModel(smartirs=...)`` apply semantics
-    including the |idf|>eps drop and pivoted normalization.
+    (tfidfmodel.py:495-543):
+
+    - positions with |idf| ≤ eps dropped before normalization;
+    - pivot=None: 'c' → L2 unit; 'n'/'u'/'b' → unnormalized; then the
+      reference's *second* eps drop on |weight| (tfidfmodel.py:536);
+    - pivot set: old_norm is the L2 norm for 'n'/'c', the UNIQUE norm
+      (nonzero count of the weighted vector) for 'u', and the char-length
+      norm ``Σ tf·(len(term)+1)`` over the RAW bow for 'b'
+      (tfidfmodel.py:519-523; needs ``term_lens`` = (term_id, term_len));
+      weight /= (1−slope)·pivot + slope·old_norm, then |weight| > eps.
+    - slope default 0.25 (tfidfmodel.py:262).
     """
     w_tf, w_df, w_n = smartirs
     if w_tf == "t":
@@ -113,33 +127,72 @@ def tfidf_postings(
     else:
         local = _smart_local_expr(w_tf, tf)
 
-    out = out.filter(F.abs(F.col("idf")) > eps).select(
+    weighted = out.filter(F.abs(F.col("idf")) > eps).select(
         "doc_id", "term_id", (local * F.col("idf")).alias("weight")
     )
 
-    if w_n in ("n", "x") and pivot is None:
-        return out
-    norms = out.groupBy("doc_id").agg(
+    if pivot is None:
+        # 'n'/'x' and (reference quirk) 'u'/'b' without a pivot: unnormalized.
+        if w_n == "c":
+            weighted = _l2_normalized(weighted)
+        return weighted.filter(F.abs(F.col("weight")) > eps)
+
+    # pivoted: old_norm per doc by scheme (tfidfmodel.py:512-523)
+    if w_n == "u":
+        norms = weighted.filter(F.col("weight") != 0).groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("double").alias("_norm")
+        )
+    elif w_n == "b":
+        if term_lens is None:
+            raise ValueError("smartirs '..b' pivoted norm needs term_lens "
+                             "(term_id, term_len) — the char-length norm is "
+                             "Σ tf·(term_len+1) over the raw bow")
+        norms = (
+            postings.join(F.broadcast(term_lens), "term_id")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("tf").cast("double")
+                       * (F.col("term_len").cast("double") + F.lit(1.0)))
+                 .alias("_norm"))
+        )
+    else:  # 'n'/'x'/'c': L2 of the weighted vector
+        norms = weighted.groupBy("doc_id").agg(
+            F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("_norm")
+        )
+    denom = F.lit(1.0 - slope) * F.lit(float(pivot)) + F.lit(slope) * F.col("_norm")
+    return (
+        weighted.join(norms, "doc_id")
+        .select("doc_id", "term_id", (F.col("weight") / denom).alias("weight"))
+        .filter(F.abs(F.col("weight")) > eps)
+    )
+
+
+def _l2_normalized(weighted: DataFrame) -> DataFrame:
+    norms = weighted.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("_norm")
     )
-    out = out.join(norms, "doc_id")
-    if w_n in ("u", "b") or pivot is not None:
-        if pivot is None:
-            raise ValueError("pivoted normalization requires an explicit pivot "
-                             "(auto-pivot = num_nnz/num_docs; compute upstream)")
-        denom = F.lit((1.0 - slope) * pivot) + F.lit(slope) * F.col("_norm")
-    else:  # 'c' cosine
-        denom = F.col("_norm")
-    return out.select(
+    return weighted.join(norms, "doc_id").select(
         "doc_id", "term_id",
-        F.when(denom > 0, F.col("weight") / denom)
+        F.when(F.col("_norm") > 0, F.col("weight") / F.col("_norm"))
         .otherwise(F.col("weight")).alias("weight"),
     )
 
 
 def auto_pivot_u(num_nnz: int, num_docs: int) -> float:
-    """smartirs[2]=='u' auto-pivot = num_nnz / num_docs (tfidfmodel.py:400)."""
+    """smartirs[2]=='u' auto-pivot = num_nnz / num_docs (tfidfmodel.py:402)."""
     return 1.0 * num_nnz / num_docs
+
+
+def auto_pivot_b(cfs: DataFrame, term_lens: DataFrame, num_docs: int) -> float:
+    """smartirs[2]=='b' auto-pivot = Σ_terms cf·(len(term)+1) / num_docs
+    (tfidfmodel.py:404-406). cfs = (term_id, cf); term_lens = (term_id,
+    term_len)."""
+    row = (
+        cfs.join(term_lens, "term_id")
+        .agg(F.sum(F.col("cf").cast("double")
+                   * (F.col("term_len").cast("double") + F.lit(1.0))).alias("s"))
+        .collect()[0]
+    )
+    return float(row["s"] or 0.0) / num_docs
 
 
 def log_entropy_postings(postings: DataFrame, normalize: bool = True) -> DataFrame:

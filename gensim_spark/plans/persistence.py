@@ -60,9 +60,15 @@ def load_index(spark: SparkSession, path: str) -> IndexedCorpus:
     stats = None
     weighted = None
     if "variant" in meta:
-        stats = M.fit_from_vocab(
-            vocab, meta["num_docs"], variant=meta["variant"], k1=meta["k1"],
-            b=meta["b"], epsilon=meta["epsilon"],
+        # Rehydrate the stats from the saved scalars — refitting would change
+        # avgdl for indexes originally fit with fit_from_postings (the
+        # nnz/num_docs reference quirk) and silently shift BM25 weights.
+        stats = M.BM25Stats(
+            variant=meta["variant"], k1=meta["k1"], b=meta["b"],
+            epsilon=meta["epsilon"], avgdl=meta["avgdl"],
+            num_docs=meta["num_docs"],
+            idfs=M.idf_table(vocab.select("term_id", "df"), meta["num_docs"],
+                             meta["variant"], meta["epsilon"]),
         )
         if meta.get("include_weighted") and os.path.exists(f"{path}/weighted"):
             weighted = spark.read.parquet(f"{path}/weighted")

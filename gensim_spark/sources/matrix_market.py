@@ -18,7 +18,7 @@ the postings DataFrame (doc_id, term_id, weight) — 0-based like the reader
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 HEADER = "%%MatrixMarket matrix coordinate real general"
@@ -26,11 +26,30 @@ HEADER = "%%MatrixMarket matrix coordinate real general"
 
 def read_mm(spark: SparkSession, path: str) -> DataFrame:
     """MM file(s) → postings DF (doc_id long, term_id long, weight double),
-    0-based ids. Comment/header/size lines are filtered out distributedly."""
-    lines = spark.read.text(path)
+    0-based ids.
+
+    The size line (``num_docs num_terms num_nnz``) has THREE tokens just like
+    a data triple, so it cannot be told apart by token count. We drop it
+    positionally instead: the first non-comment, non-blank line of each input
+    file is the size line, always (MM spec). A window over
+    ``input_file_name()`` ordered by the record's intra-file offset
+    (monotonically_increasing_id is per-partition-monotonic, and text files
+    are read in order within a split of the same file) marks it. One text
+    file per MM corpus is the write_mm contract, so per-file rank 1 == size
+    line even with multiple files globbed.
+    """
+    lines = spark.read.text(path).select(
+        "value",
+        F.input_file_name().alias("_file"),
+        F.monotonically_increasing_id().alias("_off"),
+    )
     body = lines.filter(
         ~F.col("value").startswith("%")
         & (F.length(F.trim(F.col("value"))) > 0)
+    )
+    w = Window.partitionBy("_file").orderBy("_off")
+    body = body.withColumn("_rank", F.row_number().over(w)).filter(
+        F.col("_rank") > 1
     )
     parts = F.split(F.trim(F.col("value")), r"\s+")
     parsed = body.select(
@@ -38,10 +57,6 @@ def read_mm(spark: SparkSession, path: str) -> DataFrame:
         parts.getItem(1).cast("long").alias("b"),
         parts.getItem(2).cast("double").alias("w"),
     )
-    # the size line is the unique row where w is NULL (2 fields) — drop it by
-    # requiring 3 parsed fields; guard against it parsing as a triple by
-    # removing the first body line per file instead is fragile; the size line
-    # has only 2 tokens so w is NULL:
     triples = parsed.filter(F.col("w").isNotNull())
     return triples.select(
         (F.col("a") - 1).alias("doc_id"),

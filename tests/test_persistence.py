@@ -48,6 +48,27 @@ def test_load_reweights_when_weights_not_saved(spark, common_texts, tmp_path):
         assert gw[k] == pytest.approx(ww[k], rel=1e-12)
 
 
+def test_load_preserves_postings_fit_avgdl(spark, common_texts, tmp_path):
+    """An index fit with fit_from_postings (avgdl = nnz/num_docs, the
+    reference quirk) must reload with the SAME avgdl — load_index rehydrates
+    from the saved scalar instead of refitting from vocab (Σcf/num_docs)."""
+    from gensim_spark.operators import bm25 as M
+    from gensim_spark.plans import pipeline as P
+    from gensim_spark.plans.persistence import load_index, save_index
+
+    df = docs_df(spark, common_texts)
+    idx = P.build(df, num_docs=len(common_texts))
+    import dataclasses
+
+    stats_p = M.fit_from_postings(idx.postings)
+    assert stats_p.avgdl != pytest.approx(idx.stats.avgdl)  # quirk differs
+    idx2 = dataclasses.replace(idx, stats=stats_p, weighted=None)
+    path = str(tmp_path / "saved_postings_fit")
+    save_index(idx2, path, include_weighted=False)
+    loaded = load_index(spark, path)
+    assert loaded.stats.avgdl == pytest.approx(stats_p.avgdl)
+
+
 def test_query_after_reload(spark, common_texts, tmp_path):
     from gensim_spark.plans import pipeline as P
     from gensim_spark.plans.persistence import load_index, save_index

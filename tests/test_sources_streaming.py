@@ -33,6 +33,25 @@ def test_mm_roundtrip(spark, common_texts, tmp_path):
     assert MM.mm_stats(spark, path) == (nd, nt, nnz)
 
 
+def test_mm_no_phantom_size_line_posting(spark, tmp_path):
+    """The 3-token size line must NOT surface as a posting. Regression: a
+    corpus whose (max_doc, max_term) cell is EMPTY — a phantom
+    (num_docs-1, num_terms-1, nnz) entry cannot hide behind a collision."""
+    from gensim_spark.sources import matrix_market as MM
+
+    p = spark.createDataFrame(
+        [(0, 2, 1.0), (2, 0, 4.0)],  # nd=3, nt=3; cell (2,2) empty
+        "doc_id long, term_id long, weight double",
+    )
+    path = str(tmp_path / "gap.mm")
+    nd, nt, nnz = MM.write_mm(p, path)
+    assert (nd, nt, nnz) == (3, 3, 2)
+    back = {(r["doc_id"], r["term_id"]): r["weight"]
+            for r in MM.read_mm(spark, path).collect()}
+    assert back == {(0, 2): 1.0, (2, 0): 4.0}  # no (2, 2, 2.0) phantom
+    assert MM.mm_stats(spark, path) == (3, 3, 2)
+
+
 def test_mm_writer_drops_near_zero(spark, tmp_path):
     from gensim_spark.sources import matrix_market as MM
 

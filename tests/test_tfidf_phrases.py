@@ -20,8 +20,8 @@ def _postings_and_dfs(spark, texts):
     return postings, vocab.select("term_id", "df"), PyDictionary(texts)
 
 
-def _py_tfidf(odict, texts, smartirs, pivot=None, slope=0.65, eps=1e-12):
-    """Independent SMART implementation from tfidfmodel.py:153-208 formulas."""
+def _py_tfidf(odict, texts, smartirs, pivot=None, slope=0.25, eps=1e-12):
+    """Independent SMART implementation from tfidfmodel.py:153-208,495-543."""
     w_tf, w_df, w_n = smartirs
     if w_tf == "t":
         w_tf = "n"
@@ -57,16 +57,25 @@ def _py_tfidf(odict, texts, smartirs, pivot=None, slope=0.65, eps=1e-12):
                 glob = max(0.0, math.log2((n - df) / df))
             if abs(glob) > eps:
                 vec[t] = local * glob
-        if w_n == "c" and pivot is None:
-            norm = math.sqrt(sum(v * v for v in vec.values()))
-            if norm > 0:
-                vec = {t: v / norm for t, v in vec.items()}
-        elif pivot is not None:
-            norm = math.sqrt(sum(v * v for v in vec.values()))
-            vec = {t: v / ((1 - slope) * pivot + slope * norm)
-                   for t, v in vec.items()}
+        if pivot is None:
+            if w_n == "c":
+                norm = math.sqrt(sum(v * v for v in vec.values()))
+                if norm > 0:
+                    vec = {t: v / norm for t, v in vec.items()}
+            # 'n'/'u'/'b' without pivot: unnormalized (tfidfmodel.py:512)
+        else:
+            if w_n == "u":
+                old_norm = float(sum(1 for v in vec.values() if v != 0))
+            elif w_n == "b":
+                id2tok = {v: k for k, v in odict.token2id.items()}
+                old_norm = sum(f * (len(id2tok[t]) + 1.0) for t, f in bow)
+            else:
+                old_norm = math.sqrt(sum(v * v for v in vec.values()))
+            pn = (1 - slope) * pivot + slope * old_norm
+            vec = {t: v / pn for t, v in vec.items()}
         for t, v in vec.items():
-            out[(i, t)] = v
+            if abs(v) > eps:  # second eps drop, tfidfmodel.py:536-541
+                out[(i, t)] = v
     return out
 
 
@@ -87,19 +96,54 @@ def test_smartirs_variants(spark, common_texts, smartirs):
         assert got[k] == pytest.approx(want[k], rel=1e-12), (smartirs, k)
 
 
-def test_pivoted_normalization(spark, common_texts):
+def _term_lens_df(spark, odict):
+    return spark.createDataFrame(
+        [(tid, len(tok)) for tok, tid in odict.token2id.items()],
+        "term_id long, term_len int",
+    )
+
+
+@pytest.mark.parametrize("smartirs", ["nfu", "nfb", "nfc"])
+def test_pivoted_normalization(spark, common_texts, smartirs):
+    """Pivoted norm per scheme: 'u' unique norm, 'b' char-length norm, 'c' L2
+    (tfidfmodel.py:512-543), slope default 0.25."""
     from gensim_spark.operators import tfidf as TF
 
     postings, dfs, odict = _postings_and_dfs(spark, common_texts)
-    pivot = TF.auto_pivot_u(odict.num_nnz, odict.num_docs)
+    lens = _term_lens_df(spark, odict)
+    if smartirs[2] == "b":
+        cfs = spark.createDataFrame(
+            sorted(odict.cfs.items()), "term_id long, cf long")
+        pivot = TF.auto_pivot_b(cfs, lens, odict.num_docs)
+    else:
+        pivot = TF.auto_pivot_u(odict.num_nnz, odict.num_docs)
     got = {
         (r["doc_id"], r["term_id"]): r["weight"]
         for r in TF.tfidf_postings(postings, dfs, odict.num_docs,
-                                   smartirs="nfu", pivot=pivot).collect()
+                                   smartirs=smartirs, pivot=pivot,
+                                   term_lens=lens).collect()
     }
-    want = _py_tfidf(odict, common_texts, "nfu", pivot=pivot)
+    want = _py_tfidf(odict, common_texts, smartirs, pivot=pivot)
+    assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_unpivoted_ub_is_unnormalized_and_eps_drop(spark, common_texts):
+    """'u'/'b' with pivot=None fall back to no normalization
+    (tfidfmodel.py:512), and near-zero weights are dropped post-norm."""
+    from gensim_spark.operators import tfidf as TF
+
+    postings, dfs, odict = _postings_and_dfs(spark, common_texts)
+    got_u = {
+        (r["doc_id"], r["term_id"]): r["weight"]
+        for r in TF.tfidf_postings(postings, dfs, odict.num_docs,
+                                   smartirs="nfu").collect()
+    }
+    want = _py_tfidf(odict, common_texts, "nfn")
+    assert set(got_u) == set(want)
+    for k in want:
+        assert got_u[k] == pytest.approx(want[k], rel=1e-12)
 
 
 @pytest.mark.parametrize("norm", ["l1", "l2", "unique"])
@@ -139,7 +183,9 @@ def test_phrases_scorers(spark):
             uni[w] = uni.get(w, 0) + 1
         for a, b in zip(doc, doc[1:]):
             bi[(a, b)] = bi.get((a, b), 0) + 1
-    vocab_len = len(uni)
+    # len(vocab) in the reference includes both unigram and bigram keys
+    # (phrases.py:685-687)
+    vocab_len = len(uni) + len(bi)
     corpus_words = sum(uni.values())
     min_count = 2
     got = {
@@ -164,6 +210,127 @@ def test_phrases_scorers(spark):
                        cnt / corpus_words)
         want = math.log(pab / (pa * pb)) / -math.log(pab)
         assert npmi[(a, b)] == pytest.approx(want, rel=1e-12)
+
+
+# gensim/test/test_phrases.py:497-543 CommonTermsPhrasesData
+_CONN_SENTENCES = [
+    ["human", "interface", "with", "computer"],
+    ["survey", "of", "user", "computer", "system", "lack", "of", "interest"],
+    ["eps", "user", "interface", "system"],
+    ["system", "and", "human", "system", "eps"],
+    ["user", "lack", "of", "interest"],
+    ["trees"],
+    ["graph", "of", "trees"],
+    ["data", "and", "graph", "of", "trees"],
+    ["data", "and", "graph", "survey"],
+    ["data", "and", "graph", "survey", "for", "human", "interface"],
+]
+_CONN_WORDS = frozenset({"of", "and", "for"})
+
+
+def test_find_phrases_connector_words(spark):
+    """Golden from test_phrases.py:472-483 test_find_phrases: the greedy
+    corpus scan suppresses 'graph survey' ('data and graph' eats 'graph')."""
+    from gensim_spark.operators import phrases as PH
+
+    df = docs_df(spark, _CONN_SENTENCES)
+    got = {
+        r["phrase"]
+        for r in PH.find_phrases(df, threshold=1.0, min_count=1,
+                                 connector_words=_CONN_WORDS,
+                                 delimiter=" ").collect()
+    }
+    assert got == {"human interface", "graph of trees", "data and graph",
+                   "lack of interest"}
+
+
+def test_export_phrases_no_connectors_golden(spark):
+    """Golden from test_phrases.py:485-496 test_export_phrases (no
+    connector words → plain adjacent bigrams)."""
+    from gensim_spark.operators import phrases as PH
+
+    df = docs_df(spark, _CONN_SENTENCES)
+    got = {
+        r["phrase"]
+        for r in PH.export_phrases(df, threshold=1.0, min_count=1,
+                                   delimiter=" ").collect()
+    }
+    assert got == {"and graph", "data and", "graph of", "graph survey",
+                   "human interface", "lack of", "of interest", "of trees"}
+
+
+def test_connector_scoring_default_and_npmi(spark):
+    """Scores replicate _learn_vocab counts + original/npmi scorers
+    (test_phrases.py:509-543)."""
+    from gensim_spark.operators import phrases as PH
+
+    # pure-python _learn_vocab replica (phrases.py:589-600)
+    vocab = {}
+    total_words = 0
+    for sent in _CONN_SENTENCES:
+        start, between = None, []
+        for w in sent:
+            if w not in _CONN_WORDS:
+                vocab[w] = vocab.get(w, 0) + 1
+                if start is not None:
+                    key = "_".join([start] + between + [w])
+                    vocab[key] = vocab.get(key, 0) + 1
+                start, between = w, []
+            elif start is not None:
+                between.append(w)
+            total_words += 1
+    df = docs_df(spark, _CONN_SENTENCES)
+    got = {
+        r["phrase"]: r["score"]
+        for r in PH.scored_bigrams(df, min_count=1,
+                                   connector_words=_CONN_WORDS).collect()
+    }
+    lv = float(len(vocab))
+    for phrase in ("data_and_graph", "human_interface"):
+        parts = phrase.split("_")
+        a, b = parts[0], parts[-1]
+        want = (vocab[phrase] - 1) / vocab[a] / vocab[b] * lv
+        assert got[phrase] == pytest.approx(want, rel=1e-12)
+    npmi = {
+        r["phrase"]: r["score"]
+        for r in PH.scored_bigrams(df, min_count=1, scoring="npmi",
+                                   connector_words=_CONN_WORDS).collect()
+    }
+    # goldens from test_phrases.py:540-543 (set compare, as in the reference)
+    assert {round(npmi["data_and_graph"], 3),
+            round(npmi["human_interface"], 3)} == {0.74, 0.894}
+
+
+def test_apply_phrases_connector_words(spark):
+    """analyze_sentence goldens (test_phrases.py:62-91)."""
+    from gensim_spark.operators import phrases as PH
+
+    conn = frozenset({"a", "the", "with", "of"})
+    phrases = {"simple_sentence", "sentence_many", "many_possible",
+               "possible_bigrams", "sentence_with_many",
+               "many_of_the_possible"}
+    cases = [
+        (["a", "simple", "sentence", "many", "the", "possible", "bigrams"],
+         ["a", "simple_sentence", "many", "the", "possible_bigrams"]),
+        (["sentence", "with", "many", "possible", "bigrams"],
+         ["sentence_with_many", "possible_bigrams"]),
+        (["a", "simple", "sentence", "with", "many", "of", "the",
+          "possible", "bigrams", "with"],
+         ["a", "simple_sentence", "with", "many_of_the_possible",
+          "bigrams", "with"]),
+    ]
+    df = docs_df(spark, [c[0] for c in cases])
+    out = {r["doc_id"]: r["tokens"]
+           for r in PH.apply_phrases(df, phrases,
+                                     connector_words=conn).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert out[i] == want, i
+    # no phrases → sentence passes through (test_phrases.py:35-41)
+    plain = docs_df(spark, [["a", "simple", "sentence", "with", "no",
+                             "bigram", "but", "common", "terms"]])
+    got = PH.apply_phrases(plain, set(), connector_words=conn).collect()
+    assert got[0]["tokens"] == ["a", "simple", "sentence", "with", "no",
+                                "bigram", "but", "common", "terms"]
 
 
 def test_filter_n_most_frequent(spark, common_texts):
