@@ -34,7 +34,7 @@ _KNN_QUERIES = 3          # embeddings vec_id < 3 used as queries
 _KNN_K = 5
 _LSH_PLANES = 4
 _EMB_DIMS = 64
-_NEAR_DUP_T = 0.9
+_NEAR_DUP_T = 0.35  # synthetic embeddings max pairwise cosine ~0.51
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,9 +270,14 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_embedding_near_dups(spark, sf_dir):
+    """LSH-bucketed near-dup path (no cartesian product in the plan); the
+    brute-force variant survives only as the pytest oracle."""
     from gensim_spark.operators import dedup as D
 
-    out = D.embedding_near_dups(_emb(spark, sf_dir), threshold=_NEAR_DUP_T)
+    out = D.embedding_near_dups_lsh(
+        _emb(spark, sf_dir), threshold=_NEAR_DUP_T,
+        planes=_LSH_PLANES, dims=_EMB_DIMS,
+    )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -655,6 +660,47 @@ FROM ranked WHERE rank <= {_KNN_K}
 """
 
 
+def _near_dup_lsh_sql() -> str:
+    """LSH-bucketed near-dup oracle: same sign-projection buckets as
+    simsearch.lsh_buckets (hash60 hyperplanes), pair join within bucket,
+    exact cosine verify — mirrors dedup.embedding_near_dups_lsh."""
+    sgn = _h60("CAST(p.p AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)")
+    return f"""
+WITH planes AS (
+  SELECT p.p, i.i,
+         CASE WHEN {sgn} % 2 = 1 THEN 1.0 ELSE -1.0 END AS sgn
+  FROM (SELECT unnest(range({_LSH_PLANES})) AS p) p
+  CROSS JOIN (SELECT unnest(range({_EMB_DIMS})) AS i) i),
+comp AS (
+  SELECT vec_id, c.i, c.v FROM (
+    SELECT vec_id,
+           unnest(list_transform(embedding,
+                  (x, j) -> struct_pack(v := x::DOUBLE, i := j - 1))) AS c
+    FROM embeddings)),
+proj AS (
+  SELECT comp.vec_id, planes.p, sum(comp.v * planes.sgn) AS s
+  FROM comp JOIN planes ON planes.i = comp.i
+  GROUP BY comp.vec_id, planes.p),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(ea.embedding::DOUBLE[],
+                                  ea.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(eb.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[]))) AS cosine
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id)
+SELECT id_a, id_b, round(cosine, 6) AS cosine
+FROM pairs WHERE cosine >= {_NEAR_DUP_T}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sw = _stopword_list_sql()
     return {
@@ -828,15 +874,5 @@ SELECT query_id, doc_id, round(score, 6) AS score, rank
 FROM ranked WHERE rank <= 10""",
         "knn_cosine": _knn_sql(),
         "ann_lsh": _lsh_sql(),
-        "embedding_near_dups": f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-         6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-      >= {_NEAR_DUP_T}""",
+        "embedding_near_dups": _near_dup_lsh_sql(),
     }

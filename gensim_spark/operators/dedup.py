@@ -165,9 +165,9 @@ def simhash(docs: DataFrame, tokens_col: str = "tokens", bits: int = 16,
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id") -> DataFrame:
-    """Embedding-cosine near-dup pairs above threshold (brute-force half
-    self-join; for the scale path, bucket by an LSH sign-projection first —
-    see gensim_spark.operators.simsearch.lsh_buckets)."""
+    """Embedding-cosine near-dup pairs above threshold — BRUTE-FORCE half
+    self-join. O(N²): test-oracle / small-corpus only. The scale path is
+    :func:`embedding_near_dups_lsh` (bucket-equijoin, no cartesian)."""
     from gensim_spark.operators.simsearch import cosine_expr
 
     a = embeddings.select(F.col(id_col).alias("id_a"),
@@ -176,6 +176,45 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                           F.col(vec_col).alias("vb"))
     return (
         a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dups_lsh(embeddings: DataFrame, threshold: float = 0.95,
+                            planes: int = 6, dims: int = 64,
+                            max_bucket: int | None = 100_000,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-random-projection LSH — the
+    100 TB path: candidates are restricted to equal-bucket vectors
+    (bucket-equijoin, shuffle on a long key, NO cartesian product), then
+    verified with the exact JVM-side cosine. Misses only cross-bucket pairs
+    (recall dial = ``planes``; fewer planes → bigger buckets → higher
+    recall). ``max_bucket`` drops degenerate buckets (e.g. all-zero junk
+    embeddings) that would otherwise blow up quadratically — same boilerplate
+    guard as :func:`minhash_band_pairs`."""
+    from gensim_spark.operators.simsearch import cosine_expr, lsh_buckets
+
+    b = lsh_buckets(embeddings, planes, dims, id_col, vec_col)
+    e = embeddings.join(b, embeddings[id_col] == b.vec_id).select(
+        b.vec_id, F.col(vec_col).alias("_v"), "bucket"
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("bucket")
+        e = (
+            e.withColumn("_sz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_sz") <= max_bucket)
+            .drop("_sz")
+        )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("va"),
+                 "bucket")
+    bb = e.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("vb"),
+                  "bucket")
+    return (
+        a.join(bb, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
                 cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))

@@ -66,6 +66,38 @@ def test_ivf_topk_recall(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.5  # random data, 3/8 cells probed
 
 
+def test_embedding_near_dups_lsh_matches_bucketed_brute(spark, emb):
+    """LSH near-dups == brute-force pairs restricted to equal buckets, and
+    the plan contains NO cartesian product (the 100 TB guarantee)."""
+    from gensim_spark.operators import dedup as D
+    from gensim_spark.operators import simsearch as S
+
+    df, vecs = emb
+    threshold = 0.3
+    out = D.embedding_near_dups_lsh(df, threshold=threshold, planes=4,
+                                    dims=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    buckets = {r["vec_id"]: r["bucket"]
+               for r in S.lsh_buckets(df, planes=4, dims=16).collect()}
+    norms = np.linalg.norm(vecs, axis=1)
+    want = {}
+    n = len(vecs)
+    for a in range(n):
+        for b in range(a + 1, n):
+            if buckets[a] != buckets[b]:
+                continue
+            c = float(vecs[a] @ vecs[b] / (norms[a] * norms[b]))
+            if c >= threshold:
+                want[(a, b)] = c
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-5)
+
+
 def test_lsh_topk_subset_of_bucket(spark, emb):
     from gensim_spark.operators import simsearch as S
 
