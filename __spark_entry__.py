@@ -122,6 +122,36 @@ def _q_bm25_topk(spark, sf_dir):
                       "rank")
 
 
+def _q_bm25_topk_iceberg(spark, sf_dir):
+    """Same top-k as bm25_topk, served from the Iceberg-semantics bucketed
+    postings table: snapshot commit + manifest-planned scan (bucket
+    partition pruning + term_id min/max file skipping) instead of a raw
+    parquet directory. Oracle: identical to bm25_topk."""
+    import tempfile
+
+    from gensim_spark.functions import textref
+    from gensim_spark.index import layout
+    from gensim_spark.operators import topk as T
+
+    idx = _index(spark, sf_dir)
+    loc = tempfile.mkdtemp(prefix="gs_ice_postings_") + "/postings"
+    layout.write_postings_bucketed_iceberg(
+        idx.weighted, loc, n_buckets=16,
+        dfs=idx.vocab.select("term_id", "df"), salt_threshold=10**9,
+    )
+    tokens = sorted(set(textref.simple_preprocess(QUERY_SET[0])))
+    tid = {
+        r["token"]: r["term_id"]
+        for r in idx.vocab.filter(F.col("token").isin(tokens)).collect()
+    }
+    tids = sorted(int(t) for t in tid.values())
+    pruned = layout.read_postings_bucketed_iceberg(spark, loc, term_ids=tids)
+    out = T.search(pruned.select("doc_id", "term_id", "weight"),
+                   T.query_terms_df(spark, {0: tids}), k=TOPK_K)
+    return out.select("query_id", "doc_id", F.round("score", 6).alias("score"),
+                      "rank")
+
+
 def _q_bm25_topk_batch(spark, sf_dir):
     from gensim_spark.plans import pipeline as P
 
@@ -175,6 +205,31 @@ def _q_phrases(spark, sf_dir):
                             min_count=_PHRASE_MIN_COUNT)
     return out.select("word_a", "word_b", "bigram_count",
                       F.round("score", 6).alias("score"))
+
+
+def _q_phrases_connector(spark, sf_dir):
+    """Connector-words bridging: candidate spans may cross articles /
+    prepositions / conjunctions (phrases.py:81-87,589-600)."""
+    from gensim_spark.operators import phrases as PH
+
+    out = PH.scored_bigrams(_tokenized(spark, sf_dir),
+                            min_count=_PHRASE_MIN_COUNT,
+                            connector_words=PH.ENGLISH_CONNECTOR_WORDS)
+    return out.select("word_a", "word_b", "phrase", "bigram_count",
+                      F.round("score", 6).alias("score"))
+
+
+def _q_tfidf_nfu_pivot(spark, sf_dir):
+    """Pivoted unique-norm SMART 'nfu' with the reference auto-pivot
+    (num_nnz/num_docs) and slope 0.25 (tfidfmodel.py:262,402,519-523)."""
+    from gensim_spark.operators import tfidf as TF
+
+    idx = _index(spark, sf_dir)
+    nnz = idx.postings.count()
+    pivot = TF.auto_pivot_u(nnz, idx.num_docs)
+    out = TF.tfidf_postings(idx.postings, idx.vocab.select("term_id", "df"),
+                            idx.num_docs, smartirs="nfu", pivot=pivot)
+    return out.select("doc_id", "term_id", F.round("weight", 6).alias("weight"))
 
 
 def _q_events_hourly(spark, sf_dir):
@@ -332,12 +387,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_lucene": lambda s, d: _bm25_weights(s, d, "lucene"),
         "bm25_atire": lambda s, d: _bm25_weights(s, d, "atire"),
         "bm25_topk": _q_bm25_topk,
+        "bm25_topk_iceberg": _q_bm25_topk_iceberg,
         "bm25_topk_batch": _q_bm25_topk_batch,
         "tfidf_nfc": _q_tfidf_nfc,
         "tfidf_lfc": _q_tfidf_lfc,
         "tfidf_bnn": _q_tfidf_bnn,
+        "tfidf_nfu_pivot": _q_tfidf_nfu_pivot,
         "logentropy": _q_logentropy,
         "phrases_bigrams": _q_phrases,
+        "phrases_connector": _q_phrases_connector,
         "events_hourly": _q_events_hourly,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash_signatures,
@@ -660,6 +718,69 @@ FROM ranked WHERE rank <= {_KNN_K}
 """
 
 
+_CONNECTOR_SQL_LIST = ("'a','an','the','for','of','with','without','at',"
+                       "'from','to','in','on','by','and','or'")
+
+
+def _phrases_connector_sql() -> str:
+    """Segment-based connector bridging: running count of non-connector
+    tokens defines segments; consecutive segment heads pair up with the
+    intervening connectors riding in the phrase key — mirrors
+    phrases.py:589-600 _learn_vocab."""
+    return f"""{_PRELUDE},
+pl AS (SELECT doc_id, s.tok AS w, s.pos FROM (
+         SELECT doc_id,
+                unnest(list_transform(tokens,
+                       (x, i) -> struct_pack(tok := x, pos := i))) AS s
+         FROM tok)),
+m AS (SELECT doc_id, pos, w,
+             w NOT IN ({_CONNECTOR_SQL_LIST}) AS isw FROM pl),
+seg AS (SELECT *, sum(CASE WHEN isw THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS s
+        FROM m),
+segs AS (SELECT doc_id, s,
+                min_by(w, pos) AS head,
+                string_agg(w, '_' ORDER BY pos) AS span
+         FROM seg WHERE s >= 1 GROUP BY doc_id, s),
+pairs AS (SELECT doc_id, head AS word_a,
+                 lead(head) OVER (PARTITION BY doc_id ORDER BY s) AS word_b,
+                 span || '_' ||
+                 lead(head) OVER (PARTITION BY doc_id ORDER BY s) AS phrase
+          FROM segs),
+cand AS (SELECT word_a, word_b, phrase FROM pairs WHERE word_b IS NOT NULL),
+candc AS (SELECT word_a, word_b, phrase, count(*) AS bigram_count
+          FROM cand GROUP BY 1, 2, 3),
+uni AS (SELECT token AS word, count(*) AS cnt FROM tlong
+        WHERE token NOT IN ({_CONNECTOR_SQL_LIST}) GROUP BY 1),
+vl AS (SELECT ((SELECT count(*) FROM uni)
+             + (SELECT count(*) FROM (SELECT DISTINCT word_a, word_b, phrase
+                                      FROM cand)))::DOUBLE AS v)
+SELECT word_a, word_b, phrase, bigram_count,
+       round((bigram_count - {_PHRASE_MIN_COUNT}) * (SELECT v FROM vl)
+             / (ua.cnt * ub.cnt), 6) AS score
+FROM candc
+JOIN uni ua ON ua.word = word_a
+JOIN uni ub ON ub.word = word_b
+WHERE bigram_count >= {_PHRASE_MIN_COUNT}"""
+
+
+def _tfidf_nfu_pivot_sql() -> str:
+    return f"""{_PRELUDE},
+idf AS (SELECT term_id, ln((SELECT n FROM nd)::DOUBLE / df) / ln(2.0) AS idf
+        FROM vocab_ids),
+w0 AS (SELECT p.doc_id, p.term_id, p.tf * i.idf AS w
+       FROM postings p JOIN idf i USING (term_id)
+       WHERE abs(i.idf) > 1e-12),
+nrm AS (SELECT doc_id, count(*) FILTER (w <> 0)::DOUBLE AS nn
+        FROM w0 GROUP BY doc_id),
+pv AS (SELECT (SELECT count(*) FROM postings)::DOUBLE
+             / (SELECT n FROM nd) AS pv_val)
+SELECT w0.doc_id, w0.term_id,
+       round(w / (0.75 * (SELECT pv_val FROM pv) + 0.25 * nn), 6) AS weight
+FROM w0 JOIN nrm USING (doc_id)
+WHERE abs(w / (0.75 * (SELECT pv_val FROM pv) + 0.25 * nn)) > 1e-12"""
+
+
 def _near_dup_lsh_sql() -> str:
     """LSH-bucketed near-dup oracle: same sign-projection buckets as
     simsearch.lsh_buckets (hash60 hyperplanes), pair join within bucket,
@@ -727,6 +848,10 @@ SELECT token, cf FROM vocab_ids ORDER BY cf DESC, term_id ASC LIMIT 20""",
         "bm25_lucene": _bm25_sql("lucene"),
         "bm25_atire": _bm25_sql("atire"),
         "bm25_topk": _topk_sql({0: QUERY_SET[0]}, TOPK_K),
+        # Iceberg-backed store must serve the SAME answers — same oracle
+        "bm25_topk_iceberg": _topk_sql({0: QUERY_SET[0]}, TOPK_K),
+        "tfidf_nfu_pivot": _tfidf_nfu_pivot_sql(),
+        "phrases_connector": _phrases_connector_sql(),
         "bm25_topk_batch": _topk_sql(QUERY_SET, BATCH_K),
         "tfidf_nfc": f"""{_PRELUDE},
 idf AS (SELECT term_id, ln((SELECT n FROM nd)::DOUBLE / df) / ln(2.0) AS idf

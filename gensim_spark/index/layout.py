@@ -42,50 +42,71 @@ PACKED_SCHEMA = (
 )
 
 
-def _pack_partition(pdf_iter):
-    """Arrow batches of (shard_id, term_id, doc_id, weight), sorted by
-    (shard_id, term_id, doc_id) within the partition → packed run rows.
-    Handles run spans across batch boundaries with a carry buffer."""
-    carry = None  # (shard_id, term_id, doc_ids list, weights list)
+def _pack_partition_fn(docs_acc=None):
+    """Build the mapInPandas function: Arrow batches of (shard_id, term_id,
+    doc_id, weight), sorted by (shard_id, term_id, doc_id) within the
+    partition → packed run rows. Handles run spans across batch boundaries
+    with a carry buffer. ``docs_acc`` (optional LongAccumulator) receives
+    the partition's distinct-doc count per shard — the build metric rides
+    the write job instead of a second scan of the raw postings."""
 
-    def flush(shard_id, term_id, docs, weights):
-        run = packing.pack_run(np.asarray(docs), np.asarray(weights))
-        return {
-            "shard_id": shard_id, "term_id": term_id, "n": run["n"],
-            "doc_blob": run["doc_blob"], "weight_blob": run["weight_blob"],
-            "block_max": run["block_max"],
-            "block_last_doc": run["block_last_doc"],
-        }
+    def gen(pdf_iter):
+        carry = None  # (shard_id, term_id, doc_ids list, weights list)
+        shard_docs: dict[int, set] = {}
 
-    for pdf in pdf_iter:
-        if pdf.empty:
-            continue
-        out = []
-        keys = pdf[["shard_id", "term_id"]].to_numpy()
-        docs = pdf["doc_id"].to_numpy()
-        ws = pdf["weight"].to_numpy()
-        # boundaries where (shard, term) changes
-        change = np.nonzero(
-            (keys[1:, 0] != keys[:-1, 0]) | (keys[1:, 1] != keys[:-1, 1])
-        )[0] + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(pdf)]))
-        for s, e in zip(starts, ends):
-            sid, tid = int(keys[s, 0]), int(keys[s, 1])
-            if carry is not None and carry[0] == sid and carry[1] == tid:
-                carry = (sid, tid,
-                         np.concatenate((carry[2], docs[s:e])),
-                         np.concatenate((carry[3], ws[s:e])))
-            else:
-                if carry is not None:
-                    out.append(flush(*carry))
-                carry = (sid, tid, docs[s:e].copy(), ws[s:e].copy())
-        # all groups except the (possibly continuing) last are final, but we
-        # cannot know the last ends here — keep it in carry until next batch
-        if out:
-            yield pd.DataFrame(out)
-    if carry is not None:
-        yield pd.DataFrame([flush(*carry)])
+        def flush(shard_id, term_id, docs, weights):
+            run = packing.pack_run(np.asarray(docs), np.asarray(weights))
+            return {
+                "shard_id": shard_id, "term_id": term_id, "n": run["n"],
+                "doc_blob": run["doc_blob"], "weight_blob": run["weight_blob"],
+                "block_max": run["block_max"],
+                "block_last_doc": run["block_last_doc"],
+            }
+
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            out = []
+            keys = pdf[["shard_id", "term_id"]].to_numpy()
+            docs = pdf["doc_id"].to_numpy()
+            ws = pdf["weight"].to_numpy()
+            if docs_acc is not None:
+                for sid_any in np.unique(keys[:, 0]):
+                    mask = keys[:, 0] == sid_any
+                    shard_docs.setdefault(int(sid_any), set()).update(
+                        docs[mask].tolist()
+                    )
+            # boundaries where (shard, term) changes
+            change = np.nonzero(
+                (keys[1:, 0] != keys[:-1, 0]) | (keys[1:, 1] != keys[:-1, 1])
+            )[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
+            for s, e in zip(starts, ends):
+                sid, tid = int(keys[s, 0]), int(keys[s, 1])
+                if carry is not None and carry[0] == sid and carry[1] == tid:
+                    carry = (sid, tid,
+                             np.concatenate((carry[2], docs[s:e])),
+                             np.concatenate((carry[3], ws[s:e])))
+                else:
+                    if carry is not None:
+                        out.append(flush(*carry))
+                    carry = (sid, tid, docs[s:e].copy(), ws[s:e].copy())
+            # all groups except the (possibly continuing) last are final, but
+            # we cannot know the last ends here — keep it in carry
+            if out:
+                yield pd.DataFrame(out)
+        if carry is not None:
+            yield pd.DataFrame([flush(*carry)])
+        if docs_acc is not None:
+            for s in shard_docs.values():
+                docs_acc.add(len(s))
+
+    return gen
+
+
+# backward-compatible name (no accumulator)
+_pack_partition = _pack_partition_fn()
 
 
 def write_packed_shards(weighted: DataFrame, out_dir: str,
@@ -133,22 +154,30 @@ def write_packed_shards(weighted: DataFrame, out_dir: str,
 
             shutil.rmtree(group_dir)
         part = base.filter(F.pmod(F.col("shard_id"), F.lit(num_groups)) == g)
+        spark = weighted.sparkSession
+        docs_acc = spark.sparkContext.accumulator(0)
         packed = (
             part.repartition("shard_id")
             .sortWithinPartitions("shard_id", "term_id", "doc_id")
-            .mapInPandas(_pack_partition, schema=PACKED_SCHEMA)
+            .mapInPandas(_pack_partition_fn(docs_acc), schema=PACKED_SCHEMA)
         )
         (packed.write.mode("overwrite").partitionBy("shard_id")
          .parquet(group_dir))
-        agg = part.groupBy().agg(
-            F.countDistinct("doc_id").alias("docs"),
-            F.countDistinct("term_id").alias("terms"),
-            F.count(F.lit(1)).alias("postings"),
-        ).collect()[0]
+        # metrics from the PACKED output (column-pruned: term_id + n only),
+        # not a second shuffle of the raw postings; docs ride the write job
+        # via the accumulator (shards are doc-disjoint, so per-shard counts
+        # sum exactly).
+        agg = (
+            spark.read.schema(PACKED_SCHEMA).parquet(group_dir)
+            .select("term_id", "n")
+            .agg(F.countDistinct("term_id").alias("terms"),
+                 F.sum("n").alias("postings"))
+            .collect()[0]
+        )
         manifest["groups"][key] = {
             "committed": True,
-            "docs": agg["docs"], "terms": agg["terms"],
-            "postings": agg["postings"],
+            "docs": docs_acc.value, "terms": int(agg["terms"]),
+            "postings": int(agg["postings"] or 0),
             "wall_sec": round(time.perf_counter() - t0, 2),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
@@ -206,3 +235,157 @@ def read_postings_bucketed(spark: SparkSession, out_dir: str,
             F.col("term_id").isin([int(t) for t in term_ids])
         )
     return df
+
+
+# --- Iceberg-backed store (north rule: "Iceberg-backed shard tables") --------
+
+def write_packed_shards_iceberg(weighted: DataFrame, table_loc: str,
+                                docs_per_shard: int = 32768,
+                                num_groups: int = 8,
+                                resume: bool = True) -> "IceTable":
+    """Packed shard store as an Iceberg-semantics table: each shard group is
+    one snapshot append whose summary carries the lineage + build metrics
+    that manifest.json carried before. Resume reads committed groups from
+    the snapshot log; a crash mid-write leaves only unreferenced staged
+    files (no wipe-before-rewrite needed — commits are atomic)."""
+    from gensim_spark.index.icetable import IceTable, PartitionField
+
+    spark = weighted.sparkSession
+    try:
+        table = IceTable.load(table_loc)
+        props = table.meta["properties"]
+        if int(props["docs_per_shard"]) != docs_per_shard:
+            raise ValueError("resume with different docs_per_shard")
+        if not resume:
+            raise FileExistsError(f"table exists at {table_loc} (resume off)")
+    except FileNotFoundError:
+        table = IceTable.create(
+            table_loc, PACKED_SCHEMA,
+            partition_spec=[PartitionField("shard_id", "shard_id",
+                                           "identity")],
+            properties={"docs_per_shard": str(docs_per_shard),
+                        "num_groups": str(num_groups),
+                        "write.format": "packed-postings-v1"},
+        )
+    committed = {
+        int(s.summary["group"]) for s in table.snapshots
+        if s.operation == "append" and "group" in s.summary
+    }
+    base = weighted.withColumn(
+        "shard_id", (F.col("doc_id") / F.lit(docs_per_shard)).cast("long")
+    )
+    for g in range(num_groups):
+        if g in committed:
+            continue
+        t0 = time.perf_counter()
+        part = base.filter(F.pmod(F.col("shard_id"), F.lit(num_groups)) == g)
+        docs_acc = spark.sparkContext.accumulator(0)
+        packed = (
+            part.repartition("shard_id")
+            .sortWithinPartitions("shard_id", "term_id", "doc_id")
+            .mapInPandas(_pack_partition_fn(docs_acc), schema=PACKED_SCHEMA)
+        )
+        write_uuid, staging, files = table.stage_write(packed)
+        # metrics from the staged packed files (column-pruned scan), then the
+        # snapshot publishes data + lineage metrics atomically together
+        agg = (
+            spark.read.schema(PACKED_SCHEMA).parquet(staging)
+            .select("term_id", "n")
+            .agg(F.countDistinct("term_id").alias("terms"),
+                 F.sum("n").alias("postings"))
+            .collect()[0]
+        )
+        table.commit_staged(files, write_uuid, summary={
+            "group": g,
+            "docs": docs_acc.value,
+            "terms": int(agg["terms"]),
+            "postings": int(agg["postings"] or 0),
+            "wall_sec": round(time.perf_counter() - t0, 2),
+        })
+    return table
+
+
+def read_packed_shards_iceberg(spark: SparkSession, table_loc: str,
+                               snapshot_id: int | None = None,
+                               shard_ids: list[int] | None = None) -> DataFrame:
+    """Scan the packed store at the current (or a time-traveled) snapshot,
+    with manifest-level shard pruning."""
+    from gensim_spark.index.icetable import IceTable
+
+    table = IceTable.load(table_loc)
+    pred = None
+    if shard_ids is not None:
+        wanted = set(shard_ids)
+        pred = lambda p: p.get("shard_id") in wanted  # noqa: E731
+    return table.scan(spark, snapshot_id=snapshot_id, partition_pred=pred)
+
+
+def write_postings_bucketed_iceberg(weighted: DataFrame, table_loc: str,
+                                    n_buckets: int = 64,
+                                    salt_threshold: int = 1_000_000,
+                                    dfs: DataFrame | None = None,
+                                    salts: int = 16) -> "IceTable":
+    """Term-bucketed plain postings as an Iceberg-semantics table:
+    ``bucket = term_id mod n_buckets`` is the partition transform, salting
+    is the same head-term guard as the parquet path. One overwrite
+    snapshot; incremental loads can append further snapshots."""
+    from gensim_spark.index.icetable import IceTable, PartitionField
+
+    df = weighted
+    if dfs is not None:
+        heads = dfs.filter(F.col("df") >= salt_threshold).select("term_id")
+        df = df.join(F.broadcast(heads.withColumn("_head", F.lit(1))),
+                     "term_id", "left")
+        salt = F.when(F.col("_head").isNotNull(),
+                      F.pmod(F.col("doc_id"), F.lit(salts))).otherwise(F.lit(0))
+        df = df.withColumn("salt", salt).drop("_head")
+    else:
+        df = df.withColumn("salt", F.lit(0))
+    try:
+        table = IceTable.load(table_loc)
+    except FileNotFoundError:
+        table = IceTable.create(
+            table_loc,
+            "doc_id bigint, term_id bigint, weight double, salt int",
+            partition_spec=[PartitionField("term_id", "bucket",
+                                           f"mod[{n_buckets}]")],
+            properties={"n_buckets": str(n_buckets)},
+        )
+    df = df.withColumn("bucket", F.pmod(F.col("term_id"), F.lit(n_buckets)))
+    df = df.repartition("bucket", "salt").sortWithinPartitions(
+        "term_id", "doc_id"
+    )
+    table.append(df, operation="overwrite",
+                 summary={"n_buckets": n_buckets, "salts": salts})
+    return table
+
+
+def read_postings_bucketed_iceberg(spark: SparkSession, table_loc: str,
+                                   term_ids: list[int] | None = None,
+                                   snapshot_id: int | None = None) -> DataFrame:
+    """Query-side scan planning on the Iceberg metadata: partition pruning
+    to the query terms' buckets PLUS min/max term_id file skipping from the
+    manifest column bounds — files are excluded before Spark opens any of
+    them. Residual term_id filter is pushed into the parquet scan."""
+    from gensim_spark.index.icetable import IceTable
+
+    table = IceTable.load(table_loc)
+    if not term_ids:
+        return table.scan(spark, snapshot_id=snapshot_id)
+    n_buckets = int(table.meta["properties"]["n_buckets"])
+    tids = sorted({int(t) for t in term_ids})
+    buckets = {t % n_buckets for t in tids}
+
+    def part_pred(p: dict) -> bool:
+        return p.get("bucket") in buckets
+
+    def stats_pred(fentry: dict) -> bool:
+        lo = fentry.get("lower-bounds", {}).get("term_id")
+        hi = fentry.get("upper-bounds", {}).get("term_id")
+        if lo is None or hi is None:
+            return True  # no stats → cannot skip
+        return any(lo <= t <= hi for t in tids)
+
+    out = table.scan(spark, snapshot_id=snapshot_id,
+                     partition_pred=part_pred, stats_pred=stats_pred)
+    return out.filter(F.col("term_id").isin(tids))

@@ -1,18 +1,27 @@
-"""Incremental index maintenance with Structured Streaming.
+"""Incremental index maintenance with Structured Streaming over
+Iceberg-semantics tables.
 
 Reference analogue: ``Similarity.add_documents`` buffer-and-spill
 (gensim/similarities/docsim.py:367-416 — buffer until ``shardsize`` then
 close a shard) and ``reopen_shard`` compaction (docsim.py:466-478). Here the
 micro-batch IS the buffer: each batch of new pages is tokenized, counted,
-appended to the postings store, and the vocabulary table is extended with
-``merge_with`` semantics (same token keeps its id; new tokens get fresh
-sequential ids — dictionary.py:532-591), which is exactly gensim's online
-id assignment continued across batches.
+committed as an Iceberg APPEND SNAPSHOT on the counts table, and the
+vocabulary table advances with an OVERWRITE snapshOT carrying ``merge_with``
+semantics (same token keeps its id; new tokens get fresh sequential ids —
+dictionary.py:532-591), which is exactly gensim's online id assignment
+continued across batches.
+
+Exactly-once: the batch id is recorded in the snapshot summary; a replayed
+micro-batch (stream restart after a crash between the table commit and the
+stream checkpoint) detects its own batch id in the snapshot log and skips —
+the commit itself is atomic (icetable.py), so no partial appends exist.
 
 Weighting note: BM25 idfs/avgdl are corpus-global, so incremental appends
-update raw postings + vocab continuously while weighted shards are refreshed
-by a periodic compaction job (recompute stats → re-weight changed shards) —
-the same late-data/compaction split a streaming warehouse uses.
+update raw counts + vocab continuously while weighted shards are refreshed
+by a periodic compaction job (recompute stats → re-weight → packed-shard
+snapshots) — the same late-data/compaction split a streaming warehouse uses.
+Old counts snapshots stay scannable during compaction (readers time-travel);
+``expire_snapshots`` reclaims them afterwards.
 """
 
 from __future__ import annotations
@@ -20,40 +29,68 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gensim_spark.index.icetable import IceTable
+
+COUNTS_DDL = "doc_id bigint, token string, tf bigint, dl bigint"
+VOCAB_DDL = ("token string, term_id bigint, df bigint, cf bigint,"
+             " first_doc bigint")
+
+
+def counts_table(store_dir: str) -> IceTable:
+    loc = f"{store_dir}/counts"
+    try:
+        return IceTable.load(loc)
+    except FileNotFoundError:
+        return IceTable.create(loc, COUNTS_DDL)
+
+
+def vocab_table(store_dir: str) -> IceTable:
+    loc = f"{store_dir}/vocab"
+    try:
+        return IceTable.load(loc)
+    except FileNotFoundError:
+        return IceTable.create(loc, VOCAB_DDL)
+
+
+def read_counts(spark: SparkSession, store_dir: str) -> DataFrame:
+    return counts_table(store_dir).scan(spark)
+
+
+def read_vocab(spark: SparkSession, store_dir: str) -> DataFrame:
+    return vocab_table(store_dir).scan(spark)
+
 
 def start_incremental_build(spark: SparkSession, pages_stream: DataFrame,
                             store_dir: str,
                             checkpoint_dir: str,
                             html_col: str = "html"):
-    """pages readStream → appends (doc_id, token, tf, dl) micro-batches to
-    ``store_dir`/counts`` and maintains ``store_dir`/vocab`` across batches.
+    """pages readStream → appends (doc_id, token, tf, dl) micro-batches as
+    counts-table snapshots and advances the vocab table across batches.
 
-    Returns the StreamingQuery. Exactly-once: counts appends are tied to the
-    stream checkpoint; vocab updates are idempotent (full overwrite per
-    batch from counts-so-far would be exact but expensive — we extend
-    incrementally with merge semantics and rebuild on compaction).
+    Returns the StreamingQuery.
     """
     from gensim_spark.functions.textprep import extract_tokenize_bow
 
-    counts_dir = f"{store_dir}/counts"
-    vocab_dir = f"{store_dir}/vocab"
-
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        ct = counts_table(store_dir)
+        if any(snap.summary.get("batch_id") == str(batch_id)
+               for snap in ct.snapshots):
+            return  # replayed batch — already committed atomically
         counts = extract_tokenize_bow(batch_df, html_col=html_col)
         counts.persist()
-        counts.write.mode("append").parquet(counts_dir)
+        n_docs = counts.select("doc_id").distinct().count()
+        ct.append(counts.select("doc_id", "token", "tf", "dl"),
+                  summary={"batch_id": batch_id, "docs": n_docs})
         new_stats = counts.groupBy("token").agg(
             F.sum("tf").alias("cf"),
             F.count(F.lit(1)).alias("df"),
             F.min("doc_id").alias("first_doc"),
         )
-        try:
-            old = s.read.parquet(vocab_dir)
-            have_old = True
-        except Exception:
-            have_old = False
-        if not have_old:
+        vt = vocab_table(store_dir)
+        old = vt.scan(s) if vt.current_snapshot is not None else None
+        if old is None or vt.current_snapshot.summary.get(
+                "total-records") == "0":
             from gensim_spark.operators.vocab import assign_term_ids
 
             vocab = assign_term_ids(new_stats, distributed=False).select(
@@ -88,11 +125,10 @@ def start_incremental_build(spark: SparkSession, pages_stream: DataFrame,
                 .select("token", "term_id", "df", "cf", "first_doc")
             )
             vocab = kept.unionByName(fresh)
-        vocab.write.mode("overwrite").parquet(vocab_dir + "_next")
-        # atomic-ish swap: overwrite main dir from _next
-        s.read.parquet(vocab_dir + "_next").write.mode("overwrite").parquet(
-            vocab_dir
-        )
+        # snapshot isolation replaces the _next-dir swap dance: readers on
+        # the previous snapshot are untouched until this commit lands
+        vt.append(vocab.select("token", "term_id", "df", "cf", "first_doc"),
+                  operation="overwrite", summary={"batch_id": batch_id})
         counts.unpersist()
 
     return (
@@ -104,21 +140,22 @@ def start_incremental_build(spark: SparkSession, pages_stream: DataFrame,
 
 
 def compact(spark: SparkSession, store_dir: str, index_dir: str,
-            variant: str = "okapi") -> dict:
+            variant: str = "okapi") -> IceTable:
     """Periodic compaction: recompute corpus-global stats from all appended
-    counts and rebuild weighted packed shards (the reopen_shard analogue)."""
-    from gensim_spark.index.layout import write_packed_shards
+    counts snapshots and rebuild weighted packed shards as Iceberg
+    snapshots (the reopen_shard analogue). Returns the index IceTable."""
+    from gensim_spark.index.layout import write_packed_shards_iceberg
     from gensim_spark.operators import bm25 as M
 
-    counts = spark.read.parquet(f"{store_dir}/counts")
-    vocab = spark.read.parquet(f"{store_dir}/vocab")
+    counts = read_counts(spark, store_dir)
+    vocab = read_vocab(spark, store_dir)
     num_docs = counts.select("doc_id").distinct().count()
     stats = M.fit_from_vocab(vocab, num_docs, variant=variant)
     with_ids = counts.join(
         F.broadcast(vocab.select("token", "term_id")), "token"
     ).select("doc_id", "term_id", "tf", "dl")
     weighted = M.weight_postings(with_ids, stats, dl="inline")
-    return write_packed_shards(weighted, index_dir, resume=False)
+    return write_packed_shards_iceberg(weighted, index_dir)
 
 
 def streaming_event_stats(events_stream: DataFrame,

@@ -1,0 +1,229 @@
+"""Iceberg-semantics table layer: snapshots, atomic commits, time travel,
+compaction, expiry, pruning, and the Iceberg-backed index store."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _rows(df, cols=("doc_id",)):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture()
+def simple_df(spark):
+    def make(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") * 10).alias("term_id"),
+            F.lit(1.5).alias("weight"),
+        )
+    return make
+
+
+def test_create_append_scan_and_summaries(spark, tmp_path, simple_df):
+    from gensim_spark.index.icetable import IceTable, PartitionField
+
+    loc = str(tmp_path / "t1")
+    t = IceTable.create(
+        loc, "doc_id bigint, term_id bigint, weight double",
+        partition_spec=[PartitionField("term_id", "bucket", "mod[4]")],
+    )
+    s1 = t.append(simple_df(0, 10), summary={"load": "a"})
+    s2 = t.append(simple_df(10, 15), summary={"load": "b"})
+    assert s2.parent_snapshot_id == s1.snapshot_id
+    assert s2.sequence_number == s1.sequence_number + 1
+    assert s1.summary["added-records"] == "10"
+    assert s2.summary["total-records"] == "15"
+    assert s2.summary["load"] == "b"
+    got = IceTable.load(loc).scan(spark)
+    assert got.count() == 15
+    assert set(got.columns) >= {"doc_id", "term_id", "weight", "bucket"}
+    # version files + hint follow the Hadoop catalog layout
+    assert os.path.exists(os.path.join(loc, "metadata", "v3.metadata.json"))
+    with open(os.path.join(loc, "metadata", "version-hint.text")) as f:
+        assert f.read().strip() == "3"
+
+
+def test_time_travel_and_rollback(spark, tmp_path, simple_df):
+    from gensim_spark.index.icetable import IceTable
+
+    loc = str(tmp_path / "t2")
+    t = IceTable.create(loc, "doc_id bigint, term_id bigint, weight double")
+    s1 = t.append(simple_df(0, 5))
+    s2 = t.append(simple_df(5, 9))
+    assert t.scan(spark).count() == 9
+    # by snapshot id
+    assert t.scan(spark, snapshot_id=s1.snapshot_id).count() == 5
+    # by timestamp
+    assert t.scan(spark, as_of_ms=s1.timestamp_ms).count() == 5
+    assert t.scan(spark, as_of_ms=s2.timestamp_ms + 10).count() == 9
+    # rollback moves the pointer with a NEW metadata version, keeps history
+    v_before = t.version
+    t.rollback(s1.snapshot_id)
+    assert t.version == v_before + 1
+    assert t.scan(spark).count() == 5
+    assert len(t.snapshots) == 2  # nothing deleted
+    # scanning the future snapshot still works after rollback
+    assert t.scan(spark, snapshot_id=s2.snapshot_id).count() == 9
+
+
+def test_overwrite_replaces_history_for_scans(spark, tmp_path, simple_df):
+    from gensim_spark.index.icetable import IceTable
+
+    loc = str(tmp_path / "t3")
+    t = IceTable.create(loc, "doc_id bigint, term_id bigint, weight double")
+    t.append(simple_df(0, 5))
+    t.append(simple_df(5, 9))
+    t.append(simple_df(100, 103), operation="overwrite")
+    assert _rows(t.scan(spark)) == [(100,), (101,), (102,)]
+    # appends on top of the overwrite accumulate from there
+    t.append(simple_df(103, 105))
+    assert t.scan(spark).count() == 5
+
+
+def test_expire_snapshots_deletes_unreferenced_files(spark, tmp_path,
+                                                     simple_df):
+    from gensim_spark.index.icetable import IceTable
+
+    loc = str(tmp_path / "t4")
+    t = IceTable.create(loc, "doc_id bigint, term_id bigint, weight double")
+    t.append(simple_df(0, 5))
+    t.append(simple_df(5, 9), operation="overwrite")  # orphans snapshot 1
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed["snapshots"] == 1
+    assert removed["data_files"] >= 1
+    # current data intact
+    assert _rows(t.scan(spark)) == [(5,), (6,), (7,), (8,)]
+    # expired snapshot gone from history
+    assert len(t.snapshots) == 1
+
+
+def test_concurrent_commit_conflict_retries(spark, tmp_path, simple_df):
+    """A concurrent writer that linked v<N+1> but died before advancing the
+    hint: refresh must probe past the hint and the commit lands on v<N+2>."""
+    from gensim_spark.index.icetable import IceTable
+
+    loc = str(tmp_path / "t5")
+    t = IceTable.create(loc, "doc_id bigint, term_id bigint, weight double")
+    t.append(simple_df(0, 3))
+    # simulate the concurrent committed-but-unhinted writer: copy current
+    # metadata to the next version slot with a bumped snapshot entry
+    meta_dir = os.path.join(loc, "metadata")
+    cur = t.version
+    with open(os.path.join(meta_dir, f"v{cur}.metadata.json")) as f:
+        other = json.load(f)
+    other["last-updated-ms"] += 1
+    with open(os.path.join(meta_dir, f"v{cur + 1}.metadata.json"), "w") as f:
+        json.dump(other, f)
+    s = t.append(simple_df(3, 6))  # must NOT clobber v{cur+1}
+    assert t.version == cur + 2
+    assert t.scan(spark).count() == 6
+    assert s.snapshot_id == t.current_snapshot.snapshot_id
+
+
+def test_manifest_pruning_plan_files(spark, tmp_path):
+    from gensim_spark.index.icetable import IceTable, PartitionField
+
+    loc = str(tmp_path / "t6")
+    t = IceTable.create(
+        loc, "doc_id bigint, term_id bigint, weight double",
+        partition_spec=[PartitionField("term_id", "bucket", "mod[4]")],
+    )
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("term_id"),
+        F.lit(1.0).alias("weight"),
+    )
+    t.append(df)
+    all_files = t.plan_files()
+    pruned = t.plan_files(partition_pred=lambda p: p.get("bucket") == 1)
+    assert 0 < len(pruned) < len(all_files)
+    got = t.scan(spark, partition_pred=lambda p: p.get("bucket") == 1)
+    assert _rows(got.select((F.col("term_id") % 4).alias("doc_id"))) \
+        == [(1,)] * 25
+    # min/max file skipping: manifest bounds harvested from parquet footers
+    stats_hit = t.plan_files(
+        stats_pred=lambda fe: fe["lower-bounds"]["term_id"] <= 3
+        <= fe["upper-bounds"]["term_id"])
+    assert 0 < len(stats_hit) <= len(all_files)
+    for fe in all_files:
+        assert fe["record-count"] > 0
+        assert "term_id" in fe["lower-bounds"]
+
+
+def test_remove_orphans(spark, tmp_path, simple_df):
+    from gensim_spark.index.icetable import IceTable
+
+    loc = str(tmp_path / "t7")
+    t = IceTable.create(loc, "doc_id bigint, term_id bigint, weight double")
+    t.append(simple_df(0, 4))
+    # a crashed staged write = parquet files referenced by no snapshot
+    stray_dir = os.path.join(loc, "data", "deadbeef")
+    os.makedirs(stray_dir)
+    simple_df(90, 95).toPandas().to_parquet(
+        os.path.join(stray_dir, "part-0.parquet"))
+    assert t.remove_orphans() == 1
+    assert t.scan(spark).count() == 4
+
+
+def test_packed_shards_iceberg_build_resume_and_metrics(spark, tmp_path):
+    from gensim_spark.index import layout
+    from gensim_spark.plans import pipeline as P
+    from gensim_spark.sources.synth import generate_pages
+
+    pages = generate_pages(spark, 600, tokens_per_doc=40, partitions=4)
+    tok = P.tokenize(pages, ascii_fast_path=True)
+    idx = P.build(tok, num_docs=600)
+    loc = str(tmp_path / "ice_idx")
+    t = layout.write_packed_shards_iceberg(idx.weighted, loc,
+                                           docs_per_shard=128, num_groups=3)
+    snaps = [s for s in t.snapshots if "group" in s.summary]
+    assert len(snaps) == 3
+    total_postings = sum(int(s.summary["postings"]) for s in snaps)
+    assert total_postings == idx.weighted.count()
+    total_docs = sum(int(s.summary["docs"]) for s in snaps)
+    assert total_docs == 600
+    # packed content round-trips
+    packed = layout.read_packed_shards_iceberg(spark, loc)
+    assert packed.groupBy().agg(F.sum("n")).collect()[0][0] \
+        == idx.weighted.count()
+    # resume: a second run adds NO snapshots (all groups committed)
+    v = t.version
+    t2 = layout.write_packed_shards_iceberg(idx.weighted, loc,
+                                            docs_per_shard=128, num_groups=3)
+    assert t2.version == v
+    # shard pruning via manifests
+    one = layout.read_packed_shards_iceberg(spark, loc, shard_ids=[0])
+    assert set(r["shard_id"] for r in
+               one.select("shard_id").distinct().collect()) == {0}
+
+
+def test_postings_bucketed_iceberg_prunes_and_matches(spark, tmp_path):
+    from gensim_spark.index import layout
+    from gensim_spark.index.icetable import IceTable
+    from gensim_spark.plans import pipeline as P
+    from gensim_spark.sources.synth import generate_pages
+
+    pages = generate_pages(spark, 400, tokens_per_doc=30, partitions=4)
+    tok = P.tokenize(pages, ascii_fast_path=True)
+    idx = P.build(tok, num_docs=400)
+    loc = str(tmp_path / "ice_buckets")
+    layout.write_postings_bucketed_iceberg(
+        idx.weighted, loc, n_buckets=8, salt_threshold=200,
+        dfs=idx.vocab.select("term_id", "df"))
+    terms = [r["term_id"] for r in idx.vocab.limit(3).collect()]
+    pruned = layout.read_postings_bucketed_iceberg(spark, loc,
+                                                   term_ids=terms)
+    want = idx.weighted.filter(F.col("term_id").isin(terms))
+    gk = _rows(pruned, ("doc_id", "term_id"))
+    wk = _rows(want, ("doc_id", "term_id"))
+    assert gk == wk
+    # the manifest plan touches fewer files than a full scan
+    t = IceTable.load(loc)
+    n_buckets = 8
+    buckets = {int(x) % n_buckets for x in terms}
+    pruned_files = t.plan_files(
+        partition_pred=lambda p: p.get("bucket") in buckets)
+    assert 0 < len(pruned_files) < len(t.plan_files())

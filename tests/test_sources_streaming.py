@@ -110,18 +110,29 @@ def test_streaming_incremental_build(spark, tmp_path):
     q = start_incremental_build(spark, stream, store, ckpt)
     q.awaitTermination(120)
 
-    counts = spark.read.parquet(f"{store}/counts")
-    vocab = spark.read.parquet(f"{store}/vocab")
+    from gensim_spark.streaming.incremental import (counts_table,
+                                                    read_counts, read_vocab)
+
+    counts = read_counts(spark, store)
+    vocab = read_vocab(spark, store)
     assert counts.select("doc_id").distinct().count() == 200
+    # each micro-batch committed as one append snapshot with its batch id
+    ct = counts_table(store)
+    batch_ids = [s.summary.get("batch_id") for s in ct.snapshots]
+    assert len(batch_ids) == len(set(batch_ids)) and len(batch_ids) >= 1
     # vocabulary ids are unique and gap-free
     ids = sorted(r["term_id"] for r in vocab.collect())
     assert ids == list(range(len(ids)))
 
     idx_dir = str(tmp_path / "packed")
-    manifest = compact(spark, store, idx_dir)
-    assert all(g["committed"] for g in manifest["groups"].values())
+    t = compact(spark, store, idx_dir)
+    groups = [s for s in t.snapshots if "group" in s.summary]
+    assert len(groups) == 8  # default num_groups, all committed as snapshots
     # a second batch of new pages extends the vocab without changing old ids
     before = {r["token"]: r["term_id"] for r in vocab.collect()}
+    from gensim_spark.streaming.incremental import vocab_table
+
+    snap_before = vocab_table(store).current_snapshot.snapshot_id
     more = generate_pages(spark, 50, tokens_per_doc=30, partitions=1).withColumn(
         "doc_id", F.col("doc_id") + 200
     )
@@ -134,9 +145,15 @@ def test_streaming_incremental_build(spark, tmp_path):
     )
     q2.awaitTermination(120)
     after = {r["token"]: r["term_id"]
-             for r in spark.read.parquet(f"{store}/vocab").collect()}
+             for r in read_vocab(spark, store).collect()}
     for tok, tid in before.items():
         assert after[tok] == tid
+    # vocab history is time-travelable: the pre-extension snapshot still
+    # serves the old vocabulary
+    vt = vocab_table(store)
+    old_vocab = {r["token"]: r["term_id"]
+                 for r in vt.scan(spark, snapshot_id=snap_before).collect()}
+    assert old_vocab == before
 
 
 def test_streaming_event_stats_plan(spark):
