@@ -28,8 +28,11 @@ def token_count_col(tokens: Column) -> Column:
 
 
 def stopword_count_col(tokens: Column, words=None) -> Column:
-    lit = F.array(*[F.lit(w) for w in sorted(words or STOPWORDS)])
-    return F.size(F.filter(tokens, lambda t: F.array_contains(lit, t)))
+    # isin over 337 literals compiles to InSet (hash-set membership, O(1) per
+    # token) — array_contains against an array literal would scan all 337
+    # elements per token.
+    ws = sorted(words or STOPWORDS)
+    return F.size(F.filter(tokens, lambda t: t.isin(ws)))
 
 
 def quality_stats(docs: DataFrame, text_col: str = "text",
@@ -78,8 +81,8 @@ def lang_id(docs: DataFrame, tokens_col: str = "tokens",
     n = F.size(toks)
     ratios = {}
     for lang in sorted(_LANG_MARKERS):
-        markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
-        cnt = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        markers = list(_LANG_MARKERS[lang])
+        cnt = F.size(F.filter(toks, lambda t: t.isin(markers)))
         ratios[lang] = F.when(n > 0, cnt.cast("double") / n).otherwise(F.lit(0.0))
     best = F.greatest(*ratios.values())
     pred = F.lit("unk")

@@ -214,32 +214,62 @@ def patch_with_special_tokens(vocab: DataFrame,
                               special: dict[str, int]) -> DataFrame:
     """Force specific tokens onto specific ids (dictionary.py:593-637):
     the displaced holders of those ids move to the special tokens' old ids
-    (an id swap), new special tokens get the requested id outright."""
-    current = {r["token"]: r["term_id"] for r in
-               vocab.select("token", "term_id").collect()}
-    id2tok = {v: k for k, v in current.items()}
-    mapping = dict(current)
+    (an id swap), new special tokens get the requested id outright.
+
+    Relational: only rows mentioning a special token or holding a wanted id
+    reach the driver (≤ 2·|special| rows) plus one max-id scalar — never the
+    full vocab (at 10^7-10^8 terms that collect would be multi-GB). The swap
+    is then applied as a broadcast left join of the (tiny) remap table."""
+    wanted = [int(i) for i in special.values()]
+    relevant = {
+        r["token"]: r["term_id"]
+        for r in vocab.filter(
+            F.col("token").isin(list(special))
+            | F.col("term_id").isin(wanted)
+        ).select("token", "term_id").collect()
+    }
+    max_id = vocab.agg(F.max("term_id").alias("m")).collect()[0]["m"]
+    next_fresh = (max_id if max_id is not None else -1) + 1
+    id2tok = {v: k for k, v in relevant.items()}
+    mapping = dict(relevant)
     for tok, want in special.items():
         old = mapping.get(tok)
         displaced = id2tok.get(want)
         mapping[tok] = want
+        next_fresh = max(next_fresh, want + 1)
         if displaced is not None and displaced != tok:
             # displaced token takes the special token's old id (or is pushed
             # to a fresh id if the special token was new)
-            mapping[displaced] = old if old is not None else max(
-                mapping.values()) + 1
+            if old is not None:
+                mapping[displaced] = old
+            else:
+                mapping[displaced] = next_fresh
+                next_fresh += 1
         id2tok = {v: k for k, v in mapping.items()}
+    changed = {t: i for t, i in mapping.items()
+               if relevant.get(t) != i}
     spark = vocab.sparkSession
+    if not changed:
+        return vocab
     map_df = spark.createDataFrame(
-        list(mapping.items()), "token string, new_id long"
+        list(changed.items()), "token string, new_id long"
     )
-    out = vocab.drop("term_id").join(F.broadcast(map_df), "token", "right")
-    return out.select(
-        "token", F.col("new_id").alias("term_id"),
-        F.coalesce("df", F.lit(0)).alias("df"),
-        F.coalesce("cf", F.lit(0)).alias("cf"),
-        F.coalesce("first_doc", F.lit(-1)).alias("first_doc"),
+    patched = (
+        vocab.join(F.broadcast(map_df), "token", "left")
+        .select(
+            "token",
+            F.coalesce("new_id", "term_id").alias("term_id"),
+            "df", "cf", "first_doc",
+        )
     )
+    brand_new = [(t, i) for t, i in changed.items() if t not in relevant]
+    if brand_new:
+        fresh = spark.createDataFrame(
+            [(t, i, 0, 0, -1) for t, i in brand_new],
+            "token string, term_id long, df long, cf long, first_doc long",
+        )
+        patched = patched.unionByName(fresh)
+    return patched
 
 
 # --- HashDictionary (stateless ids) ------------------------------------------

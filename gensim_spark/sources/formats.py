@@ -25,6 +25,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def copen(path: str, mode: str = "rt"):
+    """Codec-aware open: ``.gz``/``.bz2`` suffixes round-trip transparently,
+    matching gensim's smart_open behavior on every corpus format
+    (gensim/test/test_corpora.py compressed variants). Spark's text reader
+    already decodes these on read; this covers the driver-side write/read
+    halves."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, mode)
+    if path.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(path, mode)
+    return open(path, mode)
+
+
 def _lines_with_docno(spark: SparkSession, path: str,
                       skip_first: bool = False) -> DataFrame:
     lines = spark.read.text(path)
@@ -43,7 +60,7 @@ def _single_file(df: DataFrame, path: str, header: str | None = None) -> None:
     tmp = path + ".parts"
     df.coalesce(1).write.mode("overwrite").text(tmp)
     part = next(p for p in sorted(os.listdir(tmp)) if p.startswith("part-"))
-    with open(path, "w") as out:
+    with copen(path, "wt") as out:
         if header is not None:
             out.write(header + "\n")
         with open(os.path.join(tmp, part)) as f:
@@ -208,7 +225,7 @@ def read_uci(spark: SparkSession, path: str) -> DataFrame:
 
 
 def uci_stats(spark: SparkSession, path: str) -> tuple[int, int, int]:
-    with open(path) as f:
+    with copen(path) as f:
         return int(f.readline()), int(f.readline()), int(f.readline())
 
 

@@ -82,9 +82,11 @@ def write_mm(postings: DataFrame, path: str, weight_col: str = "weight",
 
     Stats come from one aggregation (no header backpatch); entries with
     |w| ≤ eps are dropped and output is sorted (doc_id, term_id) —
-    matching MmWriter semantics. Coalesces to one partition: MM is an
-    interchange format for corpora that fit a file; the native sink for
-    web-scale corpora is parquet/shards.
+    matching MmWriter semantics. A ``.gz``/``.bz2`` suffix compresses the
+    output (gensim reads/writes every format through smart_open codecs).
+    Coalesces to one partition: MM is an interchange format for corpora
+    that fit a file; the native sink for web-scale corpora is
+    parquet/shards.
     """
     import os
 
@@ -108,10 +110,12 @@ def write_mm(postings: DataFrame, path: str, weight_col: str = "weight",
             ).alias("value")
         )
     )
+    from gensim_spark.sources.formats import copen
+
     tmp = path + ".parts"
     body.coalesce(1).write.mode("overwrite").text(tmp)
     part = next(p for p in sorted(os.listdir(tmp)) if p.startswith("part-"))
-    with open(path, "w") as out:
+    with copen(path, "wt") as out:
         out.write(HEADER + "\n")
         out.write(f"{nd} {nt} {nnz}\n")
         with open(os.path.join(tmp, part)) as f:

@@ -58,9 +58,23 @@ def read_text_corpus(spark: SparkSession, path: str,
 
 
 def read_text_directory(spark: SparkSession, root: str,
-                        pattern: str | None = None) -> DataFrame:
-    """Recursive directory of text files → (path, doc_id, text, tokens);
-    one document per file (TextDirectoryCorpus lines_are_documents=False)."""
+                        pattern: str | None = None,
+                        exclude_pattern: str | None = None,
+                        min_depth: int = 0,
+                        max_depth: int | None = None) -> DataFrame:
+    """Recursive directory of text files → (path, depth, doc_id, text,
+    tokens); one document per file (TextDirectoryCorpus
+    lines_are_documents=False, gensim/corpora/textcorpus.py:396-547).
+
+    Filter semantics mirror ``iter_filepaths`` (textcorpus.py:509-528):
+    depth 0 = files directly under ``root``; ``pattern`` /
+    ``exclude_pattern`` are regexes MATCHED (anchored at the start, like
+    ``re.match``) against the file NAME, not the path. doc_id is the rank in
+    lexicographic path order (deterministic under distribution, unlike
+    os.walk order)."""
+    import os
+    import re as _re
+
     df = (
         spark.read.format("text")
         .option("recursiveFileLookup", "true")
@@ -71,14 +85,26 @@ def read_text_directory(spark: SparkSession, root: str,
             F.col("value").alias("text"),
         )
     )
+    root_abs = os.path.abspath(root).strip("/")
+    rel = F.regexp_replace(
+        F.col("path"), "^file:/+" + _re.escape(root_abs) + "/", ""
+    )
+    df = df.withColumn("depth", F.size(F.split(rel, "/")) - 1).withColumn(
+        "_name", F.substring_index(rel, "/", -1)
+    )
+    df = df.filter(F.col("depth") >= min_depth)
+    if max_depth is not None:
+        df = df.filter(F.col("depth") <= max_depth)
     if pattern:
-        df = df.filter(F.col("path").rlike(pattern))
+        df = df.filter(F.col("_name").rlike("^(?:" + pattern + ")"))
+    if exclude_pattern:
+        df = df.filter(~F.col("_name").rlike("^(?:" + exclude_pattern + ")"))
     from pyspark.sql import Window
 
     df = df.withColumn(
         "doc_id",
         F.row_number().over(Window.orderBy("path")).cast("long") - 1,
-    )
+    ).drop("_name")
     return df.withColumn("tokens", _default_pipeline_udf(F.col("text")))
 
 
@@ -96,10 +122,12 @@ def save_vocab_as_text(vocab: DataFrame, path: str, num_docs: int) -> None:
             ).alias("value")
         )
     )
+    from gensim_spark.sources.formats import copen
+
     tmp = path + ".parts"
     rows.coalesce(1).write.mode("overwrite").text(tmp)
     part = next(p for p in sorted(os.listdir(tmp)) if p.startswith("part-"))
-    with open(path, "w") as out:
+    with copen(path, "wt") as out:
         out.write(f"{num_docs}\n")
         with open(os.path.join(tmp, part)) as f:
             out.write(f.read())
@@ -111,7 +139,9 @@ def save_vocab_as_text(vocab: DataFrame, path: str, num_docs: int) -> None:
 def load_vocab_from_text(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
     """Inverse of save_vocab_as_text → (vocab DF (token, term_id, df),
     num_docs)."""
-    with open(path) as f:
+    from gensim_spark.sources.formats import copen
+
+    with copen(path) as f:
         num_docs = int(f.readline().strip())
     lines = spark.read.text(path)
     parts = F.split(F.col("value"), "\t")

@@ -236,3 +236,104 @@ def test_uci_roundtrip(spark, common_texts, tmp_path):
     got = {(r["doc_id"], r["term_id"]): r["tf"] for r in back.collect()}
     want = {(r["doc_id"], r["term_id"]): r["tf"] for r in postings.collect()}
     assert got == want
+
+
+@pytest.mark.parametrize("codec", ["gz", "bz2"])
+def test_compressed_roundtrips_all_formats(spark, common_texts, tmp_path,
+                                           codec):
+    """gensim reads/writes every corpus format through smart_open codecs
+    (gensim/test/test_corpora.py compressed variants): each writer here
+    honors a .gz/.bz2 suffix and each reader decodes transparently
+    (Spark-side for the distributed read, copen for driver-side stats)."""
+    from gensim_spark.operators import bow as B
+    from gensim_spark.operators import vocab as V
+    from gensim_spark.sources import formats as FM
+    from gensim_spark.sources import matrix_market as MM
+    from gensim_spark.sources.textcorpus import (load_vocab_from_text,
+                                                 save_vocab_as_text)
+
+    df = docs_df(spark, common_texts)
+    vocab = V.build_vocab(df)
+    postings = B.doc2bow_postings(df, vocab)
+    want = {(r["doc_id"], r["term_id"]): r["tf"] for r in postings.collect()}
+
+    # Matrix Market
+    p = str(tmp_path / f"c.mm.{codec}")
+    nd, nt, nnz = MM.write_mm(postings, p, weight_col="tf")
+    got = {(r["doc_id"], r["term_id"]): int(r["weight"])
+           for r in MM.read_mm(spark, p).collect()}
+    assert got == want
+    assert MM.mm_stats(spark, p) == (nd, nt, nnz)
+
+    # Blei LDA-C
+    p = str(tmp_path / f"c.lda-c.{codec}")
+    FM.write_blei(postings, p)
+    got = {(r["doc_id"], r["term_id"]): r["tf"]
+           for r in FM.read_blei(spark, p).collect()}
+    assert got == want
+
+    # SVMlight
+    p = str(tmp_path / f"c.svmlight.{codec}")
+    FM.write_svmlight(postings, p)
+    got = {(r["doc_id"], r["term_id"]): int(r["weight"])
+           for r in FM.read_svmlight(spark, p).collect()}
+    assert got == want
+
+    # UCI (stats read driver-side through the codec)
+    p = str(tmp_path / f"c.uci.{codec}")
+    FM.write_uci(postings, p)
+    got = {(r["doc_id"], r["term_id"]): r["tf"]
+           for r in FM.read_uci(spark, p).collect()}
+    assert got == want
+    assert FM.uci_stats(spark, p)[2] == len(want)
+
+    # LOW + Mallet (token-level formats)
+    p = str(tmp_path / f"c.low.{codec}")
+    FM.write_low(df, p)
+    back = {r["doc_id"]: r["tokens"] for r in FM.read_low(spark, p).collect()}
+    assert back == {r["doc_id"]: r["tokens"] for r in df.collect()}
+    p = str(tmp_path / f"c.mallet.{codec}")
+    FM.write_mallet(df, p)
+    back = {r["doc_id"]: r["tokens"]
+            for r in FM.read_mallet(spark, p).collect()}
+    assert back == {r["doc_id"]: r["tokens"] for r in df.collect()}
+
+    # Dictionary TSV
+    p = str(tmp_path / f"vocab.tsv.{codec}")
+    save_vocab_as_text(vocab, p, num_docs=len(common_texts))
+    v2, n2 = load_vocab_from_text(spark, p)
+    assert n2 == len(common_texts)
+    assert {r["token"]: (r["term_id"], r["df"]) for r in v2.collect()} \
+        == {r["token"]: (r["term_id"], r["df"]) for r in vocab.collect()}
+
+
+def test_text_directory_depth_and_pattern_filters(spark, tmp_path):
+    """TextDirectoryCorpus min_depth/max_depth/pattern/exclude_pattern
+    (gensim/corpora/textcorpus.py:396-547, iter_filepaths :509-528)."""
+    from gensim_spark.sources.textcorpus import read_text_directory
+
+    root = tmp_path / "walk"
+    (root / "d1" / "d2").mkdir(parents=True)
+    (root / "top.txt").write_text("alpha words here")
+    (root / "d1" / "mid.txt").write_text("beta words here")
+    (root / "d1" / "skip.log").write_text("gamma words here")
+    (root / "d1" / "d2" / "deep.txt").write_text("delta words here")
+
+    def names(**kw):
+        rows = read_text_directory(spark, str(root), **kw).collect()
+        return sorted(r["path"].rsplit("/", 1)[-1] for r in rows)
+
+    assert names() == ["deep.txt", "mid.txt", "skip.log", "top.txt"]
+    assert names(min_depth=1) == ["deep.txt", "mid.txt", "skip.log"]
+    assert names(max_depth=0) == ["top.txt"]
+    assert names(min_depth=1, max_depth=1) == ["mid.txt", "skip.log"]
+    assert names(pattern=r".*\.txt$") == ["deep.txt", "mid.txt", "top.txt"]
+    assert names(exclude_pattern=r".*\.log$") == ["deep.txt", "mid.txt",
+                                                  "top.txt"]
+    # pattern is re.match on the file NAME (anchored), not a substring
+    assert names(pattern=r"mid") == ["mid.txt"]
+    # doc ids are 0..n-1 in path order, depth column matches tree depth
+    rows = {r["path"].rsplit("/", 1)[-1]: (r["doc_id"], r["depth"])
+            for r in read_text_directory(spark, str(root)).collect()}
+    assert rows["top.txt"][1] == 0 and rows["deep.txt"][1] == 2
+    assert sorted(d for d, _ in rows.values()) == [0, 1, 2, 3]
