@@ -192,6 +192,99 @@ def wiki_corpus(spark, path: str, min_words: int = ARTICLE_MIN_WORDS):
                                    min_words=min_words)
 
 
+# --- segment_wiki parity (gensim/scripts/segment_wiki.py:75-270) ------------
+
+RE_P16 = re.compile(r'\[{2}(.*?)\]{2}', re.UNICODE)  # interlinks
+
+RE_TOP_HEADING = re.compile(r"\n==[^=].*[^=]==\n")
+RE_TOP_HEADING_CAPTURE = re.compile(r"\n==([^=].*[^=])==\n")
+LEAD_SECTION_HEADING = "Introduction"
+
+
+def find_interlinks(raw: str) -> list[tuple[str, str]]:
+    """[[target|text]] links of an article (wikicorpus.py:153-181):
+    filter markup keeping link syntax, collect RE_P16 matches, split target
+    from display text (display defaults to the target), drop nested-bracket
+    leftovers."""
+    kept_links = filter_wiki(raw, promote_remaining=False,
+                             simplify_links=False)
+    out = []
+    for match in RE_P16.findall(kept_links):
+        target, _, text = match.partition('|')
+        if '[' in target or ']' in target:
+            continue
+        out.append((target, text if text else target))
+    return out
+
+
+def segment_sections(text: str) -> list[tuple[str, str]]:
+    """Split article markup into (heading, filtered content) at top-level
+    ``== Heading ==`` lines; the lead section is titled "Introduction"
+    (segment_wiki.py:231-254)."""
+    if text is None:
+        return []
+    contents = RE_TOP_HEADING.split(text)
+    headings = [LEAD_SECTION_HEADING] + RE_TOP_HEADING_CAPTURE.findall(text)
+    headings = [h.strip() for h in headings]
+    return list(zip(headings, [filter_wiki(c) for c in contents]))
+
+
+def segment_wiki_articles(articles, min_article_character: int = 200,
+                          include_interlinks: bool = False,
+                          title_col: str = "title",
+                          markup_col: str = "markup"):
+    """(doc_id, title, markup) → segment_wiki JSONL shape: (title,
+    section_titles array, section_texts array[, interlinks map]).
+
+    Reference filters (_WikiSectionsCorpus.get_texts_with_sections,
+    segment_wiki.py:303-345): ignored-namespace titles, #REDIRECT pages,
+    and articles whose stripped section bodies total < min_article_character
+    are dropped. One mapInPandas stage over the distributed page scan."""
+    import pandas as pd
+
+    schema = ("title string, section_titles array<string>,"
+              " section_texts array<string>")
+    if include_interlinks:
+        schema += ", interlinks map<string,string>"
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for title, markup in zip(pdf[title_col], pdf[markup_col]):
+                if title and is_ignored_title(title):
+                    continue
+                sections = segment_sections(markup)
+                if (not sections
+                        or sections[0][1].lstrip().lower()
+                        .startswith("#redirect")):
+                    continue
+                if sum(len(body.strip()) for _, body in sections) \
+                        < min_article_character:
+                    continue
+                row = (title, [h for h, _ in sections],
+                       [b for _, b in sections])
+                if include_interlinks:
+                    row += (dict(find_interlinks(markup)),)
+                rows.append(row)
+            cols = ["title", "section_titles", "section_texts"]
+            if include_interlinks:
+                cols.append("interlinks")
+            yield pd.DataFrame(rows, columns=cols)
+
+    return articles.mapInPandas(batches, schema=schema)
+
+
+def segment_wiki_to_jsonl(spark, dump_path: str, out_path: str,
+                          min_article_character: int = 200,
+                          include_interlinks: bool = False) -> None:
+    """Dump file → segment_wiki-style JSON-lines output (the
+    segment_and_write_all_articles analogue, distributed)."""
+    pages = read_wiki_dump(spark, dump_path)
+    out = segment_wiki_articles(pages, min_article_character,
+                                include_interlinks)
+    out.write.mode("overwrite").json(out_path)
+
+
 def wiki_articles_to_tokens(articles, title_col: str = "title",
                             markup_col: str = "markup",
                             min_words: int = ARTICLE_MIN_WORDS):

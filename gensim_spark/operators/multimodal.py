@@ -2,11 +2,12 @@
 
 Training-data pipelines carry media as ``binary`` columns with a metadata
 struct; the Spark-side plumbing (schema, partition sizing, Arrow batch shape,
-UDF signatures) is real and tested here, while the actual codecs are STUBBED
-(image/audio libraries are not in this container): ``decode_image_batch``
-raises ``NotImplementedError`` unless given the deterministic fake decoder,
-which produces byte-derived pseudo-pixels so the downstream feature plumbing
-is testable end-to-end.
+UDF signatures) is real and tested here. Codecs: PNM (P1-P6) and
+uncompressed 24/32-bit BMP decode for REAL via the pure-python parsers below
+(no image library exists in this container); JPEG/PNG/audio/video still need
+an injected decoder (PIL/libvips/ffmpeg at deploy time) and raise
+``NotImplementedError`` until one is provided. ``fake_decode`` remains as
+the deterministic plumbing-test stand-in.
 
 Scale notes: media rows are large and variable — keep
 ``spark.sql.files.maxPartitionBytes`` small for media tables, and bound
@@ -44,14 +45,172 @@ def fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
     return folded.mean(axis=0) / 255.0
 
 
+# --- real pure-python codecs (PNM family + uncompressed BMP) -----------------
+#
+# No image libraries exist in this container, so these two formats decode for
+# REAL (spec-complete for binary/ascii PNM and uncompressed 24/32-bit BMP);
+# JPEG/PNG/etc. still need an injected decoder (PIL/libvips at deploy time).
+
+def _pnm_tokens(payload: bytes):
+    """Whitespace-separated header tokens, skipping '#' comments (PNM spec)."""
+    i = 0
+    n = len(payload)
+    while i < n:
+        c = payload[i:i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while i < n and payload[i:i + 1] != b"\n":
+                i += 1
+        else:
+            j = i
+            while j < n and not payload[j:j + 1].isspace():
+                j += 1
+            yield payload[i:j], j
+            i = j
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """PPM/PGM/PBM (P1-P6) → uint8 array (H, W) or (H, W, 3)."""
+    toks = _pnm_tokens(payload)
+    magic, _ = next(toks)
+    if magic not in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
+        raise ValueError(f"not a PNM payload: {magic!r}")
+    (w_tok, _), (h_tok, end) = next(toks), next(toks)
+    width, height = int(w_tok), int(h_tok)
+    bitmap = magic in (b"P1", b"P4")
+    if not bitmap:
+        maxval_tok, end = next(toks)
+        maxval = int(maxval_tok)
+        if maxval > 255:
+            raise ValueError("16-bit PNM not supported")
+    channels = 3 if magic in (b"P3", b"P6") else 1
+    count = width * height * channels
+    if magic in (b"P5", b"P6"):
+        data = np.frombuffer(payload, dtype=np.uint8,
+                             count=count, offset=end + 1)
+    elif magic == b"P4":
+        row_bytes = (width + 7) // 8
+        raw = np.frombuffer(payload, dtype=np.uint8,
+                            count=row_bytes * height, offset=end + 1)
+        bits = np.unpackbits(raw.reshape(height, row_bytes),
+                             axis=1)[:, :width]
+        return ((1 - bits) * 255).astype(np.uint8)  # 1 = black in PBM
+    else:  # ascii variants
+        vals = [int(t) for t, _ in toks]
+        data = np.array(vals[:count], dtype=np.int64)
+        if magic == b"P1":
+            return ((1 - data.reshape(height, width)) * 255).astype(np.uint8)
+    arr = data.astype(np.int64)
+    if not bitmap and maxval != 255:
+        arr = arr * 255 // maxval
+    arr = arr.astype(np.uint8)
+    if channels == 3:
+        return arr.reshape(height, width, 3)
+    return arr.reshape(height, width)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 (H, W[, 3]) → binary PPM/PGM bytes (round-trip for tests)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        header = b"P5 %d %d 255\n" % (arr.shape[1], arr.shape[0])
+    else:
+        header = b"P6 %d %d 255\n" % (arr.shape[1], arr.shape[0])
+    return header + arr.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP → uint8 (H, W, 3) RGB."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError("BMP core headers not supported")
+    width = struct.unpack_from("<i", payload, 18)[0]
+    height = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    row_stride = (width * bytes_pp + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=row_stride * height, offset=data_offset)
+    rows = rows.reshape(height, row_stride)[:, :width * bytes_pp]
+    px = rows.reshape(height, width, bytes_pp)
+    if bottom_up:
+        px = px[::-1]
+    return px[:, :, 2::-1].copy()  # BGR(A) → RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) RGB → 24-bit bottom-up BMP bytes (for tests)."""
+    import struct
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    row_stride = (w * 3 + 3) & ~3
+    img = np.zeros((h, row_stride), dtype=np.uint8)
+    img[:, :w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    body = img.tobytes()
+    file_header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return file_header + info + body
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch to a REAL decoder (PNM/BMP). Other formats raise
+    NotImplementedError — inject a codec (PIL/libvips) at deploy time."""
+    head = bytes(payload[:2])
+    if head in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
+        return decode_pnm(bytes(payload))
+    if head == b"BM":
+        return decode_bmp(bytes(payload))
+    raise NotImplementedError(
+        f"no codec for magic {head!r} in this environment; PNM/BMP decode "
+        "natively, others need an injected decoder"
+    )
+
+
+def image_feature_vector(pixels: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Deterministic per-image features from REAL pixels: [h, w, c,
+    mean/255, std/255, 2×2 grayscale block means, 7-bin histogram] → dim."""
+    px = pixels.astype(np.float64)
+    gray = px.mean(axis=2) if px.ndim == 3 else px
+    h, w = gray.shape
+    halves_r = max(h // 2, 1)
+    halves_c = max(w // 2, 1)
+    blocks = [
+        gray[i * halves_r:(i + 1) * halves_r or None,
+             j * halves_c:(j + 1) * halves_c or None].mean() / 255.0
+        for i in range(2) for j in range(2)
+    ]
+    hist, _ = np.histogram(gray, bins=7, range=(0, 255))
+    hist = hist / max(gray.size, 1)
+    feats = np.array(
+        [h, w, (px.shape[2] if px.ndim == 3 else 1),
+         gray.mean() / 255.0, gray.std() / 255.0, *blocks, *hist],
+        dtype=np.float32,
+    )
+    if feats.size < dim:
+        feats = np.pad(feats, (0, dim - feats.size))
+    return feats[:dim]
+
+
 def decode_image_batch(payloads: pd.Series, decoder=None) -> pd.Series:
-    """payload bytes → decoded pixel array. STUB: pass ``decoder=fake_decode``
-    (tests) or a real callable (PIL/libvips at deploy time)."""
+    """payload bytes → decoded pixel arrays. Default decoder is the REAL
+    magic-dispatch codec (PNM/BMP); formats it can't handle raise
+    NotImplementedError — inject PIL/libvips etc. at deploy time, or
+    ``fake_decode`` for plumbing tests."""
     if decoder is None:
-        raise NotImplementedError(
-            "no image codec in this environment; inject decoder=fake_decode "
-            "or a real decoder (e.g. PIL.Image.open) at deploy time"
-        )
+        decoder = decode_image
     return payloads.map(lambda p: decoder(bytes(p)) if p is not None else None)
 
 
@@ -67,6 +226,32 @@ def extract_features(media: DataFrame, decoder=fake_decode,
                 if p is not None else None
                 for p in pdf["payload"]
             ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(
+                    lambda p: len(p) if p is not None else 0),
+                "feature": feats,
+            })
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def extract_image_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """REAL image path: decode PNM/BMP payloads to pixels and compute
+    per-image statistics features, one iterator-form mapInPandas stage.
+    (media_id, kind, n_bytes, feature float[dim])."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for p in pdf["payload"]:
+                if p is None:
+                    feats.append(None)
+                    continue
+                feats.append(
+                    image_feature_vector(decode_image(bytes(p)), dim).tolist()
+                )
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
