@@ -130,6 +130,16 @@ def run_suite():
         t, _ = timed(lambda: wand.wand_topk(
             spark, shard_dir, qterms, k=10, packed=packed).collect())
         results["wand_query_batch"] = round(t, 3)
+        # same queries through the exhaustive join-agg plan (comparison row)
+        from gensim_spark.operators import topk as T
+
+        qdf = spark.createDataFrame(
+            [(qid, int(t_), float(w)) for qid, ts in qterms.items()
+             for t_, w in ts.items()],
+            "query_id int, term_id long, q_weight double")
+        T.search(idx.weighted, qdf, k=10).collect()  # warm
+        t, _ = timed(lambda: T.search(idx.weighted, qdf, k=10).collect())
+        results["joinagg_query_batch"] = round(t, 3)
     finally:
         shutil.rmtree(shard_dir, ignore_errors=True)
 
@@ -143,6 +153,15 @@ def run_suite():
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs_per_sec": round(docs_per_sec, 1),
         "query_p95_ms": round(p95_ms, 1),
+        # measured via _wand_bench_inner(1_000_000) (round 2; interleaved
+        # reps, min-of-3, rank-identity asserted in-run); regenerate with
+        # python -c "import bench; print(bench._wand_bench_inner(1_000_000))"
+        "wand_1m_reference": {
+            "docs": 1000000, "postings": 51904408, "cores": 32,
+            "wand_sec": 0.657, "joinagg_sec": 0.951, "speedup": 1.45,
+            "query_postings": 4268522, "query_evaluated": 74079,
+            "skipped_pct": 98.3, "measured": "round 2, BASELINE.md",
+        },
         # measured once per round with SPARK_GRAFT_SCALING=1 (interleaved
         # reps, min-of, fresh subprocess per run); see BASELINE.md §Measured
         "scaling_reference": {
@@ -152,6 +171,109 @@ def run_suite():
             "measured": "round 1, BASELINE.md",
         },
     }
+    return out
+
+
+def _wand_bench_inner(n_docs: int, cores: int = 0) -> dict:
+    """WAND vs exhaustive join-agg at real index size (VERDICT r1 item 4).
+
+    Generates a deterministic synthetic weighted-postings corpus JVM-side
+    (~60 postings/doc, log-uniform 'zipf-ish' term ids over a 50k vocab —
+    heavy head terms like a crawl), packs it into doc-range shards, then
+    times block-max WAND against the exhaustive join-agg top-k on the same
+    queries, and reports the postings-skipped counts from the WAND
+    accumulators. Rank/score identity is asserted, not assumed.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gensim_spark.index import layout, wand
+    from gensim_spark.operators import topk as T
+    from gensim_spark.session import get_spark
+
+    cores = cores or CPUS
+    vocab_size = 50_000
+    per_doc = 60
+    spark = get_spark(f"wand_bench_{n_docs}", master=f"local[{cores}]",
+                      shuffle_partitions=2 * cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.range(0, n_docs, 1, 4 * cores).select(
+        F.col("id").alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(per_doc - 1))).alias("slot"),
+    )
+    # log-uniform term ids → df(term x) ∝ 1/x (zipf head); weights follow the
+    # BM25 shape (∝ idf ≈ ln x for this df law, small tf noise) — rare terms
+    # carry heavy weights, head terms light ones, which is exactly the regime
+    # upper-bound pruning exploits on a real index.
+    raw = base.select(
+        "doc_id",
+        F.floor(F.pow(F.lit(float(vocab_size)),
+                      F.rand(seed=42))).cast("long").alias("term_id"),
+    ).withColumn(
+        "weight",
+        F.log(F.lit(2.0) + F.col("term_id").cast("double"))
+        * (F.lit(0.8) + F.rand(seed=7) * 0.4),
+    )
+    weighted = raw.groupBy("doc_id", "term_id").agg(
+        F.max("weight").alias("weight"))
+    shard_dir = tempfile.mkdtemp(prefix="wand_bench_")
+    out: dict = {"docs": n_docs, "cores": cores}
+    try:
+        t0 = time.perf_counter()
+        layout.write_packed_shards(weighted, shard_dir, num_groups=4,
+                                   resume=False)
+        out["pack_build_sec"] = round(time.perf_counter() - t0, 2)
+        packed = layout.read_packed_shards(spark, shard_dir).cache()
+        out["postings_total"] = int(
+            packed.agg(F.sum("n")).collect()[0][0])
+        wcache = weighted.cache()
+        wcache.count()
+        # queries: 2 head + 2 mid + 2 tail terms each, from the real dfs
+        dfs = (weighted.groupBy("term_id").agg(F.count("*").alias("df"))
+               .orderBy(F.col("df").desc()).collect())
+        n_terms = len(dfs)
+        qterms = {}
+        for qid in range(3):
+            picks = [dfs[qid]["term_id"], dfs[5 + qid]["term_id"],
+                     dfs[n_terms // 2 + qid]["term_id"],
+                     dfs[n_terms // 2 + 40 + qid]["term_id"],
+                     dfs[-1 - qid]["term_id"], dfs[-50 - qid]["term_id"]]
+            qterms[qid] = {int(t): 1.0 for t in picks}
+        qdf = spark.createDataFrame(
+            [(qid, int(t), 1.0) for qid, ts in qterms.items() for t in ts],
+            "query_id int, term_id long, q_weight double")
+        # warm both paths, then min-of-3 (VM wall-clock noise)
+        wand.wand_topk(spark, shard_dir, qterms, k=10,
+                       packed=packed).collect()
+        f32 = wcache.withColumn(
+            "weight", F.col("weight").cast("float").cast("double"))
+        T.search(f32, qdf, k=10).collect()
+        wand_times, ja_times = [], []
+        stats = {}
+        for _ in range(3):
+            t, got_w = timed(lambda: wand.wand_topk(
+                spark, shard_dir, qterms, k=10, packed=packed,
+                stats_out=stats).collect())
+            wand_times.append(t)
+            t, got_j = timed(lambda: T.search(f32, qdf, k=10).collect())
+            ja_times.append(t)
+        gm = {(r["query_id"], r["rank"]): r["doc_id"] for r in got_w}
+        jm = {(r["query_id"], r["rank"]): r["doc_id"] for r in got_j}
+        assert gm == jm, "WAND results diverged from join-agg"
+        out["wand_sec"] = round(min(wand_times), 3)
+        out["joinagg_sec"] = round(min(ja_times), 3)
+        out["speedup"] = round(min(ja_times) / min(wand_times), 2)
+        # stats_out holds fresh accumulators per call → last rep's counts
+        out["query_postings"] = stats["postings"].value
+        out["query_evaluated"] = stats["evaluated"].value
+        out["skipped_pct"] = round(
+            100 * (1 - out["query_evaluated"] / max(out["query_postings"], 1)),
+            1)
+    finally:
+        shutil.rmtree(shard_dir, ignore_errors=True)
+        spark.stop()
     return out
 
 

@@ -36,57 +36,66 @@ LOCAL_TOPK_SCHEMA = "query_id int, doc_id long, score double"
 
 
 def _exhaustive(term_runs, k):
-    """Fallback: accumulate all postings of the query terms (dict-based)."""
-    acc: dict[int, float] = {}
-    for docs, weights, qw in term_runs:
-        for d, w in zip(docs.tolist(), (weights.astype(np.float64) * qw).tolist()):
-            acc[d] = acc.get(d, 0.0) + w
-    items = [(d, s) for d, s in acc.items() if s != 0.0]
-    items.sort(key=lambda p: (-abs(p[1]), p[0]))
-    return items[:k]
+    """Fallback: accumulate all postings of the query terms (vectorized)."""
+    if not term_runs:
+        return []
+    all_docs = np.concatenate([d for d, _, _ in term_runs])
+    all_w = np.concatenate([
+        w.astype(np.float64) * qw for _, w, qw in term_runs
+    ])
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.bincount(inv, weights=all_w)
+    nz = scores != 0.0
+    uniq, scores = uniq[nz], scores[nz]
+    if len(uniq) > k:
+        keys = np.lexsort((uniq, -np.abs(scores)))[:k]
+    else:
+        keys = np.lexsort((uniq, -np.abs(scores)))
+    return [(int(uniq[i]), float(scores[i])) for i in keys]
 
 
-def _wand(term_runs, k, block_size=packing.BLOCK_SIZE):
+def _wand(term_runs, k, block_size=packing.BLOCK_SIZE, stats=None):
     """Block-max WAND over one shard's runs for one query.
 
     term_runs: list of (doc_ids int64[], weights float32[], q_weight float,
     block_max float32[], block_last_doc int64[]).
     Returns [(doc_id, score)] — the shard-local top-k by (score desc, doc asc).
+    ``stats`` (optional dict) accumulates 'postings' (total in the query's
+    runs) and 'evaluated' (positions actually scored — the difference is
+    what pruning skipped).
     """
+    if stats is not None:
+        stats["postings"] = stats.get("postings", 0) + sum(
+            len(d) for d, *_ in term_runs)
     if any((w < 0).any() for _, w, _, _, _ in term_runs):
+        if stats is not None:
+            stats["evaluated"] = stats.get("evaluated", 0) + sum(
+                len(d) for d, *_ in term_runs)
         return _exhaustive([(d, w, q) for d, w, q, _, _ in term_runs], k)
 
-    class T:
-        __slots__ = ("docs", "w", "qw", "pos", "n", "ub", "bmax", "blast")
-
-        def __init__(self, docs, w, qw, bmax, blast):
-            self.docs, self.w, self.qw = docs, w, qw
-            self.pos, self.n = 0, len(docs)
-            self.bmax, self.blast = bmax, blast
-            self.ub = float(qw * bmax.max()) if len(bmax) else 0.0
-
-        def cur(self):
-            return self.docs[self.pos] if self.pos < self.n else None
-
-        def advance_to(self, d):
-            # gallop via searchsorted on the remaining slice
-            self.pos += int(np.searchsorted(self.docs[self.pos:], d, "left"))
-
-        def block_ub(self):
-            b = self.pos // block_size
-            return float(self.qw * self.bmax[b])
-
-        def block_last(self):
-            b = self.pos // block_size
-            return int(self.blast[b])
-
-    terms = [T(d, w, q, bm, bl) for d, w, q, bm, bl in term_runs if len(d)]
-    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap on score
-
-    def threshold():
-        if len(heap) < k:
-            return 0.0  # scores are > 0; zero-score docs are dropped anyway
-        return heap[0][0]
+    # Ordered-segment block-max traversal. The doc axis splits into segments
+    # at the union of all block boundaries, so each (term, segment) pair is
+    # covered by exactly one block. Per-segment upper bounds (Σ covering
+    # block maxima) are computed VECTORIZED for all segments at once, and
+    # segments are then processed in DESCENDING upper-bound order: θ
+    # converges after a handful of evaluations, and the first segment with
+    # ub ≤ θ terminates the traversal — every remaining segment is skipped
+    # with zero per-segment work (heap order does not depend on doc order,
+    # so processing out of doc order is sound). Within an evaluated segment,
+    # Maxscore-style splitting accumulates only the "essential" lists
+    # (bincount) and resolves fat head-term lists by vectorized candidate
+    # lookups. Exact: skipping requires Σ block_max ≤ θ; evaluation sums
+    # true weights for every candidate that could beat θ.
+    docs_l = [d for d, _, _, _, _ in term_runs if len(d)]
+    w_l = [w.astype(np.float64) * qw
+           for d, w, qw, _, _ in term_runs if len(d)]
+    bmax_l = [bm.astype(np.float64) * qw
+              for d, _, qw, bm, _ in term_runs if len(d)]
+    blast_l = [bl for d, _, _, _, bl in term_runs if len(d)]
+    nt = len(docs_l)
+    if nt == 0:
+        return []
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
 
     def push(doc, score):
         if score <= 0.0:
@@ -96,63 +105,90 @@ def _wand(term_runs, k, block_size=packing.BLOCK_SIZE):
         elif (score, -doc) > heap[0]:
             heapq.heapreplace(heap, (score, -doc))
 
-    while True:
-        live = [t for t in terms if t.pos < t.n]
-        if not live:
-            break
-        live.sort(key=lambda t: t.docs[t.pos])
-        # pivot: first term where cumulative global upper bound can beat θ
-        th = threshold()
-        acc = 0.0
-        pivot_i = None
-        for i, t in enumerate(live):
-            acc += t.ub
-            if acc > th or (len(heap) < k and acc > 0.0):
-                pivot_i = i
-                break
-        if pivot_i is None:
-            break  # no doc can enter the top-k
-        pivot_doc = int(live[pivot_i].docs[live[pivot_i].pos])
-        # block-max refinement: tighter bound from the current blocks
-        block_acc = sum(t.block_ub() for t in live[: pivot_i + 1])
-        if len(heap) >= k and block_acc <= th:
-            # no doc covered only by the pivot prefix can qualify up to the
-            # earliest block boundary; cap the jump at the next later term's
-            # current doc (docs beyond it gain that term's contribution).
-            # Jump only if it makes progress — when the cap lands on the
-            # current min doc (a later term tied at the pivot), fall through
-            # to the standard evaluate/advance step instead.
-            boundary = min(t.block_last() for t in live[: pivot_i + 1])
-            nxt = boundary + 1
-            if pivot_i + 1 < len(live):
-                nxt = min(nxt, int(live[pivot_i + 1].docs[live[pivot_i + 1].pos]))
-            if nxt > int(live[0].docs[live[0].pos]):
-                for t in live[: pivot_i + 1]:
-                    t.advance_to(nxt)
+    bounds = np.unique(np.concatenate(blast_l))  # sorted segment ends
+    n_seg = len(bounds)
+    # Per-term segment bound: the covering block's max, but ONLY for
+    # segments where the term actually has ≥1 doc (presence computed
+    # vectorized from the doc array). Block-range coverage alone would let a
+    # sparse term's one block — whose doc span is nearly the whole axis —
+    # smear its large max over every segment and flatten the ordering.
+    seg_ub = np.zeros(n_seg, dtype=np.float64)
+    term_block = []
+    for i in range(nt):
+        bi = np.searchsorted(blast_l[i], bounds, "left")
+        bi = np.minimum(bi, len(blast_l[i]) - 1)
+        present = np.zeros(n_seg, dtype=bool)
+        present[np.unique(np.searchsorted(bounds, docs_l[i], "left"))] = True
+        seg_ub += np.where(present, bmax_l[i][bi], 0.0)
+        term_block.append((bi, present))
+    order = np.argsort(-seg_ub, kind="stable")
+    evaluated = 0
+    for s in order.tolist():
+        th = heap[0][0] if len(heap) >= k else 0.0
+        if len(heap) >= k and seg_ub[s] <= th:
+            break  # sorted desc: every remaining segment is ≤ θ too
+        seg_lo = int(bounds[s - 1]) + 1 if s > 0 else -(1 << 62)
+        seg_hi = int(bounds[s])
+        slices = []
+        for i in range(nt):
+            bi, present = term_block[i]
+            if not present[s]:
                 continue
-        if int(live[0].docs[live[0].pos]) == pivot_doc:
-            # fully evaluate pivot_doc
-            score = 0.0
-            for t in live:
-                if t.pos >= t.n:
-                    continue
-                d = int(t.docs[t.pos])
-                if d == pivot_doc:
-                    score += float(t.qw) * float(t.w[t.pos])
-                    t.pos += 1
-                elif d > pivot_doc:
+            lo = int(np.searchsorted(docs_l[i], seg_lo, "left"))
+            hi = int(np.searchsorted(docs_l[i], seg_hi, "right"))
+            if hi > lo:
+                slices.append((float(bmax_l[i][bi[s]]),
+                               docs_l[i][lo:hi], w_l[i][lo:hi]))
+        if not slices:
+            continue
+        # Maxscore split: drop the maximal suffix of lists (by block ub
+        # desc) whose summed bound ≤ θ from candidate generation
+        slices.sort(key=lambda t: -t[0])
+        n_ess = len(slices)
+        if len(heap) >= k:
+            tail_ub = 0.0
+            while n_ess > 1 and tail_ub + slices[n_ess - 1][0] <= th:
+                tail_ub += slices[n_ess - 1][0]
+                n_ess -= 1
+        ess, ness = slices[:n_ess], slices[n_ess:]
+        all_docs = np.concatenate([d for _, d, _ in ess])
+        evaluated += len(all_docs)
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        scores = np.bincount(
+            inv, weights=np.concatenate([w for _, _, w in ess]))
+        if ness:
+            rem = sum(ub for ub, _, _ in ness)
+            if len(heap) >= k:
+                keep = scores + rem >= th
+                uniq, scores = uniq[keep], scores[keep]
+            for ub, d_s, w_s in ness:
+                if len(uniq) == 0:
                     break
-            push(pivot_doc, score)
-        else:
-            # advance the preceding terms to the pivot
-            for t in live[:pivot_i]:
-                t.advance_to(pivot_doc)
+                idx = np.searchsorted(d_s, uniq)
+                idxc = np.minimum(idx, len(d_s) - 1)
+                hit = d_s[idxc] == uniq
+                scores = scores + np.where(hit, w_s[idxc], 0.0)
+                evaluated += int(hit.sum())
+                rem -= ub
+                if len(heap) >= k:
+                    keep = scores + rem >= th
+                    uniq, scores = uniq[keep], scores[keep]
+        elif len(heap) >= k:
+            cand = scores >= th  # ≥: equal scores can win the doc tie-break
+            uniq, scores = uniq[cand], scores[cand]
+        for d, s2 in zip(uniq.tolist(), scores.tolist()):
+            push(int(d), float(s2))
+    if stats is not None:
+        stats["evaluated"] = stats.get("evaluated", 0) + evaluated
     out = sorted(((-d, s) for s, d in heap), key=lambda p: (-p[1], p[0]))
     return [(d, s) for d, s in out]
 
 
-def _shard_topk_factory(query_terms: dict[int, dict[int, float]], k: int):
-    """query_terms: {query_id: {term_id: q_weight}}."""
+def _shard_topk_factory(query_terms: dict[int, dict[int, float]], k: int,
+                        postings_acc=None, evaluated_acc=None):
+    """query_terms: {query_id: {term_id: q_weight}}. Optional Spark
+    accumulators receive total-vs-evaluated posting counts (pruning
+    evidence)."""
 
     def shard_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -163,6 +199,7 @@ def _shard_topk_factory(query_terms: dict[int, dict[int, float]], k: int):
             bmax = np.frombuffer(bytes(r["block_max"]), dtype=np.float32)
             blast = np.frombuffer(bytes(r["block_last_doc"]), dtype=np.int64)
             runs_by_term[int(r["term_id"])] = (docs, weights, bmax, blast)
+        stats = {} if postings_acc is not None else None
         for qid, terms in query_terms.items():
             runs = []
             for tid, qw in terms.items():
@@ -171,8 +208,11 @@ def _shard_topk_factory(query_terms: dict[int, dict[int, float]], k: int):
                     runs.append((d, w, float(qw), bm, bl))
             if not runs:
                 continue
-            for doc, score in _wand(runs, k):
+            for doc, score in _wand(runs, k, stats=stats):
                 rows.append((qid, doc, score))
+        if stats is not None:
+            postings_acc.add(stats.get("postings", 0))
+            evaluated_acc.add(stats.get("evaluated", 0))
         return pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
 
     return shard_topk
@@ -180,19 +220,32 @@ def _shard_topk_factory(query_terms: dict[int, dict[int, float]], k: int):
 
 def wand_topk(spark: SparkSession, index_dir: str,
               query_terms: dict[int, dict[int, float]], k: int = 10,
-              packed: DataFrame | None = None) -> DataFrame:
+              packed: DataFrame | None = None,
+              stats_out: dict | None = None) -> DataFrame:
     """Distributed block-max WAND: (query_id, doc_id, score, rank).
 
     Reads only the query terms' packed runs (partition/row-group pruning),
     computes per-shard local top-k, merges with the standard two-stage
     TakeOrdered (per-shard k lists → global k, ≙ docsim.py:236-257 merge).
+
+    Pass ``stats_out={}`` to receive pruning evidence after the query
+    action runs: stats_out['postings'] (total postings in the query's runs)
+    and stats_out['evaluated'] (postings actually scored) — the accumulators
+    fill in once the returned DataFrame is collected.
     """
     all_terms = sorted({int(t) for q in query_terms.values() for t in q})
     if packed is None:
         packed = read_packed_shards(spark, index_dir)
     pruned = packed.filter(F.col("term_id").isin(all_terms))
+    postings_acc = evaluated_acc = None
+    if stats_out is not None:
+        postings_acc = spark.sparkContext.accumulator(0)
+        evaluated_acc = spark.sparkContext.accumulator(0)
+        stats_out["postings"] = postings_acc
+        stats_out["evaluated"] = evaluated_acc
     local = pruned.groupBy("shard_id").applyInPandas(
-        _shard_topk_factory(query_terms, k), schema=LOCAL_TOPK_SCHEMA
+        _shard_topk_factory(query_terms, k, postings_acc, evaluated_acc),
+        schema=LOCAL_TOPK_SCHEMA,
     )
     from pyspark.sql import Window
 
