@@ -166,9 +166,9 @@ def run_suite():
         # reps, min-of, fresh subprocess per run); see BASELINE.md §Measured
         "scaling_reference": {
             "docs": 400000, "cores_n": 2, "cores_4n": 8,
-            "t_n_sec": 165.7, "t_4n_sec": 51.8,
-            "docs_per_sec_4n": 7722.0, "efficiency": 0.800,
-            "measured": "round 1, BASELINE.md",
+            "t_n_sec": 189.9, "t_4n_sec": 57.4,
+            "docs_per_sec_4n": 6969.0, "efficiency": 0.827,
+            "measured": "round 2, BASELINE.md (round 1: 165.7/51.8 = 0.800)",
         },
     }
     return out

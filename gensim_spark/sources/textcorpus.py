@@ -108,6 +108,48 @@ def read_text_directory(spark: SparkSession, root: str,
     return df.withColumn("tokens", _default_pipeline_udf(F.col("text")))
 
 
+def read_opinosis(spark: SparkSession, path: str) -> DataFrame:
+    """Opinosis review dataset (gensim/corpora/opinosiscorpus.py:25-79):
+    each file under ``<path>/summaries-gold/**`` is one document;
+    preprocessing = ``re.findall(r'\\w+', doc.lower())`` → drop the frozen
+    stopword set → Porter stem. Returns (doc_id, path, tokens); doc ids are
+    the rank in lexicographic path order (the reference's os.walk order is
+    fs-dependent; this one is deterministic under distribution). Compose
+    with ``operators.vocab.build_vocab`` + ``operators.bow`` for the
+    .corpus/.id2word surface."""
+    import re as _re
+
+    from pyspark.sql import Window
+
+    from gensim_spark.functions.porter import porter_stem
+    from gensim_spark.functions.stopwords import STOPWORDS
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def prep(text: pd.Series) -> pd.Series:
+        def run(t):
+            if t is None:
+                return None
+            return [porter_stem(tok)
+                    for tok in _re.findall(r"\w+", t.lower())
+                    if tok not in STOPWORDS]
+
+        return text.map(run)
+
+    root = path.rstrip("/") + "/summaries-gold"
+    df = (
+        spark.read.format("text")
+        .option("recursiveFileLookup", "true")
+        .option("wholetext", "true")
+        .load(root)
+        .select(F.input_file_name().alias("path"),
+                F.col("value").alias("text"))
+        .withColumn("doc_id",
+                    F.row_number().over(Window.orderBy("path")).cast("long")
+                    - 1)
+    )
+    return df.select("doc_id", "path", prep(F.col("text")).alias("tokens"))
+
+
 def save_vocab_as_text(vocab: DataFrame, path: str, num_docs: int) -> None:
     """Dictionary.save_as_text TSV: ``num_docs`` header then
     ``id<TAB>token<TAB>df`` sorted by id (dictionary.py:472-530)."""

@@ -266,3 +266,34 @@ def test_frame_sample_plan(spark):
                  for r in media.filter(F.col("kind") == "video").collect()}
     for r in rows:
         assert r["count"] == max(durations[r["media_id"]] // 1000, 1)
+
+
+def test_opinosis_corpus_reader(spark, tmp_path):
+    """OpinosisCorpus semantics (opinosiscorpus.py:25-79): one doc per file
+    under summaries-gold/**, \\w+ lowercase tokens, stopwords out, Porter
+    stemmed; composes into Dictionary/doc2bow."""
+    from gensim_spark.functions.porter import porter_stem
+    from gensim_spark.operators import bow as B
+    from gensim_spark.operators import vocab as V
+    from gensim_spark.sources.textcorpus import read_opinosis
+
+    root = tmp_path / "opinosis"
+    d1 = root / "summaries-gold" / "battery_life"
+    d2 = root / "summaries-gold" / "screen_quality"
+    d1.mkdir(parents=True)
+    d2.mkdir(parents=True)
+    (d1 / "a.txt.gold").write_text("The battery lasted for DAYS, running!")
+    (d2 / "b.txt.gold").write_text("the screen is very sharp and bright.")
+
+    docs = read_opinosis(spark, str(root))
+    rows = {r["doc_id"]: r["tokens"] for r in docs.collect()}
+    assert len(rows) == 2
+    # reference preprocessing: \w+ on lowered text, stopword drop, stemming
+    want0 = [porter_stem(t) for t in
+             ["battery", "lasted", "days", "running"]]
+    assert rows[0] == want0
+    assert "the" not in rows[1] and "is" not in rows[1]
+    # composes with the Dictionary/doc2bow surface
+    vocab = V.build_vocab(docs)
+    postings = B.doc2bow_postings(docs, vocab)
+    assert postings.count() == len(set(rows[0])) + len(set(rows[1]))
