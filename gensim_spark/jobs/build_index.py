@@ -27,6 +27,9 @@ def main() -> None:
     ap.add_argument("--from-html", action="store_true",
                     help="extract text from the html column (Arrow UDF path)")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--iceberg", action="store_true",
+                    help="store shards + vocab as Iceberg-semantics tables "
+                         "(snapshot commits, time travel, manifest pruning)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -49,18 +52,45 @@ def main() -> None:
             )
         tok = P.tokenize(docs)
         idx = P.build(tok, variant=args.variant)
-    idx.vocab.write.mode("overwrite").parquet(f"{args.output}/vocab")
-    manifest = write_packed_shards(
-        idx.weighted, args.output, docs_per_shard=args.docs_per_shard,
-        num_groups=args.num_groups, resume=not args.no_resume,
-    )
+    if args.iceberg:
+        from gensim_spark.index.icetable import IceTable
+        from gensim_spark.index.layout import write_packed_shards_iceberg
+
+        try:
+            vt = IceTable.load(f"{args.output}/vocab")
+        except FileNotFoundError:
+            vt = IceTable.create(
+                f"{args.output}/vocab",
+                "token string, term_id bigint, df bigint, cf bigint,"
+                " first_doc bigint")
+        vt.append(idx.vocab, operation="overwrite",
+                  summary={"num_docs": idx.num_docs})
+        table = write_packed_shards_iceberg(
+            idx.weighted, f"{args.output}/shards",
+            docs_per_shard=args.docs_per_shard,
+            num_groups=args.num_groups, resume=not args.no_resume,
+        )
+        groups = {
+            str(s.summary["group"]): {k: s.summary[k] for k in
+                                      ("docs", "terms", "postings",
+                                       "wall_sec")}
+            for s in table.snapshots if "group" in s.summary
+        }
+    else:
+        idx.vocab.write.mode("overwrite").parquet(f"{args.output}/vocab")
+        manifest = write_packed_shards(
+            idx.weighted, args.output, docs_per_shard=args.docs_per_shard,
+            num_groups=args.num_groups, resume=not args.no_resume,
+        )
+        groups = manifest["groups"]
     wall = time.perf_counter() - t0
     metrics = {
         "num_docs": idx.num_docs,
         "avgdl": idx.stats.avgdl,
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(idx.num_docs / wall, 1),
-        "groups": manifest["groups"],
+        "iceberg": bool(args.iceberg),
+        "groups": groups,
     }
     with open(f"{args.output}/build_metrics.json", "w") as f:
         json.dump(metrics, f, indent=1)

@@ -21,6 +21,10 @@ def main() -> None:
     ap.add_argument("--query", required=True, action="append",
                     help="query text (repeatable)")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--iceberg", action="store_true",
+                    help="index was built with --iceberg (snapshot store)")
+    ap.add_argument("--snapshot-id", type=int, default=None,
+                    help="time-travel the shard store to this snapshot")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -30,7 +34,16 @@ def main() -> None:
     from gensim_spark.session import get_spark
 
     spark = get_spark("gensim_spark_query")
-    vocab = spark.read.parquet(f"{args.index}/vocab")
+    packed = None
+    if args.iceberg:
+        from gensim_spark.index.icetable import IceTable
+        from gensim_spark.index.layout import read_packed_shards_iceberg
+
+        vocab = IceTable.load(f"{args.index}/vocab").scan(spark)
+        packed = read_packed_shards_iceberg(
+            spark, f"{args.index}/shards", snapshot_id=args.snapshot_id)
+    else:
+        vocab = spark.read.parquet(f"{args.index}/vocab")
     tokens = {qid: textref.simple_preprocess(q)
               for qid, q in enumerate(args.query)}
     all_tokens = sorted({t for ts in tokens.values() for t in ts})
@@ -43,7 +56,8 @@ def main() -> None:
         for qid, ts in tokens.items()
     }
     t0 = time.perf_counter()
-    rows = wand_topk(spark, args.index, query_terms, k=args.k).collect()
+    rows = wand_topk(spark, args.index, query_terms, k=args.k,
+                     packed=packed).collect()
     wall = time.perf_counter() - t0
     out = {}
     for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
