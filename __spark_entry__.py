@@ -324,6 +324,22 @@ def _q_ann_lsh(spark, sf_dir):
                       "rank")
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k (k-means cells + n_probe). No oracle_sql entry:
+    the coarse quantizer is pyspark.ml KMeans (deterministic seed) and not
+    ANSI-SQL-expressible — the driver records the weaker rows-only check;
+    exact-recall behavior is pytest-verified (tests/test_simsearch.py)."""
+    from gensim_spark.operators import simsearch as S
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.ivf_topk(emb, q, k=_KNN_K, n_cells=8, n_probe=3, seed=42)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+                      "rank")
+
+
 def _q_embedding_near_dups(spark, sf_dir):
     """LSH-bucketed near-dup path (no cartesian product in the plan); the
     brute-force variant survives only as the pytest oracle."""
@@ -407,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "knn_cosine": _q_knn_cosine,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,  # rows-only check: no SQL-expressible oracle
         "embedding_near_dups": _q_embedding_near_dups,
         "fuzzy_terms": _q_fuzzy_terms,
         "soft_cosine": _q_soft_cosine,
