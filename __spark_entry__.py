@@ -219,6 +219,18 @@ def _q_phrases_connector(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+def _q_phrases_npmi_conn(spark, sf_dir):
+    """NPMI scoring (phrases.py:126-170) with connector bridging — probs
+    over corpus_word_count INCLUDING connector tokens (phrases.py:600)."""
+    from gensim_spark.operators import phrases as PH
+
+    out = PH.scored_bigrams(_tokenized(spark, sf_dir),
+                            min_count=_PHRASE_MIN_COUNT, scoring="npmi",
+                            connector_words=PH.ENGLISH_CONNECTOR_WORDS)
+    return out.select("word_a", "word_b", "phrase", "bigram_count",
+                      F.round("score", 6).alias("score"))
+
+
 def _q_tfidf_nfu_pivot(spark, sf_dir):
     """Pivoted unique-norm SMART 'nfu' with the reference auto-pivot
     (num_nnz/num_docs) and slope 0.25 (tfidfmodel.py:262,402,519-523)."""
@@ -412,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logentropy": _q_logentropy,
         "phrases_bigrams": _q_phrases,
         "phrases_connector": _q_phrases_connector,
+        "phrases_npmi_conn": _q_phrases_npmi_conn,
         "events_hourly": _q_events_hourly,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash_signatures,
@@ -739,12 +752,12 @@ _CONNECTOR_SQL_LIST = ("'a','an','the','for','of','with','without','at',"
                        "'from','to','in','on','by','and','or'")
 
 
-def _phrases_connector_sql() -> str:
+def _phrases_connector_sql(scoring: str = "default") -> str:
     """Segment-based connector bridging: running count of non-connector
     tokens defines segments; consecutive segment heads pair up with the
     intervening connectors riding in the phrase key — mirrors
     phrases.py:589-600 _learn_vocab."""
-    return f"""{_PRELUDE},
+    return """{_PRELUDE},
 pl AS (SELECT doc_id, s.tok AS w, s.pos FROM (
          SELECT doc_id,
                 unnest(list_transform(tokens,
@@ -771,14 +784,24 @@ uni AS (SELECT token AS word, count(*) AS cnt FROM tlong
         WHERE token NOT IN ({_CONNECTOR_SQL_LIST}) GROUP BY 1),
 vl AS (SELECT ((SELECT count(*) FROM uni)
              + (SELECT count(*) FROM (SELECT DISTINCT word_a, word_b, phrase
-                                      FROM cand)))::DOUBLE AS v)
+                                      FROM cand)))::DOUBLE AS v),
+cw AS (SELECT sum(len(tokens))::DOUBLE AS n FROM tok)
 SELECT word_a, word_b, phrase, bigram_count,
-       round((bigram_count - {_PHRASE_MIN_COUNT}) * (SELECT v FROM vl)
-             / (ua.cnt * ub.cnt), 6) AS score
+       round({score_expr}, 6) AS score
 FROM candc
 JOIN uni ua ON ua.word = word_a
 JOIN uni ub ON ub.word = word_b
-WHERE bigram_count >= {_PHRASE_MIN_COUNT}"""
+WHERE bigram_count >= {_PHRASE_MIN_COUNT}""".format(
+        _PRELUDE=_PRELUDE, _CONNECTOR_SQL_LIST=_CONNECTOR_SQL_LIST,
+        _PHRASE_MIN_COUNT=_PHRASE_MIN_COUNT,
+        score_expr=(
+            "(bigram_count - {mc}) * (SELECT v FROM vl) / (ua.cnt * ub.cnt)"
+            .format(mc=_PHRASE_MIN_COUNT)
+            if scoring == "default" else
+            "ln((bigram_count / (SELECT n FROM cw))"
+            " / ((ua.cnt / (SELECT n FROM cw)) * (ub.cnt / (SELECT n FROM cw))))"
+            " / -ln(bigram_count / (SELECT n FROM cw))"
+        ))
 
 
 def _tfidf_nfu_pivot_sql() -> str:
@@ -869,6 +892,7 @@ SELECT token, cf FROM vocab_ids ORDER BY cf DESC, term_id ASC LIMIT 20""",
         "bm25_topk_iceberg": _topk_sql({0: QUERY_SET[0]}, TOPK_K),
         "tfidf_nfu_pivot": _tfidf_nfu_pivot_sql(),
         "phrases_connector": _phrases_connector_sql(),
+        "phrases_npmi_conn": _phrases_connector_sql("npmi"),
         "bm25_topk_batch": _topk_sql(QUERY_SET, BATCH_K),
         "tfidf_nfc": f"""{_PRELUDE},
 idf AS (SELECT term_id, ln((SELECT n FROM nd)::DOUBLE / df) / ln(2.0) AS idf

@@ -227,3 +227,43 @@ def test_postings_bucketed_iceberg_prunes_and_matches(spark, tmp_path):
     pruned_files = t.plan_files(
         partition_pred=lambda p: p.get("bucket") in buckets)
     assert 0 < len(pruned_files) < len(t.plan_files())
+
+
+def test_concurrent_appends_from_threads(spark, tmp_path, simple_df):
+    """Atomicity under real concurrency: 3 writers x 4 appends race on one
+    table; optimistic retries must serialize every commit — no lost
+    snapshots, contiguous versions, exact total records."""
+    import threading
+
+    from gensim_spark.index.icetable import IceTable
+
+    loc = str(tmp_path / "t_conc")
+    IceTable.create(loc, "doc_id bigint, term_id bigint, weight double")
+    errors = []
+
+    def writer(wid):
+        try:
+            for j in range(4):
+                t = IceTable.load(loc)
+                t.append(simple_df(wid * 100 + j * 10, wid * 100 + j * 10 + 5),
+                         summary={"writer": wid, "j": j})
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    t = IceTable.load(loc)
+    assert len(t.snapshots) == 12  # every commit serialized, none lost
+    assert t.version == 13  # create + 12 appends, contiguous
+    assert int(t.current_snapshot.summary["total-records"]) == 12 * 5
+    assert t.scan(spark).count() == 60
+    # parent chain is a single line through all 12 snapshots
+    ids = {s.snapshot_id for s in t.snapshots}
+    parents = {s.parent_snapshot_id for s in t.snapshots}
+    assert None in parents and len(parents - ids) == 1
+    seqs = sorted(s.sequence_number for s in t.snapshots)
+    assert seqs == list(range(1, 13))
