@@ -1,0 +1,327 @@
+"""gensim-shaped API facade.
+
+A user of the reference drives it through ``Dictionary`` / ``TfidfModel`` /
+``OkapiBM25Model`` / ``SparseMatrixSimilarity`` / ``Phrases``. This module
+re-exposes that surface 1:1 over the Spark operators so existing call sites
+port line-for-line — the difference is that corpora are DataFrames of
+``(doc_id, tokens)`` instead of python iterables, and "a list of (id, val)
+pairs" is the long-form postings DataFrame ``(doc_id, term_id, ...)``.
+
+Reference classes mirrored (semantics, not code):
+- ``gensim.corpora.Dictionary`` (gensim/corpora/dictionary.py:60-700)
+- ``gensim.models.TfidfModel`` (gensim/models/tfidfmodel.py:180-543)
+- ``gensim.models.OkapiBM25Model``/``LuceneBM25Model``/``AtireBM25Model``
+  (gensim/models/bm25model.py:30-270)
+- ``gensim.similarities.SparseMatrixSimilarity`` + ``Similarity``
+  (gensim/similarities/docsim.py:260-758, 1150-1300)
+- ``gensim.models.Phrases``/``FrozenPhrases`` (gensim/models/phrases.py)
+
+Everything here is thin delegation — the operator modules carry the plans,
+their tests, and the oracle entries; the facade is tested for surface parity
+in tests/test_api.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gensim_spark.operators import bm25 as _bm25
+from gensim_spark.operators import bow as _bow
+from gensim_spark.operators import phrases as _phrases
+from gensim_spark.operators import tfidf as _tfidf
+from gensim_spark.operators import topk as _topk
+from gensim_spark.operators import vocab as _vocab
+
+ENGLISH_CONNECTOR_WORDS = _phrases.ENGLISH_CONNECTOR_WORDS
+
+
+def _docs_df(spark: SparkSession, texts) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, list(t)) for i, t in enumerate(texts)],
+        "doc_id long, tokens array<string>",
+    )
+
+
+class Dictionary:
+    """``gensim.corpora.Dictionary`` over a (doc_id, tokens) DataFrame.
+
+    ``.df`` is the vocab table (token, term_id, df, cf, first_doc); ids are
+    gensim-deterministic (rank over (first_doc, token) ≙ arrival order +
+    per-doc sorted inserts, dictionary.py:230-260).
+    """
+
+    def __init__(self, documents: DataFrame | None = None,
+                 vocab_df: DataFrame | None = None,
+                 num_docs: int | None = None):
+        self._corpus = documents
+        if vocab_df is not None:
+            self.df = vocab_df
+            self.num_docs = num_docs if num_docs is not None else 0
+        else:
+            self.df = _vocab.build_vocab(documents)
+            self.num_docs = documents.count()
+
+    # --- stats / lookups -----------------------------------------------------
+
+    def __len__(self) -> int:
+        return self.df.count()
+
+    @property
+    def token2id(self) -> dict[str, int]:
+        return {r["token"]: r["term_id"]
+                for r in self.df.select("token", "term_id").collect()}
+
+    @property
+    def dfs(self) -> dict[int, int]:
+        return {r["term_id"]: r["df"]
+                for r in self.df.select("term_id", "df").collect()}
+
+    @property
+    def cfs(self) -> dict[int, int]:
+        return {r["term_id"]: r["cf"]
+                for r in self.df.select("term_id", "cf").collect()}
+
+    # --- transforms ----------------------------------------------------------
+
+    def doc2bow(self, documents: DataFrame) -> DataFrame:
+        """Frozen doc2bow: unknown tokens dropped (dictionary.py:240-243).
+        → postings (doc_id, term_id, tf)."""
+        return _bow.doc2bow_postings(documents, self.df)
+
+    def doc2idx(self, documents: DataFrame) -> DataFrame:
+        """Positional token→id arrays, unknown → -1
+        (dictionary.py:274-306)."""
+        return _vocab.doc2idx(documents, self.df)
+
+    # --- maintenance (each returns a NEW Dictionary; tables are immutable) ---
+
+    def filter_extremes(self, no_below: int = 5, no_above: float = 0.5,
+                        keep_n: int = 100000) -> "Dictionary":
+        out = _vocab.filter_extremes(self.df, self.num_docs, no_below,
+                                     no_above, keep_n)
+        return Dictionary(self._corpus, vocab_df=out, num_docs=self.num_docs)
+
+    def filter_n_most_frequent(self, remove_n: int) -> "Dictionary":
+        out = _vocab.filter_n_most_frequent(self.df, remove_n)
+        return Dictionary(self._corpus, vocab_df=out, num_docs=self.num_docs)
+
+    def filter_tokens(self, bad_ids=None, good_ids=None) -> "Dictionary":
+        bad_tokens = good_tokens = None
+        if bad_ids is not None:
+            ids = list(bad_ids)
+            bad_tokens = [r["token"] for r in
+                          self.df.filter(F.col("term_id").isin(ids))
+                          .collect()]
+        if good_ids is not None:
+            ids = list(good_ids)
+            good_tokens = [r["token"] for r in
+                           self.df.filter(F.col("term_id").isin(ids))
+                           .collect()]
+        out = _vocab.filter_tokens(self.df, bad_tokens=bad_tokens,
+                                   good_tokens=good_tokens)
+        return Dictionary(self._corpus, vocab_df=out, num_docs=self.num_docs)
+
+    def merge_with(self, other: "Dictionary") -> "Dictionary":
+        out = _vocab.merge_with(self.df, other.df)
+        return Dictionary(self._corpus, vocab_df=out,
+                          num_docs=self.num_docs + other.num_docs)
+
+    def most_common(self, n: int = 10) -> list[tuple[str, int]]:
+        return [(r["token"], r["cf"])
+                for r in _vocab.most_common(self.df, n).collect()]
+
+    def patch_with_special_tokens(self, special_token_dict) -> "Dictionary":
+        out = _vocab.patch_with_special_tokens(self.df, special_token_dict)
+        return Dictionary(self._corpus, vocab_df=out, num_docs=self.num_docs)
+
+    def save_as_text(self, fname: str) -> None:
+        from gensim_spark.sources.textcorpus import save_vocab_as_text
+
+        save_vocab_as_text(self.df, fname, self.num_docs)
+
+    @staticmethod
+    def load_from_text(spark: SparkSession, fname: str) -> "Dictionary":
+        from gensim_spark.sources.textcorpus import load_vocab_from_text
+
+        vocab, num_docs = load_vocab_from_text(spark, fname)
+        return Dictionary(None, vocab_df=vocab, num_docs=num_docs)
+
+
+class TfidfModel:
+    """``gensim.models.TfidfModel`` (SMART-IRS) over postings DataFrames."""
+
+    def __init__(self, dictionary: Dictionary, smartirs: str = "nfc",
+                 pivot: float | None = None, slope: float = 0.25,
+                 eps: float = 1e-12):
+        self.dictionary = dictionary
+        self.smartirs, self.pivot, self.slope, self.eps = (smartirs, pivot,
+                                                           slope, eps)
+
+    def __getitem__(self, postings: DataFrame) -> DataFrame:
+        term_lens = None
+        if self.smartirs[2] == "b" and self.pivot is not None:
+            term_lens = self.dictionary.df.select(
+                "term_id", F.length("token").alias("term_len"))
+        return _tfidf.tfidf_postings(
+            postings, self.dictionary.df.select("term_id", "df"),
+            self.dictionary.num_docs, smartirs=self.smartirs, eps=self.eps,
+            pivot=self.pivot, slope=self.slope, term_lens=term_lens,
+        )
+
+
+class LogEntropyModel:
+    def __init__(self, normalize: bool = True):
+        self.normalize = normalize
+
+    def __getitem__(self, postings: DataFrame) -> DataFrame:
+        return _tfidf.log_entropy_postings(postings, self.normalize)
+
+
+class _BM25Base:
+    variant = "okapi"
+
+    def __init__(self, dictionary: Dictionary | None = None,
+                 corpus: DataFrame | None = None, k1: float = 1.5,
+                 b: float = 0.75, epsilon: float = 0.25):
+        """Both reference fit paths: from a Dictionary (avgdl = Σcf/N) or
+        from a postings corpus (avgdl = nnz/N — the documented quirk,
+        bm25model.py:64-74)."""
+        if dictionary is not None:
+            self.stats = _bm25.fit_from_vocab(
+                dictionary.df, dictionary.num_docs, variant=self.variant,
+                k1=k1, b=b, epsilon=epsilon)
+        else:
+            self.stats = _bm25.fit_from_postings(
+                corpus, variant=self.variant, k1=k1, b=b, epsilon=epsilon)
+
+    def __getitem__(self, postings: DataFrame) -> DataFrame:
+        return _bm25.weight_postings(postings, self.stats)
+
+
+class OkapiBM25Model(_BM25Base):
+    variant = "okapi"
+
+
+class LuceneBM25Model(_BM25Base):
+    variant = "lucene"
+
+
+class AtireBM25Model(_BM25Base):
+    variant = "atire"
+
+
+class SparseMatrixSimilarity:
+    """``SparseMatrixSimilarity`` + num_best clip (docsim.py:1150-1300,
+    interfaces.py:305-353): index a weighted corpus, query with (query_id,
+    term_id, q_weight) → per-query top-k with |score| ranking, zero-drop,
+    doc-ascending ties."""
+
+    def __init__(self, weighted_corpus: DataFrame, num_best: int = 10):
+        self.weighted = weighted_corpus
+        self.num_best = num_best
+
+    def __getitem__(self, query_terms: DataFrame) -> DataFrame:
+        return _topk.search(self.weighted, query_terms, k=self.num_best)
+
+    def query_text(self, spark: SparkSession, dictionary: Dictionary,
+                   queries: dict[int, str], k: int | None = None) -> DataFrame:
+        """Binary ('bnn') query weighting via vocab lookup (docsim.py:1149)."""
+        from gensim_spark.functions import textref
+
+        tokens = {qid: sorted(set(textref.simple_preprocess(q)))
+                  for qid, q in queries.items()}
+        flat = sorted({t for ts in tokens.values() for t in ts})
+        tid = {r["token"]: r["term_id"] for r in
+               dictionary.df.filter(F.col("token").isin(flat)).collect()}
+        qdf = _topk.query_terms_df(
+            spark, {qid: [tid[t] for t in ts if t in tid]
+                    for qid, ts in tokens.items()})
+        return _topk.search(self.weighted, qdf, k=k or self.num_best)
+
+    def similarity_by_id(self, doc_id: int, k: int | None = None) -> DataFrame:
+        return _topk.similarity_by_id(self.weighted, doc_id,
+                                      k=k or self.num_best)
+
+
+class Similarity:
+    """``gensim.similarities.Similarity`` — the sharded index (docsim.py:
+    260-758): builds packed doc-range shards under ``output_prefix`` and
+    answers queries with block-max WAND + two-stage merge."""
+
+    def __init__(self, output_prefix: str, weighted_corpus: DataFrame,
+                 num_best: int = 10, shardsize: int = 32768,
+                 iceberg: bool = False):
+        from gensim_spark.index import layout
+
+        self.prefix = output_prefix
+        self.num_best = num_best
+        self.iceberg = iceberg
+        self._spark = weighted_corpus.sparkSession
+        if iceberg:
+            layout.write_packed_shards_iceberg(
+                weighted_corpus, output_prefix, docs_per_shard=shardsize)
+        else:
+            layout.write_packed_shards(weighted_corpus, self.prefix,
+                                       docs_per_shard=shardsize,
+                                       resume=False)
+
+    def __getitem__(self, query_terms: dict[int, dict[int, float]]) -> DataFrame:
+        from gensim_spark.index import layout, wand
+
+        packed = (layout.read_packed_shards_iceberg(self._spark, self.prefix)
+                  if self.iceberg else None)
+        return wand.wand_topk(self._spark, self.prefix, query_terms,
+                              k=self.num_best, packed=packed)
+
+
+class Phrases:
+    """``gensim.models.Phrases`` over a (doc_id, tokens) DataFrame."""
+
+    def __init__(self, sentences: DataFrame, min_count: int = 5,
+                 threshold: float = 10.0, scoring: str = "default",
+                 connector_words=frozenset(), delimiter: str = "_"):
+        self.sentences = sentences
+        self.min_count, self.threshold = min_count, threshold
+        self.scoring = scoring
+        self.connector_words = frozenset(connector_words)
+        self.delimiter = delimiter
+
+    def export_phrases(self) -> DataFrame:
+        return _phrases.export_phrases(
+            self.sentences, self.threshold, self.min_count,
+            scoring=self.scoring, connector_words=self.connector_words,
+            delimiter=self.delimiter)
+
+    def find_phrases(self, docs: DataFrame | None = None) -> DataFrame:
+        return _phrases.find_phrases(
+            docs if docs is not None else self.sentences, self.threshold,
+            self.min_count, scoring=self.scoring,
+            connector_words=self.connector_words, delimiter=self.delimiter)
+
+    def freeze(self) -> "FrozenPhrases":
+        return FrozenPhrases(self)
+
+    def __getitem__(self, docs: DataFrame) -> DataFrame:
+        return self.freeze()[docs]
+
+
+class FrozenPhrases:
+    """``FrozenPhrases`` (phrases.py:729-790): phrase set exported once,
+    greedy merge on apply."""
+
+    def __init__(self, phrases_model: Phrases):
+        self.delimiter = phrases_model.delimiter
+        self.connector_words = phrases_model.connector_words
+        self.phrasegrams = {
+            r["phrase"]: r["score"]
+            for r in phrases_model.export_phrases().collect()
+        }
+
+    def __getitem__(self, docs: DataFrame) -> DataFrame:
+        return _phrases.apply_phrases(
+            docs, set(self.phrasegrams), delimiter=self.delimiter,
+            connector_words=self.connector_words)
+
+
+Phraser = FrozenPhrases  # reference alias (phrases.py:793)

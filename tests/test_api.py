@@ -1,0 +1,133 @@
+"""gensim-shaped facade (gensim_spark.api): surface parity against the
+pure-python oracles — a reference call site ports line-for-line."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import docs_df
+from tests.oracle import PyBM25, PyDictionary, py_topk
+
+
+def test_dictionary_surface(spark, common_texts, tmp_path):
+    from gensim_spark import api
+
+    docs = docs_df(spark, common_texts)
+    dct = api.Dictionary(docs)
+    odict = PyDictionary(common_texts)
+
+    assert len(dct) == len(odict.token2id)
+    assert dct.token2id == odict.token2id
+    assert dct.dfs == odict.dfs
+    assert dct.cfs == odict.cfs
+    assert dct.num_docs == odict.num_docs
+
+    bow = {(r["doc_id"], r["term_id"]): r["tf"]
+           for r in dct.doc2bow(docs).collect()}
+    for i, doc in enumerate(common_texts):
+        for t, f in odict.doc2bow(doc):
+            assert bow[(i, t)] == f
+
+    # maintenance chain returns new dictionaries
+    top = dct.most_common(3)
+    ranked = sorted(odict.cfs.items(), key=lambda p: (-p[1], p[0]))[:3]
+    id2tok = {v: k for k, v in odict.token2id.items()}
+    assert top == [(id2tok[t], c) for t, c in ranked]
+
+    smaller = dct.filter_n_most_frequent(2)
+    assert len(smaller) == len(dct) - 2
+
+    patched = dct.patch_with_special_tokens({"<pad>": 0})
+    p2id = patched.token2id
+    assert p2id["<pad>"] == 0
+    assert len(patched) == len(dct) + 1
+
+    # save/load round trip
+    path = str(tmp_path / "dict.tsv")
+    dct.save_as_text(path)
+    loaded = api.Dictionary.load_from_text(spark, path)
+    assert loaded.token2id == dct.token2id
+    assert loaded.num_docs == dct.num_docs
+
+
+def test_bm25_and_similarity_surface(spark, common_texts):
+    from gensim_spark import api
+
+    docs = docs_df(spark, common_texts)
+    dct = api.Dictionary(docs)
+    bow = dct.doc2bow(docs)
+    model = api.OkapiBM25Model(dictionary=dct)
+    weighted = model[bow]
+
+    odict = PyDictionary(common_texts)
+    omodel = PyBM25(dictionary=odict)
+    oc = [omodel.transform(odict.doc2bow(d)) for d in common_texts]
+    got = {(r["doc_id"], r["term_id"]): r["weight"]
+           for r in weighted.collect()}
+    for i, vec in enumerate(oc):
+        for t, w in vec:
+            assert got[(i, t)] == pytest.approx(w, rel=1e-12)
+
+    index = api.SparseMatrixSimilarity(weighted, num_best=5)
+    res = index.query_text(spark, dct, {0: "graph user"})
+    want = py_topk(oc, [odict.token2id["graph"], odict.token2id["user"]], 5)
+    by_rank = [r["doc_id"] for r in
+               sorted(res.collect(), key=lambda r: r["rank"])]
+    assert by_rank == [d for d, _ in want]
+
+    # the corpus-fit path carries the avgdl quirk
+    model2 = api.LuceneBM25Model(corpus=bow)
+    assert model2.stats.avgdl == pytest.approx(
+        odict.num_nnz / odict.num_docs)
+
+
+def test_sharded_similarity_surface(spark, common_texts, tmp_path):
+    from gensim_spark import api
+
+    docs = docs_df(spark, common_texts)
+    dct = api.Dictionary(docs)
+    weighted = api.OkapiBM25Model(dictionary=dct)[dct.doc2bow(docs)]
+    sim = api.Similarity(str(tmp_path / "shards"), weighted, num_best=5,
+                         shardsize=4)
+    odict = PyDictionary(common_texts)
+    omodel = PyBM25(dictionary=odict)
+    oc = [omodel.transform(odict.doc2bow(d)) for d in common_texts]
+    q = {0: {odict.token2id["graph"]: 1.0, odict.token2id["user"]: 1.0}}
+    got = [r["doc_id"] for r in
+           sorted(sim[q].collect(), key=lambda r: r["rank"])]
+    want = py_topk(oc, list(q[0]), 5)
+    assert got == [d for d, _ in want]
+
+
+def test_phrases_surface(spark):
+    from gensim_spark import api
+
+    sentences = [["new", "york", "city"], ["new", "york", "times"],
+                 ["visit", "new", "york"]] * 2
+    df = docs_df(spark, sentences)
+    # new_york scores exactly 1.0 here and detection is strictly
+    # score > threshold (phrases.py:686-688) — threshold must sit below it
+    ph = api.Phrases(df, min_count=2, threshold=0.5)
+    exported = {r["phrase"] for r in ph.export_phrases().collect()}
+    assert "new_york" in exported
+    frozen = ph.freeze()
+    assert "new_york" in frozen.phrasegrams
+    merged = {r["doc_id"]: r["tokens"] for r in frozen[df].collect()}
+    assert merged[0][0] == "new_york"
+    # Phraser alias exists (phrases.py:793)
+    assert api.Phraser is api.FrozenPhrases
+
+
+def test_tfidf_facade_matches_operator(spark, common_texts):
+    from gensim_spark import api
+    from gensim_spark.operators import tfidf as TF
+
+    docs = docs_df(spark, common_texts)
+    dct = api.Dictionary(docs)
+    bow = dct.doc2bow(docs)
+    got = {(r["doc_id"], r["term_id"]): r["weight"]
+           for r in api.TfidfModel(dct, smartirs="nfc")[bow].collect()}
+    want = {(r["doc_id"], r["term_id"]): r["weight"]
+            for r in TF.tfidf_postings(
+                bow, dct.df.select("term_id", "df"),
+                dct.num_docs, smartirs="nfc").collect()}
+    assert got == want
