@@ -54,10 +54,18 @@ def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.tokenize(_docs(spark, sf_dir), ascii_fast_path=True)
 
 
+_INDEX_MEMO: dict = {}
+
+
 def _index(spark: SparkSession, sf_dir: str, variant: str = "okapi"):
+    """Memoized per (session, sf_dir, variant): the driver runs ~35 entries
+    in one session and each would otherwise rebuild the same cached index."""
     from gensim_spark.plans import pipeline as P
 
-    return P.build(_tokenized(spark, sf_dir), variant=variant)
+    key = (id(spark), sf_dir, variant)
+    if key not in _INDEX_MEMO:
+        _INDEX_MEMO[key] = P.build(_tokenized(spark, sf_dir), variant=variant)
+    return _INDEX_MEMO[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
