@@ -193,12 +193,15 @@ def _shard_topk_factory(query_terms: dict[int, dict[int, float]], k: int,
     def shard_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         runs_by_term = {}
-        for _, r in pdf.iterrows():
-            docs = packing.decode_varint_deltas(bytes(r["doc_blob"]))
-            weights = np.frombuffer(bytes(r["weight_blob"]), dtype=np.float32)
-            bmax = np.frombuffer(bytes(r["block_max"]), dtype=np.float32)
-            blast = np.frombuffer(bytes(r["block_last_doc"]), dtype=np.int64)
-            runs_by_term[int(r["term_id"])] = (docs, weights, bmax, blast)
+        for tid, doc_blob, weight_blob, block_max, block_last in zip(
+            pdf["term_id"], pdf["doc_blob"], pdf["weight_blob"],
+            pdf["block_max"], pdf["block_last_doc"],
+        ):
+            docs = packing.decode_varint_deltas(bytes(doc_blob))
+            weights = np.frombuffer(bytes(weight_blob), dtype=np.float32)
+            bmax = np.frombuffer(bytes(block_max), dtype=np.float32)
+            blast = np.frombuffer(bytes(block_last), dtype=np.int64)
+            runs_by_term[int(tid)] = (docs, weights, bmax, blast)
         stats = {} if postings_acc is not None else None
         for qid, terms in query_terms.items():
             runs = []
