@@ -267,3 +267,55 @@ def test_concurrent_appends_from_threads(spark, tmp_path, simple_df):
     assert None in parents and len(parents - ids) == 1
     seqs = sorted(s.sequence_number for s in t.snapshots)
     assert seqs == list(range(1, 13))
+
+
+def test_random_op_sequences_match_model(spark, tmp_path, simple_df):
+    """Model-based check: random append/overwrite/rollback sequences must
+    leave the table exactly where a trivial in-memory model says — current
+    row multiset, snapshot count, and history timestamps monotonic."""
+    import random
+
+    from gensim_spark.index.icetable import IceTable
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        loc = str(tmp_path / f"model_{trial}")
+        t = IceTable.create(loc, "doc_id bigint, term_id bigint,"
+                                 " weight double")
+        model_rows: list[set] = []   # per-snapshot visible doc_id set
+        snap_ids: list[int] = []
+        visible: set = set()
+        next_lo = trial * 1000
+        for _step in range(6):
+            op = rng.choice(["append", "append", "overwrite", "rollback"])
+            if op == "rollback" and not snap_ids:
+                continue
+            if op == "rollback":
+                pick = rng.randrange(len(snap_ids))
+                t.rollback(snap_ids[pick])
+                visible = set(model_rows[pick])
+                continue
+            n = rng.randint(1, 4)
+            lo, hi = next_lo, next_lo + n
+            next_lo = hi
+            t.append(simple_df(lo, hi), operation=op)
+            if op == "overwrite":
+                visible = set(range(lo, hi))
+            else:
+                visible = visible | set(range(lo, hi))
+            snap_ids.append(t.current_snapshot.snapshot_id)
+            model_rows.append(set(visible))
+        got = {r["doc_id"] for r in t.scan(spark).collect()}
+        assert got == visible, (trial, got, visible)
+        # reload sees the identical state (all state is in the metadata)
+        t2 = IceTable.load(loc)
+        got2 = {r["doc_id"] for r in t2.scan(spark).collect()}
+        assert got2 == visible
+        # snapshot log timestamps are monotonic
+        ts = [e["timestamp-ms"] for e in t2.history()]
+        assert ts == sorted(ts)
+        # every historical snapshot remains scannable and matches the model
+        for sid, want in zip(snap_ids, model_rows):
+            hist = {r["doc_id"]
+                    for r in t2.scan(spark, snapshot_id=sid).collect()}
+            assert hist == want, (trial, sid)
