@@ -55,6 +55,9 @@ def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _INDEX_MEMO: dict = {}
+# written Iceberg postings store per (session, sf_dir) — rebuilding the
+# store (and leaking its tempdir) on every query invocation is avoidable
+_ICE_STORE_MEMO: dict = {}
 
 
 def _index(spark: SparkSession, sf_dir: str, variant: str = "okapi"):
@@ -142,11 +145,15 @@ def _q_bm25_topk_iceberg(spark, sf_dir):
     from gensim_spark.operators import topk as T
 
     idx = _index(spark, sf_dir)
-    loc = tempfile.mkdtemp(prefix="gs_ice_postings_") + "/postings"
-    layout.write_postings_bucketed_iceberg(
-        idx.weighted, loc, n_buckets=16,
-        dfs=idx.vocab.select("term_id", "df"), salt_threshold=10**9,
-    )
+    key = (id(spark), sf_dir)
+    if key not in _ICE_STORE_MEMO:
+        loc = tempfile.mkdtemp(prefix="gs_ice_postings_") + "/postings"
+        layout.write_postings_bucketed_iceberg(
+            idx.weighted, loc, n_buckets=16,
+            dfs=idx.vocab.select("term_id", "df"), salt_threshold=10**9,
+        )
+        _ICE_STORE_MEMO[key] = loc
+    loc = _ICE_STORE_MEMO[key]
     tokens = sorted(set(textref.simple_preprocess(QUERY_SET[0])))
     tid = {
         r["token"]: r["term_id"]

@@ -91,8 +91,12 @@ class Snapshot:
     sequence_number: int
     timestamp_ms: int
     operation: str                      # append | overwrite | replace
-    manifest: str                       # manifest filename (metadata/-rel)
+    manifest: str                       # delta manifest filename (metadata/-rel)
     summary: dict[str, Any] = field(default_factory=dict)
+    manifest_list: str | None = None    # snap-<id>.manifest-list.json (spec:
+    #   one manifest-list per snapshot holding its FULL state; older tables
+    #   written before round 3 lack it and fall back to the parent walk)
+    schema_id: int = 0
 
 
 class IceTable:
@@ -134,8 +138,10 @@ class IceTable:
             "location": location,
             "last-sequence-number": 0,
             "last-updated-ms": _now_ms(),
-            "schema": {"type": "struct", "ddl": schema_ddl,
+            "schema": {"type": "struct", "schema-id": 0, "ddl": schema_ddl,
                        "fields": _ddl_fields(schema_ddl)},
+            "current-schema-id": 0,
+            "last-column-id": len(_ddl_fields(schema_ddl)),
             "partition-spec": spec,
             "default-spec-id": 0,
             "properties": properties or {},
@@ -235,18 +241,28 @@ class IceTable:
         return self._commit_files(files, operation, dict(summary or {}),
                                   write_uuid)
 
-    def remove_orphans(self) -> int:
+    def remove_orphans(self, older_than_s: float = 3 * 3600.0) -> int:
         """Delete data files not referenced by ANY snapshot (crashed staged
-        writes). Returns the number removed."""
+        writes). Returns the number removed.
+
+        ``older_than_s`` is the retention interval: files modified within it
+        are kept even when unreferenced, because a concurrent writer may be
+        between ``stage_write`` and ``commit_staged`` — exactly why real
+        Iceberg's ``remove_orphan_files`` defaults to a 3-day threshold.
+        """
         live = set()
         for s in self.meta["snapshots"]:
-            for fentry in self._manifest_files(s):
-                live.add(os.path.realpath(fentry["path"]))
+            for name in self._state_manifest_names(s):
+                for fentry in self._read_manifest(name):
+                    live.add(os.path.realpath(fentry["path"]))
         removed = 0
+        cutoff = time.time() - older_than_s
         for root, _dirs, names in os.walk(self._data_dir):
             for name in names:
                 p = os.path.join(root, name)
-                if name.endswith(".parquet") and os.path.realpath(p) not in live:
+                if (name.endswith(".parquet")
+                        and os.path.realpath(p) not in live
+                        and os.path.getmtime(p) <= cutoff):
                     os.unlink(p)
                     removed += 1
         return removed
@@ -284,6 +300,35 @@ class IceTable:
                                      else added_records),
                 **{str(k): str(v) for k, v in summary.items()},
             }
+            # Manifest list (spec: each snapshot points at ONE manifest list
+            # holding its FULL state). Append inherits the parent's entries;
+            # overwrite/replace starts fresh. This is what makes
+            # expire_snapshots safe: a retained snapshot's state never
+            # depends on expired ancestors' snapshot entries.
+            new_entry = {
+                "manifest_path": manifest_name,
+                "manifest_length": os.path.getsize(
+                    os.path.join(self._meta_dir, manifest_name)),
+                "partition_spec_id": self.meta.get("default-spec-id", 0),
+                "content": 0,  # 0=data (no delete manifests in this layer)
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_data_files_count": len(files),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": added_records,
+            }
+            if operation == "append" and cur is not None:
+                entries = self._manifest_list_entries(cur) + [new_entry]
+            else:
+                entries = [new_entry]
+            mlist_name = f"snap-{snap_id}-{write_uuid}.manifest-list.json"
+            with open(os.path.join(self._meta_dir, mlist_name), "w") as f:
+                json.dump({"manifest-list-format":
+                           "json (avro in the iceberg spec; no avro writer "
+                           "available in this environment)",
+                           "entries": entries}, f, indent=1)
             snap = {
                 "snapshot-id": snap_id,
                 "parent-snapshot-id": parent,
@@ -291,6 +336,8 @@ class IceTable:
                 "timestamp-ms": _now_ms(),
                 "operation": operation,
                 "manifest": manifest_name,
+                "manifest-list": mlist_name,
+                "schema-id": self.meta.get("current-schema-id", 0),
                 "summary": full_summary,
             }
             new_meta = json.loads(json.dumps(self.meta))
@@ -309,6 +356,7 @@ class IceTable:
                 self._write_version(self.version + 1, new_meta)
             except CommitConflict:
                 os.unlink(os.path.join(self._meta_dir, manifest_name))
+                os.unlink(os.path.join(self._meta_dir, mlist_name))
                 continue
             self.meta, self.version = new_meta, self.version + 1
             return Snapshot(**{k.replace("-", "_"): v for k, v in snap.items()})
@@ -365,22 +413,38 @@ class IceTable:
         }:
             raise ValueError("cannot expire the current snapshot")
         drop = snaps[:-keep_last]
-        live_files = set()
+        # Liveness over the FULL state of every kept snapshot (its manifest
+        # list = the ancestor closure of its appends), not just its own
+        # delta manifest — an append snapshot's state includes files added
+        # by expired ancestors, and those must survive.
+        live_manifests: set[str] = set()
         for s in keep:
-            for fentry in self._manifest_files(s):
+            live_manifests.update(self._state_manifest_names(s))
+        live_files = set()
+        for name in live_manifests:
+            for fentry in self._read_manifest(name):
                 live_files.add(fentry["path"])
         removed_data = 0
         removed_manifests = 0
         for s in drop:
-            for fentry in self._manifest_files(s):
-                if (fentry["path"] not in live_files
-                        and os.path.exists(fentry["path"])):
-                    os.unlink(fentry["path"])
-                    removed_data += 1
-            mpath = os.path.join(self._meta_dir, s["manifest"])
-            if os.path.exists(mpath):
-                os.unlink(mpath)
-                removed_manifests += 1
+            for name in self._state_manifest_names(s):
+                if name in live_manifests:
+                    continue
+                for fentry in self._read_manifest(name):
+                    if (fentry["path"] not in live_files
+                            and os.path.exists(fentry["path"])):
+                        os.unlink(fentry["path"])
+                        removed_data += 1
+                mpath = os.path.join(self._meta_dir, name)
+                if os.path.exists(mpath):
+                    os.unlink(mpath)
+                    removed_manifests += 1
+                live_manifests.add(name)  # shared-by-dropped: delete once
+            mlist = s.get("manifest-list")
+            if mlist is not None:
+                mlpath = os.path.join(self._meta_dir, mlist)
+                if os.path.exists(mlpath):
+                    os.unlink(mlpath)
         new_meta = json.loads(json.dumps(self.meta))
         new_meta["snapshots"] = keep
         dropped_ids = {s["snapshot-id"] for s in drop}
@@ -398,12 +462,36 @@ class IceTable:
 
     def _manifest_files(self, snap: dict | Snapshot) -> list[dict]:
         name = snap["manifest"] if isinstance(snap, dict) else snap.manifest
+        return self._read_manifest(name)
+
+    def _read_manifest(self, name: str) -> list[dict]:
         with open(os.path.join(self._meta_dir, name)) as f:
             return json.load(f)["added-files"]
 
+    def _manifest_list_entries(self, snap: dict | Snapshot) -> list[dict]:
+        """The snapshot's manifest-list entries = its FULL state (spec
+        layout). Tables written before the manifest-list existed fall back
+        to the parent walk and synthesize equivalent entries."""
+        if isinstance(snap, Snapshot):
+            mlist = snap.manifest_list
+        else:
+            mlist = snap.get("manifest-list")
+        if mlist is not None:
+            with open(os.path.join(self._meta_dir, mlist)) as f:
+                return json.load(f)["entries"]
+        return [{"manifest_path": s.manifest,
+                 "added_snapshot_id": s.snapshot_id,
+                 "sequence_number": s.sequence_number}
+                for s in reversed(self._live_manifests(_as_snapshot(snap)))]
+
+    def _state_manifest_names(self, snap: dict | Snapshot) -> list[str]:
+        return [e["manifest_path"] for e in self._manifest_list_entries(snap)]
+
     def _live_manifests(self, snapshot: Snapshot) -> list[Snapshot]:
         """Manifest-holding ancestors of ``snapshot``: walk parents back to
-        the most recent overwrite/replace (which truncates history)."""
+        the most recent overwrite/replace (which truncates history).
+        Pre-manifest-list fallback only — requires every ancestor to still
+        be present in the snapshot list."""
         by_id = {s.snapshot_id: s for s in self.snapshots}
         chain = []
         cur: Snapshot | None = snapshot
@@ -436,8 +524,8 @@ class IceTable:
         if snap is None:
             return []
         out = []
-        for m in self._live_manifests(snap):
-            for fentry in self._manifest_files(m):
+        for name in self._state_manifest_names(snap):
+            for fentry in self._read_manifest(name):
                 if partition_pred and not partition_pred(fentry["partition"]):
                     continue
                 if stats_pred and not stats_pred(fentry):
@@ -474,6 +562,12 @@ class IceTable:
 
 def _now_ms() -> int:
     return int(time.time() * 1000)
+
+
+def _as_snapshot(snap: dict | Snapshot) -> Snapshot:
+    if isinstance(snap, Snapshot):
+        return snap
+    return Snapshot(**{k.replace("-", "_"): v for k, v in snap.items()})
 
 
 def _new_snapshot_id() -> int:

@@ -343,6 +343,13 @@ def write_postings_bucketed_iceberg(weighted: DataFrame, table_loc: str,
         df = df.withColumn("salt", F.lit(0))
     try:
         table = IceTable.load(table_loc)
+        stored = int(table.meta["properties"]["n_buckets"])
+        if stored != n_buckets:
+            # the reader prunes partitions with the STORED n_buckets; files
+            # written under a different modulus would silently miss rows
+            raise ValueError(
+                f"table at {table_loc} was created with n_buckets={stored}; "
+                f"writer passed n_buckets={n_buckets}")
     except FileNotFoundError:
         table = IceTable.create(
             table_loc,

@@ -69,67 +69,8 @@ def start_incremental_build(spark: SparkSession, pages_stream: DataFrame,
 
     Returns the StreamingQuery.
     """
-    from gensim_spark.functions.textprep import extract_tokenize_bow
-
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        ct = counts_table(store_dir)
-        if any(snap.summary.get("batch_id") == str(batch_id)
-               for snap in ct.snapshots):
-            return  # replayed batch — already committed atomically
-        counts = extract_tokenize_bow(batch_df, html_col=html_col)
-        counts.persist()
-        n_docs = counts.select("doc_id").distinct().count()
-        ct.append(counts.select("doc_id", "token", "tf", "dl"),
-                  summary={"batch_id": batch_id, "docs": n_docs})
-        new_stats = counts.groupBy("token").agg(
-            F.sum("tf").alias("cf"),
-            F.count(F.lit(1)).alias("df"),
-            F.min("doc_id").alias("first_doc"),
-        )
-        vt = vocab_table(store_dir)
-        old = vt.scan(s) if vt.current_snapshot is not None else None
-        if old is None or vt.current_snapshot.summary.get(
-                "total-records") == "0":
-            from gensim_spark.operators.vocab import assign_term_ids
-
-            vocab = assign_term_ids(new_stats, distributed=False).select(
-                "token", "term_id", "df", "cf", "first_doc"
-            )
-        else:
-            from pyspark.sql import Window
-
-            base_n = old.count()
-            joined = old.alias("a").join(new_stats.alias("b"), "token",
-                                         "full_outer")
-            kept = joined.filter(F.col("a.term_id").isNotNull()).select(
-                "token", F.col("a.term_id").alias("term_id"),
-                (F.coalesce(F.col("a.df"), F.lit(0))
-                 + F.coalesce(F.col("b.df"), F.lit(0))).alias("df"),
-                (F.coalesce(F.col("a.cf"), F.lit(0))
-                 + F.coalesce(F.col("b.cf"), F.lit(0))).alias("cf"),
-                F.col("a.first_doc").alias("first_doc"),
-            )
-            fresh = (
-                joined.filter(F.col("a.term_id").isNull())
-                .select("token", F.col("b.df").alias("df"),
-                        F.col("b.cf").alias("cf"),
-                        F.col("b.first_doc").alias("first_doc"))
-                .withColumn(
-                    "term_id",
-                    F.lit(base_n)
-                    + F.row_number().over(
-                        Window.orderBy("first_doc", "token")
-                    ) - F.lit(1),
-                )
-                .select("token", "term_id", "df", "cf", "first_doc")
-            )
-            vocab = kept.unionByName(fresh)
-        # snapshot isolation replaces the _next-dir swap dance: readers on
-        # the previous snapshot are untouched until this commit lands
-        vt.append(vocab.select("token", "term_id", "df", "cf", "first_doc"),
-                  operation="overwrite", summary={"batch_id": batch_id})
-        counts.unpersist()
+        process_pages_batch(batch_df, batch_id, store_dir, html_col=html_col)
 
     return (
         pages_stream.writeStream.foreachBatch(process_batch)
@@ -137,6 +78,82 @@ def start_incremental_build(spark: SparkSession, pages_stream: DataFrame,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def process_pages_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
+                        html_col: str = "html") -> None:
+    """One micro-batch of the incremental build (the foreachBatch body,
+    module-level so crash/replay paths are directly testable)."""
+    from gensim_spark.functions.textprep import extract_tokenize_bow
+
+    s = batch_df.sparkSession
+    ct = counts_table(store_dir)
+    vt0 = vocab_table(store_dir)
+    # Each batch performs TWO commits (counts append, then vocab
+    # overwrite). The VOCAB commit — the last one — is the batch's
+    # completion marker: only skip the whole batch if it made it there.
+    # A crash between the two commits leaves the batch_id in counts but
+    # not vocab; the replay then skips only the counts append and redoes
+    # the vocab update, so no batch's tokens are ever lost.
+    if any(snap.summary.get("batch_id") == str(batch_id)
+           for snap in vt0.snapshots):
+        return  # replayed batch — fully committed
+    counts_done = any(snap.summary.get("batch_id") == str(batch_id)
+                      for snap in ct.snapshots)
+    counts = extract_tokenize_bow(batch_df, html_col=html_col)
+    counts.persist()
+    if not counts_done:
+        n_docs = counts.select("doc_id").distinct().count()
+        ct.append(counts.select("doc_id", "token", "tf", "dl"),
+                  summary={"batch_id": batch_id, "docs": n_docs})
+    new_stats = counts.groupBy("token").agg(
+        F.sum("tf").alias("cf"),
+        F.count(F.lit(1)).alias("df"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    vt = vocab_table(store_dir)
+    old = vt.scan(s) if vt.current_snapshot is not None else None
+    if old is None or vt.current_snapshot.summary.get(
+            "total-records") == "0":
+        from gensim_spark.operators.vocab import assign_term_ids
+
+        vocab = assign_term_ids(new_stats, distributed=False).select(
+            "token", "term_id", "df", "cf", "first_doc"
+        )
+    else:
+        from pyspark.sql import Window
+
+        base_n = old.count()
+        joined = old.alias("a").join(new_stats.alias("b"), "token",
+                                     "full_outer")
+        kept = joined.filter(F.col("a.term_id").isNotNull()).select(
+            "token", F.col("a.term_id").alias("term_id"),
+            (F.coalesce(F.col("a.df"), F.lit(0))
+             + F.coalesce(F.col("b.df"), F.lit(0))).alias("df"),
+            (F.coalesce(F.col("a.cf"), F.lit(0))
+             + F.coalesce(F.col("b.cf"), F.lit(0))).alias("cf"),
+            F.col("a.first_doc").alias("first_doc"),
+        )
+        fresh = (
+            joined.filter(F.col("a.term_id").isNull())
+            .select("token", F.col("b.df").alias("df"),
+                    F.col("b.cf").alias("cf"),
+                    F.col("b.first_doc").alias("first_doc"))
+            .withColumn(
+                "term_id",
+                F.lit(base_n)
+                + F.row_number().over(
+                    Window.orderBy("first_doc", "token")
+                ) - F.lit(1),
+            )
+            .select("token", "term_id", "df", "cf", "first_doc")
+        )
+        vocab = kept.unionByName(fresh)
+    # snapshot isolation replaces the _next-dir swap dance: readers on
+    # the previous snapshot are untouched until this commit lands
+    vt.append(vocab.select("token", "term_id", "df", "cf", "first_doc"),
+              operation="overwrite", summary={"batch_id": batch_id})
+    counts.unpersist()
 
 
 def compact(spark: SparkSession, store_dir: str, index_dir: str,

@@ -101,6 +101,58 @@ def test_expire_snapshots_deletes_unreferenced_files(spark, tmp_path,
     assert len(t.snapshots) == 1
 
 
+def test_expire_keeps_ancestor_files_of_retained_appends(spark, tmp_path,
+                                                         simple_df):
+    """Round-2 ADVICE (high): an append snapshot's full state includes files
+    added by ancestor snapshots; expiring the ancestors must not delete them
+    or drop them from scans."""
+    from gensim_spark.index.icetable import IceTable
+
+    loc = str(tmp_path / "t4b")
+    t = IceTable.create(loc, "doc_id bigint, term_id bigint, weight double")
+    t.append(simple_df(0, 5))
+    t.append(simple_df(5, 9))
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed["snapshots"] == 1
+    assert removed["data_files"] == 0  # every file still live via the kept
+    assert len(t.snapshots) == 1
+    assert _rows(t.scan(spark)) == [(i,) for i in range(9)]
+    assert t.current_snapshot.summary["total-records"] == "9"
+    # reload from disk (no in-memory state) and append on top
+    t2 = IceTable.load(loc)
+    assert t2.scan(spark).count() == 9
+    t2.append(simple_df(9, 12))
+    assert t2.scan(spark).count() == 12
+
+
+def test_snapshot_manifest_list_spec_fields(spark, tmp_path, simple_df):
+    """Each snapshot carries a manifest list with the spec's field names;
+    an append's list = parent's entries + its own new manifest."""
+    from gensim_spark.index.icetable import IceTable
+
+    loc = str(tmp_path / "t4c")
+    t = IceTable.create(loc, "doc_id bigint, term_id bigint, weight double")
+    s1 = t.append(simple_df(0, 5))
+    s2 = t.append(simple_df(5, 9))
+    assert s2.manifest_list is not None
+    with open(os.path.join(loc, "metadata", s2.manifest_list)) as f:
+        entries = json.load(f)["entries"]
+    assert [e["added_snapshot_id"] for e in entries] \
+        == [s1.snapshot_id, s2.snapshot_id]
+    for e in entries:
+        for fld in ("manifest_path", "manifest_length", "partition_spec_id",
+                    "content", "sequence_number", "min_sequence_number",
+                    "added_data_files_count", "added_rows_count"):
+            assert fld in e
+        assert e["manifest_length"] == os.path.getsize(
+            os.path.join(loc, "metadata", e["manifest_path"]))
+    # overwrite truncates the state: fresh list with one entry
+    s3 = t.append(simple_df(100, 102), operation="overwrite")
+    with open(os.path.join(loc, "metadata", s3.manifest_list)) as f:
+        entries3 = json.load(f)["entries"]
+    assert [e["added_snapshot_id"] for e in entries3] == [s3.snapshot_id]
+
+
 def test_concurrent_commit_conflict_retries(spark, tmp_path, simple_df):
     """A concurrent writer that linked v<N+1> but died before advancing the
     hint: refresh must probe past the hint and the commit lands on v<N+2>."""
@@ -164,7 +216,9 @@ def test_remove_orphans(spark, tmp_path, simple_df):
     os.makedirs(stray_dir)
     simple_df(90, 95).toPandas().to_parquet(
         os.path.join(stray_dir, "part-0.parquet"))
-    assert t.remove_orphans() == 1
+    # default retention window protects a possibly-in-flight staged write
+    assert t.remove_orphans() == 0
+    assert t.remove_orphans(older_than_s=0) == 1
     assert t.scan(spark).count() == 4
 
 
@@ -227,6 +281,24 @@ def test_postings_bucketed_iceberg_prunes_and_matches(spark, tmp_path):
     pruned_files = t.plan_files(
         partition_pred=lambda p: p.get("bucket") in buckets)
     assert 0 < len(pruned_files) < len(t.plan_files())
+
+
+def test_postings_bucketed_iceberg_rejects_n_buckets_mismatch(spark, tmp_path):
+    """Round-2 ADVICE (medium): the reader prunes with the STORED n_buckets,
+    so a writer passing a different modulus must be rejected, not silently
+    accepted."""
+    from gensim_spark.index import layout
+    from gensim_spark.plans import pipeline as P
+    from gensim_spark.sources.synth import generate_pages
+
+    pages = generate_pages(spark, 100, tokens_per_doc=20, partitions=2)
+    idx = P.build(P.tokenize(pages, ascii_fast_path=True), num_docs=100)
+    loc = str(tmp_path / "ice_nb")
+    layout.write_postings_bucketed_iceberg(idx.weighted, loc, n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        layout.write_postings_bucketed_iceberg(idx.weighted, loc, n_buckets=16)
+    # same modulus still appends fine
+    layout.write_postings_bucketed_iceberg(idx.weighted, loc, n_buckets=8)
 
 
 def test_concurrent_appends_from_threads(spark, tmp_path, simple_df):

@@ -156,6 +156,49 @@ def test_streaming_incremental_build(spark, tmp_path):
     assert old_vocab == before
 
 
+def test_incremental_replay_after_crash_between_commits(spark, tmp_path):
+    """Round-2 ADVICE (medium): each batch does TWO commits (counts append,
+    vocab overwrite). A crash between them must not lose the batch's tokens
+    on replay — the vocab commit is the completion marker."""
+    from gensim_spark.functions.textprep import extract_tokenize_bow
+    from gensim_spark.sources.synth import generate_pages
+    from gensim_spark.streaming.incremental import (counts_table,
+                                                    process_pages_batch,
+                                                    read_counts, read_vocab,
+                                                    vocab_table)
+
+    store = str(tmp_path / "store")
+    b0 = generate_pages(spark, 40, tokens_per_doc=25, partitions=1)
+    b1 = generate_pages(spark, 40, tokens_per_doc=25, partitions=1) \
+        .withColumn("doc_id", F.col("doc_id") + 40)
+    process_pages_batch(b0, 0, store)
+    # simulate the crash: batch 1's counts append landed, vocab did not
+    counts1 = extract_tokenize_bow(b1)
+    counts_table(store).append(counts1.select("doc_id", "token", "tf", "dl"),
+                               summary={"batch_id": 1, "docs": 40})
+    vocab_before = {r["token"] for r in read_vocab(spark, store).collect()}
+    # stream restart replays batch 1
+    process_pages_batch(b1, 1, store)
+    # no duplicated counts: exactly one counts snapshot carries batch_id=1
+    ct = counts_table(store)
+    assert [s.summary["batch_id"] for s in ct.snapshots].count("1") == 1
+    assert read_counts(spark, store).count() \
+        == counts1.count() + extract_tokenize_bow(b0).count()
+    # the vocab DID advance with batch 1's tokens
+    vocab_after = {r["token"]: r["term_id"]
+                   for r in read_vocab(spark, store).collect()}
+    batch1_tokens = {r["token"] for r in counts1.select("token").distinct()
+                     .collect()}
+    assert batch1_tokens <= set(vocab_after)
+    assert vocab_before < set(vocab_after) or batch1_tokens <= vocab_before
+    # a full replay of the completed batch is a no-op on both tables
+    v_ver = vocab_table(store).version
+    c_ver = counts_table(store).version
+    process_pages_batch(b1, 1, store)
+    assert vocab_table(store).version == v_ver
+    assert counts_table(store).version == c_ver
+
+
 def test_streaming_event_stats_plan(spark):
     """The watermarked windowed agg compiles and carries the event-time
     watermark (no real stream needed to validate the plan)."""
