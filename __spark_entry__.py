@@ -34,6 +34,8 @@ _KNN_QUERIES = 3          # embeddings vec_id < 3 used as queries
 _KNN_K = 5
 _LSH_PLANES = 4
 _EMB_DIMS = 64
+_IVF_CELLS = 8
+_IVF_PROBE = 3
 _NEAR_DUP_T = 0.35  # synthetic embeddings max pairwise cosine ~0.51
 
 
@@ -352,17 +354,20 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
-    """IVF approximate top-k (k-means cells + n_probe). No oracle_sql entry:
-    the coarse quantizer is pyspark.ml KMeans (deterministic seed) and not
-    ANSI-SQL-expressible — the driver records the weaker rows-only check;
-    exact-recall behavior is pytest-verified (tests/test_simsearch.py)."""
+    """IVF approximate top-k with the deterministic hash-seeded coarse
+    quantizer (simsearch.ivf_topk_det): seeds = the n_cells vectors with the
+    smallest hash60(vec_id), cells/probes by argmax cosine — fully
+    relational, so DuckDB replicates the whole path and the driver gets a
+    rows+schema+hash check. The trained-KMeans variant (ivf_topk) remains
+    the quality-tuned option, pytest-verified."""
     from gensim_spark.operators import simsearch as S
 
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = S.ivf_topk(emb, q, k=_KNN_K, n_cells=8, n_probe=3, seed=42)
+    out = S.ivf_topk_det(emb, q, k=_KNN_K, n_cells=_IVF_CELLS,
+                         n_probe=_IVF_PROBE)
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
                       "rank")
 
@@ -451,7 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "knn_cosine": _q_knn_cosine,
         "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,  # rows-only check: no SQL-expressible oracle
+        "ann_ivf": _q_ann_ivf,
         "embedding_near_dups": _q_embedding_near_dups,
         "fuzzy_terms": _q_fuzzy_terms,
         "soft_cosine": _q_soft_cosine,
@@ -763,6 +768,49 @@ FROM ranked WHERE rank <= {_KNN_K}
 """
 
 
+def _ivf_sql() -> str:
+    """Hash-seeded IVF: identical quantizer to simsearch.ivf_topk_det —
+    seeds = n_cells smallest hash60(vec_id), assignment/probes by argmax
+    cosine with ties to the smallest cell."""
+    hh = _h60("CAST(vec_id AS VARCHAR)")
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    return f"""
+WITH h AS (SELECT vec_id, embedding::DOUBLE[] AS v, {hh} AS hh
+           FROM embeddings),
+seeds AS (
+  SELECT v AS sv,
+         CAST(row_number() OVER (ORDER BY hh ASC, vec_id ASC) AS BIGINT) - 1
+           AS cell
+  FROM h QUALIFY row_number() OVER (ORDER BY hh ASC, vec_id ASC)
+    <= {_IVF_CELLS}),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT h.vec_id, h.v, s.cell,
+           row_number() OVER (PARTITION BY h.vec_id
+             ORDER BY {cos.format(a='h.v', b='s.sv')} DESC, s.cell ASC) AS r
+    FROM h CROSS JOIN seeds s) WHERE r = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM h
+      WHERE vec_id < {_KNN_QUERIES}),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, s.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos.format(a='q.qv', b='s.sv')} DESC, s.cell ASC) AS r
+    FROM q CROSS JOIN seeds s) WHERE r <= {_IVF_PROBE}),
+scored AS (
+  SELECT p.query_id, a.vec_id, {cos.format(a='a.v', b='p.qv')} AS cosine
+  FROM assigned a JOIN probes p USING (cell)),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {_KNN_K}
+"""
+
+
 _CONNECTOR_SQL_LIST = ("'a','an','the','for','of','with','without','at',"
                        "'from','to','in','on','by','and','or'")
 
@@ -1055,5 +1103,6 @@ SELECT query_id, doc_id, round(score, 6) AS score, rank
 FROM ranked WHERE rank <= 10""",
         "knn_cosine": _knn_sql(),
         "ann_lsh": _lsh_sql(),
+        "ann_ivf": _ivf_sql(),
         "embedding_near_dups": _near_dup_lsh_sql(),
     }

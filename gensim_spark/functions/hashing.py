@@ -26,6 +26,13 @@ def hash60_sql(expr: str) -> str:
     return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
 
 
+def hash60_py(s: str) -> int:
+    """Pure-python replica of :func:`hash60` (tests / driver-side models)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def seeded(col: Column, seed: int) -> Column:
     """Seed-perturbed hash: hash60(seed || ':' || col)."""
     return hash60(F.concat(F.lit(f"{seed}:"), col.cast("string")))

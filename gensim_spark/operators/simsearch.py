@@ -172,6 +172,105 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def ivf_seed_rows(embeddings: DataFrame, n_cells: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic hash-seeded coarse quantizer: cell seeds are the
+    ``n_cells`` corpus vectors with the smallest ``hash60(vec_id)`` (ties by
+    vec_id), cell = rank in that order. Relational and ANSI-SQL-expressible,
+    so the whole IVF path is oracle-checkable cross-engine — unlike a
+    trained k-means model (``ivf_fit``), which stays as the quality-tuned
+    variant. Collecting n_cells·dims floats to the driver is the standard
+    'centroids are a model artifact' move, O(kB) at any corpus size; the
+    seed selection itself is a distributed TakeOrdered (top-n_cells by
+    hash), not a global sort."""
+    return (
+        embeddings.select(F.col(id_col).alias("sid"),
+                          F.col(vec_col).alias("sv"))
+        .withColumn("_h", hash60(F.col("sid").cast("string")))
+        .orderBy("_h", "sid")
+        .limit(n_cells)
+        .collect()
+    )
+
+
+def _cells_literal(seeds) -> Column:
+    return F.array(*[
+        F.struct(F.lit(i).alias("cell"),
+                 F.array(*[F.lit(float(x)) for x in row["sv"]]).alias("cv"))
+        for i, row in enumerate(seeds)
+    ])
+
+
+def _cell_scores(vec: Column, cells_lit: Column) -> Column:
+    """array<struct(cos, negcell)>: struct max/sort gives argmax cosine with
+    ties to the SMALLEST cell (negcell descends as cell ascends)."""
+    return F.transform(
+        cells_lit,
+        lambda c: F.struct(
+            cosine_expr(vec, c["cv"]).alias("cos"),
+            (-c["cell"]).alias("negcell"),
+        ),
+    )
+
+
+def ivf_assign_det(embeddings: DataFrame, seeds, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell) under the hash-seeded quantizer: per-row argmax cosine
+    against the broadcast seed literals — embarrassingly parallel, zero
+    shuffle (vs. the cross-join + window a naive argmin would cost)."""
+    best = F.array_max(_cell_scores(F.col(vec_col), _cells_literal(seeds)))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        (-best["negcell"]).cast("long").alias("cell"),
+    )
+
+
+def ivf_topk_det(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                 n_cells: int = 16, n_probe: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "query_id") -> DataFrame:
+    """IVF approximate top-k with the deterministic hash-seeded quantizer:
+    probe the ``n_probe`` best cells per query, rank candidates by true
+    cosine. (query_id, vec_id, cosine, rank). Semantics match ``ivf_topk``
+    (partition corpus into cells, probe a fraction), with a quantizer both
+    Spark and an ANSI-SQL oracle can reproduce exactly."""
+    seeds = ivf_seed_rows(embeddings, n_cells, id_col, vec_col)
+    cells_lit = _cells_literal(seeds)
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    ).withColumn(
+        "cell",
+        (-F.array_max(_cell_scores(F.col("_v"), cells_lit))["negcell"])
+        .cast("long"),
+    )
+    # per query: the n_probe best cells by seed cosine (array sort of
+    # n_cells structs — no join, no shuffle)
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+    probes = (
+        q.withColumn(
+            "_top",
+            F.slice(F.reverse(F.array_sort(
+                _cell_scores(F.col("_qv"), cells_lit))), 1, n_probe),
+        )
+        .select("query_id", "_qv",
+                F.explode(F.transform(
+                    F.col("_top"), lambda s: (-s["negcell"]).cast("long")
+                )).alias("cell"))
+    )
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id", "vec_id",
+        cosine_expr(F.col("_v"), F.col("_qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              planes: int = 6, dims: int = 64, id_col: str = "vec_id",
              vec_col: str = "embedding",

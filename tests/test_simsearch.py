@@ -66,6 +66,54 @@ def test_ivf_topk_recall(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.5  # random data, 3/8 cells probed
 
 
+def test_ivf_topk_det_matches_numpy_model(spark, emb):
+    """Hash-seeded IVF replicated in numpy end-to-end: same seeds, same
+    cell assignment (argmax cosine, ties → smallest cell), same probes,
+    same final top-k — the cross-engine determinism the oracle relies on."""
+    from gensim_spark.functions.hashing import hash60_py
+    from gensim_spark.operators import simsearch as S
+
+    df, vecs = emb
+    n_cells, n_probe, k = 8, 3, 10
+    # numpy model of the quantizer
+    order = sorted(range(len(vecs)), key=lambda i: (hash60_py(str(i)), i))
+    seed_ids = order[:n_cells]
+    sv = vecs[seed_ids].astype(np.float64)
+    vn = vecs.astype(np.float64)
+    cos_mat = (vn @ sv.T) / (
+        np.linalg.norm(vn, axis=1, keepdims=True)
+        * np.linalg.norm(sv, axis=1)
+    )
+    assign = np.argmax(cos_mat, axis=1)  # argmax takes first (smallest cell)
+    got_assign = {
+        r["vec_id"]: r["cell"]
+        for r in S.ivf_assign_det(
+            df, S.ivf_seed_rows(df, n_cells)).collect()
+    }
+    assert got_assign == {i: int(assign[i]) for i in range(len(vecs))}
+    # probes + final top-k
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in S.ivf_topk_det(df, q, k=k, n_cells=n_cells,
+                            n_probe=n_probe).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine"])
+        )
+    norms = np.linalg.norm(vn, axis=1)
+    for qid in range(3):
+        probe_cells = sorted(
+            range(n_cells), key=lambda c: (-cos_mat[qid, c], c))[:n_probe]
+        cand = [i for i in range(len(vecs)) if assign[i] in probe_cells]
+        sims = vn[cand] @ vn[qid] / (norms[cand] * norms[qid])
+        want = sorted(zip(cand, sims), key=lambda t: (-t[1], t[0]))[:k]
+        rows = sorted(got[qid])
+        assert [v for _, v, _ in rows] == [i for i, _ in want]
+        for (_, _, gc), (_, wc) in zip(rows, want):
+            assert gc == pytest.approx(float(wc), rel=1e-6)
+
+
 def test_embedding_near_dups_lsh_matches_bucketed_brute(spark, emb):
     """LSH near-dups == brute-force pairs restricted to equal buckets, and
     the plan contains NO cartesian product (the 100 TB guarantee)."""
