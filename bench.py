@@ -153,14 +153,18 @@ def run_suite():
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs_per_sec": round(docs_per_sec, 1),
         "query_p95_ms": round(p95_ms, 1),
-        # measured via _wand_bench_inner(1_000_000) (round 2; interleaved
-        # reps, min-of-3, rank-identity asserted in-run); regenerate with
+        # measured via _wand_bench_inner(1_000_000) (round 3, block-lazy
+        # decode; interleaved reps, min-of-3 in-run + best-of-2 invocations,
+        # rank-identity asserted in-run); regenerate with
         # python -c "import bench; print(bench._wand_bench_inner(1_000_000))"
         "wand_1m_reference": {
             "docs": 1000000, "postings": 51904408, "cores": 32,
-            "wand_sec": 0.657, "joinagg_sec": 0.951, "speedup": 1.45,
-            "query_postings": 4268522, "query_evaluated": 74079,
-            "skipped_pct": 98.3, "measured": "round 2, BASELINE.md",
+            "wand_sec": 0.561, "joinagg_sec": 0.882, "speedup": 1.57,
+            "query_postings": 4268522, "query_evaluated": 73954,
+            "skipped_pct": 98.3, "query_blocks_total": 33786,
+            "query_blocks_decoded": 4024, "blocks_decoded_pct": 11.9,
+            "measured": "round 3, BASELINE.md (round 2: 0.657/0.951 = 1.45x, "
+                        "100% blocks decoded)",
         },
         # measured once per round with SPARK_GRAFT_SCALING=1 (interleaved
         # reps, min-of, fresh subprocess per run); see BASELINE.md §Measured
@@ -271,6 +275,13 @@ def _wand_bench_inner(n_docs: int, cores: int = 0) -> dict:
         out["skipped_pct"] = round(
             100 * (1 - out["query_evaluated"] / max(out["query_postings"], 1)),
             1)
+        # lazy-decode evidence (pack format v2): varint blocks in the query
+        # terms' runs vs blocks actually decoded during traversal
+        out["query_blocks_total"] = stats["blocks_total"].value
+        out["query_blocks_decoded"] = stats["blocks_decoded"].value
+        out["blocks_decoded_pct"] = round(
+            100 * out["query_blocks_decoded"]
+            / max(out["query_blocks_total"], 1), 1)
     finally:
         shutil.rmtree(shard_dir, ignore_errors=True)
         spark.stop()

@@ -38,7 +38,8 @@ from gensim_spark.index import packing
 
 PACKED_SCHEMA = (
     "shard_id long, term_id long, n long, doc_blob binary, weight_blob binary,"
-    " block_max binary, block_last_doc binary"
+    " block_max binary, block_last_doc binary, block_first_doc binary,"
+    " block_offset binary"
 )
 
 
@@ -61,6 +62,8 @@ def _pack_partition_fn(docs_acc=None):
                 "doc_blob": run["doc_blob"], "weight_blob": run["weight_blob"],
                 "block_max": run["block_max"],
                 "block_last_doc": run["block_last_doc"],
+                "block_first_doc": run["block_first_doc"],
+                "block_offset": run["block_offset"],
             }
 
         for pdf in pdf_iter:

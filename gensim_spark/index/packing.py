@@ -18,16 +18,8 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
-def encode_varint_deltas(doc_ids: np.ndarray) -> bytes:
-    """Sorted int64 doc_ids → delta+varint blob (LEB128, numpy-vectorized)."""
-    doc_ids = np.asarray(doc_ids, dtype=np.int64)
-    if doc_ids.size == 0:
-        return b""
-    deltas = np.empty_like(doc_ids)
-    deltas[0] = doc_ids[0]
-    np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
-    # LEB128: 7 bits per byte, high bit = continuation
-    vals = deltas.astype(np.uint64)
+def _varint_encode(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 values → (LEB128 byte array, per-value byte counts)."""
     nbytes = np.maximum((64 - np.uint64(0) - _clz64(vals) + 6) // 7, 1)
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
@@ -41,6 +33,18 @@ def encode_varint_deltas(doc_ids: np.ndarray) -> bytes:
         cont = (nbytes[mask] > b + 1).astype(np.uint8) << 7
         out[idx] = byte | cont
         rem[mask] = rem[mask] >> np.uint64(7)
+    return out, nbytes
+
+
+def encode_varint_deltas(doc_ids: np.ndarray) -> bytes:
+    """Sorted int64 doc_ids → delta+varint blob (LEB128, numpy-vectorized)."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    if doc_ids.size == 0:
+        return b""
+    deltas = np.empty_like(doc_ids)
+    deltas[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+    out, _ = _varint_encode(deltas.astype(np.uint64))
     return out.tobytes()
 
 
@@ -78,25 +82,59 @@ def decode_varint_deltas(blob: bytes) -> np.ndarray:
 def pack_run(doc_ids: np.ndarray, weights: np.ndarray,
              block_size: int = BLOCK_SIZE):
     """One term's postings (sorted by doc_id) → packed run dict:
-    doc_blob, weight_blob (float32 LE), n, block_max (float32[]),
-    block_last_doc (int64[]) — per-block skip metadata."""
+    doc_blob, weight_blob (float32 LE), n, and per-block skip metadata:
+    block_max (float32[]), block_last_doc / block_first_doc (int64[]),
+    block_offset (int64[] — byte offset of each block's first varint in
+    doc_blob, enabling BLOCK-LAZY decode: a block decodes independently as
+    blast[b-1] + cumsum(deltas), so WAND traversal pays decode cost only
+    for blocks it actually evaluates)."""
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     weights = np.asarray(weights, dtype=np.float32)
     n = doc_ids.size
     nblocks = (n + block_size - 1) // block_size
     bmax = np.empty(nblocks, dtype=np.float32)
     blast = np.empty(nblocks, dtype=np.int64)
+    bfirst = np.empty(nblocks, dtype=np.int64)
     for i in range(nblocks):
         sl = slice(i * block_size, min((i + 1) * block_size, n))
         bmax[i] = np.abs(weights[sl]).max()
         blast[i] = doc_ids[sl.stop - 1]
+        bfirst[i] = doc_ids[sl.start]
+    if n:
+        deltas = np.empty_like(doc_ids)
+        deltas[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+        out, nbytes = _varint_encode(deltas.astype(np.uint64))
+        cum = np.concatenate(([0], np.cumsum(nbytes))).astype(np.int64)
+        boffs = cum[np.arange(nblocks) * block_size]
+        doc_blob = out.tobytes()
+    else:
+        boffs = np.empty(0, dtype=np.int64)
+        doc_blob = b""
     return {
         "n": int(n),
-        "doc_blob": encode_varint_deltas(doc_ids),
+        "doc_blob": doc_blob,
         "weight_blob": weights.tobytes(),
         "block_max": bmax.tobytes(),
         "block_last_doc": blast.tobytes(),
+        "block_first_doc": bfirst.tobytes(),
+        "block_offset": boffs.tobytes(),
     }
+
+
+def decode_block(doc_blob: bytes, block_offsets: np.ndarray,
+                 block_last_doc: np.ndarray, b: int) -> np.ndarray:
+    """Decode ONLY block ``b`` of a packed run (int64 doc_ids). The delta
+    chain crosses block boundaries, but the previous block's last doc is in
+    the skip metadata, so the block is self-contained: blast[b-1] +
+    cumsum(block deltas)."""
+    start = int(block_offsets[b])
+    end = (int(block_offsets[b + 1]) if b + 1 < len(block_offsets)
+           else len(doc_blob))
+    docs = decode_varint_deltas(doc_blob[start:end])
+    if b > 0:
+        docs = docs + int(block_last_doc[b - 1])
+    return docs
 
 
 def unpack_run(run) -> tuple[np.ndarray, np.ndarray]:
@@ -110,3 +148,11 @@ def unpack_blocks(run) -> tuple[np.ndarray, np.ndarray]:
     bmax = np.frombuffer(bytes(run["block_max"]), dtype=np.float32)
     blast = np.frombuffer(bytes(run["block_last_doc"]), dtype=np.int64)
     return bmax, blast
+
+
+def unpack_block_lazy_meta(run) -> tuple[np.ndarray, np.ndarray]:
+    """(block_first_doc int64[], block_offset int64[]) — the lazy-decode
+    sidecar added in pack format v2."""
+    bfirst = np.frombuffer(bytes(run["block_first_doc"]), dtype=np.int64)
+    boffs = np.frombuffer(bytes(run["block_offset"]), dtype=np.int64)
+    return bfirst, boffs

@@ -34,6 +34,67 @@ from gensim_spark.index.layout import read_packed_shards
 
 LOCAL_TOPK_SCHEMA = "query_id int, doc_id long, score double"
 
+# Runs at or below this many postings decode their whole doc array up front:
+# decode is cheap there and full docs give presence-EXACT segment bounds
+# (critical ordering quality — a sparse term's single wide block would
+# otherwise smear its max over every segment). Longer runs (head terms — the
+# decode cost) stay block-lazy: their blocks are dense, so block-overlap
+# presence from (block_first_doc, block_last_doc) is nearly exact, and only
+# blocks whose segments get EVALUATED are ever varint-decoded.
+EAGER_DECODE_MAX = 8192
+
+
+class _TermRun:
+    """One term's packed run in a shard, shared across the batch's queries:
+    weights/skip metadata are O(1) frombuffer views; the doc-id varint blob
+    decodes per block on demand (pack format v2 block_offset sidecar)."""
+
+    __slots__ = ("doc_blob", "weights", "bmax", "blast", "bfirst", "boffs",
+                 "docs", "blocks", "eager", "n", "has_neg", "has_pos")
+
+    def __init__(self, doc_blob, weight_blob, block_max, block_last,
+                 block_first, block_offset, eager_max: int | None = None):
+        self.doc_blob = bytes(doc_blob)
+        self.weights = np.frombuffer(bytes(weight_blob), dtype=np.float32) \
+            .astype(np.float64)
+        self.bmax = np.frombuffer(bytes(block_max), dtype=np.float32) \
+            .astype(np.float64)
+        self.blast = np.frombuffer(bytes(block_last), dtype=np.int64)
+        self.bfirst = np.frombuffer(bytes(block_first), dtype=np.int64)
+        self.boffs = np.frombuffer(bytes(block_offset), dtype=np.int64)
+        self.n = len(self.weights)
+        self.has_neg = bool((self.weights < 0).any())
+        self.has_pos = bool((self.weights > 0).any())
+        self.eager = self.n <= (EAGER_DECODE_MAX if eager_max is None
+                                else eager_max)
+        self.docs = (packing.decode_varint_deltas(self.doc_blob)
+                     if self.eager else None)
+        self.blocks: dict[int, np.ndarray] = {}
+
+    @property
+    def nblocks(self) -> int:
+        return len(self.blast)
+
+    def all_docs(self) -> np.ndarray:
+        if self.docs is None:
+            self.docs = packing.decode_varint_deltas(self.doc_blob)
+        return self.docs
+
+    def block(self, b: int, bs: int = packing.BLOCK_SIZE):
+        """(doc_ids, weights) of block ``b`` — decoded at most once."""
+        if self.docs is not None:
+            sl = slice(b * bs, min((b + 1) * bs, self.n))
+            return self.docs[sl], self.weights[sl]
+        d = self.blocks.get(b)
+        if d is None:
+            d = packing.decode_block(self.doc_blob, self.boffs, self.blast, b)
+            self.blocks[b] = d
+        return d, self.weights[b * bs: b * bs + len(d)]
+
+    def decoded_blocks(self) -> int:
+        return self.nblocks if self.eager or self.docs is not None \
+            else len(self.blocks)
+
 
 def _exhaustive(term_runs, k):
     """Fallback: accumulate all postings of the query terms (vectorized)."""
@@ -57,21 +118,23 @@ def _exhaustive(term_runs, k):
 def _wand(term_runs, k, block_size=packing.BLOCK_SIZE, stats=None):
     """Block-max WAND over one shard's runs for one query.
 
-    term_runs: list of (doc_ids int64[], weights float32[], q_weight float,
-    block_max float32[], block_last_doc int64[]).
+    term_runs: list of (:class:`_TermRun`, q_weight float).
     Returns [(doc_id, score)] — the shard-local top-k by (score desc, doc asc).
     ``stats`` (optional dict) accumulates 'postings' (total in the query's
     runs) and 'evaluated' (positions actually scored — the difference is
-    what pruning skipped).
+    what pruning skipped). Block decode counters are harvested separately
+    from the shared runs (see ``_shard_topk_factory``).
     """
     if stats is not None:
         stats["postings"] = stats.get("postings", 0) + sum(
-            len(d) for d, *_ in term_runs)
-    if any((w < 0).any() for _, w, _, _, _ in term_runs):
+            r.n for r, _ in term_runs)
+    if any((r.has_neg if qw > 0 else r.has_pos) and qw != 0
+           for r, qw in term_runs):
         if stats is not None:
             stats["evaluated"] = stats.get("evaluated", 0) + sum(
-                len(d) for d, *_ in term_runs)
-        return _exhaustive([(d, w, q) for d, w, q, _, _ in term_runs], k)
+                r.n for r, _ in term_runs)
+        return _exhaustive(
+            [(r.all_docs(), r.weights, qw) for r, qw in term_runs], k)
 
     # Ordered-segment block-max traversal. The doc axis splits into segments
     # at the union of all block boundaries, so each (term, segment) pair is
@@ -86,15 +149,12 @@ def _wand(term_runs, k, block_size=packing.BLOCK_SIZE, stats=None):
     # (bincount) and resolves fat head-term lists by vectorized candidate
     # lookups. Exact: skipping requires Σ block_max ≤ θ; evaluation sums
     # true weights for every candidate that could beat θ.
-    docs_l = [d for d, _, _, _, _ in term_runs if len(d)]
-    w_l = [w.astype(np.float64) * qw
-           for d, w, qw, _, _ in term_runs if len(d)]
-    bmax_l = [bm.astype(np.float64) * qw
-              for d, _, qw, bm, _ in term_runs if len(d)]
-    blast_l = [bl for d, _, _, _, bl in term_runs if len(d)]
-    nt = len(docs_l)
+    runs = [(r, qw) for r, qw in term_runs if r.n]
+    nt = len(runs)
     if nt == 0:
         return []
+    bmax_l = [r.bmax * qw for r, qw in runs]
+    blast_l = [r.blast for r, _ in runs]
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
 
     def push(doc, score):
@@ -107,18 +167,28 @@ def _wand(term_runs, k, block_size=packing.BLOCK_SIZE, stats=None):
 
     bounds = np.unique(np.concatenate(blast_l))  # sorted segment ends
     n_seg = len(bounds)
-    # Per-term segment bound: the covering block's max, but ONLY for
-    # segments where the term actually has ≥1 doc (presence computed
-    # vectorized from the doc array). Block-range coverage alone would let a
-    # sparse term's one block — whose doc span is nearly the whole axis —
-    # smear its large max over every segment and flatten the ordering.
+    # Per-term segment bound: the covering block's max, restricted to
+    # segments where the term can have docs. Eager (short) runs use the
+    # decoded doc array — presence-EXACT, so a sparse term's one wide block
+    # cannot smear its max over every segment and flatten the ordering.
+    # Lazy (long, head-term) runs use block overlap from
+    # (block_first_doc, block_last_doc): their blocks are doc-dense, so the
+    # approximation stays tight WITHOUT decoding anything.
     seg_ub = np.zeros(n_seg, dtype=np.float64)
     term_block = []
-    for i in range(nt):
+    for i, (r, _qw) in enumerate(runs):
         bi = np.searchsorted(blast_l[i], bounds, "left")
+        valid = bi < len(blast_l[i])
         bi = np.minimum(bi, len(blast_l[i]) - 1)
-        present = np.zeros(n_seg, dtype=bool)
-        present[np.unique(np.searchsorted(bounds, docs_l[i], "left"))] = True
+        if r.eager:
+            present = np.zeros(n_seg, dtype=bool)
+            present[np.unique(
+                np.searchsorted(bounds, r.docs, "left"))] = True
+        else:
+            # segment s ⊆ exactly one of this term's blocks (its own block
+            # boundaries are members of `bounds`), so presence ⇔ the
+            # covering block's [first, last] doc range reaches the segment
+            present = valid & (r.bfirst[bi] <= bounds)
         seg_ub += np.where(present, bmax_l[i][bi], 0.0)
         term_block.append((bi, present))
     order = np.argsort(-seg_ub, kind="stable")
@@ -130,15 +200,25 @@ def _wand(term_runs, k, block_size=packing.BLOCK_SIZE, stats=None):
         seg_lo = int(bounds[s - 1]) + 1 if s > 0 else -(1 << 62)
         seg_hi = int(bounds[s])
         slices = []
-        for i in range(nt):
+        for i, (r, qw) in enumerate(runs):
             bi, present = term_block[i]
             if not present[s]:
                 continue
-            lo = int(np.searchsorted(docs_l[i], seg_lo, "left"))
-            hi = int(np.searchsorted(docs_l[i], seg_hi, "right"))
-            if hi > lo:
-                slices.append((float(bmax_l[i][bi[s]]),
-                               docs_l[i][lo:hi], w_l[i][lo:hi]))
+            if r.eager:
+                d_full = r.docs
+                lo = int(np.searchsorted(d_full, seg_lo, "left"))
+                hi = int(np.searchsorted(d_full, seg_hi, "right"))
+                if hi > lo:
+                    slices.append((float(bmax_l[i][bi[s]]),
+                                   d_full[lo:hi],
+                                   r.weights[lo:hi] * qw))
+            else:
+                d_b, w_b = r.block(int(bi[s]), block_size)
+                lo = int(np.searchsorted(d_b, seg_lo, "left"))
+                hi = int(np.searchsorted(d_b, seg_hi, "right"))
+                if hi > lo:
+                    slices.append((float(bmax_l[i][bi[s]]),
+                                   d_b[lo:hi], w_b[lo:hi] * qw))
         if not slices:
             continue
         # Maxscore split: drop the maximal suffix of lists (by block ub
@@ -185,30 +265,33 @@ def _wand(term_runs, k, block_size=packing.BLOCK_SIZE, stats=None):
 
 
 def _shard_topk_factory(query_terms: dict[int, dict[int, float]], k: int,
-                        postings_acc=None, evaluated_acc=None):
+                        postings_acc=None, evaluated_acc=None,
+                        blocks_total_acc=None, blocks_decoded_acc=None,
+                        eager_max: int | None = None):
     """query_terms: {query_id: {term_id: q_weight}}. Optional Spark
-    accumulators receive total-vs-evaluated posting counts (pruning
-    evidence)."""
+    accumulators receive total-vs-evaluated posting counts and
+    total-vs-decoded block counts (pruning + lazy-decode evidence).
+    Runs are shared across the batch's queries, so a block decoded for one
+    query is free for every other query touching the same term."""
 
     def shard_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         runs_by_term = {}
-        for tid, doc_blob, weight_blob, block_max, block_last in zip(
+        for tid, doc_blob, weight_blob, block_max, block_last, block_first, \
+                block_offset in zip(
             pdf["term_id"], pdf["doc_blob"], pdf["weight_blob"],
-            pdf["block_max"], pdf["block_last_doc"],
+            pdf["block_max"], pdf["block_last_doc"], pdf["block_first_doc"],
+            pdf["block_offset"],
         ):
-            docs = packing.decode_varint_deltas(bytes(doc_blob))
-            weights = np.frombuffer(bytes(weight_blob), dtype=np.float32)
-            bmax = np.frombuffer(bytes(block_max), dtype=np.float32)
-            blast = np.frombuffer(bytes(block_last), dtype=np.int64)
-            runs_by_term[int(tid)] = (docs, weights, bmax, blast)
+            runs_by_term[int(tid)] = _TermRun(
+                doc_blob, weight_blob, block_max, block_last, block_first,
+                block_offset, eager_max=eager_max)
         stats = {} if postings_acc is not None else None
         for qid, terms in query_terms.items():
             runs = []
             for tid, qw in terms.items():
                 if tid in runs_by_term:
-                    d, w, bm, bl = runs_by_term[tid]
-                    runs.append((d, w, float(qw), bm, bl))
+                    runs.append((runs_by_term[tid], float(qw)))
             if not runs:
                 continue
             for doc, score in _wand(runs, k, stats=stats):
@@ -216,6 +299,11 @@ def _shard_topk_factory(query_terms: dict[int, dict[int, float]], k: int,
         if stats is not None:
             postings_acc.add(stats.get("postings", 0))
             evaluated_acc.add(stats.get("evaluated", 0))
+        if blocks_total_acc is not None:
+            blocks_total_acc.add(sum(r.nblocks
+                                     for r in runs_by_term.values()))
+            blocks_decoded_acc.add(sum(r.decoded_blocks()
+                                       for r in runs_by_term.values()))
         return pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
 
     return shard_topk
@@ -224,7 +312,8 @@ def _shard_topk_factory(query_terms: dict[int, dict[int, float]], k: int,
 def wand_topk(spark: SparkSession, index_dir: str,
               query_terms: dict[int, dict[int, float]], k: int = 10,
               packed: DataFrame | None = None,
-              stats_out: dict | None = None) -> DataFrame:
+              stats_out: dict | None = None,
+              eager_max: int | None = None) -> DataFrame:
     """Distributed block-max WAND: (query_id, doc_id, score, rank).
 
     Reads only the query terms' packed runs (partition/row-group pruning),
@@ -232,22 +321,30 @@ def wand_topk(spark: SparkSession, index_dir: str,
     TakeOrdered (per-shard k lists → global k, ≙ docsim.py:236-257 merge).
 
     Pass ``stats_out={}`` to receive pruning evidence after the query
-    action runs: stats_out['postings'] (total postings in the query's runs)
-    and stats_out['evaluated'] (postings actually scored) — the accumulators
-    fill in once the returned DataFrame is collected.
+    action runs: stats_out['postings'] (total postings in the query's runs),
+    stats_out['evaluated'] (postings actually scored), and
+    stats_out['blocks_total'] / stats_out['blocks_decoded'] (lazy-decode
+    evidence: varint blocks in the runs vs blocks actually decoded) — the
+    accumulators fill in once the returned DataFrame is collected.
     """
     all_terms = sorted({int(t) for q in query_terms.values() for t in q})
     if packed is None:
         packed = read_packed_shards(spark, index_dir)
     pruned = packed.filter(F.col("term_id").isin(all_terms))
-    postings_acc = evaluated_acc = None
+    postings_acc = evaluated_acc = blocks_total_acc = blocks_decoded_acc = None
     if stats_out is not None:
         postings_acc = spark.sparkContext.accumulator(0)
         evaluated_acc = spark.sparkContext.accumulator(0)
+        blocks_total_acc = spark.sparkContext.accumulator(0)
+        blocks_decoded_acc = spark.sparkContext.accumulator(0)
         stats_out["postings"] = postings_acc
         stats_out["evaluated"] = evaluated_acc
+        stats_out["blocks_total"] = blocks_total_acc
+        stats_out["blocks_decoded"] = blocks_decoded_acc
     local = pruned.groupBy("shard_id").applyInPandas(
-        _shard_topk_factory(query_terms, k, postings_acc, evaluated_acc),
+        _shard_topk_factory(query_terms, k, postings_acc, evaluated_acc,
+                            blocks_total_acc, blocks_decoded_acc,
+                            eager_max=eager_max),
         schema=LOCAL_TOPK_SCHEMA,
     )
     from pyspark.sql import Window

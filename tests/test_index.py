@@ -75,6 +75,55 @@ def test_packed_build_and_wand_exact(spark, synth_index):
             assert gm[key][1] == pytest.approx(wm[key][1], rel=1e-9)
 
 
+def test_decode_block_matches_full_decode():
+    """Pack format v2: every block decodes independently via its byte offset
+    + the previous block's last doc, bit-identical to the full decode."""
+    from gensim_spark.index import packing
+
+    rng = np.random.default_rng(7)
+    for size in (1, 100, 128, 129, 5000, 40000):
+        ids = np.sort(rng.choice(10**10, size=size, replace=False)) \
+            .astype(np.int64)
+        ws = rng.random(size).astype(np.float32)
+        run = packing.pack_run(ids, ws)
+        boffs = np.frombuffer(run["block_offset"], dtype=np.int64)
+        blast = np.frombuffer(run["block_last_doc"], dtype=np.int64)
+        bfirst = np.frombuffer(run["block_first_doc"], dtype=np.int64)
+        bs = packing.BLOCK_SIZE
+        assert len(boffs) == len(blast) == (size + bs - 1) // bs
+        for b in range(len(boffs)):
+            got = packing.decode_block(run["doc_blob"], boffs, blast, b)
+            want = ids[b * bs: (b + 1) * bs]
+            assert np.array_equal(got, want)
+            assert bfirst[b] == want[0] and blast[b] == want[-1]
+
+
+def test_wand_lazy_decode_matches_eager(spark, synth_index, tmp_path):
+    """Forcing every run lazy (eager_max=0) must return identical ranks and
+    scores while decoding strictly fewer blocks than exist."""
+    from gensim_spark.index import layout, wand
+
+    idx, _ = synth_index
+    out = str(tmp_path / "lazyidx")
+    layout.write_packed_shards(idx.weighted, out, docs_per_shard=256,
+                               num_groups=2)
+    vocab_rows = idx.vocab.orderBy("term_id").collect()
+    qterms = {0: {vocab_rows[0]["term_id"]: 1.0,
+                  vocab_rows[7]["term_id"]: 1.0},
+              1: {vocab_rows[15]["term_id"]: 1.0,
+                  vocab_rows[40]["term_id"]: 1.0}}
+    want = sorted((r["query_id"], r["rank"], r["doc_id"], r["score"])
+                  for r in wand.wand_topk(spark, out, qterms, k=10).collect())
+    stats = {}
+    got = sorted((r["query_id"], r["rank"], r["doc_id"], r["score"])
+                 for r in wand.wand_topk(spark, out, qterms, k=10,
+                                         stats_out=stats,
+                                         eager_max=0).collect())
+    assert got == want
+    assert stats["blocks_total"].value > 0
+    assert 0 < stats["blocks_decoded"].value <= stats["blocks_total"].value
+
+
 def test_checkpoint_resume_skips_committed(spark, synth_index, tmp_path):
     from gensim_spark.index import layout
 
