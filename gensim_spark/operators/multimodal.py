@@ -2,9 +2,10 @@
 
 Training-data pipelines carry media as ``binary`` columns with a metadata
 struct; the Spark-side plumbing (schema, partition sizing, Arrow batch shape,
-UDF signatures) is real and tested here. Codecs: PNM (P1-P6) and
-uncompressed 24/32-bit BMP decode for REAL via the pure-python parsers below
-(no image library exists in this container); JPEG/PNG/audio/video still need
+UDF signatures) is real and tested here. Codecs: PNM (P1-P6), uncompressed
+24/32-bit BMP, and 8-bit non-interlaced PNG (gray/RGB/palette/alpha,
+filters 0-4, stdlib zlib) decode for REAL via the pure-python parsers below
+(no image library exists in this container); JPEG/audio/video still need
 an injected decoder (PIL/libvips/ffmpeg at deploy time) and raise
 ``NotImplementedError`` until one is provided. ``fake_decode`` remains as
 the deterministic plumbing-test stand-in.
@@ -165,17 +166,157 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return file_header + info + body
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-python PNG decode (stdlib zlib): 8-bit depth, color types 0
+    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), filters 0-4,
+    non-interlaced. → uint8 (H, W) or (H, W, C)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, hdr, plte = 8, [], None, None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + payload + crc
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, color, comp, filt, interlace = hdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth}/interlace={interlace} not supported "
+            "(8-bit non-interlaced only)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color} not supported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes/pixel at depth 8
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                            offset=p + 1).copy()
+        p += stride + 1
+        if f == 0:
+            pass
+        elif f == 2:          # Up — fully vectorized (uint8 wraps mod 256)
+            cur += prev
+        elif f == 1:          # Sub
+            for x in range(bpp, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif f == 3:          # Average
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:          # Paeth
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                          else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[px[:, :, 0]]
+    if channels == 1:
+        return px[:, :, 0]
+    return px
+
+
+def encode_png(arr: np.ndarray, filters=None) -> bytes:
+    """uint8 (H, W[, C]) → real PNG bytes. ``filters`` optionally gives the
+    per-row filter type (0-4, default 0) so tests can exercise every
+    reconstruction path of :func:`decode_png`."""
+    import struct
+    import zlib
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, channels = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    flat = arr.reshape(h, w * channels).astype(np.int64)
+    bpp = channels
+    lines = []
+    prev = np.zeros(w * channels, dtype=np.int64)
+    for y in range(h):
+        f = int(filters[y]) if filters is not None else 0
+        cur = flat[y]
+        left = np.concatenate((np.zeros(bpp, dtype=np.int64), cur[:-bpp]))
+        upleft = np.concatenate((np.zeros(bpp, dtype=np.int64),
+                                 prev[:-bpp]))
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        elif f == 4:
+            pp = left + prev - upleft
+            pa, pb, pc = (np.abs(pp - left), np.abs(pp - prev),
+                          np.abs(pp - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = cur - pred
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data \
+            + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch to a REAL decoder (PNM/BMP). Other formats raise
-    NotImplementedError — inject a codec (PIL/libvips) at deploy time."""
+    """Magic-byte dispatch to a REAL decoder (PNM/BMP/PNG). Other formats
+    raise NotImplementedError — inject a codec (PIL/libvips) at deploy
+    time."""
     head = bytes(payload[:2])
     if head in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
         return decode_pnm(bytes(payload))
     if head == b"BM":
         return decode_bmp(bytes(payload))
+    if bytes(payload[:8]) == _PNG_MAGIC:
+        return decode_png(bytes(payload))
     raise NotImplementedError(
-        f"no codec for magic {head!r} in this environment; PNM/BMP decode "
-        "natively, others need an injected decoder"
+        f"no codec for magic {head!r} in this environment; PNM/BMP/PNG "
+        "decode natively, others need an injected decoder"
     )
 
 
