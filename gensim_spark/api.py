@@ -64,21 +64,43 @@ class Dictionary:
 
     # --- stats / lookups -----------------------------------------------------
 
+    #: Guard for the dict-materializing compat properties below: they
+    #: collect the WHOLE vocabulary to the driver (faithful to gensim's
+    #: in-memory dict surface, fine for compat-sized vocabs) and would OOM
+    #: on a web-scale vocabulary. Raise above this row count and point at
+    #: the distributed ``.df`` surface instead.
+    MAX_DRIVER_VOCAB = 5_000_000
+
     def __len__(self) -> int:
         return self.df.count()
 
+    def _guard_collect(self, what: str) -> None:
+        n = self.df.count()
+        if n > self.MAX_DRIVER_VOCAB:
+            raise ValueError(
+                f"Dictionary.{what} would collect {n:,} vocabulary rows to "
+                f"the driver (limit {self.MAX_DRIVER_VOCAB:,}). Use the "
+                "distributed `.df` DataFrame surface instead, or raise "
+                "Dictionary.MAX_DRIVER_VOCAB explicitly.")
+
     @property
     def token2id(self) -> dict[str, int]:
+        """Driver-side dict (gensim compat). See :attr:`MAX_DRIVER_VOCAB`."""
+        self._guard_collect("token2id")
         return {r["token"]: r["term_id"]
                 for r in self.df.select("token", "term_id").collect()}
 
     @property
     def dfs(self) -> dict[int, int]:
+        """Driver-side dict (gensim compat). See :attr:`MAX_DRIVER_VOCAB`."""
+        self._guard_collect("dfs")
         return {r["term_id"]: r["df"]
                 for r in self.df.select("term_id", "df").collect()}
 
     @property
     def cfs(self) -> dict[int, int]:
+        """Driver-side dict (gensim compat). See :attr:`MAX_DRIVER_VOCAB`."""
+        self._guard_collect("cfs")
         return {r["term_id"]: r["cf"]
                 for r in self.df.select("term_id", "cf").collect()}
 

@@ -131,3 +131,18 @@ def test_tfidf_facade_matches_operator(spark, common_texts):
                 bow, dct.df.select("term_id", "df"),
                 dct.num_docs, smartirs="nfc").collect()}
     assert got == want
+
+
+def test_dictionary_driver_collect_guard(spark, common_texts):
+    """The dict-materializing compat properties refuse to collect a vocab
+    above MAX_DRIVER_VOCAB and point at the distributed .df surface."""
+    from gensim_spark import api
+
+    dct = api.Dictionary(docs_df(spark, common_texts))
+    dct.MAX_DRIVER_VOCAB = 5  # instance override simulates a huge vocab
+    for prop in ("token2id", "dfs", "cfs"):
+        with pytest.raises(ValueError, match=r"\.df"):
+            getattr(dct, prop)
+    # raising the limit restores the compat surface
+    dct.MAX_DRIVER_VOCAB = 10**9
+    assert dct.token2id["computer"] >= 0
