@@ -140,6 +140,29 @@ def run_suite():
         T.search(idx.weighted, qdf, k=10).collect()  # warm
         t, _ = timed(lambda: T.search(idx.weighted, qdf, k=10).collect())
         results["joinagg_query_batch"] = round(t, 3)
+
+        # 8. 32-query concurrency batch — the serving story: ONE Spark job
+        # scores all 32 queries (set-oriented plans), amortized ms/query
+        # must be far below the single-query job-scheduling floor.
+        terms_sorted = sorted(vocab_map.values())
+        nterms = len(terms_sorted)
+        q32 = {
+            qid: {int(terms_sorted[(qid + 7 * j) % nterms]): 1.0
+                  for j in range(4)}
+            for qid in range(32)
+        }
+        q32df = spark.createDataFrame(
+            [(qid, int(t_), 1.0) for qid, ts in q32.items() for t_ in ts],
+            "query_id int, term_id long, q_weight double")
+        wand.wand_topk(spark, shard_dir, q32, k=10, packed=packed).collect()
+        t, _ = timed(lambda: wand.wand_topk(
+            spark, shard_dir, q32, k=10, packed=packed).collect())
+        results["wand_query_batch32"] = round(t, 3)
+        T.search(idx.weighted, q32df, k=10).collect()  # warm
+        t, _ = timed(lambda: T.search(idx.weighted, q32df, k=10).collect())
+        results["bm25_query_batch32"] = round(t, 3)
+        batch32_amortized_ms = 1000 * min(
+            results["wand_query_batch32"], results["bm25_query_batch32"]) / 32
     finally:
         shutil.rmtree(shard_dir, ignore_errors=True)
 
@@ -153,6 +176,7 @@ def run_suite():
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs_per_sec": round(docs_per_sec, 1),
         "query_p95_ms": round(p95_ms, 1),
+        "batch32_amortized_ms_per_query": round(batch32_amortized_ms, 1),
         # measured via _wand_bench_inner(1_000_000) (round 3, block-lazy
         # decode; interleaved reps, min-of-3 in-run + best-of-2 invocations,
         # rank-identity asserted in-run); regenerate with
