@@ -190,6 +190,17 @@ def run_suite():
             "measured": "round 3, BASELINE.md (round 2: 0.657/0.951 = 1.45x, "
                         "100% blocks decoded)",
         },
+        # measured via _salting_evidence(1_000_000) (round 3): head-term
+        # skew handling on the bucketed store — salted build bounds every
+        # parquet file at ~df/salts so no scan task is df-sized
+        "salting_reference": {
+            "docs": 1000000, "head_df": 981213, "salts": 16,
+            "salted_files_scanned": 14, "salted_max_file_rows": 122710,
+            "plain_files_scanned": 1, "plain_max_file_rows": 981213,
+            "query_salted_sec": 0.942, "query_plain_sec": 1.501,
+            "build_salted_sec": 41.7, "build_unsalted_sec": 55.0,
+            "measured": "round 3, BASELINE.md",
+        },
         # measured once per round with SPARK_GRAFT_SCALING=1 (interleaved
         # reps, min-of, fresh subprocess per run); see BASELINE.md §Measured
         "scaling_reference": {
@@ -200,6 +211,32 @@ def run_suite():
         },
     }
     return out
+
+
+def _synth_weighted(spark, n_docs: int, cores: int,
+                    vocab_size: int = 50_000, per_doc: int = 60):
+    """Deterministic synthetic weighted postings: log-uniform term ids →
+    df(term x) ∝ 1/x (zipf head, like a crawl); weights follow the BM25
+    shape (∝ idf ≈ ln x for this df law, small tf noise) — rare terms carry
+    heavy weights, head terms light ones, exactly the regime upper-bound
+    pruning exploits on a real index."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, n_docs, 1, 4 * cores).select(
+        F.col("id").alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(per_doc - 1))).alias("slot"),
+    )
+    raw = base.select(
+        "doc_id",
+        F.floor(F.pow(F.lit(float(vocab_size)),
+                      F.rand(seed=42))).cast("long").alias("term_id"),
+    ).withColumn(
+        "weight",
+        F.log(F.lit(2.0) + F.col("term_id").cast("double"))
+        * (F.lit(0.8) + F.rand(seed=7) * 0.4),
+    )
+    return raw.groupBy("doc_id", "term_id").agg(
+        F.max("weight").alias("weight"))
 
 
 def _wand_bench_inner(n_docs: int, cores: int = 0) -> dict:
@@ -222,30 +259,10 @@ def _wand_bench_inner(n_docs: int, cores: int = 0) -> dict:
     from gensim_spark.session import get_spark
 
     cores = cores or CPUS
-    vocab_size = 50_000
-    per_doc = 60
     spark = get_spark(f"wand_bench_{n_docs}", master=f"local[{cores}]",
                       shuffle_partitions=2 * cores)
     spark.sparkContext.setLogLevel("ERROR")
-    base = spark.range(0, n_docs, 1, 4 * cores).select(
-        F.col("id").alias("doc_id"),
-        F.explode(F.sequence(F.lit(0), F.lit(per_doc - 1))).alias("slot"),
-    )
-    # log-uniform term ids → df(term x) ∝ 1/x (zipf head); weights follow the
-    # BM25 shape (∝ idf ≈ ln x for this df law, small tf noise) — rare terms
-    # carry heavy weights, head terms light ones, which is exactly the regime
-    # upper-bound pruning exploits on a real index.
-    raw = base.select(
-        "doc_id",
-        F.floor(F.pow(F.lit(float(vocab_size)),
-                      F.rand(seed=42))).cast("long").alias("term_id"),
-    ).withColumn(
-        "weight",
-        F.log(F.lit(2.0) + F.col("term_id").cast("double"))
-        * (F.lit(0.8) + F.rand(seed=7) * 0.4),
-    )
-    weighted = raw.groupBy("doc_id", "term_id").agg(
-        F.max("weight").alias("weight"))
+    weighted = _synth_weighted(spark, n_docs, cores)
     shard_dir = tempfile.mkdtemp(prefix="wand_bench_")
     out: dict = {"docs": n_docs, "cores": cores}
     try:
@@ -308,6 +325,83 @@ def _wand_bench_inner(n_docs: int, cores: int = 0) -> dict:
             / max(out["query_blocks_total"], 1), 1)
     finally:
         shutil.rmtree(shard_dir, ignore_errors=True)
+        spark.stop()
+    return out
+
+
+def _salting_evidence(n_docs: int = 1_000_000, cores: int = 0,
+                      salts: int = 16, n_buckets: int = 64) -> dict:
+    """Head-term skew evidence at index size (VERDICT r2 item 7): build the
+    term-bucketed store twice over the same zipf corpus — salted vs
+    unsalted — and report (a) the largest single parquet file a head-term
+    query must read, (b) the file fan-out of that query's pruned scan, and
+    (c) the head-term query wall time on both stores (warm, min-of-3
+    interleaved). The salted store bounds every file at ~df/salts, so no
+    single scan task is df-sized — the property that survives a 100×
+    corpus where one task reading a whole head term would straggle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gensim_spark.index import layout
+    from gensim_spark.operators import topk as T
+    from gensim_spark.session import get_spark
+
+    cores = cores or CPUS
+    spark = get_spark(f"salt_bench_{n_docs}", master=f"local[{cores}]",
+                      shuffle_partitions=2 * cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    weighted = _synth_weighted(spark, n_docs, cores).cache()
+    dfs = weighted.groupBy("term_id").agg(F.count("*").alias("df")).cache()
+    head = dfs.orderBy(F.col("df").desc()).first()
+    head_term, head_df = int(head["term_id"]), int(head["df"])
+    out: dict = {"docs": n_docs, "cores": cores, "head_term": head_term,
+                 "head_df": head_df, "salts": salts}
+    salted_dir = tempfile.mkdtemp(prefix="salt_on_")
+    plain_dir = tempfile.mkdtemp(prefix="salt_off_")
+    try:
+        t, _ = timed(lambda: layout.write_postings_bucketed(
+            weighted, salted_dir, n_buckets=n_buckets,
+            salt_threshold=head_df // 2, dfs=dfs, salts=salts))
+        out["build_salted_sec"] = round(t, 2)
+        t, _ = timed(lambda: layout.write_postings_bucketed(
+            weighted, plain_dir, n_buckets=n_buckets,
+            salt_threshold=1 << 60, dfs=dfs, salts=salts))
+        out["build_unsalted_sec"] = round(t, 2)
+        qdf = T.query_terms_df(spark, {0: [head_term]})
+        for label, store in (("salted", salted_dir), ("plain", plain_dir)):
+            pruned = layout.read_postings_bucketed(
+                spark, store, term_ids=[head_term], n_buckets=n_buckets)
+            per_file = (
+                pruned.groupBy(F.input_file_name().alias("f"))
+                .agg(F.count("*").alias("rows"))
+                .agg(F.count("*").alias("files"),
+                     F.max("rows").alias("max_rows")).collect()[0]
+            )
+            out[f"{label}_files_scanned"] = int(per_file["files"])
+            out[f"{label}_max_file_rows"] = int(per_file["max_rows"])
+        # warm then min-of-3 interleaved query wall (head-term top-10)
+        runs: dict[str, list[float]] = {"salted": [], "plain": []}
+        for label, store in (("salted", salted_dir), ("plain", plain_dir)):
+            pruned = layout.read_postings_bucketed(
+                spark, store, term_ids=[head_term], n_buckets=n_buckets)
+            T.search(pruned.select("doc_id", "term_id", "weight"), qdf,
+                     k=10).collect()
+        for _ in range(3):
+            for label, store in (("salted", salted_dir),
+                                 ("plain", plain_dir)):
+                pruned = layout.read_postings_bucketed(
+                    spark, store, term_ids=[head_term], n_buckets=n_buckets)
+                t, _ = timed(lambda: T.search(
+                    pruned.select("doc_id", "term_id", "weight"), qdf,
+                    k=10).collect())
+                runs[label].append(t)
+        out["query_salted_sec"] = round(min(runs["salted"]), 3)
+        out["query_plain_sec"] = round(min(runs["plain"]), 3)
+    finally:
+        shutil.rmtree(salted_dir, ignore_errors=True)
+        shutil.rmtree(plain_dir, ignore_errors=True)
         spark.stop()
     return out
 
