@@ -239,7 +239,8 @@ class SparseMatrixSimilarity:
     term_id, q_weight) → per-query top-k with |score| ranking, zero-drop,
     doc-ascending ties."""
 
-    def __init__(self, weighted_corpus: DataFrame, num_best: int = 10):
+    def __init__(self, weighted_corpus: DataFrame,
+                 num_best: int | None = 10):
         self.weighted = weighted_corpus
         self.num_best = num_best
 
@@ -259,11 +260,12 @@ class SparseMatrixSimilarity:
         qdf = _topk.query_terms_df(
             spark, {qid: [tid[t] for t in ts if t in tid]
                     for qid, ts in tokens.items()})
-        return _topk.search(self.weighted, qdf, k=k or self.num_best)
+        return _topk.search(self.weighted, qdf,
+                            k=self.num_best if k is None else k)
 
     def similarity_by_id(self, doc_id: int, k: int | None = None) -> DataFrame:
-        return _topk.similarity_by_id(self.weighted, doc_id,
-                                      k=k or self.num_best)
+        return _topk.similarity_by_id(
+            self.weighted, doc_id, k=self.num_best if k is None else k)
 
 
 class Similarity:

@@ -54,24 +54,25 @@ def score(weighted_postings: DataFrame, query_terms: DataFrame) -> DataFrame:
     )
 
 
-def topk(scores: DataFrame, k: int, by_abs: bool = True,
+def topk(scores: DataFrame, k: int | None, by_abs: bool = True,
          drop_zeros: bool = True) -> DataFrame:
     """Per-query top-k with gensim's exact tie/zero semantics:
     rank by |score| desc (interfaces.py:339-353), drop exact zeros
-    (matutils.py:435-468), ties by doc_id ascending (argsort index order)."""
+    (matutils.py:435-468), ties by doc_id ascending (argsort index order).
+    ``k=None`` ≙ gensim's ``num_best=None``: every (nonzero) similarity is
+    returned, still ranked; ``k=0`` returns no rows."""
     if drop_zeros:
         scores = scores.filter(F.col("score") != 0.0)
     rank_key = F.abs(F.col("score")) if by_abs else F.col("score")
     w = Window.partitionBy("query_id").orderBy(rank_key.desc(), F.col("doc_id").asc())
-    return (
-        scores.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
-    )
+    out = scores.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        out = out.filter(F.col("rank") <= k)
+    return out.select("query_id", "doc_id", "score", "rank")
 
 
 def search(weighted_postings: DataFrame, query_terms: DataFrame,
-           k: int = 10) -> DataFrame:
+           k: int | None = 10) -> DataFrame:
     """The flagship plan: score + top-k clip."""
     return topk(score(weighted_postings, query_terms), k)
 

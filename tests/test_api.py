@@ -133,6 +133,75 @@ def test_tfidf_facade_matches_operator(spark, common_texts):
     assert got == want
 
 
+def test_num_best_sweep_reference_golden(spark, common_texts):
+    """gensim test_similarities.py:60-99 (test_full/test_num_best): cosine
+    sims of CORPUS[0] against the l2-normalized common corpus are exactly
+    {0: 0.99999994, 2: 0.28867513, 3: 0.23570226, 1: 0.23570226}; the
+    num_best sweep [None, 0, 1, 9, 1000] clips to the top |score| rows,
+    order among equal scores compared order-insensitively (the reference
+    compares via sparse2full for the same reason)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gensim_spark import api
+    from gensim_spark.operators import tfidf as TF
+    from gensim_spark.operators import topk as T
+
+    docs = docs_df(spark, common_texts)
+    dct = api.Dictionary(docs)
+    bow = dct.doc2bow(docs).select(
+        "doc_id", "term_id", F.col("tf").cast("double").alias("weight"))
+    weighted = TF.normalize_postings(bow, "l2").cache()
+
+    t2i = dct.token2id
+    qw = 1.0 / math.sqrt(3.0)  # normalized CORPUS[0]: 3 terms, tf 1 each
+    qids = [t2i[t] for t in ("human", "interface", "computer")]
+    qdf = T.query_terms_df(spark, {0: qids},
+                           weights={0: {t: qw for t in qids}})
+
+    expected = {0: 0.99999994, 2: 0.28867513, 3: 0.23570226, 1: 0.23570226}
+    ranked_scores = sorted(expected.values(), reverse=True)
+
+    for num_best in [None, 0, 1, 9, 1000]:
+        index = api.SparseMatrixSimilarity(weighted, num_best=num_best)
+        rows = sorted(index[qdf].collect(), key=lambda r: r["rank"])
+        n = len(expected) if num_best is None else min(num_best, len(expected))
+        assert len(rows) == n, f"num_best={num_best}"
+        # scores match the golden ranking; doc sets match per score tier
+        got_scores = [r["score"] for r in rows]
+        assert got_scores == pytest.approx(ranked_scores[:n], abs=1e-6)
+        for r in rows:
+            assert r["score"] == pytest.approx(expected[r["doc_id"]], abs=1e-6)
+    weighted.unpersist()
+
+
+def test_dictionary_build_and_filter_reference_goldens(spark, common_texts):
+    """gensim test_corpora_dictionary.py:95-127 (test_build/test_merge/
+    test_filter): df multiset {2:8, 3:4} over 12 terms; merge of the two
+    half-corpus dictionaries covers the full key set; filter_extremes
+    (no_below=2, no_above=1.0, keep_n=4) keeps dfs {3,3,3,3} / cfs {4,3,3,3}."""
+    from gensim_spark import api
+
+    d = api.Dictionary(docs_df(spark, common_texts))
+    assert sorted(d.dfs.keys()) == list(range(12))
+    assert sorted(d.dfs.values()) == [2] * 8 + [3] * 4
+    assert sorted(d.token2id.keys()) == sorted([
+        "computer", "eps", "graph", "human", "interface",
+        "minors", "response", "survey", "system", "time", "trees", "user"])
+    assert sorted(d.token2id.values()) == list(range(12))
+
+    f = api.Dictionary(docs_df(spark, common_texts[:3]))
+    g = api.Dictionary(docs_df(spark, common_texts[3:]))
+    merged = f.merge_with(g)
+    assert sorted(merged.token2id.keys()) == sorted(d.token2id.keys())
+
+    kept = d.filter_extremes(no_below=2, no_above=1.0, keep_n=4)
+    assert sorted(kept.dfs.values()) == [3, 3, 3, 3]
+    assert sorted(kept.cfs.values()) == [3, 3, 3, 4]
+    assert sorted(kept.token2id.values()) == list(range(4))
+
+
 def test_dictionary_driver_collect_guard(spark, common_texts):
     """The dict-materializing compat properties refuse to collect a vocab
     above MAX_DRIVER_VOCAB and point at the distributed .df surface."""
