@@ -29,6 +29,7 @@ _FE = dict(no_below=2, no_above=0.6, keep_n=20)   # filter_extremes params
 _MINHASH = dict(num_hashes=4, shingle_n=3)
 _BANDS = dict(bands=2, rows_per_band=2)
 _SIMHASH_BITS = 16
+_RP_K = 16                                         # rp_topics num_topics
 _PHRASE_MIN_COUNT = 2
 _KNN_QUERIES = 3          # embeddings vec_id < 3 used as queries
 _KNN_K = 5
@@ -308,6 +309,17 @@ def _q_simhash(spark, sf_dir):
     return D.simhash(_tokenized(spark, sf_dir), bits=_SIMHASH_BITS)
 
 
+def _q_rp_topics(spark, sf_dir):
+    """Random-projection doc vectors (rpmodel.py:50-155): hash-derived ±1
+    Achlioptas matrix as a pure relational expression — DuckDB replicates
+    the exact same signs, so the full matmul is hash-checkable."""
+    from gensim_spark.operators import rp as RP
+
+    out = RP.rp_topics(_index(spark, sf_dir).postings, num_topics=_RP_K)
+    return out.select("doc_id", F.col("topic_id").cast("long").alias("topic_id"),
+                      F.round("weight", 6).alias("weight"))
+
+
 def _q_quality(spark, sf_dir):
     from gensim_spark.operators import textstats as TS
 
@@ -451,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _q_minhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
+        "rp_topics": _q_rp_topics,
         "quality_stats": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -656,6 +669,22 @@ SELECT i.doc_a, i.doc_b,
 FROM inter i
 JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
+"""
+
+
+def _rp_sql() -> str:
+    """DuckDB replica of rp_topics: same hash-derived ±1 signs, same
+    explode→sum→/sqrt(k) shape (operators/rp.py)."""
+    from gensim_spark.operators.rp import sign_sql
+
+    sign = sign_sql("p.term_id", "j.topic_id")
+    return f"""{_PRELUDE}
+SELECT p.doc_id, j.topic_id,
+       round(SUM(p.tf * {sign}) / sqrt({_RP_K}), 6) AS weight
+FROM postings p
+CROSS JOIN (SELECT UNNEST(range({_RP_K})) AS topic_id) j
+GROUP BY p.doc_id, j.topic_id
+HAVING abs(SUM(p.tf * {sign}) / sqrt({_RP_K})) > 1e-09
 """
 
 
@@ -1033,6 +1062,7 @@ FROM documents""",
         "dedup_minhash_pairs": _minhash_pairs_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "simhash": _simhash_sql(),
+        "rp_topics": _rp_sql(),
         "quality_stats": f"""{_PRELUDE},
 joined AS (SELECT d.doc_id, d.text, t.tokens
            FROM documents d JOIN tok t USING (doc_id))

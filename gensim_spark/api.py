@@ -200,6 +200,26 @@ class LogEntropyModel:
         return _tfidf.log_entropy_postings(postings, self.normalize)
 
 
+class RpModel:
+    """``gensim.models.RpModel`` (rpmodel.py:50-155): random-projection
+    topic vectors. The ±1 Achlioptas matrix is hash-derived (deterministic,
+    never materialized) instead of drawn from numpy's global RNG — the
+    reference model is only defined up to that draw; see operators/rp.py.
+    ``corpus`` is accepted for signature parity but unused (no fit step)."""
+
+    def __init__(self, corpus: DataFrame | None = None,
+                 id2word: Dictionary | None = None, num_topics: int = 300):
+        from gensim_spark.operators import rp as _rp
+
+        self._rp = _rp
+        self.id2word = id2word
+        self.num_topics = num_topics
+
+    def __getitem__(self, postings: DataFrame) -> DataFrame:
+        return self._rp.rp_topics(postings, num_topics=self.num_topics,
+                                  weight_col="tf")
+
+
 class _BM25Base:
     variant = "okapi"
 
