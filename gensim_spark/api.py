@@ -220,6 +220,38 @@ class RpModel:
                                   weight_col="tf")
 
 
+class LsiModel:
+    """``gensim.models.LsiModel`` (lsimodel.py:364-660): fit a distributed
+    randomized SVD over the corpus postings at construction; ``model[bow]``
+    returns per-doc topic vectors (uᵀ·x) in long form. See operators/lsi.py
+    for the algorithm and its exactness property."""
+
+    def __init__(self, corpus: DataFrame, id2word: Dictionary | None = None,
+                 num_topics: int = 200, power_iters: int | None = None,
+                 extra_dims: int | None = None, weight_col: str = "tf"):
+        from gensim_spark.operators import lsi as _lsi
+
+        self._lsi = _lsi
+        self.id2word = id2word
+        self.num_topics = num_topics
+        self.weight_col = weight_col
+        self.projection = _lsi.lsi_fit(
+            corpus, num_topics=num_topics,
+            power_iters=(_lsi.P2_EXTRA_ITERS if power_iters is None
+                         else power_iters),
+            extra_dims=extra_dims, weight_col=weight_col)
+
+    def __getitem__(self, postings: DataFrame) -> DataFrame:
+        return self._lsi.doc_topics(postings, self.projection,
+                                    weight_col=self.weight_col)
+
+    def show_topic(self, topic_id: int, topn: int = 10) -> DataFrame:
+        if self.id2word is None:
+            raise ValueError("show_topic needs id2word (a Dictionary)")
+        return self._lsi.show_topic(self.projection, self.id2word.df,
+                                    topic_id, topn)
+
+
 class _BM25Base:
     variant = "okapi"
 

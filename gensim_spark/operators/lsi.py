@@ -1,0 +1,209 @@
+"""Latent Semantic Indexing — distributed randomized SVD over postings.
+
+Reference: ``gensim.models.lsimodel`` — ``Projection`` holds ``u``
+(num_terms × k left singular vectors of the term-document matrix) and ``s``
+(singular values) computed by a one-pass stochastic SVD with oversampling
+and power iterations (lsimodel.py:81-82 P2_EXTRA_DIMS=100/P2_EXTRA_ITERS=2,
+stochastic_svd lsimodel.py:860-1061, after Halko, Martinsson, Tropp 2011,
+"Finding structure with randomness"); ``LsiModel.__getitem__`` returns
+``uᵀ·x`` per document, optionally scaled by ``1/s`` (lsimodel.py:578-636).
+
+This implementation runs the same published algorithm with Spark doing every
+corpus-sized product and the driver touching only ℓ×ℓ matrices (ℓ = k +
+extra_dims ≪ corpus):
+
+1. ``Y = A·Ω`` — Ω is the hash-sign test matrix (±1, Achlioptas — the same
+   deterministic construction as operators/rp.py), applied as ℓ aggregate
+   expressions per document. Ω never exists as data.
+2. power iterations ``Y ← A·(Aᵀ·Y)``, re-orthonormalized each round via the
+   ℓ×ℓ Gram + Cholesky (the numerically safe variant of Halko Algorithm 4.4).
+3. ``Q = Y·R⁻¹`` (thin QR by Cholesky), ``B = Qᵀ·A`` kept distributed as
+   term-keyed rows, ``G = B·Bᵀ`` (ℓ×ℓ) eigendecomposed on the driver.
+4. ``u = Bᵀ·Ū·Σ⁻¹`` distributed (terms × k), ``s`` = top-k singular values.
+
+Everything is whole-stage-codegen column arithmetic — no UDFs, no explode;
+each matmul is one join + one hash-agg with ℓ sum expressions, and the only
+driver-side data ever collected is ℓ×ℓ. A is (doc_id, term_id, weight)
+postings — raw tf or any weighted corpus, exactly like the reference.
+
+Exactness property used by the tests: when ℓ ≥ rank(A), the range finder
+captures the full column space, so the result equals the exact truncated
+SVD (up to per-topic sign) — hence the numpy-parity tests are strict, not
+approximate-subspace checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gensim_spark.operators.rp import sign_expr
+
+P2_EXTRA_DIMS = 100   # lsimodel.py:81
+P2_EXTRA_ITERS = 2    # lsimodel.py:82
+
+
+def _agg_matmul(rows: DataFrame, key: str, in_cols: list[str],
+                weight: str, out_prefix: str, n_out: int,
+                coeff=None) -> DataFrame:
+    """groupBy(key).agg(Σ weight·in_col_j) for j — one join-free hash-agg.
+
+    With ``coeff`` (an (n_in × n_out) numpy matrix) computes
+    ``Σ weight · Σ_j in_j·coeff[j, i]`` instead — multiply by a small
+    driver-side matrix without ever collecting the big side.
+    """
+    if coeff is None:
+        exprs = [F.sum(F.col(weight) * F.col(c)).alias(f"{out_prefix}{i}")
+                 for i, c in enumerate(in_cols)]
+    else:
+        exprs = []
+        for i in range(n_out):
+            lin = None
+            for j, c in enumerate(in_cols):
+                term = F.col(c) * F.lit(float(coeff[j, i]))
+                lin = term if lin is None else lin + term
+            exprs.append(F.sum(F.col(weight) * lin).alias(f"{out_prefix}{i}"))
+    return rows.groupBy(key).agg(*exprs)
+
+
+def _wide_times(df: DataFrame, key: str, in_cols: list[str],
+                mat: np.ndarray, out_prefix: str) -> DataFrame:
+    """Row-wise (key, x₀..x_{n-1}) · mat (n × m) → (key, out₀..out_{m-1})."""
+    outs = []
+    for i in range(mat.shape[1]):
+        lin = None
+        for j, c in enumerate(in_cols):
+            term = F.col(c) * F.lit(float(mat[j, i]))
+            lin = term if lin is None else lin + term
+        outs.append(lin.alias(f"{out_prefix}{i}"))
+    return df.select(F.col(key), *outs)
+
+
+def _gram(df: DataFrame, cols: list[str]) -> np.ndarray:
+    """XᵀX over the given columns — one pass, ℓ(ℓ+1)/2 sum expressions."""
+    n = len(cols)
+    exprs = [F.sum(F.col(cols[i]) * F.col(cols[j])).alias(f"g_{i}_{j}")
+             for i in range(n) for j in range(i, n)]
+    row = df.agg(*exprs).collect()[0]
+    g = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i, n):
+            v = row[f"g_{i}_{j}"] or 0.0
+            g[i, j] = g[j, i] = v
+    return g
+
+
+def _chol_inv(gram: np.ndarray) -> np.ndarray:
+    """R⁻¹ for the thin-QR-by-Cholesky step, with a jitter retry for
+    rank-deficient Y (ℓ > rank — common at toy scale)."""
+    eps = 0.0
+    for _ in range(6):
+        try:
+            r = np.linalg.cholesky(gram + eps * np.eye(len(gram))).T
+            return np.linalg.inv(r)
+        except np.linalg.LinAlgError:
+            eps = max(eps * 10, 1e-12 * max(np.trace(gram), 1.0))
+    raise np.linalg.LinAlgError("Gram matrix not factorizable")
+
+
+class LsiProjection:
+    """The fitted (u, s) pair — u distributed (term_id, t0..t{k-1}), s on
+    the driver (k,). Mirrors ``lsimodel.Projection`` (lsimodel.py:157-240)."""
+
+    def __init__(self, u: DataFrame, s: np.ndarray, num_topics: int):
+        self.u = u
+        self.s = s
+        self.num_topics = num_topics
+
+    def u_long(self) -> DataFrame:
+        """(term_id, topic_id, value) long form of u."""
+        cols = [f"t{i}" for i in range(self.num_topics)]
+        pairs = F.array(*[
+            F.struct(F.lit(i).alias("topic_id"), F.col(c).alias("value"))
+            for i, c in enumerate(cols)])
+        return (self.u.select("term_id", F.explode(pairs).alias("p"))
+                .select("term_id", F.col("p.topic_id").cast("long").alias("topic_id"),
+                        F.col("p.value").alias("value")))
+
+
+def lsi_fit(postings: DataFrame, num_topics: int = 200,
+            extra_dims: int | None = None, power_iters: int = P2_EXTRA_ITERS,
+            weight_col: str = "weight") -> LsiProjection:
+    """Fit the LSI projection over (doc_id, term_id, weight) postings."""
+    k = int(num_topics)
+    ell = k + (extra_dims if extra_dims is not None else min(P2_EXTRA_DIMS, k))
+    w = weight_col
+
+    # Y = A·Ω: per-doc ℓ sums of weight·sign(term, j)
+    y_exprs = [
+        F.sum(F.col(w) * sign_expr(F.col("term_id"), F.lit(j))).alias(f"y{j}")
+        for j in range(ell)
+    ]
+    y_cols = [f"y{j}" for j in range(ell)]
+    y = postings.groupBy("doc_id").agg(*y_exprs).cache()
+
+    for _ in range(max(0, int(power_iters))):
+        # re-orthonormalize (Halko alg 4.4 stabilization), then Y ← A·(AᵀY)
+        rinv = _chol_inv(_gram(y, y_cols))
+        q = _wide_times(y, "doc_id", y_cols, rinv, "y")
+        z = _agg_matmul(postings.join(q, "doc_id"), "term_id", y_cols, w, "y",
+                        ell).cache()
+        y_new = _agg_matmul(postings.join(z, "term_id"), "doc_id", y_cols, w,
+                            "y", ell).cache()
+        y.unpersist()
+        z.unpersist()
+        y = y_new
+
+    # thin QR by Cholesky: Q = Y·R⁻¹
+    rinv = _chol_inv(_gram(y, y_cols))
+    q = _wide_times(y, "doc_id", y_cols, rinv, "q").cache()
+    q_cols = [f"q{j}" for j in range(ell)]
+
+    # B = QᵀA as term-keyed rows (row t = B[:, t]), then G = B·Bᵀ (ℓ×ℓ)
+    b = _agg_matmul(postings.join(q, "doc_id"), "term_id", q_cols, w, "b",
+                    ell).cache()
+    b_cols = [f"b{j}" for j in range(ell)]
+    g = _gram(b, b_cols)
+    evals, evecs = np.linalg.eigh(g)          # ascending
+    order = np.argsort(evals)[::-1][:k]
+    s = np.sqrt(np.maximum(evals[order], 0.0))
+    # u = Bᵀ·Ū·Σ⁻¹ (terms × k), guarding σ≈0 (zero-pad like the reference
+    # does when rank < k, lsimodel.py:235-239)
+    safe = np.where(s > 1e-12, s, np.inf)
+    wmat = evecs[:, order] / safe[np.newaxis, :]
+    u = _wide_times(b, "term_id", b_cols, wmat, "t")
+    y.unpersist()
+    q.unpersist()
+    return LsiProjection(u, s, k)
+
+
+def doc_topics(postings: DataFrame, projection: LsiProjection,
+               scaled: bool = False, weight_col: str = "weight") -> DataFrame:
+    """``uᵀ·x`` per document (lsimodel.py:613-636) → (doc_id, topic_id,
+    weight) long form; ``scaled`` divides by s (lsimodel.py:586)."""
+    k = projection.num_topics
+    t_cols = [f"t{i}" for i in range(k)]
+    joined = postings.join(projection.u, "term_id")
+    wide = _agg_matmul(joined, "doc_id", t_cols, weight_col, "d", k)
+    scale = (1.0 / np.where(projection.s > 1e-12, projection.s, np.inf)
+             if scaled else np.ones(k))
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("topic_id"),
+                 (F.col(f"d{i}") * F.lit(float(scale[i]))).alias("weight"))
+        for i in range(k)])
+    return (wide.select("doc_id", F.explode(pairs).alias("p"))
+            .select("doc_id", F.col("p.topic_id").cast("long").alias("topic_id"),
+                    F.col("p.weight").alias("weight")))
+
+
+def show_topic(projection: LsiProjection, vocab: DataFrame, topic_id: int,
+               topn: int = 10) -> DataFrame:
+    """Top-weighted terms of one topic (lsimodel.py:510-545 show_topic):
+    ranked by |u[:, topic]| descending."""
+    col = f"t{int(topic_id)}"
+    return (projection.u.select("term_id", F.col(col).alias("value"))
+            .join(vocab.select("term_id", "token"), "term_id")
+            .orderBy(F.abs(F.col("value")).desc(), F.col("term_id").asc())
+            .limit(topn)
+            .select("token", "value"))
