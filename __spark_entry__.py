@@ -435,6 +435,75 @@ def _q_soft_cosine(spark, sf_dir):
                       F.round("score", 6).alias("score"), "rank")
 
 
+_WMD_DIM = 4      # hash-vector dims (kept small so the oracle SQL stays sane)
+_WMD_K = 20
+_WMD_EXACT_K = 10
+
+
+def _wmd_nbows(spark, sf_dir, queries_):
+    from gensim_spark.functions import textref
+    from gensim_spark.operators import wmd as WM
+
+    rows = _tokenized(spark, sf_dir).select(
+        "doc_id", F.explode("tokens").alias("token"))
+    doc_nbow = WM.nbow(rows, dim=_WMD_DIM)
+    q_rows = spark.createDataFrame(
+        [(qid, t) for qid, q in queries_.items()
+         for t in textref.simple_preprocess(q)],
+        "query_id int, token string")
+    q_nbow = WM.nbow(q_rows, id_col="query_id", dim=_WMD_DIM)
+    return doc_nbow, q_nbow
+
+
+def _q_wmd_rwmd(spark, sf_dir):
+    """Relaxed WMD (Kusner lower bound) top-k — the relational scale path
+    the exact WMD prunes with; hash word-vectors make it oracle-exact."""
+    from pyspark.sql import Window
+
+    from gensim_spark.operators import wmd as WM
+
+    doc_nbow, q_nbow = _wmd_nbows(spark, sf_dir, QUERY_SET)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rwmd").asc(), F.col("doc_id").asc())
+    return (WM.rwmd(doc_nbow, q_nbow, dim=_WMD_DIM)
+            .withColumn("rwmd", F.round("rwmd", 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _WMD_K)
+            .select("query_id", "doc_id", "rwmd", "rank"))
+
+
+def _q_wmd_topk(spark, sf_dir):
+    """Exact WMD top-k (prefetch-and-prune; one transportation LP per
+    surviving candidate). The LP is not SQL-expressible, so this entry is
+    rows-only for the driver; exactness is pinned by tests/test_wmd.py
+    against brute-force LP-vertex enumeration."""
+    from gensim_spark.operators import wmd as WM
+
+    doc_nbow, q_nbow = _wmd_nbows(spark, sf_dir, {0: QUERY_SET[0]})
+    out = WM.wmd_topk(doc_nbow, q_nbow, k=_WMD_EXACT_K, dim=_WMD_DIM)
+    return out.select("query_id", "doc_id",
+                      F.round("wmd", 6).alias("wmd"), "rank")
+
+
+_LSI_K = 4
+
+
+def _q_lsi_topics(spark, sf_dir):
+    """LSI doc-topic projection (distributed randomized SVD). The SVD is
+    iterative linear algebra with no SQL analogue — rows-only entry;
+    numpy-exactness is pinned by tests/test_lsi.py."""
+    from gensim_spark.operators import lsi as L
+
+    idx = _index(spark, sf_dir)
+    postings = idx.postings.select(
+        "doc_id", "term_id", F.col("tf").cast("double").alias("weight"))
+    proj = L.lsi_fit(postings, num_topics=_LSI_K, power_iters=2)
+    out = L.doc_topics(postings, proj)
+    # |weight|: per-topic sign is not an invariant of the SVD
+    return out.select("doc_id", "topic_id",
+                      F.round(F.abs("weight"), 4).alias("abs_weight"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokens_count": _q_tokens_count,
@@ -473,6 +542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "fuzzy_terms": _q_fuzzy_terms,
         "soft_cosine": _q_soft_cosine,
+        "wmd_rwmd": _q_wmd_rwmd,
+        "wmd_topk": _q_wmd_topk,
+        "lsi_topics": _q_lsi_topics,
     }
 
 
@@ -954,6 +1026,12 @@ FROM pairs WHERE cosine >= {_NEAR_DUP_T}
 """
 
 
+def _wmd_rwmd_sql() -> str:
+    from gensim_spark.operators import wmd as WM
+
+    return WM.rwmd_topk_sql(QUERY_SET, k=_WMD_K, dim=_WMD_DIM)
+
+
 def oracle_sql() -> dict[str, str]:
     sw = _stopword_list_sql()
     return {
@@ -1135,4 +1213,8 @@ FROM ranked WHERE rank <= 10""",
         "ann_lsh": _lsh_sql(),
         "ann_ivf": _ivf_sql(),
         "embedding_near_dups": _near_dup_lsh_sql(),
+        "wmd_rwmd": _wmd_rwmd_sql(),
+        # wmd_topk / lsi_topics: no oracle_sql on purpose — a transportation
+        # LP / an SVD are not SQL-expressible; both are pinned by pytest
+        # (brute-force LP-vertex enumeration / numpy exact-SVD parity).
     }

@@ -351,6 +351,33 @@ class Similarity:
                               k=self.num_best, packed=packed)
 
 
+class WmdSimilarity:
+    """``gensim.similarities.WmdSimilarity`` (docsim.py:1009-1113): rank the
+    indexed docs by ``1 / (1 + WMD(query, doc))``. Exact WMD with the
+    relational RWMD prefetch-and-prune (operators/wmd.py) — top-k is
+    provably identical to scoring every doc."""
+
+    def __init__(self, docs_tokens: DataFrame, vectors: DataFrame | None = None,
+                 num_best: int = 10, dim: int | None = None):
+        from gensim_spark.operators import wmd as _wmd
+
+        self._wmd = _wmd
+        self.dim = _wmd.DIM if dim is None else dim
+        self.num_best = num_best
+        self._spark = docs_tokens.sparkSession
+        rows = docs_tokens.select("doc_id", F.explode("tokens").alias("token"))
+        self._doc_nbow = _wmd.nbow(rows, vectors=vectors, dim=self.dim).cache()
+        self._vectors = vectors
+
+    def __getitem__(self, query_tokens: list[str]) -> DataFrame:
+        q_rows = self._spark.createDataFrame(
+            [(0, t) for t in query_tokens], "query_id long, token string")
+        q_nbow = self._wmd.nbow(q_rows, vectors=self._vectors,
+                                id_col="query_id", dim=self.dim)
+        return self._wmd.wmd_similarity_topk(
+            self._doc_nbow, q_nbow, num_best=self.num_best, dim=self.dim)
+
+
 class Phrases:
     """``gensim.models.Phrases`` over a (doc_id, tokens) DataFrame."""
 
