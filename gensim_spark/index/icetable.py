@@ -57,6 +57,39 @@ class CommitConflict(Exception):
     """Another writer claimed the metadata version we targeted."""
 
 
+def spec_compat_map() -> dict[str, str]:
+    """Map each JSON artifact this layer writes to its Apache Iceberg spec
+    counterpart — the contract that keeps the "swap the serializer and the
+    layout is spec-compliant" claim honest. Keys are our on-disk artifacts,
+    values the spec's (format-version 2):
+
+    - ``metadata/v<N>.metadata.json`` → TableMetadata JSON (spec: identical
+      format; ours adds a human-oriented ``schema.ddl`` convenience field).
+    - ``metadata/version-hint.text`` → HadoopCatalog version-hint.text
+      (byte-identical semantics).
+    - ``snap-<id>-<uuid>.manifest-list.json`` ``entries[]`` → the
+      ``manifest_file`` Avro records of a manifest list (same field names:
+      manifest_path, manifest_length, partition_spec_id, content,
+      sequence_number, min_sequence_number, added_snapshot_id,
+      added_data_files_count, existing_data_files_count,
+      deleted_data_files_count, added_rows_count).
+    - ``manifest-<id>-<uuid>.json`` ``added-files[]`` → ``manifest_entry``
+      Avro records with status=ADDED; each entry carries the ``data_file``
+      struct fields (path≙file_path, partition, record-count≙record_count,
+      file-size-in-bytes≙file_size_in_bytes, bounds≙lower_bounds/
+      upper_bounds decoded to native values instead of binary).
+    - ``bucket[N]`` partition transform → spec bucket transform with
+      hash60-pmod in place of murmur3 (semantics-equal, not byte-equal).
+    """
+    return {
+        "metadata/v<N>.metadata.json": "TableMetadata JSON",
+        "metadata/version-hint.text": "HadoopCatalog version hint",
+        "snap-*.manifest-list.json": "manifest list (Avro manifest_file records)",
+        "manifest-*.json": "manifest (Avro manifest_entry + data_file records)",
+        "bucket[N] transform": "bucket transform (hash60 pmod vs murmur3)",
+    }
+
+
 # --- partition transforms ----------------------------------------------------
 
 @dataclass(frozen=True)
