@@ -105,6 +105,36 @@ def run_suite():
     t, _ = timed(lambda: S.cosine_topk(emb, q, k=10).count())
     results["knn_cosine"] = round(t, 3)
 
+    # 6b. relational RWMD (WMD lower bound) — 3 queries scored against every
+    # doc, codegen-only (the prune stage of exact WMD top-k)
+    from gensim_spark.functions import textref
+    from gensim_spark.operators import wmd as WM
+
+    rows = idx.docs.select("doc_id", F.explode("tokens").alias("token"))
+    doc_nbow = WM.nbow(rows, dim=4)
+    q_rows = spark.createDataFrame(
+        [(qid, tkn) for qid, text in E.QUERY_SET.items()
+         for tkn in textref.simple_preprocess(text)],
+        "query_id int, token string")
+    q_nbow = WM.nbow(q_rows, id_col="query_id", dim=4)
+    t, _ = timed(lambda: WM.rwmd(doc_nbow, q_nbow, dim=4).count())
+    results["wmd_rwmd"] = round(t, 3)
+
+    # 6c. LSI fit — distributed randomized SVD (k=8, ℓ=16, 1 power iter).
+    # Cost here is jobs × this VM's scheduling/codegen floor (~4 driver
+    # round-trips for the ℓ×ℓ Grams), not data volume — the same job count
+    # serves 10^12 rows.
+    from gensim_spark.operators import lsi as L
+
+    postings_d = idx.postings.select(
+        "doc_id", "term_id", F.col("tf").cast("double").alias("weight")
+    ).cache()
+    postings_d.count()
+    t, _ = timed(lambda: L.lsi_fit(postings_d, num_topics=8,
+                                   power_iters=1).u.count())
+    results["lsi_fit"] = round(t, 3)
+    postings_d.unpersist()
+
     # 7. packed-shard build + block-max WAND query
     import shutil
     import tempfile
@@ -177,6 +207,9 @@ def run_suite():
         "docs_per_sec": round(docs_per_sec, 1),
         "query_p95_ms": round(p95_ms, 1),
         "batch32_amortized_ms_per_query": round(batch32_amortized_ms, 1),
+        "suite_note": "round 3 added two NEW suite entries (wmd_rwmd, "
+                      "lsi_fit) — the suite total is not comparable to "
+                      "round 2's; compare per-query",
         # measured via _wand_bench_inner(1_000_000) (round 3, block-lazy
         # decode; interleaved reps, min-of-3 in-run + best-of-2 invocations,
         # rank-identity asserted in-run); regenerate with
