@@ -112,10 +112,61 @@ def _dist_expr(dim: int):
     return F.sqrt(sq)
 
 
-def rwmd(doc_nbow: DataFrame, query_nbow: DataFrame,
-         dim: int = DIM) -> DataFrame:
-    """max(l1, l2) per (query_id, doc_id) — Kusner's RWMD, one broadcast
-    join + two min/sum aggregations, all codegen."""
+def rwmd(doc_nbow: DataFrame, query_nbow: DataFrame, dim: int = DIM,
+         max_compiled_tokens: int = 256) -> DataFrame:
+    """max(l1, l2) per (query_id, doc_id) — Kusner's RWMD.
+
+    Fast path (queries ≤ ``max_compiled_tokens`` total tokens): the query
+    side is collected (query-sized, like every query-lookup in this repo)
+    and COMPILED into aggregate expressions — per query token j,
+    ``m_j = min over the doc's tokens of dist(token, c_j)`` with the query
+    vector c_j a literal, plus ``l2 = Σ w·least_j(dist_j)`` — so the whole
+    bound is ONE hash-agg pass over doc_nbow: no join, no window, one
+    (doc_id-keyed, map-side-combined) exchange. That is the plan that
+    survives 10^12 docs.
+
+    Larger query sets fall back to the relational two-aggregation form
+    (:func:`_rwmd_relational`) whose shape the DuckDB oracle mirrors.
+    """
+    qrows = query_nbow.limit(max_compiled_tokens + 1).collect()
+    if len(qrows) > max_compiled_tokens:
+        return _rwmd_relational(doc_nbow, query_nbow, dim)
+    by_q: dict = {}
+    for r in qrows:
+        by_q.setdefault(r["query_id"], []).append(
+            (float(r["w"]), [float(r[f"v{d}"]) for d in range(dim)]))
+    if not by_q:
+        return _rwmd_relational(doc_nbow, query_nbow, dim)
+
+    def dist_to(c):
+        sq = sum(((F.col(f"v{d}") - F.lit(c[d])) ** 2 for d in range(dim)),
+                 F.lit(0.0))
+        return F.sqrt(sq)
+
+    aggs, finals = [], []
+    for qid, toks in by_q.items():
+        dists = [dist_to(c) for _w, c in toks]
+        for j, dj in enumerate(dists):
+            aggs.append(F.min(dj).alias(f"_m_{qid}_{j}"))
+        aggs.append(F.sum(F.col("w") * F.least(*dists)
+                          if len(dists) > 1
+                          else F.col("w") * dists[0]).alias(f"_l2_{qid}"))
+        l1 = sum((F.lit(w) * F.col(f"_m_{qid}_{j}")
+                  for j, (w, _c) in enumerate(toks)), F.lit(0.0))
+        finals.append(F.struct(
+            F.lit(qid).alias("query_id"),
+            F.greatest(l1, F.col(f"_l2_{qid}")).alias("rwmd")))
+    wide = doc_nbow.groupBy("doc_id").agg(*aggs)
+    return (wide.select("doc_id", F.explode(F.array(*finals)).alias("_p"))
+            .select(F.col("_p.query_id").alias("query_id"), "doc_id",
+                    F.col("_p.rwmd").alias("rwmd")))
+
+
+def _rwmd_relational(doc_nbow: DataFrame, query_nbow: DataFrame,
+                     dim: int = DIM) -> DataFrame:
+    """Relational RWMD (broadcast query join + two min/sum aggregations) —
+    the shape the DuckDB oracle replicates; fallback for query sets too
+    large to compile into expressions."""
     q = query_nbow.select(
         "query_id", F.col("token").alias("qtoken"), F.col("w").alias("qw"),
         *[F.col(f"v{d}").alias(f"qv{d}") for d in range(dim)])

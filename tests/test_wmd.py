@@ -188,6 +188,25 @@ def test_wmd_similarity_is_reciprocal_rank(spark, nbows):
         assert r["similarity"] == pytest.approx(want, rel=1e-12)
 
 
+def test_rwmd_compiled_matches_relational(spark, nbows):
+    """The expression-compiled fast path (one hash-agg, no join) and the
+    relational fallback are the same bound."""
+    doc_nbow, query_nbow, _ = nbows
+    fast = {(r["query_id"], r["doc_id"]): r["rwmd"]
+            for r in W.rwmd(doc_nbow, query_nbow, dim=DIM).collect()}
+    slow = {(r["query_id"], r["doc_id"]): r["rwmd"]
+            for r in W._rwmd_relational(doc_nbow, query_nbow,
+                                        dim=DIM).collect()}
+    assert set(fast) == set(slow)
+    for k, v in fast.items():
+        assert v == pytest.approx(slow[k], rel=1e-12, abs=1e-12), k
+    # the threshold knob actually routes to the fallback
+    forced = {(r["query_id"], r["doc_id"]): r["rwmd"]
+              for r in W.rwmd(doc_nbow, query_nbow, dim=DIM,
+                              max_compiled_tokens=0).collect()}
+    assert forced == slow
+
+
 def test_wmd_similarity_facade(spark):
     from gensim_spark import api
 
