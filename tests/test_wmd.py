@@ -49,6 +49,36 @@ def test_emd_degenerate_ties():
             emd_bruteforce(a, b, c), abs=1e-8), t
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra import numpy as hnp
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        m=st.integers(1, 4), n=st.integers(1, 4),
+        data=st.data(),
+    )
+    def test_emd_property_vs_bruteforce(m, n, data):
+        """Hypothesis sweep: solver == brute-force vertex enumeration on
+        arbitrary masses/costs, including heavy degeneracy (tied costs)."""
+        a = np.array(data.draw(st.lists(
+            st.floats(0.01, 10.0, allow_nan=False), min_size=m, max_size=m)))
+        b = np.array(data.draw(st.lists(
+            st.floats(0.01, 10.0, allow_nan=False), min_size=n, max_size=n)))
+        a, b = a / a.sum(), b / b.sum()
+        c = data.draw(hnp.arrays(
+            np.float64, (m, n),
+            elements=st.sampled_from([0.0, 0.5, 1.0, 1.5, 2.0, 3.0])))
+        got, plan = emd(a, b, c)
+        want = emd_bruteforce(a, b, c)
+        assert got == pytest.approx(want, abs=1e-8)
+        assert np.allclose(plan.sum(1), a, atol=1e-9)
+        assert np.allclose(plan.sum(0), b, atol=1e-9)
+except ImportError:  # pragma: no cover - hypothesis is in this env
+    pass
+
+
 def _local_wmdistance(doc1, doc2, vecs):
     """Independent numpy replica of the reference wmdistance contract.
 
