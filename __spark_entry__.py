@@ -504,6 +504,25 @@ def _q_lsi_topics(spark, sf_dir):
                       F.round(F.abs("weight"), 4).alias("abs_weight"))
 
 
+_LDA_K = 4
+
+
+def _q_lda_doc_topics(spark, sf_dir):
+    """LDA document-topic distributions (batch online-VB EM, Hoffman et al.).
+    The EM with digamma special functions is iterative with no SQL analogue —
+    rows-only entry; parity against a sequential replica of the reference's
+    ``update`` flow (ldamodel.py:855-1083) is pinned by tests/test_lda.py."""
+    from gensim_spark.operators import lda as LD
+
+    idx = _index(spark, sf_dir)
+    postings = idx.postings.select("doc_id", "term_id", "tf")
+    model = LD.lda_fit(postings, num_topics=_LDA_K, passes=2,
+                       random_seed=13, iterations=30)
+    out = LD.doc_topics(postings, model)
+    return out.select("doc_id", "topic_id",
+                      F.round("probability", 4).alias("probability"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokens_count": _q_tokens_count,
@@ -545,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wmd_rwmd": _q_wmd_rwmd,
         "wmd_topk": _q_wmd_topk,
         "lsi_topics": _q_lsi_topics,
+        "lda_doc_topics": _q_lda_doc_topics,
     }
 
 
@@ -1214,7 +1234,9 @@ FROM ranked WHERE rank <= 10""",
         "ann_ivf": _ivf_sql(),
         "embedding_near_dups": _near_dup_lsh_sql(),
         "wmd_rwmd": _wmd_rwmd_sql(),
-        # wmd_topk / lsi_topics: no oracle_sql on purpose — a transportation
-        # LP / an SVD are not SQL-expressible; both are pinned by pytest
-        # (brute-force LP-vertex enumeration / numpy exact-SVD parity).
+        # wmd_topk / lsi_topics / lda_doc_topics: no oracle_sql on purpose —
+        # a transportation LP / an SVD / a variational-EM loop with digamma
+        # special functions are not SQL-expressible; all are pinned by pytest
+        # (brute-force LP-vertex enumeration / numpy exact-SVD parity /
+        # sequential replica of the reference's batch update flow).
     }

@@ -135,6 +135,16 @@ def run_suite():
     results["lsi_fit"] = round(t, 3)
     postings_d.unpersist()
 
+    # 6d. LDA fit — one batch VB pass (K=8). One mapInPandas E-step job +
+    # one packed-long hash-agg; the per-doc γ loop dominates and scales
+    # linearly with executors (embarrassingly parallel E-step).
+    from gensim_spark.operators import lda as LD
+
+    t, _ = timed(lambda: LD.lda_fit(
+        idx.postings.select("doc_id", "term_id", "tf"),
+        num_topics=8, passes=1, iterations=30, random_seed=13))
+    results["lda_fit"] = round(t, 3)
+
     # 7. packed-shard build + block-max WAND query
     import shutil
     import tempfile
@@ -207,9 +217,9 @@ def run_suite():
         "docs_per_sec": round(docs_per_sec, 1),
         "query_p95_ms": round(p95_ms, 1),
         "batch32_amortized_ms_per_query": round(batch32_amortized_ms, 1),
-        "suite_note": "round 3 added two NEW suite entries (wmd_rwmd, "
-                      "lsi_fit) — the suite total is not comparable to "
-                      "round 2's; compare per-query",
+        "suite_note": "round 3 added three NEW suite entries (wmd_rwmd, "
+                      "lsi_fit, lda_fit) — the suite total is not comparable "
+                      "to round 2's; compare per-query",
         # measured via _wand_bench_inner(1_000_000) (round 3, block-lazy
         # decode; interleaved reps, min-of-3 in-run + best-of-2 invocations,
         # rank-identity asserted in-run); regenerate with

@@ -252,6 +252,60 @@ class LsiModel:
                                     topic_id, topn)
 
 
+class LdaModel:
+    """``gensim.models.LdaModel`` (ldamodel.py:352-522): batch
+    variational-Bayes fit at construction over (doc_id, term_id, tf)
+    postings; ``model[postings]`` / ``get_document_topics`` return
+    (doc_id, topic_id, probability) rows. The λ matrix is driver-resident
+    exactly as in the reference; see operators/lda.py for the Spark shape
+    and the determinism deviation (per-document seeded γ init)."""
+
+    def __init__(self, corpus: DataFrame, id2word: Dictionary | None = None,
+                 num_topics: int = 100, passes: int = 1,
+                 iterations: int = 50, alpha="symmetric", eta=None,
+                 decay: float = 0.5, offset: float = 1.0,
+                 gamma_threshold: float = 0.001,
+                 minimum_probability: float = 0.01, random_state: int = 13):
+        from gensim_spark.operators import lda as _lda
+
+        self._lda = _lda
+        self.id2word = id2word
+        self.num_topics = num_topics
+        num_terms = len(id2word) if id2word is not None else None
+        self.model = _lda.lda_fit(
+            corpus, num_topics=num_topics, num_terms=num_terms,
+            passes=passes, iterations=iterations, alpha=alpha, eta=eta,
+            decay=decay, offset=offset, gamma_threshold=gamma_threshold,
+            minimum_probability=minimum_probability,
+            random_seed=random_state)
+
+    def get_document_topics(self, postings: DataFrame,
+                            minimum_probability: float | None = None
+                            ) -> DataFrame:
+        return self._lda.doc_topics(postings, self.model,
+                                    minimum_probability)
+
+    __getitem__ = get_document_topics
+
+    def get_topics(self):
+        return self.model.get_topics()
+
+    def show_topic(self, topicid: int, topn: int = 10):
+        """list of (token, prob), like the reference (ldamodel.py:1202-1219).
+        Driver-side by construction — the topic row is already local."""
+        if self.id2word is None:
+            raise ValueError("show_topic needs id2word (a Dictionary)")
+        rows = self._lda.show_topic(self.model, self.id2word.df,
+                                    topicid, topn).collect()
+        return [(r["token"], r["prob"]) for r in rows]
+
+    def log_perplexity(self, postings: DataFrame) -> float:
+        return self._lda.log_perplexity(postings, self.model)
+
+    def bound(self, postings: DataFrame) -> float:
+        return self._lda.bound(postings, self.model)
+
+
 class _BM25Base:
     variant = "okapi"
 
