@@ -523,6 +523,58 @@ def _q_lda_doc_topics(spark, sf_dir):
                       F.round("probability", 4).alias("probability"))
 
 
+# Coherence entries use deterministic topics — the top 30 vocabulary tokens
+# ranked by (df DESC, token ASC), split into 3 topics of 10 — so DuckDB can
+# derive the identical word lists and the whole pipeline hash-checks.
+_COH_TOPN, _COH_NTOPICS = 10, 3
+
+
+def _coh_topics(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    rows = (idx.vocab.select("term_id", "token", "df")
+            .orderBy(F.desc("df"), F.asc("token"))
+            .limit(_COH_TOPN * _COH_NTOPICS).collect())
+    ids = [[r["term_id"] for r in rows[t * _COH_TOPN:(t + 1) * _COH_TOPN]]
+           for t in range(_COH_NTOPICS)]
+    toks = [[r["token"] for r in rows[t * _COH_TOPN:(t + 1) * _COH_TOPN]]
+            for t in range(_COH_NTOPICS)]
+    return idx, ids, toks
+
+
+def _q_coherence_umass(spark, sf_dir):
+    """u_mass topic coherence (coherencemodel.py:51-56 pipeline: s_one_pre →
+    p_boolean_document → log_conditional_probability → arithmetic mean per
+    topic). Counting is a relational plan over the relevant-word presence set
+    (operators/coherence.py:boolean_doc_stats)."""
+    from gensim_spark.operators import coherence as C
+
+    idx, topic_ids, _ = _coh_topics(spark, sf_dir)
+    vals = C.coherence_per_topic(topic_ids, "u_mass",
+                                 postings=idx.postings,
+                                 num_docs=idx.num_docs)
+    return spark.createDataFrame(
+        [(t, round(v, 6)) for t, v in enumerate(vals)],
+        "topic_id long, coherence double")
+
+
+def _q_coherence_cnpmi_doc(spark, sf_dir):
+    """c_npmi coherence at window_size larger than every document: each doc
+    is exactly one window (utils.iter_windows ignore_below_size=False), so
+    the boolean-sliding-window estimator degenerates to boolean-document
+    probabilities and the whole pipeline (s_one_one → NPMI → mean) is
+    SQL-expressible. The genuine sliding path is pinned by
+    tests/test_coherence.py against a replica of the reference accumulator."""
+    from gensim_spark.operators import coherence as C
+
+    _, _, topic_toks = _coh_topics(spark, sf_dir)
+    toks = _tokenized(spark, sf_dir)
+    vals = C.coherence_per_topic(topic_toks, "c_npmi", texts=toks,
+                                 window_size=10_000_000)
+    return spark.createDataFrame(
+        [(t, round(v, 6)) for t, v in enumerate(vals)],
+        "topic_id long, coherence double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokens_count": _q_tokens_count,
@@ -565,6 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wmd_topk": _q_wmd_topk,
         "lsi_topics": _q_lsi_topics,
         "lda_doc_topics": _q_lda_doc_topics,
+        "coherence_umass": _q_coherence_umass,
+        "coherence_cnpmi_doc": _q_coherence_cnpmi_doc,
     }
 
 
@@ -1046,6 +1100,65 @@ FROM pairs WHERE cosine >= {_NEAR_DUP_T}
 """
 
 
+_COH_TOP_SQL = f"""
+top AS (
+  SELECT term_id, token,
+         row_number() OVER (ORDER BY df DESC, token ASC) - 1 AS rnk
+  FROM vocab_ids ORDER BY rnk LIMIT {_COH_TOPN * _COH_NTOPICS}),
+tw AS (SELECT term_id, CAST(rnk // {_COH_TOPN} AS BIGINT) AS topic_id,
+              rnk % {_COH_TOPN} AS pos
+       FROM top),
+pres AS (SELECT DISTINCT p.doc_id, t.term_id, t.topic_id, t.pos
+         FROM postings p JOIN tw t USING (term_id)),
+occ AS (SELECT term_id, count(*) AS cnt FROM pres GROUP BY term_id)"""
+
+
+def _coherence_umass_sql() -> str:
+    # s_one_pre pairs (later rank, earlier rank); m = ln((co/D+eps)/(occ*/D))
+    return f"""{_PRELUDE},{_COH_TOP_SQL},
+pairs AS (SELECT a.topic_id, a.term_id AS wi, b.term_id AS wj
+          FROM tw a JOIN tw b ON a.topic_id = b.topic_id AND a.pos > b.pos),
+co AS (SELECT pr.topic_id, pr.wi, pr.wj, count(*) AS cnt
+       FROM pairs pr
+       JOIN pres x ON x.term_id = pr.wi
+       JOIN pres y ON y.term_id = pr.wj AND y.doc_id = x.doc_id
+       GROUP BY pr.topic_id, pr.wi, pr.wj),
+seg AS (SELECT pr.topic_id,
+               ln((COALESCE(c.cnt, 0)::DOUBLE / nd.n + 1e-12)
+                  / (o.cnt::DOUBLE / nd.n)) AS m
+        FROM pairs pr
+        LEFT JOIN co c ON c.topic_id = pr.topic_id
+                      AND c.wi = pr.wi AND c.wj = pr.wj
+        JOIN occ o ON o.term_id = pr.wj
+        CROSS JOIN nd)
+SELECT topic_id, round(avg(m), 6) AS coherence
+FROM seg GROUP BY topic_id ORDER BY topic_id"""
+
+
+def _coherence_cnpmi_doc_sql() -> str:
+    # window >= max doc length -> one window per doc, so window probabilities
+    # equal boolean-document probabilities; s_one_one ordered pairs, NPMI.
+    return f"""{_PRELUDE},{_COH_TOP_SQL},
+pairs AS (SELECT a.topic_id, a.term_id AS wi, b.term_id AS wj
+          FROM tw a JOIN tw b ON a.topic_id = b.topic_id AND a.pos <> b.pos),
+co AS (SELECT x.term_id AS wi, y.term_id AS wj, count(*) AS cnt
+       FROM pres x
+       JOIN pres y ON y.doc_id = x.doc_id AND y.topic_id = x.topic_id
+                  AND y.term_id <> x.term_id
+       GROUP BY x.term_id, y.term_id),
+seg AS (SELECT pr.topic_id,
+               ln((COALESCE(c.cnt, 0)::DOUBLE / nd.n + 1e-12)
+                  / ((oi.cnt::DOUBLE / nd.n) * (oj.cnt::DOUBLE / nd.n)))
+               / (-ln(COALESCE(c.cnt, 0)::DOUBLE / nd.n + 1e-12)) AS m
+        FROM pairs pr
+        LEFT JOIN co c ON c.wi = pr.wi AND c.wj = pr.wj
+        JOIN occ oi ON oi.term_id = pr.wi
+        JOIN occ oj ON oj.term_id = pr.wj
+        CROSS JOIN nd)
+SELECT topic_id, round(avg(m), 6) AS coherence
+FROM seg GROUP BY topic_id ORDER BY topic_id"""
+
+
 def _wmd_rwmd_sql() -> str:
     from gensim_spark.operators import wmd as WM
 
@@ -1234,6 +1347,8 @@ FROM ranked WHERE rank <= 10""",
         "ann_ivf": _ivf_sql(),
         "embedding_near_dups": _near_dup_lsh_sql(),
         "wmd_rwmd": _wmd_rwmd_sql(),
+        "coherence_umass": _coherence_umass_sql(),
+        "coherence_cnpmi_doc": _coherence_cnpmi_doc_sql(),
         # wmd_topk / lsi_topics / lda_doc_topics: no oracle_sql on purpose —
         # a transportation LP / an SVD / a variational-EM loop with digamma
         # special functions are not SQL-expressible; all are pinned by pytest

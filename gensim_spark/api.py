@@ -306,6 +306,87 @@ class LdaModel:
         return self._lda.bound(postings, self.model)
 
 
+class CoherenceModel:
+    """``gensim.models.CoherenceModel`` (coherencemodel.py:92-217): topic
+    coherence for u_mass / c_uci / c_npmi / c_v / c_w2v over Spark tables.
+
+    ``model`` (an :class:`LdaModel`/:class:`LsiModel` exposing
+    ``get_topics()``) or explicit ``topics`` (lists of tokens or term_ids);
+    ``corpus`` = (doc_id, term_id, tf) postings for u_mass; ``texts`` =
+    (doc_id, tokens) for the sliding-window measures. Counting runs
+    distributed (operators/coherence.py); only the ≤ K·topn relevant-word
+    matrix lands on the driver, as in the reference."""
+
+    def __init__(self, model=None, topics=None, texts: DataFrame | None = None,
+                 corpus: DataFrame | None = None,
+                 dictionary: Dictionary | None = None,
+                 window_size: int | None = None, keyed_vectors=None,
+                 coherence: str = "c_v", topn: int = 20):
+        from gensim_spark.operators import coherence as _coh
+
+        self._coh = _coh
+        self.coherence = coherence
+        self.window_size = window_size
+        self.keyed_vectors = keyed_vectors
+        self.texts = texts
+        self.corpus = corpus
+        self.dictionary = dictionary
+        self.topn = topn
+
+        if topics is None:
+            if model is None:
+                raise ValueError("either model= or topics= is required")
+            import numpy as np
+
+            mat = model.get_topics()
+            topics = [np.argsort(-row, kind="stable")[:topn].tolist()
+                      for row in mat]
+        self._topic_ids = [list(t) for t in topics]
+
+    def _topics_for_measure(self):
+        """u_mass wants term_ids; window measures want token strings
+        (coherencemodel.py:191-216 routes through the dictionary)."""
+        first = self._topic_ids[0][0] if self._topic_ids else None
+        want_tokens = self.coherence in ("c_uci", "c_npmi", "c_v", "c_w2v")
+        if want_tokens and not isinstance(first, str):
+            if self.dictionary is None:
+                raise ValueError(f"{self.coherence} with id topics needs "
+                                 "dictionary= to map ids to tokens")
+            ids = [int(w) for t in self._topic_ids for w in t]
+            rows = (self.dictionary.df
+                    .filter(F.col("term_id").isin(ids))
+                    .select("term_id", "token").collect())
+            id2tok = {r["term_id"]: r["token"] for r in rows}
+            return [[id2tok[int(w)] for w in t] for t in self._topic_ids]
+        if not want_tokens and isinstance(first, str):
+            tok2id = {r["token"]: r["term_id"]
+                      for r in self.dictionary.df
+                      .filter(F.col("token").isin(
+                          [w for t in self._topic_ids for w in t]))
+                      .select("token", "term_id").collect()}
+            return [[tok2id[w] for w in t] for t in self._topic_ids]
+        return self._topic_ids
+
+    def get_coherence_per_topic(self) -> list[float]:
+        topics = self._topics_for_measure()
+        kw = {}
+        if self.coherence == "u_mass":
+            if self.corpus is None or self.dictionary is None:
+                raise ValueError("u_mass needs corpus= and dictionary=")
+            kw = dict(postings=self.corpus,
+                      num_docs=self.dictionary.num_docs)
+        elif self.coherence == "c_w2v":
+            kw = dict(keyed_vectors=self.keyed_vectors)
+        else:
+            kw = dict(texts=self.texts, window_size=self.window_size)
+        return self._coh.coherence_per_topic(topics, self.coherence, **kw)
+
+    def get_coherence(self) -> float:
+        import numpy as np
+
+        return float(np.mean(self.get_coherence_per_topic()))
+
+
 class _BM25Base:
     variant = "okapi"
 
