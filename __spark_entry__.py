@@ -523,6 +523,21 @@ def _q_lda_doc_topics(spark, sf_dir):
                       F.round("probability", 4).alias("probability"))
 
 
+def _q_nmf_doc_topics(spark, sf_dir):
+    """Online-NMF document-topic factors (Zhao & Tan). The projected-gradient
+    coordinate descent is iterative with no SQL analogue — rows-only entry;
+    parity against a sequential numpy replica of the reference's update flow
+    (nmf.py:552-784) is pinned by tests/test_nmf.py."""
+    from gensim_spark.operators import nmf as NM
+
+    idx = _index(spark, sf_dir)
+    postings = idx.postings.select("doc_id", "term_id", "tf")
+    model = NM.nmf_fit(postings, num_topics=_LDA_K, passes=2, random_seed=13)
+    out = NM.doc_topics(postings, model)
+    return out.select("doc_id", "topic_id",
+                      F.round("probability", 4).alias("probability"))
+
+
 # Coherence entries use deterministic topics — the top 30 vocabulary tokens
 # ranked by (df DESC, token ASC), split into 3 topics of 10 — so DuckDB can
 # derive the identical word lists and the whole pipeline hash-checks.
@@ -617,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wmd_topk": _q_wmd_topk,
         "lsi_topics": _q_lsi_topics,
         "lda_doc_topics": _q_lda_doc_topics,
+        "nmf_doc_topics": _q_nmf_doc_topics,
         "coherence_umass": _q_coherence_umass,
         "coherence_cnpmi_doc": _q_coherence_cnpmi_doc,
     }
@@ -1349,9 +1365,10 @@ FROM ranked WHERE rank <= 10""",
         "wmd_rwmd": _wmd_rwmd_sql(),
         "coherence_umass": _coherence_umass_sql(),
         "coherence_cnpmi_doc": _coherence_cnpmi_doc_sql(),
-        # wmd_topk / lsi_topics / lda_doc_topics: no oracle_sql on purpose —
-        # a transportation LP / an SVD / a variational-EM loop with digamma
-        # special functions are not SQL-expressible; all are pinned by pytest
-        # (brute-force LP-vertex enumeration / numpy exact-SVD parity /
-        # sequential replica of the reference's batch update flow).
+        # wmd_topk / lsi_topics / lda_doc_topics / nmf_doc_topics: no
+        # oracle_sql on purpose — a transportation LP / an SVD / a
+        # variational-EM loop with digamma special functions / a projected-
+        # gradient coordinate descent are not SQL-expressible; all are pinned
+        # by pytest (brute-force LP-vertex enumeration / numpy exact-SVD
+        # parity / sequential replicas of the reference's update flows).
     }

@@ -248,9 +248,11 @@ def run_suite():
         # reps, min-of, fresh subprocess per run); see BASELINE.md §Measured
         "scaling_reference": {
             "docs": 400000, "cores_n": 2, "cores_4n": 8,
-            "t_n_sec": 189.9, "t_4n_sec": 57.4,
-            "docs_per_sec_4n": 6969.0, "efficiency": 0.827,
-            "measured": "round 2, BASELINE.md (round 1: 165.7/51.8 = 0.800)",
+            "t_n_sec": 179.16, "t_4n_sec": 52.64,
+            "docs_per_sec_n": 2232.6, "docs_per_sec_4n": 7598.8,
+            "efficiency": 0.851,
+            "measured": "round 3, BASELINE.md (interleaved min-of-6; "
+                        "round 2: 189.9/57.4 = 0.827, round 1: 0.800)",
         },
     }
     return out
@@ -513,10 +515,16 @@ def main():
         # Override with SPARK_GRAFT_SCALE_N.
         n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         n4 = 4 * n
-        best = {}
-        for cores in (n4, n):
-            best[cores] = min(scaling_run(cores, SCALE_DOCS)
-                              for _ in range(2))
+        # Interleave the two core counts and take min-of-reps: this VM's
+        # hypervisor steal is bursty (identical runs vary 2-3x), so paired
+        # alternation + min is the only protocol that survives it. 2 reps
+        # measured 0.645 on a noisy day where 4+ reps converged to ~0.83.
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
+        times: dict = {n: [], n4: []}
+        for _ in range(reps):
+            for cores in (n4, n):
+                times[cores].append(scaling_run(cores, SCALE_DOCS))
+        best = {c: min(ts) for c, ts in times.items()}
         eff = (best[n] / best[n4]) / (n4 / n)
         out["scaling"] = {
             "docs": SCALE_DOCS, "cores_n": n, "cores_4n": n4,

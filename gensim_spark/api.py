@@ -306,6 +306,56 @@ class LdaModel:
         return self._lda.bound(postings, self.model)
 
 
+class Nmf:
+    """``gensim.models.nmf.Nmf`` (nmf.py:123-244): online NMF fit at
+    construction over (doc_id, term_id, tf) postings; ``model[postings]`` /
+    ``get_document_topics`` return (doc_id, topic_id, probability) rows.
+    W/A/B are driver-resident exactly as in the reference; see
+    operators/nmf.py for the Spark shape and determinism deviations."""
+
+    def __init__(self, corpus: DataFrame, id2word: Dictionary | None = None,
+                 num_topics: int = 100, passes: int = 1, kappa: float = 1.0,
+                 minimum_probability: float = 0.01, w_max_iter: int = 200,
+                 w_stop_condition: float = 1e-4, h_max_iter: int = 50,
+                 h_stop_condition: float = 1e-3, normalize: bool = True,
+                 random_state: int = 13):
+        from gensim_spark.operators import nmf as _nmf
+
+        self._nmf = _nmf
+        self.id2word = id2word
+        self.num_topics = num_topics
+        num_terms = len(id2word) if id2word is not None else None
+        self.model = _nmf.nmf_fit(
+            corpus, num_topics=num_topics, num_terms=num_terms,
+            passes=passes, kappa=kappa,
+            minimum_probability=minimum_probability,
+            w_max_iter=w_max_iter, w_stop_condition=w_stop_condition,
+            h_max_iter=h_max_iter, h_stop_condition=h_stop_condition,
+            normalize=normalize, random_seed=random_state)
+
+    def get_document_topics(self, postings: DataFrame,
+                            minimum_probability: float | None = None
+                            ) -> DataFrame:
+        return self._nmf.doc_topics(postings, self.model,
+                                    minimum_probability)
+
+    __getitem__ = get_document_topics
+
+    def get_topics(self, normalize: bool | None = None):
+        return self.model.get_topics(normalize)
+
+    def show_topic(self, topicid: int, topn: int = 10):
+        """list of (token, prob), like the reference (nmf.py:314-350)."""
+        if self.id2word is None:
+            raise ValueError("show_topic needs id2word (a Dictionary)")
+        rows = self._nmf.show_topic(self.model, self.id2word.df,
+                                    topicid, topn).collect()
+        return [(r["token"], r["prob"]) for r in rows]
+
+    def l2_norm(self, postings: DataFrame) -> float:
+        return self._nmf.l2_norm(postings, self.model)
+
+
 class CoherenceModel:
     """``gensim.models.CoherenceModel`` (coherencemodel.py:92-217): topic
     coherence for u_mass / c_uci / c_npmi / c_v / c_w2v over Spark tables.
