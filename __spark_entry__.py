@@ -523,6 +523,47 @@ def _q_lda_doc_topics(spark, sf_dir):
                       F.round("probability", 4).alias("probability"))
 
 
+_TM_DIMS = 64
+
+
+def _tm_pairs(spark, sf_dir):
+    """Deterministic training pairs: even vec_id → the next odd vec_id."""
+    emb = _emb(spark, sf_dir)
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    pairs = src.select(F.col("vec_id").alias("src_id")).join(
+        tgt.select((F.col("vec_id") - 1).alias("src_id"),
+                   F.col("vec_id").alias("tgt_id")), "src_id")
+    return emb, src, tgt, pairs
+
+
+def _q_translation_normal_eqs(spark, sf_dir):
+    """The distributed least-squares core of TranslationMatrix.train
+    (translation_matrix.py:236-256): XᵀX and XᵀY over unit-normalized
+    (source, target) pair vectors, emitted entry-wise so DuckDB can verify
+    the whole reduction."""
+    from gensim_spark.operators import translation as TR
+
+    _, src, tgt, pairs = _tm_pairs(spark, sf_dir)
+    xtx, xty = TR.normal_equations(
+        pairs, TR.normalize_rows(src), TR.normalize_rows(tgt), _TM_DIMS)
+    rows = [(i, j, round(float(xtx[i, j]), 6), round(float(xty[i, j]), 6))
+            for i in range(_TM_DIMS) for j in range(_TM_DIMS)]
+    return spark.createDataFrame(rows, "i long, j long, xtx double, xty double")
+
+
+def _q_translation_topk(spark, sf_dir):
+    """Full TranslationMatrix translate (gc=0): fit W on the pair set, map
+    the first 5 sources, cosine top-3 in the target space. The pinv solve is
+    not SQL-expressible — rows-only; the solve and the retrieval are pinned
+    by tests/test_translation.py (numpy lstsq parity)."""
+    from gensim_spark.operators import translation as TR
+
+    _, src, tgt, pairs = _tm_pairs(spark, sf_dir)
+    w = TR.fit_translation_matrix(pairs, src, tgt, _TM_DIMS)
+    return TR.translate(src.filter(F.col("vec_id") < 10), tgt, w, topn=3)
+
+
 def _q_nmf_doc_topics(spark, sf_dir):
     """Online-NMF document-topic factors (Zhao & Tan). The projected-gradient
     coordinate descent is iterative with no SQL analogue — rows-only entry;
@@ -633,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsi_topics": _q_lsi_topics,
         "lda_doc_topics": _q_lda_doc_topics,
         "nmf_doc_topics": _q_nmf_doc_topics,
+        "translation_normal_eqs": _q_translation_normal_eqs,
+        "translation_topk": _q_translation_topk,
         "coherence_umass": _q_coherence_umass,
         "coherence_cnpmi_doc": _q_coherence_cnpmi_doc,
     }
@@ -1116,6 +1159,32 @@ FROM pairs WHERE cosine >= {_NEAR_DUP_T}
 """
 
 
+def _translation_normal_eqs_sql() -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             FROM embeddings),
+nrm AS (SELECT vec_id,
+               CASE WHEN sq > 0
+                    THEN list_transform(v, x -> x / sqrt(sq)) ELSE v END AS v
+        FROM (SELECT vec_id, v,
+                     list_sum(list_transform(v, x -> x * x)) AS sq
+              FROM emb)),
+pairs AS (SELECT s.vec_id AS sid, t.vec_id AS tid
+          FROM nrm s JOIN nrm t ON t.vec_id = s.vec_id + 1
+          WHERE s.vec_id % 2 = 0),
+pos AS (SELECT unnest(range({_TM_DIMS})) AS i),
+sx AS (SELECT p.sid, pos.i, s.v[pos.i + 1] AS x
+       FROM pairs p JOIN nrm s ON s.vec_id = p.sid CROSS JOIN pos),
+ty AS (SELECT p.sid, pos.i AS j, t.v[pos.i + 1] AS y
+       FROM pairs p JOIN nrm t ON t.vec_id = p.tid CROSS JOIN pos),
+xtx AS (SELECT a.i, b.i AS j, sum(a.x * b.x) AS xtx
+        FROM sx a JOIN sx b USING (sid) GROUP BY a.i, b.i),
+xty AS (SELECT a.i, c.j, sum(a.x * c.y) AS xty
+        FROM sx a JOIN ty c USING (sid) GROUP BY a.i, c.j)
+SELECT i, j, round(xtx, 6) AS xtx, round(xty, 6) AS xty
+FROM xtx JOIN xty USING (i, j)"""
+
+
 _COH_TOP_SQL = f"""
 top AS (
   SELECT term_id, token,
@@ -1365,6 +1434,11 @@ FROM ranked WHERE rank <= 10""",
         "wmd_rwmd": _wmd_rwmd_sql(),
         "coherence_umass": _coherence_umass_sql(),
         "coherence_cnpmi_doc": _coherence_cnpmi_doc_sql(),
+        "translation_normal_eqs": _translation_normal_eqs_sql(),
+        # translation_topk: no oracle on purpose — the pinv solve of the
+        # normal equations is not SQL-expressible; the solve + retrieval are
+        # pinned by tests/test_translation.py (numpy lstsq parity), and the
+        # distributed reduction itself is the oracled translation_normal_eqs.
         # wmd_topk / lsi_topics / lda_doc_topics / nmf_doc_topics: no
         # oracle_sql on purpose — a transportation LP / an SVD / a
         # variational-EM loop with digamma special functions / a projected-

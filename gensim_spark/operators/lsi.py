@@ -40,10 +40,24 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gensim_spark.operators.rp import sign_expr
-
 P2_EXTRA_DIMS = 100   # lsimodel.py:81
 P2_EXTRA_ITERS = 2    # lsimodel.py:82
+
+
+def sign_cols(term_col, ell: int) -> list:
+    """ℓ Rademacher ±1 signs per term, bit-sliced from ⌈ℓ/64⌉ ``xxhash64``
+    draws — one JVM hash evaluation per 64 sketch dims instead of one
+    md5-of-string per dim (rp.sign_expr). At ℓ=300 over 10^12 postings that
+    is 5 hashes per posting, not 300. Any Rademacher Ω satisfies the Halko
+    range-finder guarantee; the construction here only needs to be
+    deterministic per term, which xxhash64(term_id, block) is."""
+    cols = []
+    for blk in range((ell + 63) // 64):
+        h = F.xxhash64(term_col, F.lit(blk))
+        for b in range(min(64, ell - blk * 64)):
+            bit = F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))
+            cols.append(F.when(bit == 1, F.lit(1.0)).otherwise(F.lit(-1.0)))
+    return cols
 
 
 def _agg_matmul(rows: DataFrame, key: str, in_cols: list[str],
@@ -155,8 +169,8 @@ def lsi_fit(postings: DataFrame, num_topics: int = 200,
 
     # Y = A·Ω: per-doc ℓ sums of weight·sign(term, j)
     y_exprs = [
-        F.sum(F.col(w) * sign_expr(F.col("term_id"), F.lit(j))).alias(f"y{j}")
-        for j in range(ell)
+        F.sum(F.col(w) * s).alias(f"y{j}")
+        for j, s in enumerate(sign_cols(F.col("term_id"), ell))
     ]
     y_cols = [f"y{j}" for j in range(ell)]
     y = postings.groupBy("doc_id").agg(*y_exprs).cache()
