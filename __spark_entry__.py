@@ -564,6 +564,20 @@ def _q_translation_topk(spark, sf_dir):
     return TR.translate(src.filter(F.col("vec_id") < 10), tgt, w, topn=3)
 
 
+_KV_POS = [0, 1]
+_KV_TOPN = 10
+
+
+def _q_kv_most_similar(spark, sf_dir):
+    """KeyedVectors.most_similar (keyedvectors.py:778-860): cosine of every
+    vector against the post-normalized mean of the unit input vectors,
+    inputs excluded, top-10. Fully relational scan side — oracled."""
+    from gensim_spark.operators import keyedvectors as KV
+
+    return KV.most_similar(_emb(spark, sf_dir), positive=_KV_POS,
+                           topn=_KV_TOPN)
+
+
 def _q_nmf_doc_topics(spark, sf_dir):
     """Online-NMF document-topic factors (Zhao & Tan). The projected-gradient
     coordinate descent is iterative with no SQL analogue — rows-only entry;
@@ -676,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nmf_doc_topics": _q_nmf_doc_topics,
         "translation_normal_eqs": _q_translation_normal_eqs,
         "translation_topk": _q_translation_topk,
+        "kv_most_similar": _q_kv_most_similar,
         "coherence_umass": _q_coherence_umass,
         "coherence_cnpmi_doc": _q_coherence_cnpmi_doc,
     }
@@ -1185,6 +1200,32 @@ SELECT i, j, round(xtx, 6) AS xtx, round(xty, 6) AS xty
 FROM xtx JOIN xty USING (i, j)"""
 
 
+def _kv_most_similar_sql() -> str:
+    keys = ", ".join(str(k) for k in _KV_POS)
+    return f"""
+WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             FROM embeddings),
+unit AS (SELECT vec_id,
+                CASE WHEN sq > 0
+                     THEN list_transform(v, x -> x / sqrt(sq)) ELSE v END AS u
+         FROM (SELECT vec_id, v,
+                      list_sum(list_transform(v, x -> x * x)) AS sq
+               FROM emb)),
+pos AS (SELECT unnest(range({_TM_DIMS})) AS i),
+msum AS (SELECT pos.i, sum(u.u[pos.i + 1]) / {len(_KV_POS)} AS s
+         FROM unit u CROSS JOIN pos
+         WHERE u.vec_id IN ({keys}) GROUP BY pos.i),
+mn AS (SELECT i, s / sqrt((SELECT sum(s * s) FROM msum)) AS m FROM msum),
+sims AS (SELECT e.vec_id, sum(e.u[mn.i + 1] * mn.m) AS sim
+         FROM unit e CROSS JOIN mn
+         WHERE e.vec_id NOT IN ({keys})
+         GROUP BY e.vec_id)
+SELECT vec_id, round(sim, 6) AS sim,
+       CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS INTEGER)
+         AS rank
+FROM sims ORDER BY rank LIMIT {_KV_TOPN}"""
+
+
 _COH_TOP_SQL = f"""
 top AS (
   SELECT term_id, token,
@@ -1435,6 +1476,7 @@ FROM ranked WHERE rank <= 10""",
         "coherence_umass": _coherence_umass_sql(),
         "coherence_cnpmi_doc": _coherence_cnpmi_doc_sql(),
         "translation_normal_eqs": _translation_normal_eqs_sql(),
+        "kv_most_similar": _kv_most_similar_sql(),
         # translation_topk: no oracle on purpose — the pinv solve of the
         # normal equations is not SQL-expressible; the solve + retrieval are
         # pinned by tests/test_translation.py (numpy lstsq parity), and the

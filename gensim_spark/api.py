@@ -306,6 +306,53 @@ class LdaModel:
         return self._lda.bound(postings, self.model)
 
 
+class KeyedVectors:
+    """``gensim.models.KeyedVectors`` query surface over a (key, vector)
+    DataFrame (keyedvectors.py:290-1262 subset). Only the handful of input
+    keys are ever collected; scans stay relational (operators/
+    keyedvectors.py). Training embeddings is out of scope (SURVEY §7.3) —
+    this is the inference surface gensim users hit most."""
+
+    def __init__(self, vectors: DataFrame, key_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        from gensim_spark.operators import keyedvectors as _kv
+
+        self._kv = _kv
+        self.df = vectors
+        self._cols = dict(key_col=key_col, vec_col=vec_col)
+        self._key_col = key_col
+
+    def most_similar(self, positive=None, negative=None, topn: int = 10):
+        rows = self._kv.most_similar(self.df, positive, negative, topn,
+                                     **self._cols).collect()
+        return [(r[self._key_col], r["sim"]) for r in rows]
+
+    def similar_by_key(self, key, topn: int = 10):
+        return self.most_similar(positive=[key], topn=topn)
+
+    similar_by_word = similar_by_key
+
+    def similarity(self, k1, k2) -> float:
+        return self._kv.similarity(self.df, k1, k2, **self._cols)
+
+    def distance(self, k1, k2) -> float:
+        return 1.0 - self.similarity(k1, k2)
+
+    def n_similarity(self, ws1, ws2) -> float:
+        return self._kv.n_similarity(self.df, ws1, ws2, **self._cols)
+
+    def distances(self, key_or_vector) -> DataFrame:
+        return self._kv.distances(self.df, key_or_vector, **self._cols)
+
+    def rank(self, k1, k2) -> int:
+        return self._kv.rank(self.df, k1, k2, **self._cols)
+
+    def get_mean_vector(self, keys, weights=None, pre_normalize: bool = True,
+                        post_normalize: bool = False):
+        return self._kv.mean_vector(self.df, keys, weights, pre_normalize,
+                                    post_normalize, **self._cols)
+
+
 class Nmf:
     """``gensim.models.nmf.Nmf`` (nmf.py:123-244): online NMF fit at
     construction over (doc_id, term_id, tf) postings; ``model[postings]`` /
