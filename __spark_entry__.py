@@ -578,6 +578,39 @@ def _q_kv_most_similar(spark, sf_dir):
                            topn=_KV_TOPN)
 
 
+def _q_w2v_most_similar(spark, sf_dir):
+    """SGNS Word2Vec trained on the corpus, then most_similar for the 3
+    highest-df tokens. Stochastic-gradient training is not SQL-expressible —
+    rows-only; the distributed protocol is pinned exactly against a
+    sequential replica in tests/test_word2vec.py, and the retrieval side is
+    the oracled kv_most_similar machinery."""
+    import numpy as np
+
+    from gensim_spark.operators import keyedvectors as KV
+    from gensim_spark.operators import word2vec as W2V
+
+    idx = _index(spark, sf_dir)
+    rows = idx.vocab.select("term_id", "cf").orderBy("term_id").collect()
+    counts = np.array([r["cf"] for r in rows], dtype=np.int64)
+    ids = W2V.corpus_ids(_tokenized(spark, sf_dir), idx.vocab)
+    model = W2V.word2vec_fit(ids, len(counts), counts, vector_size=24,
+                             window=3, negative=3, epochs=2, seed=13,
+                             num_shards=32)
+    vecs = model.vectors_df(spark)
+    top3 = [r["term_id"] for r in idx.vocab
+            .orderBy(F.desc("df"), F.asc("token")).limit(3).collect()]
+    outs = []
+    for t in top3:
+        outs.append(KV.most_similar(vecs, positive=[t], topn=5,
+                                    key_col="term_id")
+                    .withColumn("query_term", F.lit(t)))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("query_term", "rank", F.col("term_id").alias("near"),
+                      "sim")
+
+
 def _q_nmf_doc_topics(spark, sf_dir):
     """Online-NMF document-topic factors (Zhao & Tan). The projected-gradient
     coordinate descent is iterative with no SQL analogue — rows-only entry;
@@ -691,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translation_normal_eqs": _q_translation_normal_eqs,
         "translation_topk": _q_translation_topk,
         "kv_most_similar": _q_kv_most_similar,
+        "w2v_most_similar": _q_w2v_most_similar,
         "coherence_umass": _q_coherence_umass,
         "coherence_cnpmi_doc": _q_coherence_cnpmi_doc,
     }

@@ -306,6 +306,81 @@ class LdaModel:
         return self._lda.bound(postings, self.model)
 
 
+class Word2Vec:
+    """``gensim.models.Word2Vec`` (word2vec.py, sg=1 + negative sampling):
+    vocab build + SGNS training at construction over a (doc_id, tokens)
+    DataFrame. ``.wv`` is a :class:`KeyedVectors` over (token, embedding)
+    rows. See operators/word2vec.py for the exact kernel, the
+    shard-synchronous distribution scheme, and the determinism deviations.
+    hs=1 (hierarchical softmax) and CBOW are not implemented — SGNS is the
+    reference's default and dominant configuration."""
+
+    def __init__(self, documents: DataFrame, vector_size: int = 100,
+                 window: int = 5, negative: int = 5, alpha: float = 0.025,
+                 min_alpha: float = 0.0001, epochs: int = 5,
+                 sample: float = 1e-3, ns_exponent: float = 0.75,
+                 num_shards: int = 64, seed: int = 1,
+                 dictionary: Dictionary | None = None):
+        import numpy as np
+
+        from gensim_spark.operators import word2vec as _w2v
+
+        self._w2v = _w2v
+        d = dictionary if dictionary is not None else Dictionary(documents)
+        self.dictionary = d
+        rows = d.df.select("term_id", "token", "cf") \
+            .orderBy("term_id").collect()
+        counts = np.array([r["cf"] for r in rows], dtype=np.int64)
+        self._id2tok = [r["token"] for r in rows]
+        ids = _w2v.corpus_ids(documents, d.df)
+        self.model = _w2v.word2vec_fit(
+            ids, len(counts), counts, vector_size=vector_size,
+            window=window, negative=negative, alpha=alpha,
+            min_alpha=min_alpha, epochs=epochs, sample=sample,
+            ns_exponent=ns_exponent, num_shards=num_shards, seed=seed)
+        spark = documents.sparkSession
+        vecs = self.model.vectors_df(spark).join(
+            F.broadcast(d.df.select("term_id", "token")), "term_id")
+        self.wv = KeyedVectors(vecs.select("token", "embedding"),
+                               key_col="token")
+
+
+class Doc2Vec:
+    """``gensim.models.Doc2Vec`` PV-DBOW (doc2vec.py, dm=0,
+    dbow_words=0): word matrices trained by SGNS first, then each doc's
+    vector against the frozen output matrix — perfectly parallel. ``.dv``
+    is the (doc_id, embedding) DataFrame."""
+
+    def __init__(self, documents: DataFrame, vector_size: int = 100,
+                 window: int = 5, negative: int = 5, epochs: int = 5,
+                 dbow_epochs: int | None = None, sample: float = 1e-3,
+                 num_shards: int = 64, seed: int = 1,
+                 dictionary: Dictionary | None = None):
+        from gensim_spark.operators import word2vec as _w2v
+
+        w2v = Word2Vec(documents, vector_size=vector_size, window=window,
+                       negative=negative, epochs=epochs, sample=sample,
+                       num_shards=num_shards, seed=seed,
+                       dictionary=dictionary)
+        self.wv = w2v.wv
+        self.model = w2v.model
+        self.dictionary = w2v.dictionary
+        self._dbow_epochs = dbow_epochs or epochs
+        ids = _w2v.corpus_ids(documents, w2v.dictionary.df)
+        self.dv = _w2v.doc_vectors_dbow(ids, self.model,
+                                        epochs=self._dbow_epochs)
+
+    def infer_vector(self, documents: DataFrame) -> DataFrame:
+        """PV-DBOW inference for new (doc_id, tokens) rows — the identical
+        frozen-matrix pass training used (doc2vec.py infer_vector runs the
+        same loop with the word matrices locked)."""
+        from gensim_spark.operators import word2vec as _w2v
+
+        ids = _w2v.corpus_ids(documents, self.dictionary.df)
+        return _w2v.doc_vectors_dbow(ids, self.model,
+                                     epochs=self._dbow_epochs)
+
+
 class KeyedVectors:
     """``gensim.models.KeyedVectors`` query surface over a (key, vector)
     DataFrame (keyedvectors.py:290-1262 subset). Only the handful of input

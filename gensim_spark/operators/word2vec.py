@@ -1,0 +1,324 @@
+"""Word2Vec skip-gram negative-sampling training + PV-DBOW doc vectors.
+
+Reference: ``gensim.models.word2vec`` — the exact SGNS update of
+``w2v_fast_sentence_sg_neg`` (word2vec_inner.pyx:155-244): quantized
+sigmoid via the 1000-entry EXP_TABLE over (−MAX_EXP, MAX_EXP) with
+out-of-range dots skipped, negatives drawn by bisecting the 0.75-power
+cum_table with the 48-bit LCG ``next_random = r·25214903917 + 11``,
+center-collision negatives dropped, the context word's input vector
+updated against the center/negative output rows; dynamic windows
+(``reduced_windows``, word2vec_inner.pyx:560-571) and frequent-word
+subsampling (``sample_int``, word2vec.py make_cum_table/add_null_word
+vocab prep) replicated; ``syn1neg`` starts at zeros.
+
+Spark shape — shard-synchronous SGD (the same scheme Spark MLlib's
+Word2Vec uses for hierarchical softmax):
+
+1. documents are assigned to ``num_shards`` logical shards by
+   ``doc_id % num_shards`` — explicit, independent of Spark partitioning;
+2. each epoch broadcasts (syn0, syn1neg); one ``applyInPandas`` per epoch
+   trains every shard sequentially over its docs (sorted by doc_id) on a
+   local copy and emits per-word deltas with update counts;
+3. the driver folds: new = old + Σ_s cnt_s·Δ_s / Σ_s cnt_s per word —
+   count-weighted averaging of shard deltas.
+
+The emitted rows are O(num_shards · |touched vocab|) array rows per
+epoch — model-sized, never corpus-sized; syn0/syn1neg live on the driver
+(V×D, the reference's own resident matrices).
+
+Determinism deviations (pinned by the tests' sequential replica):
+* gensim's single sequential ``next_random`` / ``reduced_windows`` RNG
+  has no distributed equivalent — every (epoch, doc) gets a counter-mixed
+  seed, so results are bit-stable for a fixed ``num_shards`` regardless
+  of Spark partitioning or executor count;
+* hogwild races are replaced by the synchronous shard averaging above
+  (gensim's own results are run-to-run irreproducible with workers > 1);
+* α decays linearly per epoch (gensim interpolates within epochs);
+* float64 throughout (reference is float32) for stable averaging.
+
+PV-DBOW (doc2vec.py, dm=0, dbow_words=0): each document's vector trains
+only on its own words against the *frozen* word output matrix — perfectly
+parallel, one pass, the doc vector never leaves its row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_EXP = 6.0
+EXP_TABLE_SIZE = 1000
+_EXP_TABLE = 1.0 / (1.0 + np.exp(-(np.arange(EXP_TABLE_SIZE) /
+                                   EXP_TABLE_SIZE * 2 - 1) * MAX_EXP))
+_LCG_MUL = 25214903917
+_LCG_MOD = 0xFFFFFFFFFFFF  # 2^48 − 1 mask (word2vec_inner.pyx:206)
+
+
+def _sigmoid_table(f_dot: float) -> float:
+    return _EXP_TABLE[int((f_dot + MAX_EXP) * (EXP_TABLE_SIZE / MAX_EXP / 2))]
+
+
+def make_cum_table(counts: np.ndarray, ns_exponent: float = 0.75,
+                   domain: int = 2 ** 31 - 1) -> np.ndarray:
+    """Cumulative sampling table (word2vec.py make_cum_table): counts^0.75
+    normalized onto [0, domain]."""
+    pow_counts = np.power(counts.astype(np.float64), ns_exponent)
+    cum = np.cumsum(pow_counts)
+    return np.round(cum / cum[-1] * domain).astype(np.uint64)
+
+
+def make_sample_ints(counts: np.ndarray, sample: float = 1e-3) -> np.ndarray:
+    """Subsampling thresholds (word2vec.py:1700-1730): keep-probability
+    (sqrt(v/t)+1)·t/v scaled to 2^32."""
+    total = counts.sum()
+    if not sample:
+        return np.full(len(counts), 2 ** 32, dtype=np.uint64)
+    t = sample * total
+    v = counts.astype(np.float64)
+    p = (np.sqrt(v / t) + 1.0) * (t / v)
+    return (np.minimum(p, 1.0) * (2 ** 32)).astype(np.uint64)
+
+
+def _mix(seed: int, a: int, b: int = 0) -> int:
+    return (int(seed) * 31 + int(a) * 2654435761 + int(b) * 976369) \
+        & 0xFFFFFFFFFFFF
+
+
+def init_syn0(vocab_size: int, vector_size: int, seed: int) -> np.ndarray:
+    """Per-word seeded uniform(−0.5, 0.5)/size init — the distributed
+    replacement for gensim's sequential seeded_vector stream."""
+    syn0 = np.empty((vocab_size, vector_size))
+    for w in range(vocab_size):
+        rs = np.random.RandomState(_mix(seed, w) & 0xFFFFFFFF)
+        syn0[w] = (rs.random_sample(vector_size) - 0.5) / vector_size
+    return syn0
+
+
+def train_doc_sg(ids: np.ndarray, syn0: np.ndarray, syn1neg: np.ndarray,
+                 cum_table: np.ndarray, sample_ints: np.ndarray,
+                 window: int, negative: int, alpha: float,
+                 doc_seed: int, counts_out: np.ndarray) -> None:
+    """One document's skip-gram pass — the exact pyx kernel in numpy.
+
+    ``ids`` are vocab indices (unknown words already dropped — gensim
+    shortens the sentence, expanding the window, word2vec_inner.pyx:541).
+    Mutates syn0/syn1neg in place and increments per-word update counts."""
+    rs = np.random.RandomState(doc_seed & 0xFFFFFFFF)
+    next_random = _mix(doc_seed, 1)
+
+    # subsampling first (train_batch_sg:543-545), then reduced windows
+    kept = []
+    for w in ids:
+        if sample_ints[w] < rs.randint(0, 2 ** 31) * 2:
+            continue
+        kept.append(int(w))
+    n = len(kept)
+    if n == 0:
+        return
+    reduced = rs.randint(0, window, size=n)
+
+    size = syn0.shape[1]
+    cum_last = int(cum_table[-1])
+    for i in range(n):
+        wi = kept[i]                       # center (output side)
+        j0 = max(0, i - window + reduced[i])
+        k0 = min(n, i + window + 1 - reduced[i])
+        for j in range(j0, k0):
+            if j == i:
+                continue
+            wj = kept[j]                   # context (input side, updated)
+            v = syn0[wj]
+            work = np.zeros(size)
+            for d in range(negative + 1):
+                if d == 0:
+                    target, label = wi, 1.0
+                else:
+                    r = (next_random >> 16) % cum_last
+                    target = int(np.searchsorted(cum_table, r, side="left"))
+                    next_random = (next_random * _LCG_MUL + 11) & _LCG_MOD
+                    if target == wi:
+                        continue
+                    label = 0.0
+                u = syn1neg[target]
+                f_dot = float(v @ u)
+                if f_dot <= -MAX_EXP or f_dot >= MAX_EXP:
+                    continue
+                g = (label - _sigmoid_table(f_dot)) * alpha
+                work += g * u
+                syn1neg[target] += g * v
+                counts_out[target] += 1
+            syn0[wj] += work
+            counts_out[wj] += 1
+
+
+class Word2VecModel:
+    def __init__(self, vocab_size: int, vector_size: int,
+                 syn0: np.ndarray, syn1neg: np.ndarray,
+                 cum_table: np.ndarray, sample_ints: np.ndarray,
+                 window: int, negative: int, seed: int):
+        self.vocab_size = vocab_size
+        self.vector_size = vector_size
+        self.syn0 = syn0
+        self.syn1neg = syn1neg
+        self.cum_table = cum_table
+        self.sample_ints = sample_ints
+        self.window = window
+        self.negative = negative
+        self.seed = seed
+
+    def vectors_df(self, spark) -> DataFrame:
+        """(term_id, embedding) rows — feed straight into
+        operators/keyedvectors.py."""
+        rows = [(w, [float(x) for x in self.syn0[w]])
+                for w in range(self.vocab_size)]
+        return spark.createDataFrame(rows,
+                                     "term_id long, embedding array<double>")
+
+
+def _epoch_partials(docs: DataFrame, model: Word2VecModel, epoch: int,
+                    alpha: float, num_shards: int) -> list:
+    """One synchronous epoch: per-shard sequential SGD on a local copy,
+    returns collected (matrix, word, cnt, delta[]) rows."""
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast((model.syn0, model.syn1neg, model.cum_table,
+                       model.sample_ints, model.window, model.negative,
+                       model.seed))
+
+    def train_shard(key, pdf):
+        import pandas as pd
+
+        syn0_0, syn1_0, cum, samp, window, negative, seed = bc.value
+        syn0 = syn0_0.copy()
+        syn1 = syn1_0.copy()
+        counts = np.zeros(syn0.shape[0], dtype=np.int64)
+        pdf = pdf.sort_values("doc_id")
+        for doc_id, ids in zip(pdf["doc_id"], pdf["ids"]):
+            arr = np.asarray(ids, dtype=np.int64)
+            train_doc_sg(arr, syn0, syn1, cum, samp, window, negative,
+                         alpha, _mix(seed, epoch, int(doc_id)), counts)
+        touched = np.nonzero(counts)[0]
+        out = []
+        for w in touched:
+            out.append((0, int(w), int(counts[w]),
+                        list(syn0[w] - syn0_0[w])))
+            out.append((1, int(w), int(counts[w]),
+                        list(syn1[w] - syn1_0[w])))
+        return pd.DataFrame(out, columns=["m", "w", "cnt", "delta"])
+
+    shards = docs.withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(num_shards)))
+    return (shards.groupBy("shard").applyInPandas(
+        train_shard,
+        "m int, w long, cnt long, delta array<double>").collect())
+
+
+def fold_epoch(model: Word2VecModel, rows: list) -> None:
+    """new = old + Σ cntₛ·Δₛ / Σ cntₛ per (matrix, word) — the MLlib-style
+    count-weighted shard average."""
+    num = {0: {}, 1: {}}
+    den = {0: {}, 1: {}}
+    for r in rows:
+        m, w, cnt = r["m"], r["w"], r["cnt"]
+        d = np.asarray(r["delta"]) * cnt
+        if w in num[m]:
+            num[m][w] += d
+            den[m][w] += cnt
+        else:
+            num[m][w] = d
+            den[m][w] = cnt
+    for w, d in num[0].items():
+        model.syn0[w] += d / den[0][w]
+    for w, d in num[1].items():
+        model.syn1neg[w] += d / den[1][w]
+
+
+def word2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
+                 vector_size: int = 100, window: int = 5, negative: int = 5,
+                 alpha: float = 0.025, min_alpha: float = 0.0001,
+                 epochs: int = 5, sample: float = 1e-3,
+                 ns_exponent: float = 0.75, num_shards: int = 64,
+                 seed: int = 1) -> Word2VecModel:
+    """Fit SGNS over (doc_id, ids) rows (vocab indices per document, in
+    token order, unknown words pre-dropped). ``counts`` is the per-index
+    corpus frequency vector (the vocab table's cf column)."""
+    model = Word2VecModel(
+        vocab_size, vector_size,
+        init_syn0(vocab_size, vector_size, seed),
+        np.zeros((vocab_size, vector_size)),
+        make_cum_table(counts, ns_exponent),
+        make_sample_ints(counts, sample),
+        window, negative, seed)
+    for epoch in range(epochs):
+        a = alpha - (alpha - min_alpha) * epoch / max(1, epochs - 1) \
+            if epochs > 1 else alpha
+        rows = _epoch_partials(docs, model, epoch, a, num_shards)
+        fold_epoch(model, rows)
+    return model
+
+
+def doc_vectors_dbow(docs: DataFrame, model: Word2VecModel,
+                     epochs: int = 10, alpha: float = 0.025,
+                     min_alpha: float = 0.0001) -> DataFrame:
+    """PV-DBOW document vectors (doc2vec.py dm=0, dbow_words=0): each doc's
+    vector is trained against the FROZEN word output matrix on its own
+    words only — one perfectly parallel pass, the doc vector never leaves
+    its row. → (doc_id, embedding)."""
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast((model.syn1neg, model.cum_table, model.sample_ints,
+                       model.window, model.negative, model.seed,
+                       model.vector_size))
+
+    def gen(batches):
+        import pandas as pd
+
+        syn1, cum, samp, window, negative, seed, size = bc.value
+        cum_last = int(cum[-1])
+        out_id, out_vec = [], []
+        for pdf in batches:
+            for doc_id, ids in zip(pdf["doc_id"], pdf["ids"]):
+                arr = np.asarray(ids, dtype=np.int64)
+                rs = np.random.RandomState(
+                    _mix(seed, 7, int(doc_id)) & 0xFFFFFFFF)
+                dv = (rs.random_sample(size) - 0.5) / size
+                next_random = _mix(seed, 8, int(doc_id))
+                for epoch in range(epochs):
+                    a = alpha - (alpha - min_alpha) * epoch \
+                        / max(1, epochs - 1) if epochs > 1 else alpha
+                    for wi in arr:
+                        work = np.zeros(size)
+                        for d in range(negative + 1):
+                            if d == 0:
+                                target, label = int(wi), 1.0
+                            else:
+                                r = (next_random >> 16) % cum_last
+                                target = int(np.searchsorted(cum, r, "left"))
+                                next_random = (next_random * _LCG_MUL + 11) \
+                                    & _LCG_MOD
+                                if target == wi:
+                                    continue
+                                label = 0.0
+                            u = syn1[target]
+                            f_dot = float(dv @ u)
+                            if f_dot <= -MAX_EXP or f_dot >= MAX_EXP:
+                                continue
+                            g = (label - _sigmoid_table(f_dot)) * a
+                            work += g * u
+                        dv += work
+                out_id.append(doc_id)
+                out_vec.append(list(dv))
+        yield pd.DataFrame({"doc_id": out_id, "embedding": out_vec})
+
+    return docs.mapInPandas(gen, "doc_id long, embedding array<double>")
+
+
+def corpus_ids(postings_or_tokens: DataFrame, vocab: DataFrame,
+               tokens_col: str = "tokens") -> DataFrame:
+    """(doc_id, tokens) + vocab → (doc_id, ids) with unknown words dropped
+    and token order preserved (the sentence-shortening semantics)."""
+    from gensim_spark.operators.vocab import doc2idx
+
+    idx = doc2idx(postings_or_tokens, vocab, tokens_col=tokens_col)
+    return idx.select(
+        "doc_id",
+        F.filter(F.col("idx"), lambda x: x >= 0).alias("ids"))

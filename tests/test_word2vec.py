@@ -1,0 +1,193 @@
+"""Word2Vec SGNS: distributed shard-sync training vs a sequential replica,
+kernel golden values, and semantic sanity on a planted-community corpus."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gensim_spark.operators import word2vec as W2V
+
+
+def replica_fit(doc_list, vocab_size, counts, num_shards=4, **kw):
+    """Driver-only replica of word2vec_fit: same shard split (doc_id %
+    num_shards), same per-(epoch, doc) seeds, same count-weighted fold."""
+    vector_size = kw.get("vector_size", 16)
+    window = kw.get("window", 3)
+    negative = kw.get("negative", 3)
+    alpha = kw.get("alpha", 0.025)
+    min_alpha = kw.get("min_alpha", 0.0001)
+    epochs = kw.get("epochs", 2)
+    sample = kw.get("sample", 1e-3)
+    seed = kw.get("seed", 1)
+
+    model = W2V.Word2VecModel(
+        vocab_size, vector_size,
+        W2V.init_syn0(vocab_size, vector_size, seed),
+        np.zeros((vocab_size, vector_size)),
+        W2V.make_cum_table(np.asarray(counts)),
+        W2V.make_sample_ints(np.asarray(counts), sample),
+        window, negative, seed)
+    for epoch in range(epochs):
+        a = alpha - (alpha - min_alpha) * epoch / max(1, epochs - 1) \
+            if epochs > 1 else alpha
+        rows = []
+        for s in range(num_shards):
+            syn0 = model.syn0.copy()
+            syn1 = model.syn1neg.copy()
+            cnts = np.zeros(vocab_size, dtype=np.int64)
+            for doc_id, ids in sorted(d for d in doc_list
+                                      if d[0] % num_shards == s):
+                W2V.train_doc_sg(np.asarray(ids, dtype=np.int64), syn0, syn1,
+                                 model.cum_table, model.sample_ints,
+                                 window, negative, a,
+                                 W2V._mix(seed, epoch, doc_id), cnts)
+            for w in np.nonzero(cnts)[0]:
+                rows.append({"m": 0, "w": int(w), "cnt": int(cnts[w]),
+                             "delta": list(syn0[w] - model.syn0[w])})
+                rows.append({"m": 1, "w": int(w), "cnt": int(cnts[w]),
+                             "delta": list(syn1[w] - model.syn1neg[w])})
+        W2V.fold_epoch(model, rows)
+    return model
+
+
+def rand_docs(rng, n_docs=40, vocab=20, max_len=30):
+    return [(d, [int(rng.integers(vocab))
+                 for _ in range(int(rng.integers(5, max_len)))])
+            for d in range(n_docs)]
+
+
+def test_cum_table_and_sample_ints_golden():
+    counts = np.array([10, 5, 1])
+    cum = W2V.make_cum_table(counts, ns_exponent=0.75, domain=1000)
+    pw = counts ** 0.75
+    want = np.round(np.cumsum(pw) / pw.sum() * 1000)
+    np.testing.assert_array_equal(cum.astype(float), want)
+    assert cum[-1] == 1000
+
+    si = W2V.make_sample_ints(np.array([10, 1]), sample=0.2)
+    t = 0.2 * 11
+    p0 = (np.sqrt(10 / t) + 1) * (t / 10)   # < 1: downsampled
+    p1 = (np.sqrt(1 / t) + 1) * (t / 1)     # > 1: capped
+    assert p0 < 1 < p1
+    assert si[0] == int(p0 * 2 ** 32)
+    assert si[1] == 2 ** 32  # capped at keep-probability 1.0
+
+
+def test_sigmoid_table_golden():
+    # mid-table value equals true sigmoid to table resolution
+    assert W2V._sigmoid_table(0.0) == pytest.approx(0.5, abs=1e-2)
+    assert W2V._sigmoid_table(5.9) > 0.99
+    assert W2V._sigmoid_table(-5.9) < 0.01
+
+
+def test_distributed_matches_replica(spark):
+    rng = np.random.default_rng(17)
+    docs = rand_docs(rng)
+    counts = np.zeros(20, dtype=np.int64)
+    for _, ids in docs:
+        for w in ids:
+            counts[w] += 1
+    df = spark.createDataFrame(
+        [(d, ids) for d, ids in docs],
+        "doc_id long, ids array<long>").repartition(6)
+
+    kw = dict(vector_size=12, window=3, negative=3, epochs=2, seed=5)
+    want = replica_fit(docs, 20, counts, num_shards=4, **kw)
+    got = W2V.word2vec_fit(df, 20, counts, num_shards=4, **kw)
+    np.testing.assert_allclose(got.syn0, want.syn0, atol=1e-10)
+    np.testing.assert_allclose(got.syn1neg, want.syn1neg, atol=1e-10)
+
+    # invariant under Spark partitioning (shards are logical)
+    got2 = W2V.word2vec_fit(df.repartition(2), 20, counts,
+                            num_shards=4, **kw)
+    np.testing.assert_allclose(got2.syn0, got.syn0, atol=0)
+
+
+def test_semantic_communities(spark):
+    # two word communities that never co-occur: within-community cosine
+    # must exceed cross-community cosine after training
+    rng = np.random.default_rng(3)
+    docs = []
+    for d in range(120):
+        comm = d % 2
+        words = [int(5 * comm + rng.integers(5)) for _ in range(20)]
+        docs.append((d, words))
+    counts = np.zeros(10, dtype=np.int64)
+    for _, ids in docs:
+        for w in ids:
+            counts[w] += 1
+    df = spark.createDataFrame([(d, ids) for d, ids in docs],
+                               "doc_id long, ids array<long>")
+    m = W2V.word2vec_fit(df, 10, counts, vector_size=16, window=4,
+                         negative=5, epochs=8, sample=0, num_shards=8,
+                         seed=2)
+    unit = m.syn0 / np.linalg.norm(m.syn0, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    within = np.mean([sims[i, j] for i in range(5) for j in range(5)
+                      if i != j])
+    across = np.mean([sims[i, j] for i in range(5) for j in range(5, 10)])
+    assert within > across + 0.2
+
+
+def test_corpus_ids_drops_unknown(spark):
+    from gensim_spark.operators import vocab as V
+
+    tok = spark.createDataFrame(
+        [(0, ["aa", "bb", "zz", "aa"]), (1, ["bb", "cc"])],
+        "doc_id long, tokens array<string>")
+    vocab = V.build_vocab(spark.createDataFrame(
+        [(0, ["aa", "bb"]), (1, ["bb", "cc"])],
+        "doc_id long, tokens array<string>"))
+    out = {r["doc_id"]: r["ids"]
+           for r in W2V.corpus_ids(tok, vocab).collect()}
+    id_of = {r["token"]: r["term_id"] for r in vocab.collect()}
+    assert out[0] == [id_of["aa"], id_of["bb"], id_of["aa"]]  # zz dropped
+    assert out[1] == [id_of["bb"], id_of["cc"]]
+
+
+def test_dbow_doc_vectors(spark):
+    rng = np.random.default_rng(9)
+    docs = []
+    for d in range(60):
+        comm = d % 2
+        docs.append((d, [int(5 * comm + rng.integers(5))
+                         for _ in range(15)]))
+    counts = np.zeros(10, dtype=np.int64)
+    for _, ids in docs:
+        for w in ids:
+            counts[w] += 1
+    df = spark.createDataFrame([(d, ids) for d, ids in docs],
+                               "doc_id long, ids array<long>")
+    m = W2V.word2vec_fit(df, 10, counts, vector_size=16, window=4,
+                         negative=5, epochs=6, sample=0, num_shards=8,
+                         seed=2)
+    dv = {r["doc_id"]: np.array(r["embedding"])
+          for r in W2V.doc_vectors_dbow(df, m, epochs=8).collect()}
+    assert len(dv) == 60
+    unit = {d: v / np.linalg.norm(v) for d, v in dv.items()}
+    within = np.mean([unit[0] @ unit[2], unit[1] @ unit[3],
+                      unit[4] @ unit[6]])
+    across = np.mean([unit[0] @ unit[1], unit[2] @ unit[3],
+                      unit[4] @ unit[5]])
+    assert within > across
+
+    # deterministic under re-evaluation / partitioning
+    dv2 = {r["doc_id"]: np.array(r["embedding"])
+           for r in W2V.doc_vectors_dbow(df.repartition(5), m,
+                                         epochs=8).collect()}
+    np.testing.assert_allclose(dv[7], dv2[7], atol=0)
+
+
+def test_facades(spark):
+    from gensim_spark.api import Dictionary, Doc2Vec, Word2Vec
+
+    tok = spark.createDataFrame(
+        [(d, ["red", "green", "blue"] if d % 2 else ["cat", "dog", "fox"])
+         for d in range(40)],
+        "doc_id long, tokens array<string>")
+    w2v = Word2Vec(tok, vector_size=12, window=2, negative=3, epochs=4,
+                   sample=0, seed=3)
+    sims = w2v.wv.most_similar(positive=["cat"], topn=2)
+    assert {w for w, _ in sims} <= {"dog", "fox", "red", "green", "blue"}
+    d2v = Doc2Vec(tok, vector_size=12, window=2, negative=3, epochs=4,
+                  sample=0, seed=3)
+    assert d2v.dv.count() == 40
