@@ -310,16 +310,17 @@ class Word2Vec:
     """``gensim.models.Word2Vec`` (word2vec.py, sg=1 + negative sampling):
     vocab build + SGNS training at construction over a (doc_id, tokens)
     DataFrame. ``.wv`` is a :class:`KeyedVectors` over (token, embedding)
-    rows. See operators/word2vec.py for the exact kernel, the
-    shard-synchronous distribution scheme, and the determinism deviations.
-    hs=1 (hierarchical softmax) and CBOW are not implemented — SGNS is the
-    reference's default and dominant configuration."""
+    rows. See operators/word2vec.py for the exact kernels (skip-gram and
+    CBOW, both negative-sampling), the shard-synchronous distribution
+    scheme, and the determinism deviations. hs=1 (hierarchical softmax) is
+    not implemented — negative sampling is the reference's default."""
 
     def __init__(self, documents: DataFrame, vector_size: int = 100,
                  window: int = 5, negative: int = 5, alpha: float = 0.025,
                  min_alpha: float = 0.0001, epochs: int = 5,
                  sample: float = 1e-3, ns_exponent: float = 0.75,
-                 num_shards: int = 64, seed: int = 1,
+                 num_shards: int = 64, seed: int = 1, sg: int = 1,
+                 cbow_mean: int = 1,
                  dictionary: Dictionary | None = None):
         import numpy as np
 
@@ -337,7 +338,8 @@ class Word2Vec:
             ids, len(counts), counts, vector_size=vector_size,
             window=window, negative=negative, alpha=alpha,
             min_alpha=min_alpha, epochs=epochs, sample=sample,
-            ns_exponent=ns_exponent, num_shards=num_shards, seed=seed)
+            ns_exponent=ns_exponent, num_shards=num_shards, seed=seed,
+            sg=sg, cbow_mean=cbow_mean)
         spark = documents.sparkSession
         vecs = self.model.vectors_df(spark).join(
             F.broadcast(d.df.select("term_id", "token")), "term_id")

@@ -152,11 +152,74 @@ def train_doc_sg(ids: np.ndarray, syn0: np.ndarray, syn1neg: np.ndarray,
             counts_out[wj] += 1
 
 
+def train_doc_cbow(ids: np.ndarray, syn0: np.ndarray, syn1neg: np.ndarray,
+                   cum_table: np.ndarray, sample_ints: np.ndarray,
+                   window: int, negative: int, alpha: float,
+                   doc_seed: int, counts_out: np.ndarray,
+                   cbow_mean: int = 1) -> None:
+    """One document's CBOW pass (w2v_fast_sentence_cbow_neg,
+    word2vec_inner.pyx:345-460): neu1 = mean (or sum) of the context's
+    input vectors, trained against center + negatives on syn1neg; the
+    accumulated error is written back to every context word (scaled by
+    1/count when ``cbow_mean`` is 0, matching the reference quirk)."""
+    rs = np.random.RandomState(doc_seed & 0xFFFFFFFF)
+    next_random = _mix(doc_seed, 1)
+
+    kept = []
+    for w in ids:
+        if sample_ints[w] < rs.randint(0, 2 ** 31) * 2:
+            continue
+        kept.append(int(w))
+    n = len(kept)
+    if n == 0:
+        return
+    reduced = rs.randint(0, window, size=n)
+
+    size = syn0.shape[1]
+    cum_last = int(cum_table[-1])
+    for i in range(n):
+        wi = kept[i]
+        j0 = max(0, i - window + reduced[i])
+        k0 = min(n, i + window + 1 - reduced[i])
+        ctx = [kept[m] for m in range(j0, k0) if m != i]
+        if not ctx:
+            continue
+        neu1 = syn0[ctx].sum(axis=0)
+        inv_count = 1.0 / len(ctx)
+        if cbow_mean:
+            neu1 = neu1 * inv_count
+        work = np.zeros(size)
+        for d in range(negative + 1):
+            if d == 0:
+                target, label = wi, 1.0
+            else:
+                r = (next_random >> 16) % cum_last
+                target = int(np.searchsorted(cum_table, r, side="left"))
+                next_random = (next_random * _LCG_MUL + 11) & _LCG_MOD
+                if target == wi:
+                    continue
+                label = 0.0
+            u = syn1neg[target]
+            f_dot = float(neu1 @ u)
+            if f_dot <= -MAX_EXP or f_dot >= MAX_EXP:
+                continue
+            g = (label - _sigmoid_table(f_dot)) * alpha
+            work += g * u
+            syn1neg[target] += g * neu1
+            counts_out[target] += 1
+        if not cbow_mean:
+            work = work * inv_count
+        for m in ctx:
+            syn0[m] += work
+            counts_out[m] += 1
+
+
 class Word2VecModel:
     def __init__(self, vocab_size: int, vector_size: int,
                  syn0: np.ndarray, syn1neg: np.ndarray,
                  cum_table: np.ndarray, sample_ints: np.ndarray,
-                 window: int, negative: int, seed: int):
+                 window: int, negative: int, seed: int,
+                 sg: int = 1, cbow_mean: int = 1):
         self.vocab_size = vocab_size
         self.vector_size = vector_size
         self.syn0 = syn0
@@ -166,6 +229,8 @@ class Word2VecModel:
         self.window = window
         self.negative = negative
         self.seed = seed
+        self.sg = sg
+        self.cbow_mean = cbow_mean
 
     def vectors_df(self, spark) -> DataFrame:
         """(term_id, embedding) rows — feed straight into
@@ -183,20 +248,25 @@ def _epoch_partials(docs: DataFrame, model: Word2VecModel, epoch: int,
     sc = docs.sparkSession.sparkContext
     bc = sc.broadcast((model.syn0, model.syn1neg, model.cum_table,
                        model.sample_ints, model.window, model.negative,
-                       model.seed))
+                       model.seed, model.sg, model.cbow_mean))
 
     def train_shard(key, pdf):
         import pandas as pd
 
-        syn0_0, syn1_0, cum, samp, window, negative, seed = bc.value
+        syn0_0, syn1_0, cum, samp, window, negative, seed, sg, cm = bc.value
         syn0 = syn0_0.copy()
         syn1 = syn1_0.copy()
         counts = np.zeros(syn0.shape[0], dtype=np.int64)
         pdf = pdf.sort_values("doc_id")
         for doc_id, ids in zip(pdf["doc_id"], pdf["ids"]):
             arr = np.asarray(ids, dtype=np.int64)
-            train_doc_sg(arr, syn0, syn1, cum, samp, window, negative,
-                         alpha, _mix(seed, epoch, int(doc_id)), counts)
+            if sg:
+                train_doc_sg(arr, syn0, syn1, cum, samp, window, negative,
+                             alpha, _mix(seed, epoch, int(doc_id)), counts)
+            else:
+                train_doc_cbow(arr, syn0, syn1, cum, samp, window, negative,
+                               alpha, _mix(seed, epoch, int(doc_id)), counts,
+                               cbow_mean=cm)
         touched = np.nonzero(counts)[0]
         out = []
         for w in touched:
@@ -238,17 +308,19 @@ def word2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
                  alpha: float = 0.025, min_alpha: float = 0.0001,
                  epochs: int = 5, sample: float = 1e-3,
                  ns_exponent: float = 0.75, num_shards: int = 64,
-                 seed: int = 1) -> Word2VecModel:
-    """Fit SGNS over (doc_id, ids) rows (vocab indices per document, in
-    token order, unknown words pre-dropped). ``counts`` is the per-index
-    corpus frequency vector (the vocab table's cf column)."""
+                 seed: int = 1, sg: int = 1,
+                 cbow_mean: int = 1) -> Word2VecModel:
+    """Fit SGNS (``sg=1``) or CBOW (``sg=0``) over (doc_id, ids) rows
+    (vocab indices per document, in token order, unknown words
+    pre-dropped). ``counts`` is the per-index corpus frequency vector
+    (the vocab table's cf column)."""
     model = Word2VecModel(
         vocab_size, vector_size,
         init_syn0(vocab_size, vector_size, seed),
         np.zeros((vocab_size, vector_size)),
         make_cum_table(counts, ns_exponent),
         make_sample_ints(counts, sample),
-        window, negative, seed)
+        window, negative, seed, sg=sg, cbow_mean=cbow_mean)
     for epoch in range(epochs):
         a = alpha - (alpha - min_alpha) * epoch / max(1, epochs - 1) \
             if epochs > 1 else alpha

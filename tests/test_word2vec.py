@@ -128,6 +128,57 @@ def test_semantic_communities(spark):
     assert within > across + 0.2
 
 
+def test_cbow_matches_replica_and_separates(spark):
+    rng = np.random.default_rng(23)
+    docs = []
+    for d in range(100):
+        comm = d % 2
+        docs.append((d, [int(5 * comm + rng.integers(5))
+                         for _ in range(18)]))
+    counts = np.zeros(10, dtype=np.int64)
+    for _, ids in docs:
+        for w in ids:
+            counts[w] += 1
+    df = spark.createDataFrame([(d, ids) for d, ids in docs],
+                               "doc_id long, ids array<long>")
+    kw = dict(vector_size=12, window=3, negative=3, epochs=3, sample=0,
+              seed=4, sg=0)
+
+    got = W2V.word2vec_fit(df, 10, counts, num_shards=4, **kw)
+
+    # sequential replica with the CBOW kernel, same shards/seeds/fold
+    model = W2V.Word2VecModel(
+        10, 12, W2V.init_syn0(10, 12, 4), np.zeros((10, 12)),
+        W2V.make_cum_table(counts), W2V.make_sample_ints(counts, 0),
+        3, 3, 4, sg=0)
+    for epoch in range(3):
+        a = 0.025 - (0.025 - 0.0001) * epoch / 2
+        rows = []
+        for s in range(4):
+            syn0 = model.syn0.copy()
+            syn1 = model.syn1neg.copy()
+            cnts = np.zeros(10, dtype=np.int64)
+            for doc_id, ids in sorted(d for d in docs if d[0] % 4 == s):
+                W2V.train_doc_cbow(np.asarray(ids), syn0, syn1,
+                                   model.cum_table, model.sample_ints,
+                                   3, 3, a, W2V._mix(4, epoch, doc_id),
+                                   cnts)
+            for w in np.nonzero(cnts)[0]:
+                rows.append({"m": 0, "w": int(w), "cnt": int(cnts[w]),
+                             "delta": list(syn0[w] - model.syn0[w])})
+                rows.append({"m": 1, "w": int(w), "cnt": int(cnts[w]),
+                             "delta": list(syn1[w] - model.syn1neg[w])})
+        W2V.fold_epoch(model, rows)
+    np.testing.assert_allclose(got.syn0, model.syn0, atol=1e-10)
+
+    unit = got.syn0 / np.linalg.norm(got.syn0, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    within = np.mean([sims[i, j] for i in range(5) for j in range(5)
+                      if i != j])
+    across = np.mean([sims[i, j] for i in range(5) for j in range(5, 10)])
+    assert within > across
+
+
 def test_corpus_ids_drops_unknown(spark):
     from gensim_spark.operators import vocab as V
 
