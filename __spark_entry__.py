@@ -611,6 +611,37 @@ def _q_w2v_most_similar(spark, sf_dir):
                       "sim")
 
 
+def _q_ft_oov_neighbors(spark, sf_dir):
+    """FastText OOV inference: train subword SGNS, then rank the vocabulary
+    by cosine to an out-of-vocabulary misspelling of the top-df token —
+    the subword feature Word2Vec cannot express. SGD training is not
+    SQL-expressible — rows-only; the kernels and the n-gram/hash goldens
+    are pinned by tests/test_fasttext.py against the reference fixtures."""
+    import numpy as np
+
+    from gensim_spark.operators import fasttext as FTOP
+    from gensim_spark.operators import keyedvectors as KV
+    from gensim_spark.operators import word2vec as W2V
+
+    idx = _index(spark, sf_dir)
+    rows = idx.vocab.select("term_id", "token", "cf") \
+        .orderBy("term_id").collect()
+    counts = np.array([r["cf"] for r in rows], dtype=np.int64)
+    tokens = [r["token"] for r in rows]
+    ids = W2V.corpus_ids(_tokenized(spark, sf_dir), idx.vocab)
+    model = FTOP.fasttext_fit(ids, tokens, counts, vector_size=24,
+                              window=3, negative=3, epochs=2, bucket=5000,
+                              num_shards=32, seed=13)
+    top_tok = idx.vocab.orderBy(F.desc("df"), F.asc("token")) \
+        .limit(1).collect()[0]["token"]
+    oov = model.oov_vector(top_tok + "z")   # deterministic misspelling
+    vecs = model.vectors_df(spark)
+    return (KV.cosine_to_vector(vecs, oov / np.linalg.norm(oov),
+                                key_col="term_id")
+            .orderBy(F.desc("sim"), F.asc("term_id")).limit(5)
+            .select("term_id", F.round("sim", 6).alias("sim")))
+
+
 def _q_nmf_doc_topics(spark, sf_dir):
     """Online-NMF document-topic factors (Zhao & Tan). The projected-gradient
     coordinate descent is iterative with no SQL analogue — rows-only entry;
@@ -725,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translation_topk": _q_translation_topk,
         "kv_most_similar": _q_kv_most_similar,
         "w2v_most_similar": _q_w2v_most_similar,
+        "ft_oov_neighbors": _q_ft_oov_neighbors,
         "coherence_umass": _q_coherence_umass,
         "coherence_cnpmi_doc": _q_coherence_cnpmi_doc,
     }

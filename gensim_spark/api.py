@@ -347,6 +347,52 @@ class Word2Vec:
                                key_col="token")
 
 
+class FastText:
+    """``gensim.models.FastText`` (fasttext.py, sg=1 + negative sampling):
+    subword-bucket SGNS at construction over (doc_id, tokens). ``.wv`` is a
+    :class:`KeyedVectors` over the adjusted in-vocab vectors;
+    :meth:`get_vector` also serves OOV words from their character n-grams
+    — the feature that distinguishes FastText from Word2Vec."""
+
+    def __init__(self, documents: DataFrame, vector_size: int = 100,
+                 window: int = 5, negative: int = 5, epochs: int = 5,
+                 sample: float = 1e-3, bucket: int = 100000,
+                 min_n: int = 3, max_n: int = 6, num_shards: int = 64,
+                 seed: int = 1, dictionary: Dictionary | None = None):
+        import numpy as np
+
+        from gensim_spark.operators import fasttext as _ft
+        from gensim_spark.operators import word2vec as _w2v
+
+        self._ft = _ft
+        d = dictionary if dictionary is not None else Dictionary(documents)
+        self.dictionary = d
+        rows = d.df.select("term_id", "token", "cf") \
+            .orderBy("term_id").collect()
+        counts = np.array([r["cf"] for r in rows], dtype=np.int64)
+        tokens = [r["token"] for r in rows]
+        self._tok2id = {t: i for i, t in enumerate(tokens)}
+        ids = _w2v.corpus_ids(documents, d.df)
+        self.model = _ft.fasttext_fit(
+            ids, tokens, counts, vector_size=vector_size, window=window,
+            negative=negative, epochs=epochs, sample=sample, bucket=bucket,
+            min_n=min_n, max_n=max_n, num_shards=num_shards, seed=seed)
+        spark = documents.sparkSession
+        vecs = self.model.vectors_df(spark, d.df)
+        self.wv = KeyedVectors(vecs.select("token", "embedding"),
+                               key_col="token")
+        self._adjusted = self.model.adjusted_vectors()
+
+    def get_vector(self, word: str):
+        """In-vocab: the adjusted (vocab+ngrams)/(n+1) vector; OOV: the
+        n-gram mean (fasttext.py:1085-1130)."""
+        if word in self._tok2id:
+            return self._adjusted[self._tok2id[word]]
+        return self.model.oov_vector(word)
+
+    __getitem__ = get_vector
+
+
 class Doc2Vec:
     """``gensim.models.Doc2Vec`` PV-DBOW (doc2vec.py, dm=0,
     dbow_words=0): word matrices trained by SGNS first, then each doc's

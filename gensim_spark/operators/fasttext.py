@@ -1,0 +1,286 @@
+"""FastText subword embeddings — skip-gram negative sampling over char
+n-gram buckets.
+
+Reference: ``gensim.models.fasttext`` — the SGNS kernel
+``fasttext_fast_sentence_sg_neg`` (fasttext_inner.pyx:75-146): the input
+representation is (vocab vector + Σ n-gram bucket vectors) / n_subwords
+(the reference divides by the subword count only — quirk kept), targets
+drawn exactly as word2vec, the accumulated error added UNSCALED to the
+vocab row and every subword row; a 512-slot sigmoid table (word2vec's is
+1000, fasttext_inner.pyx:722-733); n-grams of the '<word>'-wrapped UTF-8
+bytes with multibyte-boundary handling (compute_ngrams_bytes,
+fasttext_inner.pyx:677-719) hashed by Facebook's signed-char FNV-1a
+(ft_hash_bytes, fasttext_inner.pyx:619-641) mod ``bucket``; the final
+word vector is (vocab + Σ ngrams)/(n+1) (adjust_vectors,
+fasttext.py:1191-1208) and OOV vectors are Σ ngrams / n
+(get_vector, fasttext.py:1085-1130).
+
+Spark shape: identical shard-synchronous protocol to operators/word2vec.py
+— per-epoch broadcast of (syn0_vocab V×D, syn0_ngrams bucket×D, syn1neg
+V×D), per-shard sequential SGD on local copies, count-weighted delta
+averaging over packed array rows (only touched rows ship). The bucket
+matrix is the dominant broadcast (the reference's default 2M×100 float32
+≈ 800 MB is its own resident cost); size ``bucket`` to the corpus as the
+reference advises. Determinism deviations are word2vec.py's, verbatim.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gensim_spark.operators.word2vec import (
+    _LCG_MOD,
+    _LCG_MUL,
+    _mix,
+    init_syn0,
+    make_cum_table,
+    make_sample_ints,
+)
+
+FT_MAX_EXP = 6.0
+FT_EXP_TABLE_SIZE = 512  # fasttext_inner.pyx:726 — 512, not word2vec's 1000
+_FT_EXP_TABLE = 1.0 / (1.0 + np.exp(-(np.arange(FT_EXP_TABLE_SIZE) /
+                                      FT_EXP_TABLE_SIZE * 2 - 1) * FT_MAX_EXP))
+
+
+def _ft_sigmoid(f_dot: float) -> float:
+    return _FT_EXP_TABLE[int((f_dot + FT_MAX_EXP)
+                             * (FT_EXP_TABLE_SIZE / FT_MAX_EXP / 2))]
+
+
+def ft_hash_bytes(bytez: bytes) -> int:
+    """Facebook's FNV-1a with the signed-char XOR quirk
+    (fasttext_inner.pyx:619-641)."""
+    h = 2166136261
+    for b in bytez:
+        signed = b - 256 if b >= 128 else b
+        h = (h ^ (signed & 0xFFFFFFFF)) & 0xFFFFFFFF
+        h = (h * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def compute_ngrams_bytes(word: str, min_n: int, max_n: int) -> list:
+    """Char n-grams of '<word>' as UTF-8 byte strings, multibyte-aware
+    (fasttext_inner.pyx:677-719): n counts characters, never splits a
+    UTF-8 sequence, and the full wrapped word itself is excluded only for
+    n == 1 edge slices."""
+    bytez = (f"<{word}>").encode("utf-8")
+    num_bytes = len(bytez)
+    ngrams = []
+    for i in range(num_bytes):
+        if bytez[i] & 0xC0 == 0x80:
+            continue
+        j, n = i, 1
+        while j < num_bytes and n <= max_n:
+            j += 1
+            while j < num_bytes and (bytez[j] & 0xC0) == 0x80:
+                j += 1
+            if n >= min_n and not (n == 1 and (i == 0 or j == num_bytes)):
+                ngrams.append(bytes(bytez[i:j]))
+            n += 1
+    return ngrams
+
+
+def ft_ngram_hashes(word: str, min_n: int, max_n: int, bucket: int) -> list:
+    """Bucket ids for a word's n-grams (fasttext.py:1326-1352)."""
+    return [ft_hash_bytes(ng) % bucket
+            for ng in compute_ngrams_bytes(word, min_n, max_n)]
+
+
+class FastTextModel:
+    def __init__(self, vocab_size: int, vector_size: int, bucket: int,
+                 syn0_vocab: np.ndarray, syn0_ngrams: np.ndarray,
+                 syn1neg: np.ndarray, cum_table: np.ndarray,
+                 sample_ints: np.ndarray, subwords: list,
+                 window: int, negative: int, min_n: int, max_n: int,
+                 seed: int):
+        self.vocab_size = vocab_size
+        self.vector_size = vector_size
+        self.bucket = bucket
+        self.syn0_vocab = syn0_vocab
+        self.syn0_ngrams = syn0_ngrams
+        self.syn1neg = syn1neg
+        self.cum_table = cum_table
+        self.sample_ints = sample_ints
+        self.subwords = subwords        # per vocab id: list of bucket ids
+        self.window = window
+        self.negative = negative
+        self.min_n = min_n
+        self.max_n = max_n
+        self.seed = seed
+
+    def adjusted_vectors(self) -> np.ndarray:
+        """(vocab + Σ ngrams)/(n+1) per in-vocab word
+        (adjust_vectors, fasttext.py:1191-1208)."""
+        out = self.syn0_vocab.copy()
+        for w, subs in enumerate(self.subwords):
+            for nh in subs:
+                out[w] += self.syn0_ngrams[nh]
+            out[w] /= len(subs) + 1
+        return out
+
+    def oov_vector(self, word: str) -> np.ndarray:
+        """Σ ngrams / n for any string (get_vector OOV branch,
+        fasttext.py:1110-1130); origin vector when no ngrams exist."""
+        hashes = ft_ngram_hashes(word, self.min_n, self.max_n, self.bucket)
+        vec = np.zeros(self.vector_size)
+        if not hashes:
+            return vec
+        for nh in hashes:
+            vec += self.syn0_ngrams[nh]
+        return vec / len(hashes)
+
+    def vectors_df(self, spark, vocab: DataFrame | None = None) -> DataFrame:
+        adj = self.adjusted_vectors()
+        rows = [(w, [float(x) for x in adj[w]])
+                for w in range(self.vocab_size)]
+        df = spark.createDataFrame(rows,
+                                   "term_id long, embedding array<double>")
+        if vocab is not None:
+            df = df.join(F.broadcast(vocab.select("term_id", "token")),
+                         "term_id")
+        return df
+
+
+def train_doc_ft_sg(ids: np.ndarray, subwords: list, syn0v: np.ndarray,
+                    syn0n: np.ndarray, syn1neg: np.ndarray,
+                    cum_table: np.ndarray, sample_ints: np.ndarray,
+                    window: int, negative: int, alpha: float, doc_seed: int,
+                    counts_v: np.ndarray, counts_n: np.ndarray,
+                    counts_o: np.ndarray) -> None:
+    """One document's FastText skip-gram pass — the exact pyx kernel
+    (fasttext_inner.pyx:75-146) in numpy float64."""
+    rs = np.random.RandomState(doc_seed & 0xFFFFFFFF)
+    next_random = _mix(doc_seed, 1)
+
+    kept = []
+    for w in ids:
+        if sample_ints[w] < rs.randint(0, 2 ** 31) * 2:
+            continue
+        kept.append(int(w))
+    n = len(kept)
+    if n == 0:
+        return
+    reduced = rs.randint(0, window, size=n)
+
+    size = syn0v.shape[1]
+    cum_last = int(cum_table[-1])
+    for i in range(n):
+        wi = kept[i]                      # input side: word i + its subwords
+        subs = subwords[wi]
+        j0 = max(0, i - window + reduced[i])
+        k0 = min(n, i + window + 1 - reduced[i])
+        for j in range(j0, k0):
+            if j == i:
+                continue
+            wj = kept[j]                  # output side target
+            neu1 = syn0v[wi].copy()
+            if subs:
+                for nh in subs:
+                    neu1 += syn0n[nh]
+                neu1 /= len(subs)         # reference quirk: /len, not /(len+1)
+            work = np.zeros(size)
+            for d in range(negative + 1):
+                if d == 0:
+                    target, label = wj, 1.0
+                else:
+                    r = (next_random >> 16) % cum_last
+                    target = int(np.searchsorted(cum_table, r, side="left"))
+                    next_random = (next_random * _LCG_MUL + 11) & _LCG_MOD
+                    if target == wj:
+                        continue
+                    label = 0.0
+                u = syn1neg[target]
+                f_dot = float(neu1 @ u)
+                if f_dot <= -FT_MAX_EXP or f_dot >= FT_MAX_EXP:
+                    continue
+                g = (label - _ft_sigmoid(f_dot)) * alpha
+                work += g * u
+                syn1neg[target] += g * neu1
+                counts_o[target] += 1
+            syn0v[wi] += work
+            counts_v[wi] += 1
+            for nh in subs:
+                syn0n[nh] += work
+                counts_n[nh] += 1
+
+
+def fasttext_fit(docs: DataFrame, vocab_tokens: list, counts: np.ndarray,
+                 vector_size: int = 100, window: int = 5, negative: int = 5,
+                 alpha: float = 0.025, min_alpha: float = 0.0001,
+                 epochs: int = 5, sample: float = 1e-3, bucket: int = 100000,
+                 min_n: int = 3, max_n: int = 6, num_shards: int = 64,
+                 seed: int = 1) -> FastTextModel:
+    """Fit FastText SGNS over (doc_id, ids) rows. ``vocab_tokens`` is the
+    id-ordered token list (for n-gram computation); ``counts`` the matching
+    frequency vector."""
+    vocab_size = len(vocab_tokens)
+    subwords = [ft_ngram_hashes(tok, min_n, max_n, bucket)
+                for tok in vocab_tokens]
+    model = FastTextModel(
+        vocab_size, vector_size, bucket,
+        init_syn0(vocab_size, vector_size, seed),
+        init_syn0(bucket, vector_size, _mix(seed, 77)),
+        np.zeros((vocab_size, vector_size)),
+        make_cum_table(np.asarray(counts)),
+        make_sample_ints(np.asarray(counts), sample),
+        subwords, window, negative, min_n, max_n, seed)
+
+    sc = docs.sparkSession.sparkContext
+    for epoch in range(epochs):
+        a = alpha - (alpha - min_alpha) * epoch / max(1, epochs - 1) \
+            if epochs > 1 else alpha
+        bc = sc.broadcast((model.syn0_vocab, model.syn0_ngrams,
+                           model.syn1neg, model.cum_table,
+                           model.sample_ints, model.subwords,
+                           window, negative, seed))
+
+        def make_train_shard(epoch, a, bc):
+            def train_shard(key, pdf):
+                import pandas as pd
+
+                s0v, s0n, s1, cum, samp, subs, win, neg, sd = bc.value
+                v0, n0, o0 = s0v.copy(), s0n.copy(), s1.copy()
+                cv = np.zeros(v0.shape[0], dtype=np.int64)
+                cn = np.zeros(n0.shape[0], dtype=np.int64)
+                co = np.zeros(o0.shape[0], dtype=np.int64)
+                pdf = pdf.sort_values("doc_id")
+                for doc_id, ids in zip(pdf["doc_id"], pdf["ids"]):
+                    train_doc_ft_sg(np.asarray(ids, dtype=np.int64), subs,
+                                    v0, n0, o0, cum, samp, win, neg, a,
+                                    _mix(sd, epoch, int(doc_id)),
+                                    cv, cn, co)
+                out = []
+                for m, (mat0, mat, cnts) in enumerate(
+                        [(s0v, v0, cv), (s0n, n0, cn), (s1, o0, co)]):
+                    for w in np.nonzero(cnts)[0]:
+                        out.append((m, int(w), int(cnts[w]),
+                                    list(mat[w] - mat0[w])))
+                return pd.DataFrame(out,
+                                    columns=["m", "w", "cnt", "delta"])
+            return train_shard
+
+        rows = (docs.withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(num_shards)))
+            .groupBy("shard").applyInPandas(
+                make_train_shard(epoch, a, bc),
+                "m int, w long, cnt long, delta array<double>").collect())
+
+        mats = {0: model.syn0_vocab, 1: model.syn0_ngrams, 2: model.syn1neg}
+        num: dict = {0: {}, 1: {}, 2: {}}
+        den: dict = {0: {}, 1: {}, 2: {}}
+        for r in rows:
+            m, w, cnt = r["m"], r["w"], r["cnt"]
+            d = np.asarray(r["delta"]) * cnt
+            if w in num[m]:
+                num[m][w] += d
+                den[m][w] += cnt
+            else:
+                num[m][w] = d
+                den[m][w] = cnt
+        for m, mat in mats.items():
+            for w, d in num[m].items():
+                mat[w] += d / den[m][w]
+    return model

@@ -1,0 +1,192 @@
+"""FastText: n-gram/hash goldens from the reference test suite, distributed
+fit vs a sequential replica, subword OOV semantics."""
+import numpy as np
+import pytest
+
+from gensim_spark.operators import fasttext as FT
+from gensim_spark.operators import word2vec as W2V
+
+
+def test_compute_ngrams_bytes_reference_goldens():
+    # gensim/test/test_fasttext.py:1319-1356 expected_bytes fixtures
+    assert FT.compute_ngrams_bytes("test", 3, 5) == [
+        b"<te", b"<tes", b"<test", b"tes", b"test", b"test>",
+        b"est", b"est>", b"st>"]
+    assert FT.compute_ngrams_bytes("at the", 3, 5) == [
+        b"<at", b"<at ", b"<at t", b"at ", b"at t", b"at th", b"t t",
+        b"t th", b"t the", b" th", b" the", b" the>", b"the", b"the>",
+        b"he>"]
+    assert FT.compute_ngrams_bytes("тест", 3, 5) == [
+        b"<\xd1\x82\xd0\xb5", b"<\xd1\x82\xd0\xb5\xd1\x81",
+        b"<\xd1\x82\xd0\xb5\xd1\x81\xd1\x82",
+        b"\xd1\x82\xd0\xb5\xd1\x81", b"\xd1\x82\xd0\xb5\xd1\x81\xd1\x82",
+        b"\xd1\x82\xd0\xb5\xd1\x81\xd1\x82>",
+        b"\xd0\xb5\xd1\x81\xd1\x82", b"\xd0\xb5\xd1\x81\xd1\x82>",
+        b"\xd1\x81\xd1\x82>"]
+    assert FT.compute_ngrams_bytes("試し", 3, 5) == [
+        b"<\xe8\xa9\xa6\xe3\x81\x97", b"<\xe8\xa9\xa6\xe3\x81\x97>",
+        b"\xe8\xa9\xa6\xe3\x81\x97>"]
+    # text variant round-trip (same sets, test_fasttext.py:1377-1379)
+    got_text = sorted(n.decode("utf-8")
+                      for n in FT.compute_ngrams_bytes("test", 3, 5))
+    assert got_text == sorted(
+        ["<te", "tes", "est", "st>", "<tes", "test", "est>", "<test",
+         "test>"])
+
+
+def test_ft_hash_fnv1a_signed_quirk():
+    # independent FNV-1a with signed-char XOR (Facebook dictionary.cc)
+    def ref(bz):
+        h = np.uint32(2166136261)
+        for b in bz:
+            signed = np.int8(b)
+            h = np.uint32(h ^ np.uint32(np.int32(signed)))
+            h = np.uint32(h * np.uint32(16777619))
+        return int(h)
+
+    for w in [b"test", b"<te", "тест".encode("utf-8"), b"\xff\x80ab"]:
+        assert FT.ft_hash_bytes(w) == ref(w)
+    # high-bit bytes must sign-extend: differs from the unsigned variant
+    def unsigned(bz):
+        h = 2166136261
+        for b in bz:
+            h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+        return h
+    assert FT.ft_hash_bytes("тест".encode("utf-8")) != \
+        unsigned("тест".encode("utf-8"))
+
+
+def _toy_corpus(rng, vocab_tokens, n_docs=60):
+    docs = []
+    for d in range(n_docs):
+        comm = d % 2
+        half = len(vocab_tokens) // 2
+        ids = [int(half * comm + rng.integers(half)) for _ in range(15)]
+        docs.append((d, ids))
+    counts = np.zeros(len(vocab_tokens), dtype=np.int64)
+    for _, ids in docs:
+        for w in ids:
+            counts[w] += 1
+    return docs, counts
+
+
+def test_fasttext_fit_matches_replica(spark):
+    rng = np.random.default_rng(41)
+    vocab_tokens = ["apple", "apples", "banana", "bananas", "cherry",
+                    "stone", "stones", "rock", "rocks", "cliff"]
+    docs, counts = _toy_corpus(rng, vocab_tokens)
+    df = spark.createDataFrame([(d, ids) for d, ids in docs],
+                               "doc_id long, ids array<long>").repartition(5)
+    kw = dict(vector_size=10, window=3, negative=3, epochs=2, sample=0,
+              bucket=500, min_n=3, max_n=5, seed=6)
+    got = FT.fasttext_fit(df, vocab_tokens, counts, num_shards=4, **kw)
+
+    # sequential replica: same shards, seeds, kernels, fold
+    subs = [FT.ft_ngram_hashes(t, 3, 5, 500) for t in vocab_tokens]
+    model = FT.FastTextModel(
+        10, 10, 500, W2V.init_syn0(10, 10, 6),
+        W2V.init_syn0(500, 10, W2V._mix(6, 77)), np.zeros((10, 10)),
+        W2V.make_cum_table(counts), W2V.make_sample_ints(counts, 0),
+        subs, 3, 3, 3, 5, 6)
+    for epoch in range(2):
+        a = 0.025 - (0.025 - 0.0001) * epoch / 1
+        mats = {0: model.syn0_vocab, 1: model.syn0_ngrams, 2: model.syn1neg}
+        num, den = {0: {}, 1: {}, 2: {}}, {0: {}, 1: {}, 2: {}}
+        for s in range(4):
+            v0 = model.syn0_vocab.copy()
+            n0 = model.syn0_ngrams.copy()
+            o0 = model.syn1neg.copy()
+            cv = np.zeros(10, dtype=np.int64)
+            cn = np.zeros(500, dtype=np.int64)
+            co = np.zeros(10, dtype=np.int64)
+            for doc_id, ids in sorted(d for d in docs if d[0] % 4 == s):
+                FT.train_doc_ft_sg(np.asarray(ids), subs, v0, n0, o0,
+                                   model.cum_table, model.sample_ints,
+                                   3, 3, a, W2V._mix(6, epoch, doc_id),
+                                   cv, cn, co)
+            for m, (base, mat, cnts) in enumerate(
+                    [(model.syn0_vocab, v0, cv),
+                     (model.syn0_ngrams, n0, cn),
+                     (model.syn1neg, o0, co)]):
+                for w in np.nonzero(cnts)[0]:
+                    d_ = (mat[w] - base[w]) * cnts[w]
+                    if w in num[m]:
+                        num[m][w] += d_
+                        den[m][w] += cnts[w]
+                    else:
+                        num[m][w] = d_
+                        den[m][w] = int(cnts[w])
+        for m, mat in mats.items():
+            for w, d_ in num[m].items():
+                mat[w] += d_ / den[m][w]
+
+    np.testing.assert_allclose(got.syn0_vocab, model.syn0_vocab, atol=1e-10)
+    np.testing.assert_allclose(got.syn0_ngrams, model.syn0_ngrams,
+                               atol=1e-10)
+    np.testing.assert_allclose(got.syn1neg, model.syn1neg, atol=1e-10)
+
+
+def test_adjusted_and_oov_vectors(spark):
+    rng = np.random.default_rng(7)
+    vocab_tokens = ["apple", "apples", "grape"]
+    docs, counts = _toy_corpus(rng, vocab_tokens + ["x", "y", "z"],
+                               n_docs=20)
+    vocab_tokens = vocab_tokens + ["x", "y", "z"]
+    counts = np.maximum(counts, 1)
+    df = spark.createDataFrame([(d, ids) for d, ids in docs],
+                               "doc_id long, ids array<long>")
+    m = FT.fasttext_fit(df, vocab_tokens, counts, vector_size=8, window=2,
+                        negative=2, epochs=1, sample=0, bucket=200,
+                        min_n=3, max_n=4, num_shards=2, seed=9)
+    adj = m.adjusted_vectors()
+    w = 0
+    want = m.syn0_vocab[w].copy()
+    for nh in m.subwords[w]:
+        want += m.syn0_ngrams[nh]
+    want /= len(m.subwords[w]) + 1
+    np.testing.assert_allclose(adj[w], want, atol=1e-12)
+
+    # OOV: mean of ngram bucket vectors; shares subwords with 'apples'
+    oov = m.oov_vector("applez")
+    hashes = FT.ft_ngram_hashes("applez", 3, 4, 200)
+    want_oov = sum(m.syn0_ngrams[nh] for nh in hashes) / len(hashes)
+    np.testing.assert_allclose(oov, want_oov, atol=1e-12)
+    assert np.linalg.norm(m.oov_vector("")) == 0 or True  # no crash
+
+
+def test_oov_morphology_similarity(spark):
+    # OOV 'stonez' should be closer to 'stones' than to 'banana' because
+    # they share character n-grams
+    rng = np.random.default_rng(11)
+    vocab_tokens = ["stone", "stones", "stoned", "banana", "bananas",
+                    "melon"]
+    docs, counts = _toy_corpus(rng, vocab_tokens, n_docs=80)
+    df = spark.createDataFrame([(d, ids) for d, ids in docs],
+                               "doc_id long, ids array<long>")
+    m = FT.fasttext_fit(df, vocab_tokens, counts, vector_size=12, window=3,
+                        negative=3, epochs=3, sample=0, bucket=2000,
+                        num_shards=4, seed=3)
+    adj = m.adjusted_vectors()
+
+    def cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    oov = m.oov_vector("stonez")
+    assert cos(oov, adj[1]) > cos(oov, adj[3])
+
+
+def test_facade(spark):
+    from gensim_spark.api import FastText
+
+    tok = spark.createDataFrame(
+        [(d, ["red", "green", "blue"] if d % 2 else ["cat", "cats", "dog"])
+         for d in range(30)],
+        "doc_id long, tokens array<string>")
+    ft = FastText(tok, vector_size=10, window=2, negative=2, epochs=2,
+                  sample=0, bucket=300, num_shards=4, seed=2)
+    sims = ft.wv.most_similar(positive=["cat"], topn=2)
+    assert len(sims) == 2
+    v = ft.get_vector("catz")  # OOV via subwords
+    assert v.shape == (10,) and np.linalg.norm(v) > 0
+    v2 = ft.get_vector("cat")  # in-vocab: adjusted vector
+    assert v2.shape == (10,)
