@@ -455,6 +455,20 @@ class KeyedVectors:
 
     similar_by_word = similar_by_key
 
+    def similar_by_vector(self, vector, topn: int = 10):
+        """Top-n keys by cosine to a raw vector (keyedvectors.py:889-915:
+        most_similar with a vector positive — the vector is unit-normalized
+        as the mean of one pre-normalized input)."""
+        import numpy as np
+
+        v = np.asarray(vector, dtype=np.float64)
+        n = np.linalg.norm(v)
+        sims = self._kv.cosine_to_vector(self.df, v / n if n > 0 else v,
+                                         **self._cols)
+        rows = (sims.orderBy(F.desc("sim"), F.asc(self._key_col))
+                .limit(topn).collect())
+        return [(r[self._key_col], round(r["sim"], 6)) for r in rows]
+
     def similarity(self, k1, k2) -> float:
         return self._kv.similarity(self.df, k1, k2, **self._cols)
 

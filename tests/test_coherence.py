@@ -210,6 +210,46 @@ def test_end_to_end_measures_match_replica(spark):
     assert all(math.isfinite(x) for x in got)
 
 
+def test_probability_estimation_reference_goldens(spark):
+    # gensim/test/test_probability_estimation.py:20-86 fixtures
+    texts = [
+        ["human", "interface", "computer"],
+        ["eps", "user", "interface", "system"],
+        ["system", "human", "system", "eps"],
+        ["user", "response", "time"],
+        ["trees"],
+        ["graph", "trees"],
+    ]
+    vocab = sorted({w for t in texts for w in t})
+    w2id = {w: i for i, w in enumerate(vocab)}
+    relevant = [w2id["computer"], w2id["system"], w2id["user"],
+                w2id["graph"]]
+
+    rows = [(d, w2id[w], 1) for d, t in enumerate(texts) for w in set(t)]
+    postings = spark.createDataFrame(rows,
+                                     "doc_id long, term_id long, tf long")
+    stats = C.boolean_doc_stats(postings, relevant, num_docs=len(texts))
+    # expected inverted index: computer {0}, system {1,2}, user {1,3},
+    # graph {5} (test_probability_estimation.py:69-74)
+    assert stats.count(w2id["computer"]) == 1
+    assert stats.count(w2id["system"]) == 2
+    assert stats.count(w2id["user"]) == 2
+    assert stats.count(w2id["graph"]) == 1
+    assert stats.co_count(w2id["user"], w2id["system"]) == 1  # doc 1
+    assert stats.num_docs == 6
+
+    # sliding window size 2 (test_probability_estimation.py:77-85)
+    df = spark.createDataFrame([(t,) for t in texts],
+                               "tokens array<string>")
+    wstats = C.sliding_window_stats(
+        df, ["computer", "system", "user", "graph"], 2)
+    assert wstats.count("computer") == 1
+    assert wstats.count("user") == 3
+    assert wstats.count("graph") == 1
+    assert wstats.count("system") == 4
+    assert wstats.num_docs == 12  # Σ windows over the six docs
+
+
 def test_u_mass_end_to_end(spark):
     rng = np.random.default_rng(5)
     texts = rand_texts(rng, n_docs=60, vocab=9, max_len=35)

@@ -79,10 +79,15 @@ def test_distances(kv_df):
 def test_facade(kv_df, spark):
     from gensim_spark.api import KeyedVectors
 
-    _, df = kv_df
+    mat, df = kv_df
     kv = KeyedVectors(df)
     ms = kv.most_similar(positive=[0], topn=3)
     assert len(ms) == 3 and all(isinstance(k, int) for k, _ in ms)
     assert kv.similar_by_key(0, topn=3) == ms
     assert kv.distance(2, 5) == pytest.approx(1.0 - kv.similarity(2, 5))
     assert kv.rank(0, ms[0][0]) == 1
+
+    # similar_by_vector with word 0's own vector: word 0 itself ranks first
+    sbv = kv.similar_by_vector(mat[0], topn=4)
+    assert sbv[0][0] == 0 and sbv[0][1] == pytest.approx(1.0, abs=1e-6)
+    assert [k for k, _ in sbv[1:]] == [k for k, _ in ms]
