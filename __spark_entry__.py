@@ -675,6 +675,27 @@ def _coh_topics(spark, sf_dir):
     return idx, ids, toks
 
 
+def _q_ensemble_stable_topics(spark, sf_dir):
+    """EnsembleLda stable topics: 3 distributed LDA fits → asymmetric
+    masked-cosine distances → CBDBSCAN → cluster-averaged topics. The
+    pipeline is iterative EM + graph clustering, not SQL-expressible —
+    rows-only; kernels and clustering are pinned by tests/test_ensemble.py
+    (hand-computed matrices, Spark-vs-driver distance parity, planted-
+    corpus recovery)."""
+    from gensim_spark.operators import ensemble as EN
+
+    idx = _index(spark, sf_dir)
+    postings = idx.postings.select("doc_id", "term_id", "tf")
+    model = EN.ensemble_lda_fit(postings, num_topics=_LDA_K, num_models=3,
+                                passes=2, iterations=30, random_seed=13)
+    stable = model.get_topics()
+    rows = [(t, j, round(float(stable[t, j]), 6))
+            for t in range(stable.shape[0])
+            for j in range(stable.shape[1])]
+    return spark.createDataFrame(
+        rows, "stable_topic long, term_id long, prob double")
+
+
 def _q_coherence_umass(spark, sf_dir):
     """u_mass topic coherence (coherencemodel.py:51-56 pipeline: s_one_pre →
     p_boolean_document → log_conditional_probability → arithmetic mean per
@@ -757,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kv_most_similar": _q_kv_most_similar,
         "w2v_most_similar": _q_w2v_most_similar,
         "ft_oov_neighbors": _q_ft_oov_neighbors,
+        "ensemble_stable_topics": _q_ensemble_stable_topics,
         "coherence_umass": _q_coherence_umass,
         "coherence_cnpmi_doc": _q_coherence_cnpmi_doc,
     }

@@ -490,6 +490,55 @@ class KeyedVectors:
                                     post_normalize, **self._cols)
 
 
+class EnsembleLda:
+    """``gensim.models.EnsembleLda`` (ensemblelda.py:595-1371): N
+    distributed LDA fits at construction, CBDBSCAN over the asymmetric
+    masked-cosine topic distances, stable topics = cluster-averaged cores.
+    ``get_topics()`` returns the stable topics;
+    ``generate_gensim_representation()`` an :class:`LdaModel`-compatible
+    model whose topics equal them exactly."""
+
+    def __init__(self, corpus: DataFrame, id2word: Dictionary | None = None,
+                 num_topics: int = 10, num_models: int = 4,
+                 passes: int = 1, iterations: int = 50,
+                 epsilon: float = 0.1, min_samples: int | None = None,
+                 min_cores: int | None = None,
+                 masking_method: str = "mass",
+                 masking_threshold: float | None = None,
+                 random_state: int = 13):
+        from gensim_spark.operators import ensemble as _en
+
+        self._en = _en
+        self.id2word = id2word
+        num_terms = len(id2word) if id2word is not None else None
+        method = (_en.rank_masking if masking_method == "rank"
+                  else _en.mass_masking)
+        self.model = _en.ensemble_lda_fit(
+            corpus, num_topics=num_topics, num_models=num_models,
+            num_terms=num_terms, passes=passes, iterations=iterations,
+            random_seed=random_state, eps=epsilon, min_samples=min_samples,
+            min_cores=min_cores, masking_method=method,
+            masking_threshold=masking_threshold)
+
+    def get_topics(self):
+        return self.model.get_topics()
+
+    def generate_gensim_representation(self):
+        return self.model.classic_representation()
+
+    def get_document_topics(self, postings: DataFrame,
+                            minimum_probability: float | None = None
+                            ) -> DataFrame:
+        from gensim_spark.operators import lda as _lda
+
+        classic = self.model.classic_representation()
+        if classic is None:
+            raise ValueError("no stable topic was detected")
+        return _lda.doc_topics(postings, classic, minimum_probability)
+
+    __getitem__ = get_document_topics
+
+
 class Nmf:
     """``gensim.models.nmf.Nmf`` (nmf.py:123-244): online NMF fit at
     construction over (doc_id, term_id, tf) postings; ``model[postings]`` /

@@ -9,6 +9,7 @@ from gensim_spark.operators import (  # noqa: F401
     bow,
     coherence,
     dedup,
+    ensemble,
     fasttext,
     fuzzy,
     keyedvectors,
