@@ -675,6 +675,26 @@ def _coh_topics(spark, sf_dir):
     return idx, ids, toks
 
 
+_POINCARE_QIDS = [0, 1, 2]
+_POINCARE_K = 5
+
+
+def _q_poincare_knn(spark, sf_dir):
+    """Poincaré-distance top-k over the embeddings table scaled into the
+    unit ball (x / (1 + ‖x‖)) — the hyperbolic distance kernel
+    (poincare.py PoincareKeyedVectors.distance) as a pure relational
+    arcosh expression, fully oracled."""
+    from gensim_spark.operators import poincare as PC
+
+    emb = _emb(spark, sf_dir)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    ball = emb.select(
+        F.col("vec_id").alias("node_id"),
+        F.transform(v, lambda x: x / (1 + nrm)).alias("embedding"))
+    return PC.poincare_knn(ball, _POINCARE_QIDS, k=_POINCARE_K)
+
+
 def _q_ensemble_stable_topics(spark, sf_dir):
     """EnsembleLda stable topics: 3 distributed LDA fits → asymmetric
     masked-cosine distances → CBDBSCAN → cluster-averaged topics. The
@@ -779,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2v_most_similar": _q_w2v_most_similar,
         "ft_oov_neighbors": _q_ft_oov_neighbors,
         "ensemble_stable_topics": _q_ensemble_stable_topics,
+        "poincare_knn": _q_poincare_knn,
         "coherence_umass": _q_coherence_umass,
         "coherence_cnpmi_doc": _q_coherence_cnpmi_doc,
     }
@@ -1314,6 +1335,38 @@ SELECT vec_id, round(sim, 6) AS sim,
 FROM sims ORDER BY rank LIMIT {_KV_TOPN}"""
 
 
+def _poincare_knn_sql() -> str:
+    qids = ", ".join(str(q) for q in _POINCARE_QIDS)
+    return f"""
+WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             FROM embeddings),
+ball AS (SELECT vec_id AS node_id,
+                list_transform(v, x -> x / (1 + sqrt(
+                    list_sum(list_transform(v, y -> y * y))))) AS b
+         FROM emb),
+q AS (SELECT node_id AS query_id, b AS qb FROM ball
+      WHERE node_id IN ({qids})),
+pairs AS (
+  SELECT q.query_id, t.node_id AS other_id,
+         list_sum(list_transform(range(len(q.qb)),
+                  i -> (q.qb[i + 1] - t.b[i + 1])
+                       * (q.qb[i + 1] - t.b[i + 1]))) AS diff2,
+         list_sum(list_transform(q.qb, x -> x * x)) AS nu2,
+         list_sum(list_transform(t.b, x -> x * x)) AS nv2
+  FROM q CROSS JOIN ball t WHERE t.node_id <> q.query_id),
+dists AS (SELECT query_id, other_id,
+                 ln((1 + 2 * diff2 / ((1 - nu2) * (1 - nv2)))
+                    + sqrt(pow(1 + 2 * diff2 / ((1 - nu2) * (1 - nv2)), 2)
+                           - 1)) AS dist
+          FROM pairs),
+ranked AS (SELECT query_id, other_id, dist,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist ASC, other_id ASC) AS INTEGER) AS rank
+           FROM dists)
+SELECT query_id, rank, other_id, round(dist, 6) AS dist
+FROM ranked WHERE rank <= {_POINCARE_K}"""
+
+
 _COH_TOP_SQL = f"""
 top AS (
   SELECT term_id, token,
@@ -1565,6 +1618,7 @@ FROM ranked WHERE rank <= 10""",
         "coherence_cnpmi_doc": _coherence_cnpmi_doc_sql(),
         "translation_normal_eqs": _translation_normal_eqs_sql(),
         "kv_most_similar": _kv_most_similar_sql(),
+        "poincare_knn": _poincare_knn_sql(),
         # translation_topk: no oracle on purpose — the pinv solve of the
         # normal equations is not SQL-expressible; the solve + retrieval are
         # pinned by tests/test_translation.py (numpy lstsq parity), and the

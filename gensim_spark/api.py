@@ -429,6 +429,45 @@ class Doc2Vec:
                                      epochs=self._dbow_epochs)
 
 
+class PoincareModel:
+    """``gensim.models.poincare.PoincareModel`` (poincare.py:92-700):
+    hyperbolic embeddings trained at construction over a (u, v) node-id
+    relations DataFrame with Riemannian SGD + burn-in. ``most_similar``
+    ranks by Poincaré distance relationally. See operators/poincare.py for
+    the exact batch math (finite-difference-pinned) and the
+    shard-synchronous distribution scheme."""
+
+    def __init__(self, train_data: DataFrame, size: int = 50,
+                 alpha: float = 0.1, negative: int = 10,
+                 epsilon: float = 1e-5, regularization_coeff: float = 1.0,
+                 burn_in: int = 10, burn_in_alpha: float = 0.01,
+                 epochs: int = 50, batch_size: int = 10,
+                 num_shards: int = 32, seed: int = 0):
+        from gensim_spark.operators import poincare as _pc
+
+        self._pc = _pc
+        self._spark = train_data.sparkSession
+        self.model = _pc.poincare_fit(
+            train_data, size=size, alpha=alpha, negative=negative,
+            epsilon=epsilon, regularization_coeff=regularization_coeff,
+            burn_in=burn_in, burn_in_alpha=burn_in_alpha, epochs=epochs,
+            batch_size=batch_size, num_shards=num_shards, seed=seed)
+        self.kv = self.model.vectors_df(self._spark)
+
+    def most_similar(self, node_ids, topn: int = 10) -> DataFrame:
+        if not hasattr(node_ids, "__iter__"):
+            node_ids = [node_ids]
+        return self._pc.poincare_knn(self.kv, node_ids, k=topn)
+
+    def distance(self, n1: int, n2: int) -> float:
+        import numpy as np
+
+        v = self.model.vectors
+        a, b = v[n1], v[n2]
+        g = 1 + 2 * np.sum((a - b) ** 2) / ((1 - a @ a) * (1 - b @ b))
+        return float(np.arccosh(g))
+
+
 class KeyedVectors:
     """``gensim.models.KeyedVectors`` query surface over a (key, vector)
     DataFrame (keyedvectors.py:290-1262 subset). Only the handful of input

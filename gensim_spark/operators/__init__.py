@@ -19,6 +19,7 @@ from gensim_spark.operators import (  # noqa: F401
     multimodal,
     nmf,
     phrases,
+    poincare,
     rp,
     simsearch,
     softcosine,
