@@ -107,6 +107,13 @@ def train_shard_epoch(pairs: list, vectors: np.ndarray,
         for col, (u, v) in enumerate(batch):
             idx_v[0, col] = v
             rel = adjacency[u]
+            # same guard as the reference (_sample_negatives,
+            # poincare.py:286-292): rejection sampling cannot terminate if
+            # there are fewer candidate negatives than requested
+            if n_nodes - len(rel) - 1 < negative:
+                raise ValueError(
+                    f"Cannot sample {negative} negatives for node {u}: "
+                    f"only {n_nodes - len(rel) - 1} non-connected nodes")
             got = 0
             while got < negative:
                 r = int(rng.randint(1, total + 1))

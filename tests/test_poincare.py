@@ -96,6 +96,17 @@ def test_poincare_fit_separates_components(spark):
     np.testing.assert_allclose(m.vectors, m2.vectors, atol=0)
 
 
+def test_negative_sampling_guard(spark):
+    # node 0 connected to every other node: sampling 3 negatives from an
+    # empty candidate pool must raise, not hang (poincare.py:286-292)
+    rel = [(0, c) for c in range(1, 4)]
+    df = spark.createDataFrame(rel, "u long, v long")
+    with pytest.raises(Exception) as exc:
+        P.poincare_fit(df, num_nodes=4, size=4, negative=3, burn_in=0,
+                       epochs=1, num_shards=1, seed=1)
+    assert "Cannot sample" in str(exc.value)
+
+
 def test_poincare_knn_matches_numpy(spark):
     rng = np.random.default_rng(5)
     vecs = rng.uniform(-0.4, 0.4, size=(20, 6))
