@@ -267,6 +267,7 @@ def fasttext_fit(docs: DataFrame, vocab_tokens: list, counts: np.ndarray,
             .groupBy("shard").applyInPandas(
                 make_train_shard(epoch, a, bc),
                 "m int, w long, cnt long, delta array<double>").collect())
+        bc.destroy()  # per-epoch broadcast of 3 matrices — don't accumulate
 
         mats = {0: model.syn0_vocab, 1: model.syn0_ngrams, 2: model.syn1neg}
         num: dict = {0: {}, 1: {}, 2: {}}

@@ -234,6 +234,7 @@ def poincare_fit(relations: DataFrame, num_nodes: int | None = None,
         rows = sharded.groupBy("shard").applyInPandas(
             make_shard_fn(epoch, bc),
             "w long, cnt long, delta array<double>").collect()
+        bc.destroy()  # per-epoch broadcast — don't accumulate over epochs
         num: dict = {}
         den: dict = {}
         for r in rows:

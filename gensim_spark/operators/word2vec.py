@@ -278,9 +278,13 @@ def _epoch_partials(docs: DataFrame, model: Word2VecModel, epoch: int,
 
     shards = docs.withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(num_shards)))
-    return (shards.groupBy("shard").applyInPandas(
+    rows = (shards.groupBy("shard").applyInPandas(
         train_shard,
         "m int, w long, cnt long, delta array<double>").collect())
+    # one broadcast per epoch — release it, or a many-epoch run
+    # accumulates V×D copies on the driver and every executor
+    bc.destroy()
+    return rows
 
 
 def fold_epoch(model: Word2VecModel, rows: list) -> None:
