@@ -262,11 +262,18 @@ def log_ratio_measure(segmented_topics, stats: CoherenceStats,
         for wp, ws in seg:
             wpc, wsc = stats.count(wp), stats.count(ws)
             coc = stats.co_count(wp, ws)
-            pmi = math.log((coc / d + EPSILON) / ((wpc / d) * (wsc / d)))
-            if normalize:
-                m = pmi / (-math.log(coc / d + EPSILON))
-            else:
-                m = pmi
+            # numpy-scalar division: the reference's sliding-window counts
+            # are numpy uint32 (text_analysis.py:325,392), so a zero-count
+            # word yields ±inf with a RuntimeWarning instead of raising
+            # ZeroDivisionError (direct_confirmation_measure.py:205-207)
+            with np.errstate(divide="ignore"):
+                pmi = float(np.log(
+                    np.float64(coc / d + EPSILON)
+                    / (np.float64(wpc / d) * np.float64(wsc / d))))
+                if normalize:
+                    m = pmi / (-math.log(coc / d + EPSILON))
+                else:
+                    m = pmi
             sims.append(m)
         out.append(float(np.mean(sims)) if sims else float("nan"))
     return out

@@ -339,7 +339,8 @@ def ensemble_lda_fit(postings: DataFrame, num_topics: int = 10,
     scan.fit(amatrix)
     stable = validate_clusters_and_stable_topics(ttda, scan.results,
                                                  min_cores)
-    sstats_sum = float(postings.agg(F.sum("tf").alias("s"))
+    tf_col = "tf" if "tf" in postings.columns else "weight"
+    sstats_sum = float(postings.agg(F.sum(tf_col).alias("s"))
                        .collect()[0]["s"])
     return EnsembleLdaModel(ttda, stable, num_models, sstats_sum,
                             eta_scalar,

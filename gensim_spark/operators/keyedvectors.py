@@ -97,9 +97,12 @@ def most_similar(vecs: DataFrame, positive=None, negative=None,
         .filter(~F.col(key_col).isin(keys))
     from pyspark.sql import Window
 
+    # TakeOrdered top-k (orderBy().limit() → per-partition heaps), NOT a
+    # global row_number window which would funnel the whole table through
+    # one task; the rank window then runs over ≤topn rows only
+    top = sims.orderBy(F.desc("sim"), F.asc(key_col)).limit(topn)
     wnd = Window.orderBy(F.desc("sim"), F.asc(key_col))
-    return (sims.withColumn("rank", F.row_number().over(wnd))
-            .filter(F.col("rank") <= topn)
+    return (top.withColumn("rank", F.row_number().over(wnd))
             .select(key_col, F.round("sim", 6).alias("sim"), "rank"))
 
 

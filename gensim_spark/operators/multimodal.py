@@ -46,11 +46,13 @@ def fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
     return folded.mean(axis=0) / 255.0
 
 
-# --- real pure-python codecs (PNM family + uncompressed BMP) -----------------
+# --- real pure-python codecs (PNM family + uncompressed BMP + PNG) -----------
 #
-# No image libraries exist in this container, so these two formats decode for
-# REAL (spec-complete for binary/ascii PNM and uncompressed 24/32-bit BMP);
-# JPEG/PNG/etc. still need an injected decoder (PIL/libvips at deploy time).
+# No image libraries exist in this container, so these formats decode for
+# REAL (spec-complete binary/ascii PNM, uncompressed 24/32-bit BMP, and
+# zlib-inflated PNG with filters 0-4 over gray/RGB/palette/alpha — see
+# _decode_png below); JPEG still needs an injected decoder (PIL/libvips
+# at deploy time).
 
 def _pnm_tokens(payload: bytes):
     """Whitespace-separated header tokens, skipping '#' comments (PNM spec)."""

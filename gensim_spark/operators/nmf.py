@@ -286,8 +286,11 @@ def nmf_fit(postings: DataFrame, num_topics: int,
     model = NmfModel(num_terms, num_topics, kappa, minimum_probability,
                      w_max_iter, w_stop_condition, h_max_iter,
                      h_stop_condition, normalize, random_seed)
+    # postings may carry 'tf' or a pre-weighted 'weight' column — resolve
+    # once, like corpus_bow/log_perplexity (lda.py:213,447)
+    tf_col = "tf" if "tf" in postings.columns else "weight"
     agg = postings.agg(
-        F.sum("tf").alias("s"), F.max("tf").alias("mx"),
+        F.sum(tf_col).alias("s"), F.max(tf_col).alias("mx"),
         F.countDistinct("doc_id").alias("nd")).collect()[0]
     n_docs = agg["nd"]
     # _setup: w_std from the first batch's csc mean = Σtf / (V·n_docs)

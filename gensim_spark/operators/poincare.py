@@ -96,7 +96,10 @@ def train_shard_epoch(pairs: list, vectors: np.ndarray,
                       counts_out: np.ndarray) -> float:
     """Sequential batched Riemannian SGD over one shard's relations.
     Mutates ``vectors`` and per-node update counts; returns summed loss."""
-    n_nodes = len(vectors)
+    # candidate pool = nodes observed in relations (nonzero-width cumsum
+    # intervals), not the positional vector count — id gaps are phantoms
+    n_candidates = int(np.count_nonzero(
+        np.diff(counts_cumsum, prepend=counts_cumsum.dtype.type(0))))
     total = int(counts_cumsum[-1])
     loss_sum = 0.0
     for off in range(0, len(pairs), batch_size):
@@ -110,10 +113,11 @@ def train_shard_epoch(pairs: list, vectors: np.ndarray,
             # same guard as the reference (_sample_negatives,
             # poincare.py:286-292): rejection sampling cannot terminate if
             # there are fewer candidate negatives than requested
-            if n_nodes - len(rel) - 1 < negative:
+            if n_candidates - len(rel) - 1 < negative:
                 raise ValueError(
                     f"Cannot sample {negative} negatives for node {u}: "
-                    f"only {n_nodes - len(rel) - 1} non-connected nodes")
+                    f"only {n_candidates - len(rel) - 1} non-connected "
+                    f"observed nodes")
             got = 0
             while got < negative:
                 r = int(rng.randint(1, total + 1))
@@ -187,7 +191,10 @@ def poincare_fit(relations: DataFrame, num_nodes: int | None = None,
     counts = np.zeros(num_nodes, dtype=np.int64)
     for r in cnt_rows:
         counts[r["n"]] = r["count"]
-    counts = np.maximum(counts, 1)
+    # id gaps in [0, num_nodes) stay at count 0: their cumsum interval is
+    # zero-width, so searchsorted can never draw them as negatives — the
+    # reference's vocab contains only nodes observed in relations
+    # (poincare.py:247-251 builds the cumsum from observed counts alone)
     counts_cumsum = np.cumsum(counts)
 
     # per-node seeded init — distributed replacement for the sequential

@@ -316,3 +316,21 @@ def test_coherence_with_lda_facade(spark):
                          coherence="c_npmi", window_size=10, topn=5)
     pt2 = cm2.get_coherence_per_topic()
     assert len(pt2) == 3 and all(math.isfinite(x) for x in pt2)
+
+
+def test_log_ratio_zero_count_yields_inf():
+    # ADVICE r4: a topic word with zero occurrences in the eval texts must
+    # yield +/-inf (the reference's numpy-uint32 counts divide to inf with a
+    # RuntimeWarning, direct_confirmation_measure.py:205-207), never raise
+    # ZeroDivisionError.
+    stats = C.CoherenceStats(
+        {1: 0, 2: 1}, np.array([3, 0]),
+        np.array([[3, 0], [0, 0]]), 5)
+    pmi = C.log_ratio_measure([[(1, 2)]], stats)[0]
+    assert np.isinf(pmi) and pmi > 0
+    npmi = C.log_ratio_measure([[(1, 2)]], stats, normalize=True)[0]
+    assert np.isinf(npmi) and npmi > 0
+    # c_v path flows through _pair_npmi -> must not crash either
+    seg = [[(1, np.array([1, 2])), (2, np.array([1, 2]))]]
+    got = C.cosine_similarity(seg, stats, [np.array([1, 2])])
+    assert len(got) == 1

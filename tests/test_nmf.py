@@ -188,3 +188,18 @@ def test_nmf_facade(spark):
     assert dt.count() > 0
     pdf = dt.toPandas()
     assert (pdf["probability"] > 0).all()
+
+
+def test_nmf_fit_weight_column_matches_tf(spark):
+    # ADVICE r4: postings carrying a 'weight' column (corpus_bow's documented
+    # fallback) must fit identically to the same values under 'tf' — the
+    # setup aggregations resolve the column like lda.py:213 does.
+    rng = np.random.default_rng(17)
+    bow = rand_bow(rng, n_docs=30, vocab=15)
+    postings = bow_to_df(spark, bow).repartition(3)
+    want = N.nmf_fit(postings, num_topics=3, num_terms=15, passes=1)
+    got = N.nmf_fit(postings.withColumnRenamed("tf", "weight"),
+                    num_topics=3, num_terms=15, passes=1)
+    np.testing.assert_allclose(got.W, want.W, atol=0)
+    assert got.v_max == want.v_max
+    assert got.w_std == pytest.approx(want.w_std)

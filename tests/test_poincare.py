@@ -130,3 +130,18 @@ def test_poincare_knn_matches_numpy(spark):
         assert [i for _, i in want] == [i for _, i, _ in ranked]
         for (wd, _), (_, _, gd) in zip(want, ranked):
             assert gd == pytest.approx(round(wd, 6), abs=1e-6)
+
+
+def test_poincare_fit_id_gap_no_phantom_negatives(spark):
+    # ADVICE r4: id gaps in [0, num_nodes) must not become phantom nodes.
+    # Gap ids (5, 6, 7 below) carry zero weight in the negative-sampling
+    # cumsum, are never drawn, and their vectors stay exactly at init.
+    rel = [(0, c) for c in (1, 2, 3, 4)] + [(8, c) for c in (9, 10, 11, 12)]
+    df = spark.createDataFrame(rel, "u long, v long")
+    m = P.poincare_fit(df, num_nodes=13, size=6, negative=3, burn_in=1,
+                       epochs=5, num_shards=4, seed=3)
+    assert np.isfinite(m.vectors).all()
+    for gap in (5, 6, 7):
+        rs = np.random.RandomState(P._mix(3, gap, 55) & 0xFFFFFFFF)
+        np.testing.assert_array_equal(m.vectors[gap],
+                                      rs.uniform(-0.001, 0.001, 6))
