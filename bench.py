@@ -31,6 +31,22 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
+# This VM's hypervisor steal storms swing identical runs 2-3x (BASELINE.md);
+# a single-shot timing can print a phantom regression. Every suite entry is
+# therefore min-of-REPS (the same protocol that stabilized the scaling
+# numbers), and the two build measures are interleaved in one rep loop so a
+# storm cannot hit all reps of one measure.
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def timed_min(fn, reps: int = REPS):
+    best, out = None, None
+    for _ in range(reps):
+        t, out = timed(fn)
+        best = t if best is None else min(best, t)
+    return best, out
+
+
 def run_suite():
     from pyspark.sql import functions as F
 
@@ -46,17 +62,36 @@ def run_suite():
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
 
-    # 1. index build end-to-end (tokenize → vocab → postings → weights)
+    # 1. index build end-to-end (tokenize → vocab → postings → weights) and
+    # the packed-shard build, interleaved min-of-REPS (cache cleared per rep
+    # so every rep rebuilds from the parquet scan)
+    import shutil
+    import tempfile
+
+    from gensim_spark.index import layout, wand
+
     def build():
         tok = P.tokenize(docs, ascii_fast_path=True)
         idx = P.build(tok, cache=True)
         return idx, idx.weighted.count()
 
-    t_build, (idx, nnz) = timed(build)
+    shard_dir = tempfile.mkdtemp(prefix="bench_shards_")
+    build_times, shard_times = [], []
+    idx = None
+    for _rep in range(REPS):
+        spark.catalog.clearCache()
+        t_build, (idx, nnz) = timed(build)
+        build_times.append(t_build)
+        idx.weighted.cache().count()
+        shutil.rmtree(shard_dir, ignore_errors=True)
+        t_shard, _ = timed(lambda: layout.write_packed_shards(
+            idx.weighted, shard_dir, docs_per_shard=1024, num_groups=2,
+            resume=False))
+        shard_times.append(t_shard)
+    t_build = min(build_times)
     results["index_build"] = round(t_build, 3)
+    results["packed_shard_build"] = round(min(shard_times), 3)
     docs_per_sec = n_docs / t_build
-
-    idx.weighted.cache().count()
 
     # 2. single-query latency: 10 queries, p95 (one untimed warmup first —
     # codegen + broadcast build are per-session, not per-query, costs)
@@ -74,14 +109,14 @@ def run_suite():
     results["bm25_query_single"] = round(sum(lat) / len(lat), 4)
 
     # 3. batch query
-    t, _ = timed(lambda: P.query_text(
+    t, _ = timed_min(lambda: P.query_text(
         spark, idx, E.QUERY_SET, k=10, ascii_fast_path=True).collect())
     results["bm25_query_batch"] = round(t, 3)
 
     # 4. tf-idf weights
     from gensim_spark.operators import tfidf as TF
 
-    t, _ = timed(lambda: TF.tfidf_postings(
+    t, _ = timed_min(lambda: TF.tfidf_postings(
         idx.postings, idx.vocab.select("term_id", "df"), idx.num_docs,
         smartirs="nfc").count())
     results["tfidf_nfc"] = round(t, 3)
@@ -93,7 +128,7 @@ def run_suite():
         sigs = D.minhash_signatures(idx.docs, num_hashes=4)
         return D.minhash_band_pairs(sigs, bands=2, rows_per_band=2).count()
 
-    t, _ = timed(mh)
+    t, _ = timed_min(mh)
     results["dedup_minhash"] = round(t, 3)
 
     # 6. brute-force knn over embeddings
@@ -102,7 +137,7 @@ def run_suite():
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    t, _ = timed(lambda: S.cosine_topk(emb, q, k=10).count())
+    t, _ = timed_min(lambda: S.cosine_topk(emb, q, k=10).count())
     results["knn_cosine"] = round(t, 3)
 
     # 6b. relational RWMD (WMD lower bound) — 3 queries scored against every
@@ -117,7 +152,7 @@ def run_suite():
          for tkn in textref.simple_preprocess(text)],
         "query_id int, token string")
     q_nbow = WM.nbow(q_rows, id_col="query_id", dim=4)
-    t, _ = timed(lambda: WM.rwmd(doc_nbow, q_nbow, dim=4).count())
+    t, _ = timed_min(lambda: WM.rwmd(doc_nbow, q_nbow, dim=4).count())
     results["wmd_rwmd"] = round(t, 3)
 
     # 6c. LSI fit — distributed randomized SVD (k=8, ℓ=16, 1 power iter).
@@ -130,8 +165,9 @@ def run_suite():
         "doc_id", "term_id", F.col("tf").cast("double").alias("weight")
     ).cache()
     postings_d.count()
-    t, _ = timed(lambda: L.lsi_fit(postings_d, num_topics=8,
-                                   power_iters=1).u.count())
+    t, _ = timed_min(lambda: L.lsi_fit(postings_d, num_topics=8,
+                                       power_iters=1).u.count(),
+                     reps=min(REPS, 2))  # heaviest entry — bound suite time
     results["lsi_fit"] = round(t, 3)
     postings_d.unpersist()
 
@@ -140,23 +176,14 @@ def run_suite():
     # linearly with executors (embarrassingly parallel E-step).
     from gensim_spark.operators import lda as LD
 
-    t, _ = timed(lambda: LD.lda_fit(
+    t, _ = timed_min(lambda: LD.lda_fit(
         idx.postings.select("doc_id", "term_id", "tf"),
-        num_topics=8, passes=1, iterations=30, random_seed=13))
+        num_topics=8, passes=1, iterations=30, random_seed=13),
+        reps=min(REPS, 2))
     results["lda_fit"] = round(t, 3)
 
-    # 7. packed-shard build + block-max WAND query
-    import shutil
-    import tempfile
-
-    from gensim_spark.index import layout, wand
-
-    shard_dir = tempfile.mkdtemp(prefix="bench_shards_")
+    # 7. block-max WAND query over the packed shards built in the rep loop
     try:
-        t, _ = timed(lambda: layout.write_packed_shards(
-            idx.weighted, shard_dir, docs_per_shard=1024, num_groups=2,
-            resume=False))
-        results["packed_shard_build"] = round(t, 3)
         qterms = {}
         vocab_map = {r["token"]: r["term_id"] for r in idx.vocab.collect()}
         for qid, text in enumerate(texts):
@@ -167,7 +194,7 @@ def run_suite():
         packed.count()
         wand.wand_topk(spark, shard_dir, qterms, k=10,
                        packed=packed).collect()  # warm
-        t, _ = timed(lambda: wand.wand_topk(
+        t, _ = timed_min(lambda: wand.wand_topk(
             spark, shard_dir, qterms, k=10, packed=packed).collect())
         results["wand_query_batch"] = round(t, 3)
         # same queries through the exhaustive join-agg plan (comparison row)
@@ -178,7 +205,7 @@ def run_suite():
              for t_, w in ts.items()],
             "query_id int, term_id long, q_weight double")
         T.search(idx.weighted, qdf, k=10).collect()  # warm
-        t, _ = timed(lambda: T.search(idx.weighted, qdf, k=10).collect())
+        t, _ = timed_min(lambda: T.search(idx.weighted, qdf, k=10).collect())
         results["joinagg_query_batch"] = round(t, 3)
 
         # 8. 32-query concurrency batch — the serving story: ONE Spark job
@@ -195,11 +222,11 @@ def run_suite():
             [(qid, int(t_), 1.0) for qid, ts in q32.items() for t_ in ts],
             "query_id int, term_id long, q_weight double")
         wand.wand_topk(spark, shard_dir, q32, k=10, packed=packed).collect()
-        t, _ = timed(lambda: wand.wand_topk(
+        t, _ = timed_min(lambda: wand.wand_topk(
             spark, shard_dir, q32, k=10, packed=packed).collect())
         results["wand_query_batch32"] = round(t, 3)
         T.search(idx.weighted, q32df, k=10).collect()  # warm
-        t, _ = timed(lambda: T.search(idx.weighted, q32df, k=10).collect())
+        t, _ = timed_min(lambda: T.search(idx.weighted, q32df, k=10).collect())
         results["bm25_query_batch32"] = round(t, 3)
         batch32_amortized_ms = 1000 * min(
             results["wand_query_batch32"], results["bm25_query_batch32"]) / 32
@@ -217,9 +244,13 @@ def run_suite():
         "docs_per_sec": round(docs_per_sec, 1),
         "query_p95_ms": round(p95_ms, 1),
         "batch32_amortized_ms_per_query": round(batch32_amortized_ms, 1),
-        "suite_note": "round 3 added three NEW suite entries (wmd_rwmd, "
-                      "lsi_fit, lda_fit) — the suite total is not comparable "
-                      "to round 2's; compare per-query",
+        "suite_note": "round 4: every entry is min-of-reps (builds "
+                      "interleaved) so one hypervisor steal storm cannot "
+                      "print a phantom regression; suite total is therefore "
+                      "wall-clock-inflated — compare per-query minima",
+        "bench_reps": REPS,
+        "index_build_reps_sec": [round(t, 3) for t in build_times],
+        "packed_shard_build_reps_sec": [round(t, 3) for t in shard_times],
         # measured via _wand_bench_inner(1_000_000) (round 3, block-lazy
         # decode; interleaved reps, min-of-3 in-run + best-of-2 invocations,
         # rank-identity asserted in-run); regenerate with
