@@ -528,6 +528,37 @@ class KeyedVectors:
         return self._kv.mean_vector(self.df, keys, weights, pre_normalize,
                                     post_normalize, **self._cols)
 
+    @classmethod
+    def load_word2vec_format(cls, spark, fname, fvocab=None,
+                             binary: bool = False, encoding: str = "utf8",
+                             unicode_errors: str = "strict",
+                             limit: int | None = None,
+                             no_header: bool = False) -> "KeyedVectors":
+        """Load pretrained vectors from the original C word2vec-tool format
+        (keyedvectors.py:1675-1806) into a queryable KeyedVectors facade."""
+        from gensim_spark.sources import word2vec_format as WF
+
+        df = WF.load_word2vec_format(spark, fname, fvocab=fvocab,
+                                     binary=binary, encoding=encoding,
+                                     unicode_errors=unicode_errors,
+                                     limit=limit, no_header=no_header)
+        return cls(df, key_col="word", vec_col="embedding")
+
+    def save_word2vec_format(self, fname, fvocab=None, binary: bool = False,
+                             total_vec: int | None = None,
+                             write_header: bool = True, prefix: str = "",
+                             append: bool = False) -> None:
+        """Store in the original C word2vec-tool format
+        (keyedvectors.py:1596-1674)."""
+        from gensim_spark.sources import word2vec_format as WF
+
+        WF.save_word2vec_format(self.df, fname, fvocab=fvocab, binary=binary,
+                                total_vec=total_vec,
+                                write_header=write_header, prefix=prefix,
+                                append=append,
+                                word_col=self._key_col,
+                                vec_col=self._cols["vec_col"])
+
 
 class EnsembleLda:
     """``gensim.models.EnsembleLda`` (ensemblelda.py:595-1371): N
