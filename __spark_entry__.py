@@ -695,6 +695,49 @@ def _q_ft_oov_neighbors(spark, sf_dir):
             .select("term_id", F.round("sim", 6).alias("sim")))
 
 
+def _q_d2v_dm_doc_knn(spark, sf_dir):
+    """Doc2Vec PV-DM (dm=1, the reference's default mode,
+    doc2vec_inner.pyx:420-566) trained on the corpus; then the 3 lowest
+    doc_ids' nearest neighbors by doc-vector cosine. SGD training is not
+    SQL-expressible (pinned against a sequential replica in
+    tests/test_doc2vec.py), but the retrieval IS: the trained doc vectors
+    are persisted as parquet and the oracle re-runs the cosine top-k."""
+    import numpy as np
+
+    from gensim_spark.operators import doc2vec as D2V
+    from gensim_spark.operators import word2vec as W2V
+
+    idx = _index(spark, sf_dir)
+    rows = idx.vocab.select("term_id", "cf").orderBy("term_id").collect()
+    counts = np.array([r["cf"] for r in rows], dtype=np.int64)
+    ids = W2V.corpus_ids(_tokenized(spark, sf_dir), idx.vocab)
+    model = D2V.doc2vec_fit(ids, len(counts), counts, vector_size=16,
+                            window=3, negative=3, epochs=2, seed=13,
+                            num_shards=32, dm=1)
+    dv = model.doc_vectors_df()
+    _persist_artifact(dv, sf_dir, "d2v_doc_vectors")
+
+    from pyspark.sql import Window
+
+    v = F.transform("embedding", lambda x: x)
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = dv.select("doc_id",
+                     F.transform(v, lambda x: x / nrm).alias("u"))
+    q = unit.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("u").alias("qu"))
+    sim = F.aggregate(F.zip_with("qu", "u", lambda a, b: a * b),
+                      F.lit(0.0), lambda a, x: a + x)
+    scored = (F.broadcast(q).crossJoin(unit)
+              .filter(F.col("doc_id") != F.col("query_id"))
+              .select("query_id", "doc_id", sim.alias("sim")))
+    wnd = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                                 F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "rank", "doc_id",
+                    F.round("sim", 6).alias("sim")))
+
+
 def _q_nmf_doc_topics(spark, sf_dir):
     """Online-NMF document-topic factors (Zhao & Tan). The projected-gradient
     coordinate descent is iterative with no SQL analogue — rows-only entry;
@@ -864,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translation_topk": _q_translation_topk,
         "kv_most_similar": _q_kv_most_similar,
         "w2v_most_similar": _q_w2v_most_similar,
+        "d2v_dm_doc_knn": _q_d2v_dm_doc_knn,
         "ft_oov_neighbors": _q_ft_oov_neighbors,
         "ensemble_stable_topics": _q_ensemble_stable_topics,
         "poincare_knn": _q_poincare_knn,
@@ -1482,6 +1526,27 @@ SELECT query_term, rank, near, round(sim, 6) AS sim
 FROM ranked WHERE rank <= 5"""
 
 
+def _d2v_dm_doc_knn_sql() -> str:
+    vp = f"{_ART_DIR}/{_ORACLE_SF}/d2v_doc_vectors/*.parquet"
+    return f"""
+WITH v AS (SELECT doc_id, embedding AS e FROM read_parquet('{vp}')),
+unit AS (SELECT doc_id,
+                list_transform(e, x -> x / sqrt(
+                    list_sum(list_transform(e, y -> y * y)))) AS u
+         FROM v),
+q AS (SELECT doc_id AS query_id, u AS qu FROM unit WHERE doc_id < 3),
+sims AS (SELECT q.query_id, t.doc_id,
+                list_sum(list_transform(range(len(t.u)),
+                         i -> t.u[i + 1] * q.qu[i + 1])) AS sim
+         FROM q CROSS JOIN unit t WHERE t.doc_id <> q.query_id),
+ranked AS (SELECT query_id, doc_id, sim,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, doc_id ASC) AS INTEGER) AS rank
+           FROM sims)
+SELECT query_id, rank, doc_id, round(sim, 6) AS sim
+FROM ranked WHERE rank <= 5"""
+
+
 def _ft_oov_neighbors_sql() -> str:
     vp = f"{_ART_DIR}/{_ORACLE_SF}/ft_vectors/*.parquet"
     qp = f"{_ART_DIR}/{_ORACLE_SF}/ft_oov_query/*.parquet"
@@ -1791,6 +1856,7 @@ FROM ranked WHERE rank <= 10""",
         "translation_topk": _translation_topk_sql(),
         "w2v_most_similar": _w2v_most_similar_sql(),
         "ft_oov_neighbors": _ft_oov_neighbors_sql(),
+        "d2v_dm_doc_knn": _d2v_dm_doc_knn_sql(),
         # wmd_topk / lda_doc_topics / nmf_doc_topics: no oracle_sql on
         # purpose — a transportation LP / a variational-EM loop with digamma
         # special functions / a projected-gradient coordinate descent are

@@ -394,39 +394,51 @@ class FastText:
 
 
 class Doc2Vec:
-    """``gensim.models.Doc2Vec`` PV-DBOW (doc2vec.py, dm=0,
-    dbow_words=0): word matrices trained by SGNS first, then each doc's
-    vector against the frozen output matrix — perfectly parallel. ``.dv``
-    is the (doc_id, embedding) DataFrame."""
+    """``gensim.models.Doc2Vec`` (operators/doc2vec.py). ``dm=1`` is the
+    reference's default PV-DM (doc vector + window mean trained jointly
+    with the word matrices, doc2vec_inner.pyx:420-566); ``dm=0`` is PV-DBOW
+    with optional simultaneous skip-gram word training (``dbow_words=1``,
+    doc2vec_inner.pyx:286-417). Doc vectors are a distributed (doc_id,
+    embedding) DataFrame state throughout — never driver-resident. ``.dv``
+    is that DataFrame."""
 
     def __init__(self, documents: DataFrame, vector_size: int = 100,
                  window: int = 5, negative: int = 5, epochs: int = 5,
-                 dbow_epochs: int | None = None, sample: float = 1e-3,
-                 num_shards: int = 64, seed: int = 1,
+                 sample: float = 1e-3, num_shards: int = 64, seed: int = 1,
+                 dm: int = 1, dm_mean: int = 1, dbow_words: int = 0,
                  dictionary: Dictionary | None = None):
+        import numpy as np
+
+        from gensim_spark.operators import doc2vec as _d2v
         from gensim_spark.operators import word2vec as _w2v
 
-        w2v = Word2Vec(documents, vector_size=vector_size, window=window,
-                       negative=negative, epochs=epochs, sample=sample,
-                       num_shards=num_shards, seed=seed,
-                       dictionary=dictionary)
-        self.wv = w2v.wv
-        self.model = w2v.model
-        self.dictionary = w2v.dictionary
-        self._dbow_epochs = dbow_epochs or epochs
-        ids = _w2v.corpus_ids(documents, w2v.dictionary.df)
-        self.dv = _w2v.doc_vectors_dbow(ids, self.model,
-                                        epochs=self._dbow_epochs)
+        self._d2v = _d2v
+        d = dictionary if dictionary is not None else Dictionary(documents)
+        self.dictionary = d
+        rows = d.df.select("term_id", "token", "cf") \
+            .orderBy("term_id").collect()
+        counts = np.array([r["cf"] for r in rows], dtype=np.int64)
+        ids = _w2v.corpus_ids(documents, d.df)
+        self.model = _d2v.doc2vec_fit(
+            ids, len(counts), counts, vector_size=vector_size,
+            window=window, negative=negative, epochs=epochs, sample=sample,
+            num_shards=num_shards, seed=seed, dm=dm, dm_mean=dm_mean,
+            dbow_words=dbow_words)
+        spark = documents.sparkSession
+        vecs = self.model.wv.vectors_df(spark).join(
+            F.broadcast(d.df.select("term_id", "token")), "term_id")
+        self.wv = KeyedVectors(vecs.select("token", "embedding"),
+                               key_col="token")
+        self.dv = self.model.doc_vectors_df()
 
-    def infer_vector(self, documents: DataFrame) -> DataFrame:
-        """PV-DBOW inference for new (doc_id, tokens) rows — the identical
-        frozen-matrix pass training used (doc2vec.py infer_vector runs the
-        same loop with the word matrices locked)."""
+    def infer_vector(self, documents: DataFrame,
+                     epochs: int = 10) -> DataFrame:
+        """Inference for new (doc_id, tokens) rows: a fresh per-doc vector
+        trained with the word matrices FROZEN (doc2vec.py infer_vector)."""
         from gensim_spark.operators import word2vec as _w2v
 
         ids = _w2v.corpus_ids(documents, self.dictionary.df)
-        return _w2v.doc_vectors_dbow(ids, self.model,
-                                     epochs=self._dbow_epochs)
+        return self._d2v.infer_vectors(ids, self.model, epochs=epochs)
 
 
 class PoincareModel:

@@ -1,0 +1,336 @@
+"""Doc2Vec PV-DM (dm=1, the reference default) and PV-DBOW with
+simultaneous word training (dm=0, dbow_words=1).
+
+Reference kernels: ``train_document_dm`` (doc2vec_inner.pyx:420-566) —
+neu1 = sum of the window's word vectors PLUS the document vector, count
+includes the doctag, mean (``dm_mean``) or sum projection trained against
+the center word + negatives on syn1neg, the accumulated error written back
+to the doctag AND every context word (scaled by 1/count when dm_mean=0,
+the reference's cbow quirk) — and ``train_document_dbow``
+(doc2vec_inner.pyx:286-417) with ``train_words=True``: per position, a
+full skip-gram pass over the window (word vectors learn), then the doctag
+trained against the position's word, one shared random stream.
+
+Spark shape — the word matrices follow word2vec.py's shard-synchronous
+protocol (per-epoch broadcast, count-weighted delta averaging, driver
+holds only V×D); the DOC vectors are corpus-sized so they never visit the
+driver: each document belongs to exactly one shard (doc_id % num_shards),
+its vector rides the epoch's applyInPandas output as an absolute-value row
+(m=2), stays cached as a distributed (doc_id, dvec) DataFrame, and joins
+back in as next epoch's input. Driver traffic per epoch stays
+model-sized; doc-vector state is a DataFrame column throughout.
+
+Determinism: per-(epoch, doc) counter-mixed seeds and per-doc seeded
+vector init — bit-stable for fixed num_shards regardless of Spark
+partitioning (same deviation-and-pin as word2vec.py; gensim's own
+multi-worker training is run-to-run irreproducible).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gensim_spark.operators.word2vec import (  # noqa: F401
+    _LCG_MOD, _LCG_MUL, MAX_EXP, Word2VecModel, _mix, _sigmoid_table,
+    fold_epoch, init_syn0, make_cum_table, make_sample_ints)
+
+
+def init_doc_vector(doc_id: int, size: int, seed: int) -> np.ndarray:
+    """Per-doc seeded init ``(U[0,1) − 0.5) / size`` — the reference's
+    doctag init shape (doc2vec.py _randomize_model seeded_vector), keyed by
+    doc_id so it is partition-invariant."""
+    rs = np.random.RandomState(_mix(seed, 9, int(doc_id)) & 0xFFFFFFFF)
+    return (rs.random_sample(size) - 0.5) / size
+
+
+def _subsample(ids: np.ndarray, sample_ints: np.ndarray,
+               rs: np.random.RandomState) -> list:
+    kept = []
+    for w in ids:
+        if sample_ints[w] < rs.randint(0, 2 ** 31) * 2:
+            continue
+        kept.append(int(w))
+    return kept
+
+
+def train_doc_dm(ids: np.ndarray, dvec: np.ndarray, syn0: np.ndarray,
+                 syn1neg: np.ndarray, cum_table: np.ndarray,
+                 sample_ints: np.ndarray, window: int, negative: int,
+                 alpha: float, doc_seed: int, counts_out: np.ndarray,
+                 cbow_mean: int = 1, learn_words: bool = True,
+                 learn_hidden: bool = True) -> None:
+    """One document's PV-DM pass (train_document_dm,
+    doc2vec_inner.pyx:420-566, negative-sampling path, one doctag).
+    Mutates ``dvec`` in place; ``syn0``/``syn1neg`` when learning."""
+    rs = np.random.RandomState(doc_seed & 0xFFFFFFFF)
+    next_random = _mix(doc_seed, 1)
+    kept = _subsample(ids, sample_ints, rs)
+    n = len(kept)
+    if n == 0:
+        return
+    reduced = rs.randint(0, window, size=n)
+
+    size = syn0.shape[1]
+    cum_last = int(cum_table[-1])
+    for i in range(n):
+        wi = kept[i]
+        j0 = max(0, i - window + reduced[i])
+        k0 = min(n, i + window + 1 - reduced[i])
+        ctx = [kept[m] for m in range(j0, k0) if m != i]
+        # count includes the doctag (doc2vec_inner.pyx:529-538) — never 0
+        neu1 = syn0[ctx].sum(axis=0) + dvec if ctx else dvec.copy()
+        inv_count = 1.0 / (len(ctx) + 1.0)
+        if cbow_mean:
+            neu1 = neu1 * inv_count
+        work = np.zeros(size)
+        for d in range(negative + 1):
+            if d == 0:
+                target, label = wi, 1.0
+            else:
+                r = (next_random >> 16) % cum_last
+                target = int(np.searchsorted(cum_table, r, side="left"))
+                next_random = (next_random * _LCG_MUL + 11) & _LCG_MOD
+                if target == wi:
+                    continue
+                label = 0.0
+            u = syn1neg[target]
+            f_dot = float(neu1 @ u)
+            if f_dot <= -MAX_EXP or f_dot >= MAX_EXP:
+                continue
+            g = (label - _sigmoid_table(f_dot)) * alpha
+            work += g * u
+            if learn_hidden:
+                syn1neg[target] += g * neu1
+                counts_out[target] += 1
+        if not cbow_mean:
+            work = work * inv_count
+        dvec += work
+        if learn_words:
+            for m in ctx:
+                syn0[m] += work
+                counts_out[m] += 1
+
+
+def train_doc_dbow(ids: np.ndarray, dvec: np.ndarray, syn0: np.ndarray,
+                   syn1neg: np.ndarray, cum_table: np.ndarray,
+                   sample_ints: np.ndarray, window: int, negative: int,
+                   alpha: float, doc_seed: int, counts_out: np.ndarray,
+                   train_words: bool = True, learn_words: bool = True,
+                   learn_hidden: bool = True) -> None:
+    """One document's PV-DBOW pass with optional simultaneous skip-gram
+    word training (train_document_dbow, doc2vec_inner.pyx:286-417): per
+    position, skip-gram pairs over the window first (when ``train_words``),
+    then the doctag trained against the position's word — one shared
+    negative-sampling stream, matching the reference's single
+    ``next_random``."""
+    rs = np.random.RandomState(doc_seed & 0xFFFFFFFF)
+    next_random = _mix(doc_seed, 1)
+    kept = _subsample(ids, sample_ints, rs)
+    n = len(kept)
+    if n == 0:
+        return
+    reduced = rs.randint(0, window, size=n) if train_words \
+        else np.zeros(n, dtype=np.int64)
+
+    cum_last = int(cum_table[-1])
+
+    def neg_pass(vec, wi):
+        nonlocal next_random
+        size = vec.shape[0]
+        work = np.zeros(size)
+        for d in range(negative + 1):
+            if d == 0:
+                target, label = wi, 1.0
+            else:
+                r = (next_random >> 16) % cum_last
+                target = int(np.searchsorted(cum_table, r, side="left"))
+                next_random = (next_random * _LCG_MUL + 11) & _LCG_MOD
+                if target == wi:
+                    continue
+                label = 0.0
+            u = syn1neg[target]
+            f_dot = float(vec @ u)
+            if f_dot <= -MAX_EXP or f_dot >= MAX_EXP:
+                continue
+            g = (label - _sigmoid_table(f_dot)) * alpha
+            work += g * u
+            if learn_hidden:
+                syn1neg[target] += g * vec
+                counts_out[target] += 1
+        return work
+
+    for i in range(n):
+        wi = kept[i]
+        if train_words:
+            j0 = max(0, i - window + reduced[i])
+            k0 = min(n, i + window + 1 - reduced[i])
+            for j in range(j0, k0):
+                if j == i:
+                    continue
+                wj = kept[j]
+                work = neg_pass(syn0[wj], wi)
+                if learn_words:
+                    syn0[wj] += work
+                    counts_out[wj] += 1
+        work = neg_pass(dvec, wi)
+        dvec += work
+
+
+class Doc2VecModel:
+    """Fitted Doc2Vec: ``wv`` (the word-side Word2VecModel, driver-resident
+    V×D) + ``dv`` (the distributed (doc_id, dvec) DataFrame — corpus-sized,
+    never collected)."""
+
+    def __init__(self, wv: Word2VecModel, dv: DataFrame, dm: int,
+                 dbow_words: int):
+        self.wv = wv
+        self.dv = dv
+        self.dm = dm
+        self.dbow_words = dbow_words
+
+    def doc_vectors_df(self) -> DataFrame:
+        return self.dv.select(F.col("doc_id"),
+                              F.col("dvec").alias("embedding"))
+
+
+def doc2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
+                vector_size: int = 100, window: int = 5, negative: int = 5,
+                alpha: float = 0.025, min_alpha: float = 0.0001,
+                epochs: int = 5, sample: float = 1e-3,
+                ns_exponent: float = 0.75, num_shards: int = 64,
+                seed: int = 1, dm: int = 1, dm_mean: int = 1,
+                dbow_words: int = 0) -> Doc2VecModel:
+    """Fit PV-DM (``dm=1``, reference default) or PV-DBOW+words (``dm=0``,
+    ``dbow_words=1``) over (doc_id, ids) rows. Word matrices are folded on
+    the driver per epoch (count-weighted shard averaging); doc vectors stay
+    a distributed DataFrame joined back in each epoch."""
+    spark = docs.sparkSession
+    sc = spark.sparkContext
+    wv = Word2VecModel(
+        vocab_size, vector_size,
+        init_syn0(vocab_size, vector_size, seed),
+        np.zeros((vocab_size, vector_size)),
+        make_cum_table(np.asarray(counts), ns_exponent),
+        make_sample_ints(np.asarray(counts), sample),
+        window, negative, seed, sg=0, cbow_mean=dm_mean)
+
+    def init_gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "dvec": [list(init_doc_vector(d, vector_size, seed))
+                         for d in pdf["doc_id"]]})
+
+    dv = docs.select("doc_id").mapInPandas(
+        init_gen, "doc_id long, dvec array<double>").cache()
+    dv.count()
+
+    for epoch in range(epochs):
+        a = alpha - (alpha - min_alpha) * epoch / max(1, epochs - 1) \
+            if epochs > 1 else alpha
+        bc = sc.broadcast((wv.syn0, wv.syn1neg, wv.cum_table,
+                           wv.sample_ints, window, negative, seed,
+                           dm, dm_mean, dbow_words))
+
+        def make_shard_fn(epoch, a, bc):
+            def run(key, pdf):
+                import pandas as pd
+
+                (syn0_0, syn1_0, cum, samp, window_, negative_, seed_,
+                 dm_, dm_mean_, dbow_words_) = bc.value
+                syn0 = syn0_0.copy()
+                syn1 = syn1_0.copy()
+                cnts = np.zeros(syn0.shape[0], dtype=np.int64)
+                pdf = pdf.sort_values("doc_id")
+                out = []
+                for doc_id, ids, dvec in zip(pdf["doc_id"], pdf["ids"],
+                                             pdf["dvec"]):
+                    arr = np.asarray(ids, dtype=np.int64)
+                    vec = np.asarray(dvec, dtype=np.float64).copy()
+                    ds = _mix(seed_, epoch, int(doc_id))
+                    if dm_:
+                        train_doc_dm(arr, vec, syn0, syn1, cum, samp,
+                                     window_, negative_, a, ds, cnts,
+                                     cbow_mean=dm_mean_)
+                    else:
+                        train_doc_dbow(arr, vec, syn0, syn1, cum, samp,
+                                       window_, negative_, a, ds, cnts,
+                                       train_words=bool(dbow_words_))
+                    out.append((2, int(doc_id), 1, list(vec)))
+                for w in np.nonzero(cnts)[0]:
+                    out.append((0, int(w), int(cnts[w]),
+                                list(syn0[w] - syn0_0[w])))
+                    out.append((1, int(w), int(cnts[w]),
+                                list(syn1[w] - syn1_0[w])))
+                return pd.DataFrame(
+                    out, columns=["m", "w", "cnt", "delta"])
+            return run
+
+        joined = (docs.join(dv, "doc_id")
+                  .withColumn("shard",
+                              F.pmod(F.col("doc_id"), F.lit(num_shards))))
+        out = joined.groupBy("shard").applyInPandas(
+            make_shard_fn(epoch, a, bc),
+            "m int, w long, cnt long, delta array<double>").cache()
+        deltas = out.filter(F.col("m") <= 1).collect()
+        # localCheckpoint severs lineage: unpersisting `out` below cascades
+        # to dependent caches (SPARK-24596), and a plain cache over `out`
+        # would silently recompute through the destroyed epoch broadcast
+        new_dv = out.filter(F.col("m") == 2).select(
+            F.col("w").alias("doc_id"),
+            F.col("delta").alias("dvec")).localCheckpoint(eager=True)
+        bc.destroy()
+        dv.unpersist()
+        out.unpersist()
+        dv = new_dv
+        fold_epoch(wv, deltas)
+    return Doc2VecModel(wv, dv, dm, dbow_words)
+
+
+def infer_vectors(docs: DataFrame, model: Doc2VecModel, epochs: int = 10,
+                  alpha: float = 0.025, min_alpha: float = 0.0001,
+                  seed: int | None = None) -> DataFrame:
+    """infer_vector for a batch of documents (doc2vec.py:625-680): a fresh
+    per-doc vector trained with FROZEN word matrices — embarrassingly
+    parallel mapInPandas, the doc vector never leaves its row."""
+    wv = model.wv
+    seed = wv.seed if seed is None else seed
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast((wv.syn0, wv.syn1neg, wv.cum_table, wv.sample_ints,
+                       wv.window, wv.negative, model.dm, wv.cbow_mean))
+    size = wv.vector_size
+
+    def gen(batches):
+        import pandas as pd
+
+        syn0, syn1, cum, samp, window, negative, dm, dm_mean = bc.value
+        dummy = np.zeros(syn0.shape[0], dtype=np.int64)
+        for pdf in batches:
+            out_id, out_vec = [], []
+            for doc_id, ids in zip(pdf["doc_id"], pdf["ids"]):
+                arr = np.asarray(ids, dtype=np.int64)
+                vec = init_doc_vector(int(doc_id), size, _mix(seed, 11))
+                for epoch in range(epochs):
+                    a = alpha - (alpha - min_alpha) * epoch \
+                        / max(1, epochs - 1) if epochs > 1 else alpha
+                    ds = _mix(seed, 12 + epoch, int(doc_id))
+                    if dm:
+                        train_doc_dm(arr, vec, syn0, syn1, cum, samp,
+                                     window, negative, a, ds, dummy,
+                                     cbow_mean=dm_mean, learn_words=False,
+                                     learn_hidden=False)
+                    else:
+                        train_doc_dbow(arr, vec, syn0, syn1, cum, samp,
+                                       window, negative, a, ds, dummy,
+                                       train_words=False,
+                                       learn_words=False,
+                                       learn_hidden=False)
+                out_id.append(doc_id)
+                out_vec.append(list(vec))
+            yield pd.DataFrame({"doc_id": out_id, "embedding": out_vec})
+
+    return docs.mapInPandas(gen, "doc_id long, embedding array<double>")

@@ -240,5 +240,10 @@ def test_facades(spark):
     sims = w2v.wv.most_similar(positive=["cat"], topn=2)
     assert {w for w, _ in sims} <= {"dog", "fox", "red", "green", "blue"}
     d2v = Doc2Vec(tok, vector_size=12, window=2, negative=3, epochs=4,
-                  sample=0, seed=3)
+                  sample=0, seed=3)   # dm=1 default (reference default)
     assert d2v.dv.count() == 40
+    inf = d2v.infer_vector(tok.limit(5), epochs=3)
+    assert inf.count() == 5 and len(inf.first()["embedding"]) == 12
+    d2v_dbow = Doc2Vec(tok, vector_size=12, window=2, negative=3, epochs=2,
+                       sample=0, seed=3, dm=0, dbow_words=1)
+    assert d2v_dbow.dv.count() == 40
