@@ -243,3 +243,20 @@ def test_facade_load_feeds_most_similar(spark, tmp_path):
     kv.save_word2vec_format(out)
     kv2 = KeyedVectors.load_word2vec_format(spark, out)
     assert sorted(r["word"] for r in kv2.df.collect()) == sorted(words)
+
+
+def test_reference_shipped_vec_fixture(spark):
+    # a real .vec written by the original C fastText tool, shipped as
+    # reference test data — 291 words x 5 dims
+    path = "/root/reference/gensim/test/test_data/crime-and-punishment.vec"
+    got = WF.load_word2vec_format(spark, path)
+    rows = {r["word"]: np.array(r["embedding"]) for r in got.collect()}
+    assert len(rows) == 291
+    want = {}
+    with open(path, encoding="utf-8") as fin:
+        n, dim = (int(x) for x in fin.readline().split())
+        for line in fin:
+            parts = line.rstrip().split(" ")
+            want[parts[0]] = np.array([float(x) for x in parts[1:]])
+    for w in ("landlady", "хозяйка"):
+        np.testing.assert_allclose(rows[w], want[w], atol=0)
