@@ -826,6 +826,42 @@ def _q_ensemble_stable_topics(spark, sf_dir):
                     F.round("nprob", 6).alias("prob")))
 
 
+def _q_author_topics(spark, sf_dir):
+    """AuthorTopicModel (atmodel.py Rosen-Zvi et al.): variational EM over
+    (doc, author) pairs with a deterministic synthetic authorship (each doc
+    has two authors: doc_id%5 and 5+doc_id%3). The EM is iterative (pinned
+    by tests/test_atmodel.py incl. the num_shards=1 exact reference batch
+    flow), but the retrieval — per-author topic distribution = normalized
+    γ row (atmodel.py:1124-1182) — IS relational: γ is persisted as
+    parquet and both engines normalize and emit (author, topic, prob)."""
+    from pyspark.sql import Window
+
+    from gensim_spark.operators import atmodel as AT
+
+    idx = _index(spark, sf_dir)
+    postings = idx.postings.select("doc_id", "term_id", "tf")
+    d2a = (postings.select("doc_id").distinct()
+           .select("doc_id", F.pmod("doc_id", F.lit(5)).alias("author_id"))
+           .unionByName(postings.select("doc_id").distinct().select(
+               "doc_id",
+               (F.lit(5) + F.pmod("doc_id", F.lit(3))).alias("author_id"))))
+    model = AT.author_topic_fit(postings, d2a, num_topics=_LDA_K,
+                                num_authors=8, passes=2, iterations=30,
+                                random_seed=13, num_shards=32)
+    rows = [(a, t, float(model.gamma[a, t]))
+            for a in range(model.num_authors)
+            for t in range(model.num_topics)]
+    mat = spark.createDataFrame(rows,
+                                "author_id long, topic_id long, g double")
+    _persist_artifact(mat, sf_dir, "at_gamma")
+    tot = Window.partitionBy("author_id")
+    return (mat.withColumn("probability",
+                           F.col("g") / F.sum("g").over(tot))
+            .filter(F.col("probability") > 1e-8)
+            .select("author_id", "topic_id",
+                    F.round("probability", 6).alias("probability")))
+
+
 def _q_coherence_umass(spark, sf_dir):
     """u_mass topic coherence (coherencemodel.py:51-56 pipeline: s_one_pre →
     p_boolean_document → log_conditional_probability → arithmetic mean per
@@ -908,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kv_most_similar": _q_kv_most_similar,
         "w2v_most_similar": _q_w2v_most_similar,
         "d2v_dm_doc_knn": _q_d2v_dm_doc_knn,
+        "author_topics": _q_author_topics,
         "ft_oov_neighbors": _q_ft_oov_neighbors,
         "ensemble_stable_topics": _q_ensemble_stable_topics,
         "poincare_knn": _q_poincare_knn,
@@ -1446,6 +1483,16 @@ SELECT vec_id, round(sim, 6) AS sim,
 FROM sims ORDER BY rank LIMIT {_KV_TOPN}"""
 
 
+def _author_topics_sql() -> str:
+    gp = f"{_ART_DIR}/{_ORACLE_SF}/at_gamma/*.parquet"
+    return f"""
+WITH g AS (SELECT author_id, topic_id, g FROM read_parquet('{gp}')),
+tot AS (SELECT author_id, sum(g) AS s FROM g GROUP BY author_id)
+SELECT g.author_id, g.topic_id, round(g.g / t.s, 6) AS probability
+FROM g JOIN tot t USING (author_id)
+WHERE g.g / t.s > 1e-8"""
+
+
 def _ensemble_stable_topics_sql() -> str:
     mp = f"{_ART_DIR}/{_ORACLE_SF}/ensemble_stable/*.parquet"
     return f"""
@@ -1857,6 +1904,7 @@ FROM ranked WHERE rank <= 10""",
         "w2v_most_similar": _w2v_most_similar_sql(),
         "ft_oov_neighbors": _ft_oov_neighbors_sql(),
         "d2v_dm_doc_knn": _d2v_dm_doc_knn_sql(),
+        "author_topics": _author_topics_sql(),
         # wmd_topk / lda_doc_topics / nmf_doc_topics: no oracle_sql on
         # purpose — a transportation LP / a variational-EM loop with digamma
         # special functions / a projected-gradient coordinate descent are

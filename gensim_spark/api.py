@@ -306,6 +306,43 @@ class LdaModel:
         return self._lda.bound(postings, self.model)
 
 
+class AuthorTopicModel:
+    """``gensim.models.AuthorTopicModel`` (atmodel.py:161-324): variational
+    EM over (doc_id, term_id, tf) postings + (doc_id, author_id) pairs at
+    construction. ``get_author_topics`` / ``model[author_id]`` return the
+    author's normalized topic distribution. See operators/atmodel.py for
+    the shard-synchronous Spark shape (num_shards=1 = the reference's exact
+    sequential batch flow)."""
+
+    def __init__(self, corpus: DataFrame, doc2author: DataFrame,
+                 id2word: Dictionary | None = None, num_topics: int = 100,
+                 passes: int = 1, iterations: int = 50, alpha="symmetric",
+                 eta=None, decay: float = 0.5, offset: float = 1.0,
+                 gamma_threshold: float = 0.001,
+                 minimum_probability: float = 0.01,
+                 random_state: int = 13, num_shards: int = 32):
+        from gensim_spark.operators import atmodel as _at
+
+        self.id2word = id2word
+        self.num_topics = num_topics
+        num_terms = len(id2word) if id2word is not None else None
+        self.model = _at.author_topic_fit(
+            corpus, doc2author, num_topics=num_topics, num_terms=num_terms,
+            passes=passes, iterations=iterations, alpha=alpha, eta=eta,
+            decay=decay, offset=offset, gamma_threshold=gamma_threshold,
+            random_seed=random_state, num_shards=num_shards)
+        self.model.lda.minimum_probability = minimum_probability
+
+    def get_author_topics(self, author_id: int,
+                          minimum_probability: float | None = None):
+        return self.model.get_author_topics(author_id, minimum_probability)
+
+    __getitem__ = get_author_topics
+
+    def get_topics(self):
+        return self.model.get_topics()
+
+
 class Word2Vec:
     """``gensim.models.Word2Vec`` (word2vec.py, sg=1 + negative sampling):
     vocab build + SGNS training at construction over a (doc_id, tokens)
