@@ -3,12 +3,15 @@
 Training-data pipelines carry media as ``binary`` columns with a metadata
 struct; the Spark-side plumbing (schema, partition sizing, Arrow batch shape,
 UDF signatures) is real and tested here. Codecs: PNM (P1-P6), uncompressed
-24/32-bit BMP, and 8-bit non-interlaced PNG (gray/RGB/palette/alpha,
-filters 0-4, stdlib zlib) decode for REAL via the pure-python parsers below
-(no image library exists in this container); JPEG/audio/video still need
-an injected decoder (PIL/libvips/ffmpeg at deploy time) and raise
-``NotImplementedError`` until one is provided. ``fake_decode`` remains as
-the deterministic plumbing-test stand-in.
+24/32-bit BMP, 8-bit non-interlaced PNG (gray/RGB/palette/alpha, filters
+0-4, stdlib zlib), and BASELINE JPEG (T.81 sequential DCT: huffman scan
+decode with byte-stuffing + restart intervals, dequant, float IDCT, box
+chroma upsampling, JFIF YCbCr→RGB) decode for REAL via the pure-python
+parsers below (no image library exists in this container); progressive
+JPEG, arithmetic coding, and audio/video still need an injected decoder
+(PIL/libvips/ffmpeg at deploy time) and raise ``NotImplementedError``
+until one is provided. ``fake_decode`` remains as the deterministic
+plumbing-test stand-in.
 
 Scale notes: media rows are large and variable — keep
 ``spark.sql.files.maxPartitionBytes`` small for media tables, and bound
@@ -46,13 +49,13 @@ def fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
     return folded.mean(axis=0) / 255.0
 
 
-# --- real pure-python codecs (PNM family + uncompressed BMP + PNG) -----------
+# --- real pure-python codecs (PNM + BMP + PNG + baseline JPEG) ---------------
 #
 # No image libraries exist in this container, so these formats decode for
-# REAL (spec-complete binary/ascii PNM, uncompressed 24/32-bit BMP, and
-# zlib-inflated PNG with filters 0-4 over gray/RGB/palette/alpha — see
-# _decode_png below); JPEG still needs an injected decoder (PIL/libvips
-# at deploy time).
+# REAL (spec-complete binary/ascii PNM, uncompressed 24/32-bit BMP,
+# zlib-inflated PNG with filters 0-4 over gray/RGB/palette/alpha, and
+# baseline-sequential JPEG — see decode_jpeg below); progressive JPEG
+# still needs an injected decoder (PIL/libvips at deploy time).
 
 def _pnm_tokens(payload: bytes):
     """Whitespace-separated header tokens, skipping '#' comments (PNM spec)."""
@@ -305,10 +308,265 @@ def encode_png(arr: np.ndarray, filters=None) -> bytes:
             + chunk(b"IEND", b""))
 
 
+# --- baseline JPEG (ITU-T T.81 sequential DCT, huffman) ----------------------
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+# A[u, x] = α(u)·cos((2x+1)uπ/16)/2 — the separable 8×8 IDCT basis
+_IDCT_A = np.array([[
+    (np.sqrt(0.5) if u == 0 else 1.0)
+    * np.cos((2 * x + 1) * u * np.pi / 16) / 2
+    for x in range(8)] for u in range(8)])
+
+
+class _HuffTable:
+    """Canonical huffman table from a DHT segment (T.81 Annex C)."""
+
+    def __init__(self, counts: list, symbols: bytes):
+        self.lookup = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first scan-data reader with 0xFF00 byte-stuffing removal;
+    stops (returns None) at any non-stuffing marker (T.81 F.2.2.5)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+        self.marker = None
+
+    def _fill(self) -> bool:
+        if self.marker is not None:
+            return False
+        if self.pos >= len(self.data):
+            return False
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) \
+                else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.marker = nxt
+                return False
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+        return True
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if not self._fill():
+                # past-the-end reads pad with zeros (final EOB padding)
+                self.bits <<= 8
+                self.nbits += 8
+        self.nbits -= n
+        out = (self.bits >> self.nbits) & ((1 << n) - 1)
+        self.bits &= (1 << self.nbits) - 1
+        return out
+
+    def decode(self, table: _HuffTable) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read(1)
+            length += 1
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in JPEG scan")
+
+    def align_and_expect_rst(self) -> None:
+        self.bits = 0
+        self.nbits = 0      # discard the pre-marker padding bits
+        if self.marker is not None:
+            # the reader already stopped AT the marker: pos points at 0xFF
+            if 0xD0 <= self.marker <= 0xD7:
+                self.pos += 2
+                self.marker = None
+        elif (self.pos + 1 < len(self.data)
+              and self.data[self.pos] == 0xFF
+              and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            # marker not yet consumed — the previous MCU ended byte-aligned
+            self.pos += 2
+
+
+def _extend(v: int, t: int) -> int:
+    """RECEIVE/EXTEND (T.81 F.2.2.1): map t-bit magnitude to signed."""
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential-DCT JPEG (SOF0/SOF1, huffman) — pure python +
+    numpy: marker parse, canonical huffman scan decode with byte-stuffing
+    and restart intervals, dequant + zigzag, separable float IDCT, box
+    chroma upsampling, JFIF YCbCr→RGB. Progressive (SOF2) and arithmetic
+    coding still need an injected decoder. → uint8 (h, w, 3) or (h, w)."""
+    import struct as _s
+
+    d = bytes(payload)
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    restart_interval = 0
+    sof = None
+    i = 2
+    while i < len(d) - 1:
+        if d[i] != 0xFF:
+            raise ValueError(f"bad marker byte at {i}")
+        m = d[i + 1]
+        if m in (0x01, 0xD8) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        ln = _s.unpack(">H", d[i + 2:i + 4])[0]
+        seg = d[i + 4:i + 2 + ln]
+        if m == 0xDB:                            # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    tab = np.frombuffer(seg[p:p + 128], dtype=">u2")
+                    p += 128
+                else:
+                    tab = np.frombuffer(seg[p:p + 64], dtype=np.uint8)
+                    p += 64
+                qt[tq] = tab.astype(np.int32)
+            i += 2 + ln
+        elif m in (0xC0, 0xC1):                  # SOF0/1 baseline
+            h, w = _s.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append(dict(cid=cid, h=hv >> 4, v=hv & 15,
+                                  tq=seg[8 + 3 * c]))
+            sof = (h, w, comps)
+            i += 2 + ln
+        elif m == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG (SOF2) needs an injected decoder; "
+                "baseline sequential decodes natively")
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                   0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{m:02x} (non-baseline) needs an "
+                "injected decoder")
+        elif m == 0xC4:                          # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1:p + 17])
+                n = sum(counts)
+                tab = _HuffTable(counts, seg[p + 17:p + 17 + n])
+                (huff_ac if tc else huff_dc)[th] = tab
+                p += 17 + n
+            i += 2 + ln
+        elif m == 0xDD:                          # DRI
+            restart_interval = _s.unpack(">H", seg[:2])[0]
+            i += 2 + ln
+        elif m == 0xDA:                          # SOS — scan follows
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cs = seg[1 + 2 * c]
+                td_ta = seg[2 + 2 * c]
+                scan[cs] = (td_ta >> 4, td_ta & 15)
+            return _decode_scan(d, i + 2 + ln, sof, scan, qt, huff_dc,
+                                huff_ac, restart_interval)
+        else:                                    # APPn/COM/etc — skip
+            i += 2 + ln
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(d, pos, sof, scan, qt, huff_dc, huff_ac,
+                 restart_interval):
+    h, w, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)))
+    preds = [0] * len(comps)
+    br = _BitReader(d, pos)
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and \
+                    n_mcu % restart_interval == 0:
+                br.align_and_expect_rst()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                td, ta = scan[c["cid"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = br.decode(huff_dc[td])
+                        diff = _extend(br.read(t), t) if t else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode(huff_ac[ta])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16          # ZRL
+                                    continue
+                                break                # EOB
+                            k += r
+                            zz[k] = _extend(br.read(s), s)
+                            k += 1
+                        block = np.zeros(64)
+                        block[_ZIGZAG] = zz * q
+                        px = _IDCT_A.T @ block.reshape(8, 8) @ _IDCT_A
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px + 128.0
+            n_mcu += 1
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)   # box upsampling
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        return np.clip(out[0], 0, 255).astype(np.uint8).round() \
+            .astype(np.uint8)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch to a REAL decoder (PNM/BMP/PNG). Other formats
-    raise NotImplementedError — inject a codec (PIL/libvips) at deploy
-    time."""
+    """Magic-byte dispatch to a REAL decoder (PNM/BMP/PNG/baseline JPEG).
+    Other formats raise NotImplementedError — inject a codec (PIL/libvips)
+    at deploy time."""
     head = bytes(payload[:2])
     if head in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
         return decode_pnm(bytes(payload))
@@ -316,9 +574,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(bytes(payload))
     if bytes(payload[:8]) == _PNG_MAGIC:
         return decode_png(bytes(payload))
+    if head == b"\xff\xd8":
+        return decode_jpeg(bytes(payload))
     raise NotImplementedError(
-        f"no codec for magic {head!r} in this environment; PNM/BMP/PNG "
-        "decode natively, others need an injected decoder"
+        f"no codec for magic {head!r} in this environment; PNM/BMP/PNG/"
+        "baseline-JPEG decode natively, others need an injected decoder"
     )
 
 
