@@ -826,6 +826,47 @@ def _q_ensemble_stable_topics(spark, sf_dir):
                     F.round("nprob", 6).alias("prob")))
 
 
+def _q_ldaseq_topics(spark, sf_dir):
+    """LdaSeqModel / Dynamic Topic Model (ldaseqmodel.py, Blei & Lafferty):
+    variational Kalman topic chains over two deterministic time slices
+    (doc_id % 2). The EM + per-word CG is iterative (pinned by
+    tests/test_ldaseq.py: finite-difference gradients, distributed-vs-
+    driver M-step identity, planted recovery), but the retrieval — the
+    per-slice topic-word distribution = normalized exp(E[log β]) — IS
+    relational: the raw exp matrix is persisted as parquet and both
+    engines normalize per (topic, time) and rank the top-10 terms."""
+    from pyspark.sql import Window
+
+    from gensim_spark.operators import ldaseq as LSQ
+
+    idx = _index(spark, sf_dir)
+    postings = idx.postings.select("doc_id", "term_id", "tf")
+    doc_times = (postings.select("doc_id").distinct()
+                 .select("doc_id", F.pmod("doc_id", F.lit(2)).alias("time")))
+    model = LSQ.ldaseq_fit(postings, doc_times, num_topics=_LDA_K,
+                           passes=2, em_min_iter=1, em_max_iter=2,
+                           lda_inference_max_iter=10, random_seed=13)
+    import numpy as np
+
+    rows = []
+    for k, chain in enumerate(model.topic_chains):
+        raw = np.exp(chain.e_log_prob)          # (V, T)
+        for term in range(raw.shape[0]):
+            for t in range(raw.shape[1]):
+                rows.append((k, t, term, float(raw[term, t])))
+    mat = spark.createDataFrame(
+        rows, "topic_id long, time long, term_id long, raw double")
+    _persist_artifact(mat, sf_dir, "ldaseq_elogprob")
+    tot = Window.partitionBy("topic_id", "time")
+    wnd = Window.partitionBy("topic_id", "time").orderBy(
+        F.desc("raw"), F.asc("term_id"))
+    return (mat.withColumn("prob", F.col("raw") / F.sum("raw").over(tot))
+            .withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= 10)
+            .select("topic_id", "time", "rank", "term_id",
+                    F.round("prob", 6).alias("prob")))
+
+
 def _q_author_topics(spark, sf_dir):
     """AuthorTopicModel (atmodel.py Rosen-Zvi et al.): variational EM over
     (doc, author) pairs with a deterministic synthetic authorship (each doc
@@ -945,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2v_most_similar": _q_w2v_most_similar,
         "d2v_dm_doc_knn": _q_d2v_dm_doc_knn,
         "author_topics": _q_author_topics,
+        "ldaseq_topics": _q_ldaseq_topics,
         "ft_oov_neighbors": _q_ft_oov_neighbors,
         "ensemble_stable_topics": _q_ensemble_stable_topics,
         "poincare_knn": _q_poincare_knn,
@@ -1483,6 +1525,21 @@ SELECT vec_id, round(sim, 6) AS sim,
 FROM sims ORDER BY rank LIMIT {_KV_TOPN}"""
 
 
+def _ldaseq_topics_sql() -> str:
+    mp = f"{_ART_DIR}/{_ORACLE_SF}/ldaseq_elogprob/*.parquet"
+    return f"""
+WITH m AS (SELECT topic_id, time, term_id, raw FROM read_parquet('{mp}')),
+tot AS (SELECT topic_id, time, sum(raw) AS s
+        FROM m GROUP BY topic_id, time),
+ranked AS (SELECT m.topic_id, m.time, m.term_id, m.raw / t.s AS prob,
+                  CAST(row_number() OVER (PARTITION BY m.topic_id, m.time
+                       ORDER BY m.raw DESC, m.term_id ASC) AS INTEGER)
+                    AS rank
+           FROM m JOIN tot t USING (topic_id, time))
+SELECT topic_id, time, rank, term_id, round(prob, 6) AS prob
+FROM ranked WHERE rank <= 10"""
+
+
 def _author_topics_sql() -> str:
     gp = f"{_ART_DIR}/{_ORACLE_SF}/at_gamma/*.parquet"
     return f"""
@@ -1905,6 +1962,7 @@ FROM ranked WHERE rank <= 10""",
         "ft_oov_neighbors": _ft_oov_neighbors_sql(),
         "d2v_dm_doc_knn": _d2v_dm_doc_knn_sql(),
         "author_topics": _author_topics_sql(),
+        "ldaseq_topics": _ldaseq_topics_sql(),
         # wmd_topk / lda_doc_topics / nmf_doc_topics: no oracle_sql on
         # purpose — a transportation LP / a variational-EM loop with digamma
         # special functions / a projected-gradient coordinate descent are

@@ -343,6 +343,60 @@ class AuthorTopicModel:
         return self.model.get_topics()
 
 
+class LdaSeqModel:
+    """``gensim.models.LdaSeqModel`` (Dynamic Topic Model,
+    ldaseqmodel.py:69-193): variational Kalman topic chains fitted by EM
+    at construction over (doc_id, term_id, tf) postings + per-document
+    time slices. ``print_topics(time)`` / ``topics_at(time)`` expose the
+    per-slice topic-word distributions. See operators/ldaseq.py for the
+    Spark shape and the exact-gradient deviation."""
+
+    def __init__(self, corpus: DataFrame, time_slice=None,
+                 doc_times: DataFrame | None = None,
+                 id2word: Dictionary | None = None, num_topics: int = 10,
+                 alphas: float = 0.01, obs_variance: float = 0.5,
+                 chain_variance: float = 0.005, passes: int = 10,
+                 lda_inference_max_iter: int = 25, em_min_iter: int = 6,
+                 em_max_iter: int = 20, random_state: int = 13):
+        from gensim_spark.operators import ldaseq as _ls
+
+        self._ls = _ls
+        spark = corpus.sparkSession
+        if doc_times is None:
+            if time_slice is None:
+                raise ValueError("provide time_slice or doc_times")
+            # reference slice-counting (with its boundary quirk) over
+            # documents ordered by doc_id
+            times = _ls.time_from_slices(time_slice)
+            ids = [r["doc_id"] for r in corpus.select("doc_id").distinct()
+                   .orderBy("doc_id").collect()]
+            doc_times = spark.createDataFrame(
+                list(zip(ids, times)), "doc_id long, time long")
+        num_terms = len(id2word) if id2word is not None else None
+        self.model = _ls.ldaseq_fit(
+            corpus, doc_times, num_topics=num_topics, num_terms=num_terms,
+            alphas=alphas, obs_variance=obs_variance,
+            chain_variance=chain_variance, passes=passes,
+            lda_inference_max_iter=lda_inference_max_iter,
+            em_min_iter=em_min_iter, em_max_iter=em_max_iter,
+            random_seed=random_state)
+        self.id2word = id2word
+        self.num_topics = num_topics
+
+    def topics_at(self, time: int):
+        return self.model.topics_at(time)
+
+    def print_topics(self, time: int = 0, top_terms: int = 20):
+        """[(term_id or token, prob), ...] per topic at one slice
+        (ldaseqmodel.py:517-536)."""
+        topics = self.model.topics_at(time)
+        out = []
+        for k in range(self.num_topics):
+            order = topics[k].argsort()[::-1][:top_terms]
+            out.append([(int(t), float(topics[k][t])) for t in order])
+        return out
+
+
 class Word2Vec:
     """``gensim.models.Word2Vec`` (word2vec.py, sg=1 + negative sampling):
     vocab build + SGNS training at construction over a (doc_id, tokens)
