@@ -631,6 +631,33 @@ class KeyedVectors:
         return self._kv.mean_vector(self.df, keys, weights, pre_normalize,
                                     post_normalize, **self._cols)
 
+    def evaluate_word_analogies(self, questions: DataFrame,
+                                restrict_vocab: int | None = None,
+                                case_insensitive: bool = True,
+                                dummy4unknown: bool = False,
+                                index_col: str | None = None):
+        """3CosAdd analogy accuracy over a (section, a, b, c, expected)
+        DataFrame (keyedvectors.py:1287-1407) — returns (score, sections)."""
+        score, sections, _ = self._kv.evaluate_word_analogies(
+            self.df, questions, restrict_vocab=restrict_vocab,
+            case_insensitive=case_insensitive, dummy4unknown=dummy4unknown,
+            key_col=self._key_col, vec_col=self._cols["vec_col"],
+            index_col=index_col)
+        return score, sections
+
+    def evaluate_word_pairs(self, pairs: DataFrame,
+                            case_insensitive: bool = True,
+                            dummy4unknown: bool = False,
+                            restrict_vocab: int | None = None,
+                            index_col: str | None = None):
+        """Pearson/Spearman vs human judgments over a (word1, word2, sim)
+        DataFrame (keyedvectors.py:1423-1530)."""
+        return self._kv.evaluate_word_pairs(
+            self.df, pairs, case_insensitive=case_insensitive,
+            dummy4unknown=dummy4unknown, restrict_vocab=restrict_vocab,
+            key_col=self._key_col, vec_col=self._cols["vec_col"],
+            index_col=index_col)
+
     @classmethod
     def load_word2vec_format(cls, spark, fname, fvocab=None,
                              binary: bool = False, encoding: str = "utf8",

@@ -21,6 +21,8 @@ Python on the Spark side.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 EULER_GAMMA = 0.5772156649015328606
@@ -129,3 +131,66 @@ def dirichlet_expectation(alpha):
 def mean_absolute_difference(a, b):
     """mean(|a − b|) (matutils.py:1061-1077)."""
     return float(np.mean(np.abs(np.asarray(a) - np.asarray(b))))
+
+
+def betainc(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b) — modified-Lentz continued
+    fraction (standard construction, e.g. DLMF 8.17.22); scipy is absent
+    in this environment. Used for Student-t tail probabilities in
+    evaluate_word_pairs."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (gammaln(a + b) - gammaln(a) - gammaln(b)
+                + a * math.log(x) + b * math.log1p(-x))
+    front = math.exp(float(ln_front))
+
+    def _cf(a, b, x):
+        tiny = 1e-30
+        qab, qap, qam = a + b, a + 1.0, a - 1.0
+        c = 1.0
+        d = 1.0 - qab * x / qap
+        if abs(d) < tiny:
+            d = tiny
+        d = 1.0 / d
+        h = d
+        for m in range(1, 300):
+            m2 = 2 * m
+            aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+            d = 1.0 + aa * d
+            if abs(d) < tiny:
+                d = tiny
+            c = 1.0 + aa / c
+            if abs(c) < tiny:
+                c = tiny
+            d = 1.0 / d
+            h *= d * c
+            aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+            d = 1.0 + aa * d
+            if abs(d) < tiny:
+                d = tiny
+            c = 1.0 + aa / c
+            if abs(c) < tiny:
+                c = tiny
+            d = 1.0 / d
+            de1 = d * c
+            h *= de1
+            if abs(de1 - 1.0) < 1e-12:
+                break
+        return h
+
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _cf(a, b, x) / a
+    return 1.0 - (math.exp(float(
+        gammaln(a + b) - gammaln(a) - gammaln(b)
+        + b * math.log1p(-x) + a * math.log(x))) * _cf(b, a, 1.0 - x) / b)
+
+
+def student_t_sf2(t: float, df: float) -> float:
+    """Two-sided Student-t tail probability P(|T| >= t) — the p-value of a
+    correlation test with n-2 degrees of freedom."""
+    if df <= 0:
+        return float("nan")
+    x = df / (df + t * t)
+    return float(betainc(df / 2.0, 0.5, x))

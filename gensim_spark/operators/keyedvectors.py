@@ -145,3 +145,229 @@ def rank(vecs: DataFrame, k1, k2, key_col: str = "vec_id",
         .filter(F.col(key_col) != k1)
     target = sims.filter(F.col(key_col) == k2).collect()[0]["sim"]
     return int(sims.filter(F.col("sim") > target).count()) + 1
+
+
+# --- batch evaluation (keyedvectors.py:1272-1594) ------------------------------
+
+def _fold_vocab(vecs: DataFrame, key_col: str, vec_col: str,
+                case_insensitive: bool, restrict_vocab: int | None,
+                index_col: str | None) -> DataFrame:
+    """(KEY, unit vector) rows after the reference's vocab preparation:
+    optional top-N restriction (requires an index/frequency-order column),
+    optional uppercase folding keeping the FIRST occurrence
+    (keyedvectors.py:1330-1334 builds the dict reversed so earlier keys
+    win)."""
+    from pyspark.sql import Window
+
+    v = vecs
+    if restrict_vocab is not None:
+        if index_col is None:
+            raise ValueError(
+                "restrict_vocab needs an index_col giving the vocab order")
+        v = v.filter(F.col(index_col) < restrict_vocab)
+    key = F.upper(F.col(key_col)) if case_insensitive else F.col(key_col)
+    v = v.select(key.alias("key"), F.col(vec_col).alias("vec"),
+                 *( [F.col(index_col).alias("_idx")] if index_col else [] ))
+    if case_insensitive:
+        order = F.col("_idx") if index_col else F.col("key")
+        wnd = Window.partitionBy("key").orderBy(order.asc())
+        v = (v.withColumn("_rn", F.row_number().over(wnd))
+             .filter(F.col("_rn") == 1).drop("_rn"))
+    arr = F.transform("vec", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+    return v.select("key",
+                    F.when(nrm > 0, F.transform(arr, lambda x: x / nrm))
+                    .otherwise(arr).alias("unit"))
+
+
+def evaluate_word_analogies(vecs: DataFrame, questions: DataFrame,
+                            restrict_vocab: int | None = None,
+                            case_insensitive: bool = True,
+                            dummy4unknown: bool = False, topn: int = 5,
+                            key_col: str = "word",
+                            vec_col: str = "embedding",
+                            index_col: str | None = None):
+    """3CosAdd analogy evaluation (evaluate_word_analogies,
+    keyedvectors.py:1287-1407) over a (section, a, b, c, expected)
+    DataFrame — the whole question set scores in ONE relational pass
+    (the reference loops most_similar per question): build per-question
+    unit offset queries (b + c − a of unit vectors), broadcast them
+    against the unit vocabulary, take top-``topn`` per question, then
+    apply the reference's predicted-selection quirk (first of the top-5
+    outside {a,b,c}; if none qualifies, the LAST of the five stands,
+    keyedvectors.py:1374-1380). Returns (score, sections) where sections
+    mirrors the reference's dicts."""
+    from pyspark.sql import Window
+
+    ok = _fold_vocab(vecs, key_col, vec_col, case_insensitive,
+                     restrict_vocab, index_col).cache()
+    q = questions.select(
+        "section",
+        *[(F.upper(F.col(c)) if case_insensitive else F.col(c)).alias(c)
+          for c in ("a", "b", "c", "expected")])
+    q = q.withColumn("qid", F.monotonically_increasing_id()).cache()
+
+    melted = q.select("qid", F.explode(F.array(
+        F.struct(F.col("a").alias("key"), F.lit(-1.0).alias("w")),
+        F.struct(F.col("b").alias("key"), F.lit(1.0).alias("w")),
+        F.struct(F.col("c").alias("key"), F.lit(1.0).alias("w")),
+    )).alias("p")).select("qid", "p.key", "p.w")
+    joined = melted.join(ok, "key")
+    # per-question weighted sum of unit vectors (3 rows each — tiny agg);
+    # dim resolved once driver-side (a nested aggregate can't size the
+    # fold's zero array)
+    dim = len(vecs.select(vec_col).first()[0])
+    summed = joined.groupBy("qid").agg(
+        F.count("*").alias("n_found"),
+        F.aggregate(
+            F.collect_list(F.struct("w", "unit")),
+            F.array_repeat(F.lit(0.0), dim),
+            lambda acc, s: F.zip_with(acc, s["unit"],
+                                      lambda x, y: x + s["w"] * y)
+        ).alias("qsum"))
+    # in-vocab questions need all 3 inputs AND the expected key
+    exp_ok = q.join(ok.select(F.col("key").alias("expected")), "expected") \
+        .select("qid").withColumn("_e", F.lit(1))
+    qs = (q.join(summed, "qid", "left").join(exp_ok, "qid", "left"))
+    in_vocab = qs.filter((F.col("n_found") == 3) & F.col("_e").isNotNull())
+    oov_rows = qs.filter(~((F.col("n_found") == 3)
+                           & F.col("_e").isNotNull())) \
+        .select("qid", "section", "a", "b", "c", "expected").collect()
+
+    nq = F.sqrt(F.aggregate("qsum", F.lit(0.0), lambda a, x: a + x * x))
+    queries = in_vocab.select(
+        "qid", "section", "a", "b", "c", "expected",
+        F.when(nq > 0, F.transform("qsum", lambda x: x / nq))
+        .otherwise(F.col("qsum")).alias("qunit"))
+
+    sim = F.aggregate(F.zip_with("unit", "qunit", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    scored = (ok.crossJoin(F.broadcast(
+        queries.select("qid", "qunit"))).select("qid", "key",
+                                                sim.alias("sim")))
+    wnd = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("key"))
+    top = (scored.withColumn("rnk", F.row_number().over(wnd))
+           .filter(F.col("rnk") <= topn))
+    rows = (queries.join(top, "qid")
+            .select("qid", "section", "a", "b", "c", "expected", "key",
+                    "rnk").collect())
+    ok.unpersist()
+    q.unpersist()
+
+    by_q: dict = {}
+    meta: dict = {}
+    for r in rows:
+        meta[r["qid"]] = (r["section"], r["a"], r["b"], r["c"],
+                          r["expected"])
+        by_q.setdefault(r["qid"], []).append((r["rnk"], r["key"]))
+    sections: dict = {}
+
+    def sec(name):
+        return sections.setdefault(name, {"section": name, "correct": [],
+                                          "incorrect": []})
+
+    for qid, cands in by_q.items():
+        section, a, b, c, expected = meta[qid]
+        ignore = {a, b, c}
+        predicted = None
+        for _, key in sorted(cands):
+            predicted = key
+            if key not in ignore:
+                break
+        bucket = "correct" if predicted == expected else "incorrect"
+        sec(section)[bucket].append((a, b, c, expected))
+    oov = len(oov_rows)
+    if dummy4unknown:
+        for r in oov_rows:
+            sec(r["section"])["incorrect"].append(
+                (r["a"], r["b"], r["c"], r["expected"]))
+    out_sections = list(sections.values())
+    total = {"section": "Total accuracy",
+             "correct": [t for s in out_sections for t in s["correct"]],
+             "incorrect": [t for s in out_sections
+                           for t in s["incorrect"]]}
+    n = len(total["correct"]) + len(total["incorrect"])
+    score = len(total["correct"]) / n if n else 0.0
+    out_sections.append(total)
+    return score, out_sections, oov
+
+
+def _pearson(x: np.ndarray, y: np.ndarray):
+    from gensim_spark.functions.special import student_t_sf2
+
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = len(x)
+    xm, ym = x - x.mean(), y - y.mean()
+    denom = np.sqrt((xm * xm).sum() * (ym * ym).sum())
+    r = float((xm * ym).sum() / denom) if denom > 0 else float("nan")
+    r = max(-1.0, min(1.0, r))
+    if n <= 2 or abs(r) == 1.0:
+        return r, 0.0 if abs(r) == 1.0 else float("nan")
+    t = r * np.sqrt((n - 2) / (1 - r * r))
+    return r, student_t_sf2(abs(float(t)), n - 2)
+
+
+def _rankdata(a: np.ndarray) -> np.ndarray:
+    """Average ranks with tie handling (the 'average' method)."""
+    order = np.argsort(a, kind="mergesort")
+    ranks = np.empty(len(a), dtype=np.float64)
+    sa = a[order]
+    i = 0
+    while i < len(a):
+        j = i
+        while j + 1 < len(a) and sa[j + 1] == sa[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    return ranks
+
+
+def evaluate_word_pairs(vecs: DataFrame, pairs: DataFrame,
+                        case_insensitive: bool = True,
+                        dummy4unknown: bool = False,
+                        restrict_vocab: int | None = None,
+                        key_col: str = "word", vec_col: str = "embedding",
+                        index_col: str | None = None):
+    """Correlation with human similarity judgments (evaluate_word_pairs,
+    keyedvectors.py:1423-1530) over a (word1, word2, sim) DataFrame: all
+    model similarities in one relational pass, then Pearson and Spearman
+    (average-rank, Student-t two-sided p via the scipy-free betainc) on
+    the driver. Returns ((pearson_r, p), (spearman_r, p), oov_ratio)."""
+    ok = _fold_vocab(vecs, key_col, vec_col, case_insensitive,
+                     restrict_vocab, index_col)
+    p = pairs.select(
+        *[(F.upper(F.col(c)) if case_insensitive else F.col(c)).alias(c)
+          for c in ("word1", "word2")],
+        F.col("sim").cast("double").alias("gold"))
+    p = p.withColumn("pid", F.monotonically_increasing_id())
+    j = (p.join(ok.select(F.col("key").alias("word1"),
+                          F.col("unit").alias("u1")), "word1", "left")
+         .join(ok.select(F.col("key").alias("word2"),
+                         F.col("unit").alias("u2")), "word2", "left"))
+    dot = F.aggregate(F.zip_with("u1", "u2", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    rows = j.select(
+        "gold",
+        F.when(F.col("u1").isNotNull() & F.col("u2").isNotNull(), dot)
+        .alias("model")).collect()
+    gold, model, oov = [], [], 0
+    for r in rows:
+        if r["model"] is None:
+            oov += 1
+            if dummy4unknown:
+                gold.append(r["gold"])
+                model.append(0.0)
+            continue
+        gold.append(r["gold"])
+        model.append(r["model"])
+    if not gold:
+        raise ValueError("No valid similarity judgements found")
+    pearson = _pearson(np.array(gold), np.array(model))
+    spearman = _pearson(_rankdata(np.array(gold)),
+                        _rankdata(np.array(model)))
+    if dummy4unknown:
+        oov_ratio = oov / len(gold) * 100
+    else:
+        oov_ratio = oov / (len(gold) + oov) * 100
+    return pearson, spearman, oov_ratio
