@@ -619,6 +619,54 @@ def _q_kv_most_similar(spark, sf_dir):
                            topn=_KV_TOPN)
 
 
+_ANALOGY_TRIPLES = [(0, 1, 2), (3, 4, 5), (6, 7, 8)]  # (a, b, c) vec_ids
+
+
+def _q_kv_analogy_top5(spark, sf_dir):
+    """3CosAdd analogy retrieval (evaluate_word_analogies,
+    keyedvectors.py:1287-1407): per question, the unit-normalized offset
+    query unit(b)+unit(c)−unit(a), scored against every unit vector in
+    ONE broadcast pass, top-5 with inputs excluded — fully relational,
+    fully oracled."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    arr = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+    unit = emb.select(F.col("vec_id"),
+                      F.transform(arr, lambda x: x / nrm).alias("u"))
+    qrows = spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(_ANALOGY_TRIPLES)],
+        "qid long, a long, b long, c long")
+    melted = qrows.select("qid", F.explode(F.array(
+        F.struct(F.col("a").alias("vec_id"), F.lit(-1.0).alias("w")),
+        F.struct(F.col("b").alias("vec_id"), F.lit(1.0).alias("w")),
+        F.struct(F.col("c").alias("vec_id"), F.lit(1.0).alias("w")),
+    )).alias("p")).select("qid", "p.vec_id", "p.w")
+    summed = (melted.join(unit, "vec_id").groupBy("qid").agg(
+        F.aggregate(F.collect_list(F.struct("w", "u")),
+                    F.array_repeat(F.lit(0.0), _EMB_DIMS),
+                    lambda acc, s: F.zip_with(
+                        acc, s["u"], lambda x, y: x + s["w"] * y))
+        .alias("qsum")))
+    nq = F.sqrt(F.aggregate("qsum", F.lit(0.0), lambda a, x: a + x * x))
+    queries = (summed.join(qrows, "qid")
+               .select("qid", "a", "b", "c",
+                       F.transform("qsum", lambda x: x / nq).alias("qu")))
+    sim = F.aggregate(F.zip_with("u", "qu", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    scored = (unit.crossJoin(F.broadcast(queries))
+              .filter((F.col("vec_id") != F.col("a"))
+                      & (F.col("vec_id") != F.col("b"))
+                      & (F.col("vec_id") != F.col("c")))
+              .select("qid", "vec_id", sim.alias("sim")))
+    wnd = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= 5)
+            .select("qid", "rank", "vec_id",
+                    F.round("sim", 6).alias("sim")))
+
+
 def _q_w2v_most_similar(spark, sf_dir):
     """SGNS Word2Vec trained on the corpus, then most_similar for the 3
     highest-df tokens. Stochastic-gradient training is not SQL-expressible
@@ -983,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translation_normal_eqs": _q_translation_normal_eqs,
         "translation_topk": _q_translation_topk,
         "kv_most_similar": _q_kv_most_similar,
+        "kv_analogy_top5": _q_kv_analogy_top5,
         "w2v_most_similar": _q_w2v_most_similar,
         "d2v_dm_doc_knn": _q_d2v_dm_doc_knn,
         "author_topics": _q_author_topics,
@@ -1499,6 +1548,41 @@ SELECT i, j, round(xtx, 6) AS xtx, round(xty, 6) AS xty
 FROM xtx JOIN xty USING (i, j)"""
 
 
+def _kv_analogy_top5_sql() -> str:
+    triples = " UNION ALL ".join(
+        f"SELECT {i} AS qid, {a} AS a, {b} AS b, {c} AS c"
+        for i, (a, b, c) in enumerate(_ANALOGY_TRIPLES))
+    return f"""
+WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             FROM embeddings),
+unit AS (SELECT vec_id,
+                list_transform(v, x -> x / sqrt(
+                    list_sum(list_transform(v, y -> y * y)))) AS u
+         FROM emb),
+q AS ({triples}),
+pos AS (SELECT unnest(range({_EMB_DIMS})) AS i),
+qsum AS (SELECT q.qid, pos.i,
+                ub.u[pos.i + 1] + uc.u[pos.i + 1] - ua.u[pos.i + 1] AS s
+         FROM q JOIN unit ua ON ua.vec_id = q.a
+                JOIN unit ub ON ub.vec_id = q.b
+                JOIN unit uc ON uc.vec_id = q.c
+         CROSS JOIN pos),
+qn AS (SELECT qid, sqrt(sum(s * s)) AS n FROM qsum GROUP BY qid),
+sims AS (SELECT qs.qid, t.vec_id,
+                sum(qs.s / qn.n * t.u[qs.i + 1]) AS sim
+         FROM qsum qs JOIN qn USING (qid) CROSS JOIN unit t
+         GROUP BY qs.qid, t.vec_id),
+ranked AS (SELECT s.qid, s.vec_id, s.sim,
+                  CAST(row_number() OVER (PARTITION BY s.qid
+                       ORDER BY s.sim DESC, s.vec_id ASC) AS INTEGER)
+                    AS rank
+           FROM sims s JOIN q ON q.qid = s.qid
+           WHERE s.vec_id NOT IN (q.a, q.b, q.c)),
+final AS (SELECT qid, rank, vec_id, round(sim, 6) AS sim
+          FROM ranked WHERE rank <= 5)
+SELECT * FROM final"""
+
+
 def _kv_most_similar_sql() -> str:
     keys = ", ".join(str(k) for k in _KV_POS)
     return f"""
@@ -1951,6 +2035,7 @@ FROM ranked WHERE rank <= 10""",
         "coherence_cnpmi_doc": _coherence_cnpmi_doc_sql(),
         "translation_normal_eqs": _translation_normal_eqs_sql(),
         "kv_most_similar": _kv_most_similar_sql(),
+        "kv_analogy_top5": _kv_analogy_top5_sql(),
         "poincare_knn": _poincare_knn_sql(),
         # persisted-artifact oracles: training happens in Spark, the fitted
         # artifact lands in parquet, and DuckDB independently re-runs the
