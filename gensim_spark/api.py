@@ -631,6 +631,12 @@ class KeyedVectors:
         return self._kv.mean_vector(self.df, keys, weights, pre_normalize,
                                     post_normalize, **self._cols)
 
+    def wmdistance(self, document1, document2, norm: bool = True) -> float:
+        """Word Mover's Distance between two token lists
+        (keyedvectors.py:918-1009) via the exact transport LP."""
+        return self._kv.wmdistance(self.df, document1, document2,
+                                   norm=norm, **self._cols)
+
     def evaluate_word_analogies(self, questions: DataFrame,
                                 restrict_vocab: int | None = None,
                                 case_insensitive: bool = True,

@@ -371,3 +371,39 @@ def evaluate_word_pairs(vecs: DataFrame, pairs: DataFrame,
     else:
         oov_ratio = oov / (len(gold) + oov) * 100
     return pearson, spearman, oov_ratio
+
+
+def wmdistance(vecs: DataFrame, document1, document2, norm: bool = True,
+               key_col: str = "vec_id", vec_col: str = "embedding") -> float:
+    """Word Mover's Distance between two token lists
+    (keyedvectors.py:918-1009, the POT ``emd2`` path): OOV words dropped,
+    ``inf`` when either document empties or the distance matrix is all
+    zeros, ``0.0`` when both reduce to one shared unique token; euclidean
+    costs over (optionally unit-normalized) vectors; exact LP via
+    operators/transport.emd. Only the two documents' vectors are
+    collected; the corpus-scale WMD surface is operators/wmd.py's
+    RWMD-pruned top-k."""
+    from gensim_spark.operators.transport import emd
+
+    tokens = set(document1) | set(document2)
+    got = fetch_vectors(vecs, tokens, key_col, vec_col)
+    document1 = [t for t in document1 if t in got]
+    document2 = [t for t in document2 if t in got]
+    if not document1 or not document2:
+        return float("inf")
+    doclist1 = list(dict.fromkeys(document1))
+    doclist2 = list(dict.fromkeys(document2))
+    if len(set(doclist1) | set(doclist2)) == 1:
+        return 0.0      # one shared unique token (keyedvectors.py:976-978)
+    v1 = np.array([_unitvec(got[t]) if norm else got[t]
+                   for t in doclist1])
+    v2 = np.array([_unitvec(got[t]) if norm else got[t]
+                   for t in doclist2])
+    cost = np.sqrt(((v1[:, np.newaxis, :] - v2[np.newaxis, :, :]) ** 2)
+                   .sum(axis=2))
+    if abs(cost.sum()) < 1e-8:
+        return float("inf")     # keyedvectors.py:991-994 emd-stuck guard
+    a = np.array([document1.count(t) / len(document1) for t in doclist1])
+    b = np.array([document2.count(t) / len(document2) for t in doclist2])
+    total, _plan = emd(a, b, cost)
+    return float(total)

@@ -138,3 +138,34 @@ def test_facade_eval(spark):
     qs = _questions(spark, [("s", "man", "woman", "king", "queen")])
     score, sections = kv.evaluate_word_analogies(qs)
     assert score == 1.0 and sections[-1]["section"] == "Total accuracy"
+
+
+def test_wmdistance(spark):
+    vecs = _planted_vecs(spark)
+    d = lambda a, b: KV.wmdistance(vecs, a, b, key_col="word")
+    # identical docs → 0
+    assert d(["man", "king"], ["king", "man"]) == pytest.approx(0.0)
+    # single shared unique token → 0.0 (reference vocab_len==1 path)
+    assert d(["man", "man"], ["man"]) == 0.0
+    # OOV-emptied side → inf
+    assert d(["UNSEEN1", "UNSEEN2"], ["man"]) == float("inf")
+    # symmetric, positive, and equals the brute-force LP on the same nbows
+    from gensim_spark.operators.transport import emd_bruteforce
+
+    got = d(["man", "woman"], ["king", "queen"])
+    assert got == pytest.approx(d(["king", "queen"], ["man", "woman"]))
+    import numpy as np
+
+    rows = {r["word"]: np.asarray(r["embedding"])
+            for r in vecs.collect()}
+    unit = {w: v / np.linalg.norm(v) for w, v in rows.items()}
+    cost = np.array([[np.linalg.norm(unit[x] - unit[y])
+                      for y in ("king", "queen")]
+                     for x in ("man", "woman")])
+    want = emd_bruteforce(np.array([0.5, 0.5]), np.array([0.5, 0.5]),
+                          cost)
+    assert got == pytest.approx(want, abs=1e-12)
+    # norm=False changes the metric (raw euclidean)
+    assert d(["man", "woman"], ["king", "queen"]) != pytest.approx(
+        KV.wmdistance(vecs, ["man", "woman"], ["king", "queen"],
+                      norm=False, key_col="word"))
