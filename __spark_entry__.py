@@ -951,6 +951,45 @@ def _q_author_topics(spark, sf_dir):
                     F.round("probability", 6).alias("probability")))
 
 
+def _q_hdp_topics(spark, sf_dir):
+    """HdpModel (hdpmodel.py, Wang/Paisley/Blei online HDP): two-level
+    stick-breaking variational inference with a distributed chunk E-step.
+    The stochastic coordinate ascent is iterative (pinned by
+    tests/test_hdp.py against a sequential replica that keeps the
+    reference's lazy λ-decay machinery), but the retrieval — topic-word
+    probabilities β = (λ+η) / (W·η + Σλ) with per-topic top-10 terms
+    (hdpmodel.py:877-899 hdp_to_lda / show_topic) — IS relational: λ is
+    persisted as parquet and both engines apply the smoothing, normalize,
+    and rank."""
+    from pyspark.sql import Window
+
+    from gensim_spark.operators import hdp as HP
+
+    idx = _index(spark, sf_dir)
+    postings = idx.postings.select("doc_id", "term_id", "tf")
+    num_terms = int(idx.vocab.agg(F.max("term_id")).first()[0]) + 1
+    model = HP.hdp_fit(postings, num_terms=num_terms, chunksize=256,
+                       K=4, T=8, random_seed=13, max_chunks=6)
+    rows = [(t, w, float(model.m_lambda[t, w]))
+            for t in range(model.m_T) for w in range(num_terms)]
+    lam = spark.createDataFrame(rows, "topic_id long, term_id long, lam double")
+    _persist_artifact(
+        lam.withColumn("eta", F.lit(model.m_eta))
+           .withColumn("num_terms", F.lit(num_terms)),
+        sf_dir, "hdp_lambda")
+    eta, wsum = model.m_eta, float(num_terms) * model.m_eta
+    tot = Window.partitionBy("topic_id")
+    wnd = Window.partitionBy("topic_id").orderBy(F.desc("beta"),
+                                                 F.asc("term_id"))
+    return (lam
+            .withColumn("beta", (F.col("lam") + F.lit(eta))
+                        / (F.lit(wsum) + F.sum("lam").over(tot)))
+            .withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= 10)
+            .select("topic_id", "rank", "term_id",
+                    F.round("beta", 6).alias("prob")))
+
+
 def _q_coherence_umass(spark, sf_dir):
     """u_mass topic coherence (coherencemodel.py:51-56 pipeline: s_one_pre →
     p_boolean_document → log_conditional_probability → arithmetic mean per
@@ -1036,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2v_dm_doc_knn": _q_d2v_dm_doc_knn,
         "author_topics": _q_author_topics,
         "ldaseq_topics": _q_ldaseq_topics,
+        "hdp_topics": _q_hdp_topics,
         "ft_oov_neighbors": _q_ft_oov_neighbors,
         "ensemble_stable_topics": _q_ensemble_stable_topics,
         "poincare_knn": _q_poincare_knn,
@@ -1634,6 +1674,22 @@ FROM g JOIN tot t USING (author_id)
 WHERE g.g / t.s > 1e-8"""
 
 
+def _hdp_topics_sql() -> str:
+    lp = f"{_ART_DIR}/{_ORACLE_SF}/hdp_lambda/*.parquet"
+    return f"""
+WITH m AS (SELECT topic_id, term_id, lam, eta, num_terms
+           FROM read_parquet('{lp}')),
+tot AS (SELECT topic_id, sum(lam) AS s FROM m GROUP BY topic_id),
+ranked AS (SELECT m.topic_id, m.term_id,
+                  (m.lam + m.eta) / (m.num_terms * m.eta + t.s) AS beta,
+                  CAST(row_number() OVER (PARTITION BY m.topic_id
+                       ORDER BY (m.lam + m.eta) / (m.num_terms * m.eta + t.s)
+                           DESC, m.term_id ASC) AS INTEGER) AS rank
+           FROM m JOIN tot t USING (topic_id))
+SELECT topic_id, rank, term_id, round(beta, 6) AS prob
+FROM ranked WHERE rank <= 10"""
+
+
 def _ensemble_stable_topics_sql() -> str:
     mp = f"{_ART_DIR}/{_ORACLE_SF}/ensemble_stable/*.parquet"
     return f"""
@@ -2048,6 +2104,7 @@ FROM ranked WHERE rank <= 10""",
         "d2v_dm_doc_knn": _d2v_dm_doc_knn_sql(),
         "author_topics": _author_topics_sql(),
         "ldaseq_topics": _ldaseq_topics_sql(),
+        "hdp_topics": _hdp_topics_sql(),
         # wmd_topk / lda_doc_topics / nmf_doc_topics: no oracle_sql on
         # purpose — a transportation LP / a variational-EM loop with digamma
         # special functions / a projected-gradient coordinate descent are

@@ -1,0 +1,267 @@
+"""Online HDP: distributed chunked E-step vs a sequential replica that
+keeps the reference's lazy λ-decay machinery (hdpmodel.py:519-747), plus
+stick/normalisation identities and the frozen-LDA inference surface."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gensim_spark.functions.special import digamma, dirichlet_expectation
+from gensim_spark.operators import hdp as H
+
+
+def make_corpus(seed=7, n_docs=60, vocab=40):
+    rs = np.random.RandomState(seed)
+    docs = []
+    for d in range(n_docs):
+        n = rs.randint(5, 16)
+        ids = np.sort(rs.choice(vocab, size=n, replace=False))
+        cts = rs.randint(1, 5, size=n).astype(float)
+        docs.append((d, ids, cts))
+    return docs
+
+
+def postings_df(spark, docs):
+    rows = [(int(d), int(t), float(c))
+            for d, ids, cts in docs for t, c in zip(ids, cts)]
+    return spark.createDataFrame(rows, "doc_id long, term_id int, tf double")
+
+
+class ReplicaHdp:
+    """Driver-only transcription of the reference update loop — WITH the
+    m_r/m_timestamp lazy column decay (hdpmodel.py:549-554, 685-747), so
+    parity against the operator's eager decay pins their equivalence."""
+
+    def __init__(self, num_terms, num_docs, K=6, T=12, alpha=1.0, gamma=1.0,
+                 eta=0.01, kappa=1.0, tau=64.0, scale=1.0,
+                 var_converge=1e-4, random_seed=13):
+        self.W, self.D, self.T, self.K = num_terms, num_docs, T, K
+        self.alpha, self.gamma_c, self.eta = alpha, gamma, eta
+        self.tau, self.kappa, self.scale = tau + 1.0, kappa, scale
+        self.var_converge = var_converge
+        self.var_sticks = np.zeros((2, T - 1))
+        self.var_sticks[0] = 1.0
+        self.var_sticks[1] = np.arange(T - 1, 0, -1)
+        self.varphi_ss = np.zeros(T)
+        rs = np.random.RandomState(random_seed)
+        self.lam = rs.gamma(1.0, 1.0, (T, num_terms)) \
+            * num_docs * 100.0 / (T * num_terms) - eta
+        self.lam_sum = self.lam.sum(axis=1)
+        self.elogbeta = np.zeros((T, num_terms))
+        self.updatect = 0
+        self.timestamp = np.zeros(num_terms, dtype=int)
+        self.r = [0.0]
+
+    def update_chunk(self, chunk):
+        word_list = []
+        seen = set()
+        for _, ids, _ in chunk:
+            for t in ids:
+                if int(t) not in seen:
+                    seen.add(int(t))
+                    word_list.append(int(t))
+        wl = np.asarray(word_list, dtype=np.int64)
+        rw = np.array([self.r[t] for t in self.timestamp[wl]])
+        self.lam[:, wl] *= np.exp(self.r[-1] - rw)
+        self.elogbeta[:, wl] = digamma(self.eta + self.lam[:, wl]) \
+            - digamma(self.W * self.eta + self.lam_sum)[:, np.newaxis]
+        sticks_ss = np.zeros(self.T)
+        beta_ss = np.zeros((self.T, len(wl)))
+        col = {int(t): j for j, t in enumerate(wl)}
+        elogsticks_1st = H.expect_log_sticks(self.var_sticks)
+        for _, ids, cts in chunk:
+            _, var_phi, contrib = H.doc_e_step(
+                ids, cts, self.elogbeta[:, ids], elogsticks_1st,
+                self.alpha, self.K, self.var_converge)
+            sticks_ss += var_phi.sum(0)
+            for j, t in enumerate(ids):
+                beta_ss[:, col[int(t)]] += contrib[:, j]
+        self._update_lambda(sticks_ss, beta_ss, wl, len(chunk))
+
+    def _update_lambda(self, sticks_ss, beta_ss, wl, chunksize):
+        rhot = self.scale * pow(self.tau + self.updatect, -self.kappa)
+        self.lam[:, wl] = self.lam[:, wl] * (1 - rhot) \
+            + rhot * self.D * beta_ss / chunksize
+        self.lam_sum = (1 - rhot) * self.lam_sum \
+            + rhot * self.D * beta_ss.sum(axis=1) / chunksize
+        self.updatect += 1
+        self.timestamp[wl] = self.updatect
+        self.r.append(self.r[-1] + np.log(1 - rhot))
+        self.varphi_ss = (1 - rhot) * self.varphi_ss \
+            + rhot * sticks_ss * self.D / chunksize
+        idx = np.argsort(-self.lam_sum, kind="stable")
+        self.varphi_ss = self.varphi_ss[idx]
+        self.lam = self.lam[idx, :]
+        self.lam_sum = self.lam_sum[idx]
+        self.elogbeta = self.elogbeta[idx, :]
+        self.var_sticks[0] = self.varphi_ss[: self.T - 1] + 1.0
+        self.var_sticks[1] = np.flipud(
+            np.cumsum(np.flipud(self.varphi_ss[1:]))) + self.gamma_c
+
+    def update_expectations(self):
+        for w in range(self.W):
+            self.lam[:, w] *= np.exp(self.r[-1] - self.r[self.timestamp[w]])
+        self.timestamp[:] = self.updatect
+
+
+def replica_fit(docs, vocab, chunksize, max_chunks=None, **kw):
+    rep = ReplicaHdp(vocab, len(docs), **kw)
+    chunks = {}
+    for d in docs:
+        chunks.setdefault(d[0] // chunksize, []).append(d)
+    order = sorted(chunks)
+    n = len(order) if max_chunks is None else max_chunks
+    for u in range(n):
+        rep.update_chunk(chunks[order[u % len(order)]])
+    rep.update_expectations()
+    return rep
+
+
+def test_expect_log_sticks_properties():
+    sticks = np.array([[2.0, 1.0, 3.0], [1.0, 4.0, 2.0]])
+    e = H.expect_log_sticks(sticks)
+    assert e.shape == (4,)
+    # every E[log π_i] is a log of a sub-1 expectation: strictly negative
+    assert np.all(e < 0)
+    # explicit first element: ψ(a₁)−ψ(a₁+b₁)
+    assert np.isclose(e[0], digamma(2.0) - digamma(3.0))
+    # second: ψ(a₂)−ψ(a₂+b₂) + ψ(b₁)−ψ(a₁+b₁)
+    assert np.isclose(e[1], (digamma(1.0) - digamma(5.0))
+                      + (digamma(1.0) - digamma(3.0)))
+
+
+def test_ret_log_normalize_vec():
+    rs = np.random.RandomState(3)
+    m = rs.randn(5, 7) * 50
+    normed, log_norm = H.ret_log_normalize_vec(m.copy())
+    assert np.allclose(np.exp(normed).sum(axis=1), 1.0)
+    assert np.allclose(normed, m - log_norm[:, np.newaxis])
+    v = rs.randn(9) * 50
+    nv, ln = H.ret_log_normalize_vec(v.copy())
+    assert np.isclose(np.exp(nv).sum(), 1.0)
+
+
+def test_doc_e_step_matches_inline_transcription():
+    """One document, three fixed iterations of the published update order,
+    hand-transcribed (hdpmodel.py:604-683) — warm-up branch (iter<3)."""
+    rs = np.random.RandomState(11)
+    T, K, n = 8, 4, 6
+    ids = np.arange(n)
+    cts = rs.randint(1, 4, n).astype(float)
+    elogbeta_doc = np.log(rs.dirichlet(np.ones(n), T) + 1e-12)
+    elogsticks = H.expect_log_sticks(
+        np.vstack([np.ones(T - 1), np.arange(T - 1, 0, -1.0)]))
+    # inline: run exactly one iteration manually
+    phi = np.ones((n, K)) / K
+    var_phi = phi.T @ (elogbeta_doc * cts).T
+    log_var_phi, _ = H.ret_log_normalize_vec(var_phi)
+    var_phi = np.exp(log_var_phi)
+    phi1 = (var_phi @ elogbeta_doc).T
+    log_phi, _ = H.ret_log_normalize_vec(phi1)
+    phi1 = np.exp(log_phi)
+    # operator run, capped at 1 iteration via a huge converge threshold:
+    # (converge>thr is False after iter 1 only if likelihood stabilises;
+    # force exactly 1 iter with max_iter=1)
+    _, vp, contrib = H.doc_e_step(ids, cts, elogbeta_doc, elogsticks,
+                                  1.0, K, var_converge=1e-4, max_iter=1)
+    assert np.allclose(vp, var_phi)
+    assert np.allclose(contrib, var_phi.T @ (phi1.T * cts))
+
+
+@pytest.fixture(scope="module")
+def hdp_fixture(spark):
+    # var_converge=-1.0 → every document runs the full max_iter coordinate
+    # ascent (the reference loop `converge < 0 or converge > var_converge`
+    # never stops early for a negative threshold).  Any non-negative
+    # threshold — including 0.0, which can still stop on an exact
+    # fp-equality of successive likelihoods — is a chaotic boundary:
+    # 1e-16 of cross-partition summation noise can flip one document's
+    # iteration count and drift λ by ~1e-2, a property of the reference's
+    # own algorithm, not of the distribution.
+    docs = make_corpus()
+    posts = postings_df(spark, docs)
+    model = H.hdp_fit(posts, num_terms=40, chunksize=20,
+                      K=6, T=12, random_seed=13, var_converge=-1.0)
+    return docs, posts, model
+
+
+def test_lambda_matches_replica(hdp_fixture):
+    docs, _, model = hdp_fixture
+    rep = replica_fit(docs, 40, 20, K=6, T=12, random_seed=13,
+                      var_converge=-1.0)
+    # rtol 1e-4: the forced 100-iteration ascent amplifies the distributed
+    # beta_ss summation-order noise (≈1e-16) to ≈1e-6 relative.
+    assert np.allclose(model.m_lambda, rep.lam, rtol=1e-4, atol=1e-8)
+    assert np.allclose(model.m_var_sticks, rep.var_sticks,
+                       rtol=1e-4, atol=1e-8)
+
+
+def test_default_threshold_matches_replica_two_chunks(spark):
+    """With the default var_converge the first two chunks are safely inside
+    the convergence boundary for this corpus — parity holds there; the
+    full-corpus run is covered by the var_converge=0 fixture above."""
+    docs = make_corpus()
+    posts = postings_df(spark, docs)
+    m = H.hdp_fit(posts, num_terms=40, chunksize=20, max_chunks=2,
+                  K=6, T=12, random_seed=13)
+    rep = replica_fit(docs, 40, 20, max_chunks=2, K=6, T=12, random_seed=13)
+    assert np.allclose(m.m_lambda, rep.lam, rtol=1e-9, atol=1e-10)
+
+
+def test_wraparound_and_partitioning_invariance(spark):
+    docs = make_corpus(seed=19, n_docs=45, vocab=30)
+    posts = postings_df(spark, docs)
+    m1 = H.hdp_fit(posts, num_terms=30, chunksize=15, max_chunks=4,
+                   K=5, T=10, random_seed=5, var_converge=-1.0)
+    m2 = H.hdp_fit(posts.repartition(7), num_terms=30, chunksize=15,
+                   max_chunks=4, K=5, T=10, random_seed=5, var_converge=-1.0)
+    rep = replica_fit(docs, 30, 15, max_chunks=4, K=5, T=10, random_seed=5,
+                      var_converge=-1.0)
+    assert np.allclose(m1.m_lambda, rep.lam, rtol=1e-4, atol=1e-8)
+    assert np.allclose(m1.m_lambda, m2.m_lambda, rtol=1e-4, atol=1e-8)
+
+
+def test_hdp_to_lda_identities(hdp_fixture):
+    _, _, model = hdp_fixture
+    alpha, beta = model.hdp_to_lda()
+    assert np.isclose(alpha.sum(), model.m_alpha)
+    assert np.all(alpha > 0)
+    assert np.allclose(beta.sum(axis=1), 1.0)
+    topics = model.get_topics()
+    assert topics.shape == (12, 40)
+    top = model.show_topic(0, topn=5)
+    assert len(top) == 5
+    assert all(topics[0][t] == p for t, p in top)
+    assert sorted((p for _, p in top), reverse=True) == [p for _, p in top]
+
+
+def test_suggested_lda_model(hdp_fixture):
+    _, _, model = hdp_fixture
+    ldam = model.suggested_lda_model()
+    _, beta = model.hdp_to_lda()
+    assert ldam.num_topics == model.m_T
+    assert np.allclose(ldam.exp_elogbeta, beta)
+    assert np.allclose(ldam.alpha, model.hdp_to_lda()[0])
+
+
+def test_doc_topics_and_evaluate(hdp_fixture, spark):
+    docs, posts, model = hdp_fixture
+    dt = H.hdp_doc_topics(posts, model, eps=0.01).toPandas()
+    assert set(dt["doc_id"]) == set(d for d, _, _ in docs)
+    assert (dt["prob"] >= 0.01).all() and (dt["prob"] <= 1.0).all()
+    assert dt.groupby("doc_id")["prob"].sum().le(1.0 + 1e-9).all()
+    # sequential replica of evaluate_test_corpus (hdpmodel.py:919-953)
+    want = 0.0
+    for _, ids, cts in docs:
+        lik, _ = H.lda_e_step(ids, cts, model.lda_alpha, model.lda_beta)
+        want += lik
+    got = H.evaluate_test_corpus(posts, model)
+    assert np.isclose(got, want, rtol=1e-9)
+
+
+def test_topics_df_matches_model(hdp_fixture, spark):
+    _, _, model = hdp_fixture
+    pdf = H.topics_df(spark, model).toPandas()
+    beta = model.get_topics()
+    assert len(pdf) == beta.size
+    got = pdf.pivot(index="topic", columns="term_id", values="prob").values
+    assert np.allclose(got, beta)
