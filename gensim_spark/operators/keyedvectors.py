@@ -407,3 +407,131 @@ def wmdistance(vecs: DataFrame, document1, document2, norm: bool = True,
     b = np.array([document2.count(t) / len(document2) for t in doclist2])
     total, _plan = emd(a, b, cost)
     return float(total)
+
+
+def most_similar_cosmul(vecs: DataFrame, positive=None, negative=None,
+                        topn: int = 10, key_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """3CosMul retrieval (keyedvectors.py:1011-1098, Levy & Goldberg eq. 4
+    with distances shifted to [0,1] per footnote 7):
+
+        score = Π_p (1 + cos(v, p)) / 2  ÷  (Π_n (1 + cos(v, n)) / 2 + 1e-6)
+
+    over unit input vectors. One relational pass: the handful of input
+    vectors are collected and inlined as literal arrays; every per-term
+    cosine is a JVM ``zip_with``/``aggregate`` expression in the same
+    select, so the scan reads the table once and the top-k is a
+    TakeOrdered, never a global sort."""
+    positive = list(positive or [])
+    negative = list(negative or [])
+    if not positive:
+        raise ValueError("cannot compute similarity with no input")
+    keys = positive + negative
+    got = fetch_vectors(vecs, keys, key_col, vec_col)
+    missing = [k for k in keys if k not in got]
+    if missing:
+        raise KeyError(f"Keys {missing!r} not present")
+
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+
+    def shifted_cos(term: np.ndarray):
+        q = F.array(*[F.lit(float(x)) for x in _unitvec(term)])
+        dot = F.aggregate(F.zip_with(v, q, lambda a, b: a * b),
+                          F.lit(0.0), lambda a, x: a + x)
+        cos = F.when(nrm > 0, dot / nrm).otherwise(dot)
+        return (F.lit(1.0) + cos) / F.lit(2.0)
+
+    num = None
+    for k in positive:
+        t = shifted_cos(got[k])
+        num = t if num is None else num * t
+    den = None
+    for k in negative:
+        t = shifted_cos(got[k])
+        den = t if den is None else den * t
+    score = num if den is None else num / (den + F.lit(1e-6))
+
+    from pyspark.sql import Window
+
+    scored = (vecs.select(F.col(key_col), score.alias("score"))
+              .filter(~F.col(key_col).isin(keys)))
+    top = scored.orderBy(F.desc("score"), F.asc(key_col)).limit(topn)
+    wnd = Window.orderBy(F.desc("score"), F.asc(key_col))
+    return (top.withColumn("rank", F.row_number().over(wnd))
+            .select(key_col, F.round("score", 6).alias("score"), "rank"))
+
+
+def closer_than(vecs: DataFrame, key1, key2, key_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """All keys strictly closer to ``key1`` than ``key2`` is
+    (keyedvectors.py:655-662), ``key1`` itself excluded — a single
+    filtered cosine scan; the threshold cos(key1, key2) is computed
+    driver-side from the two fetched vectors."""
+    got = fetch_vectors(vecs, [key1, key2], key_col, vec_col)
+    u1 = _unitvec(got[key1])
+    threshold = float(u1 @ _unitvec(got[key2]))
+    sims = cosine_to_vector(vecs, u1, key_col, vec_col)
+    return (sims.filter((F.col("sim") > threshold)
+                        & (F.col(key_col) != key1)
+                        & (F.col(key_col) != key2))
+            .select(key_col))
+
+
+def rank_by_centrality(vecs: DataFrame, words, use_norm: bool = True,
+                       key_col: str = "vec_id",
+                       vec_col: str = "embedding") -> list:
+    """Rank the given keys by similarity to their centroid
+    (keyedvectors.py:1099-1126): mean of unit vectors, post-normalized;
+    dists over (optionally normed) word vectors. The word list is the
+    only thing touched — driver-side over fetched vectors, no scan."""
+    words = list(words)
+    got = fetch_vectors(vecs, words, key_col, vec_col)
+    used = [w for w in words if w in got]
+    if not used:
+        raise ValueError("cannot select a word from an empty list")
+    vmat = np.vstack([_unitvec(got[w]) if use_norm else got[w]
+                      for w in used])
+    # get_mean_vector(vectors, post_normalize=True): pre-normalize rows,
+    # average, unit-normalize (keyedvectors.py:461-524)
+    units = vmat / np.maximum(np.linalg.norm(vmat, axis=1, keepdims=True),
+                              1e-300)
+    mean = _unitvec(units.mean(axis=0))
+    dists = vmat @ mean
+    return sorted(zip((float(d) for d in dists), used), reverse=True)
+
+
+def doesnt_match(vecs: DataFrame, words, key_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+    """The key furthest from the mean of all keys
+    (keyedvectors.py:1128-1143)."""
+    return rank_by_centrality(vecs, words, use_norm=True, key_col=key_col,
+                              vec_col=vec_col)[-1][1]
+
+
+def most_similar_to_given(vecs: DataFrame, key1, keys_list,
+                          key_col: str = "vec_id",
+                          vec_col: str = "embedding"):
+    """The key from ``keys_list`` most similar to ``key1``
+    (keyedvectors.py:651-653): argmax of pairwise cosines, driver-side
+    over the fetched handful."""
+    keys_list = list(keys_list)
+    got = fetch_vectors(vecs, set(keys_list) | {key1}, key_col, vec_col)
+    u1 = _unitvec(got[key1])
+    sims = [float(u1 @ _unitvec(got[k])) for k in keys_list]
+    return keys_list[int(np.argmax(sims))]
+
+
+def relative_cosine_similarity(vecs: DataFrame, wa, wb, topn: int = 10,
+                               key_col: str = "vec_id",
+                               vec_col: str = "embedding") -> float:
+    """rcs(wa, wb) = cos(wa, wb) / Σ_{top-n similar to wa} cos
+    (keyedvectors.py:1565-1594, Leeuwenberg et al. eq. 1)."""
+    sims = most_similar(vecs, positive=[wa], topn=topn,
+                        key_col=key_col, vec_col=vec_col).collect()
+    if not sims:
+        raise ValueError(
+            "Cannot calculate relative cosine similarity without any "
+            "similar words.")
+    return (similarity(vecs, wa, wb, key_col, vec_col)
+            / sum(r["sim"] for r in sims))

@@ -91,3 +91,69 @@ def test_facade(kv_df, spark):
     sbv = kv.similar_by_vector(mat[0], topn=4)
     assert sbv[0][0] == 0 and sbv[0][1] == pytest.approx(1.0, abs=1e-6)
     assert [k for k, _ in sbv[1:]] == [k for k, _ in ms]
+
+
+def test_most_similar_cosmul_matches_reference_kernel(kv_df):
+    mat, df = kv_df
+    # reference (keyedvectors.py:1011-1098): shifted cosines over unit
+    # vectors, product of positives / (product of negatives + 1e-6)
+    pos, neg = [2, 8], [5]
+    units = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    p = np.prod([(1 + units @ _unit(mat[k])) / 2 for k in pos], axis=0)
+    n = np.prod([(1 + units @ _unit(mat[k])) / 2 for k in neg], axis=0)
+    score = p / (n + 1e-6)
+    order = [i for i in sorted(range(50), key=lambda i: (-score[i], i))
+             if i not in pos + neg][:5]
+
+    got = KV.most_similar_cosmul(df, pos, neg, topn=5).collect()
+    assert [r["vec_id"] for r in got] == order
+    for r, want_i in zip(got, order):
+        assert r["score"] == pytest.approx(round(float(score[want_i]), 6))
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    with pytest.raises(ValueError):
+        KV.most_similar_cosmul(df, positive=[])
+    with pytest.raises(KeyError):
+        KV.most_similar_cosmul(df, positive=[999])
+
+
+def test_closer_than_and_most_similar_to_given(kv_df):
+    mat, df = kv_df
+    units = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = units @ _unit(mat[6])
+    want = sorted(i for i in range(50)
+                  if sims[i] > sims[13] and i not in (6, 13))
+    got = sorted(r["vec_id"] for r in KV.closer_than(df, 6, 13).collect())
+    assert got == want
+
+    # reference keyedvectors.py:651-653: argmax of similarity to key1
+    pool = [4, 17, 23, 31]
+    pool_sims = [float(_unit(mat[6]) @ _unit(mat[k])) for k in pool]
+    assert KV.most_similar_to_given(df, 6, pool) == pool[
+        int(np.argmax(pool_sims))]
+
+
+def test_rank_by_centrality_and_doesnt_match(kv_df):
+    mat, df = kv_df
+    words = [3, 9, 14, 21, 40]
+    units = np.vstack([_unit(mat[w]) for w in words])
+    mean = _unit(units.mean(axis=0))
+    dists = units @ mean
+    want = sorted(zip((float(d) for d in dists), words), reverse=True)
+    got = KV.rank_by_centrality(df, words)
+    assert [w for _, w in got] == [w for _, w in want]
+    for (gd, _), (wd, _) in zip(got, want):
+        assert gd == pytest.approx(wd)
+    assert KV.doesnt_match(df, words) == want[-1][1]
+    with pytest.raises(ValueError):
+        KV.rank_by_centrality(df, [])
+
+
+def test_relative_cosine_similarity(kv_df):
+    mat, df = kv_df
+    units = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = units @ _unit(mat[12])
+    top = sorted((s for i, s in enumerate(sims) if i != 12), reverse=True)[:10]
+    want = float(_unit(mat[12]) @ _unit(mat[30])) / sum(
+        round(s, 6) for s in top)
+    assert KV.relative_cosine_similarity(df, 12, 30, topn=10) == \
+        pytest.approx(want, abs=1e-6)
