@@ -544,18 +544,28 @@ _LDA_K = 4
 
 def _q_lda_doc_topics(spark, sf_dir):
     """LDA document-topic distributions (batch online-VB EM, Hoffman et al.).
-    The EM with digamma special functions is iterative with no SQL analogue —
-    rows-only entry; parity against a sequential replica of the reference's
-    ``update`` flow (ldamodel.py:855-1083) is pinned by tests/test_lda.py."""
+    The EM with digamma special functions is iterative with no SQL analogue
+    (pinned against a sequential replica of the reference's ``update`` flow,
+    ldamodel.py:855-1083, by tests/test_lda.py) — so the entry persists the
+    raw per-document γ as a parquet artifact and derives the contract's
+    relational tail, θ = γ/Σγ with the ``minimum_probability`` filter
+    (ldamodel.py:1337-1364), from that artifact; DuckDB re-runs exactly that
+    retrieval."""
     from gensim_spark.operators import lda as LD
 
     idx = _index(spark, sf_dir)
     postings = idx.postings.select("doc_id", "term_id", "tf")
     model = LD.lda_fit(postings, num_topics=_LDA_K, passes=2,
                        random_seed=13, iterations=30)
-    out = LD.doc_topics(postings, model)
-    return out.select("doc_id", "topic_id",
-                      F.round("probability", 4).alias("probability"))
+    _persist_artifact(LD.doc_gamma(postings, model), sf_dir, "lda_gamma")
+    g = spark.read.parquet(_art_path(sf_dir, "lda_gamma"))
+    tot = g.groupBy("doc_id").agg(F.sum("gamma").alias("g_sum"))
+    min_p = max(model.minimum_probability, 1e-8)
+    return (g.join(tot, "doc_id")
+            .withColumn("theta", F.col("gamma") / F.col("g_sum"))
+            .filter(F.col("theta") >= min_p)
+            .select("doc_id", "topic_id",
+                    F.round("theta", 4).alias("probability")))
 
 
 _TM_DIMS = 64
@@ -788,17 +798,28 @@ def _q_d2v_dm_doc_knn(spark, sf_dir):
 
 def _q_nmf_doc_topics(spark, sf_dir):
     """Online-NMF document-topic factors (Zhao & Tan). The projected-gradient
-    coordinate descent is iterative with no SQL analogue — rows-only entry;
-    parity against a sequential numpy replica of the reference's update flow
-    (nmf.py:552-784) is pinned by tests/test_nmf.py."""
+    coordinate descent is iterative with no SQL analogue (pinned against a
+    sequential numpy replica of the reference's update flow, nmf.py:552-784,
+    by tests/test_nmf.py) — so the entry persists the raw per-document h as
+    a parquet artifact and derives the contract's relational tail, the
+    ``normalize`` division plus the strict ``minimum_probability`` filter
+    (nmf.py:472-519), from that artifact; DuckDB re-runs exactly that
+    retrieval."""
     from gensim_spark.operators import nmf as NM
 
     idx = _index(spark, sf_dir)
     postings = idx.postings.select("doc_id", "term_id", "tf")
     model = NM.nmf_fit(postings, num_topics=_LDA_K, passes=2, random_seed=13)
-    out = NM.doc_topics(postings, model)
-    return out.select("doc_id", "topic_id",
-                      F.round("probability", 4).alias("probability"))
+    _persist_artifact(NM.doc_factors(postings, model), sf_dir, "nmf_h")
+    h = spark.read.parquet(_art_path(sf_dir, "nmf_h"))
+    tot = h.groupBy("doc_id").agg(F.sum("h").alias("h_sum"))
+    min_p = max(model.minimum_probability, 1e-8)
+    return (h.join(tot, "doc_id")
+            .filter(F.col("h_sum") > 0)
+            .withColumn("theta", F.col("h") / F.col("h_sum"))
+            .filter(F.col("theta") > min_p)
+            .select("doc_id", "topic_id",
+                    F.round("theta", 4).alias("probability")))
 
 
 # Coherence entries use deterministic topics — the top 30 vocabulary tokens
@@ -1704,6 +1725,26 @@ SELECT stable_topic, rank, term_id, round(nprob, 6) AS prob
 FROM ranked WHERE rank <= 10"""
 
 
+def _lda_doc_topics_sql() -> str:
+    g = f"{_ART_DIR}/{_ORACLE_SF}/lda_gamma/*.parquet"
+    return f"""
+WITH g AS (SELECT doc_id, topic_id, gamma FROM read_parquet('{g}')),
+tot AS (SELECT doc_id, sum(gamma) AS g_sum FROM g GROUP BY doc_id)
+SELECT g.doc_id, g.topic_id, round(g.gamma / t.g_sum, 4) AS probability
+FROM g JOIN tot t USING (doc_id)
+WHERE g.gamma / t.g_sum >= 0.01"""
+
+
+def _nmf_doc_topics_sql() -> str:
+    h = f"{_ART_DIR}/{_ORACLE_SF}/nmf_h/*.parquet"
+    return f"""
+WITH h AS (SELECT doc_id, topic_id, h FROM read_parquet('{h}')),
+tot AS (SELECT doc_id, sum(h) AS h_sum FROM h GROUP BY doc_id)
+SELECT h.doc_id, h.topic_id, round(h.h / t.h_sum, 4) AS probability
+FROM h JOIN tot t USING (doc_id)
+WHERE t.h_sum > 0 AND h.h / t.h_sum > 0.01"""
+
+
 def _lsi_topics_sql() -> str:
     u = f"{_ART_DIR}/{_ORACLE_SF}/lsi_u/*.parquet"
     return f"""{_PRELUDE},
@@ -2105,11 +2146,11 @@ FROM ranked WHERE rank <= 10""",
         "author_topics": _author_topics_sql(),
         "ldaseq_topics": _ldaseq_topics_sql(),
         "hdp_topics": _hdp_topics_sql(),
-        # wmd_topk / lda_doc_topics / nmf_doc_topics: no oracle_sql on
-        # purpose — a transportation LP / a variational-EM loop with digamma
-        # special functions / a projected-gradient coordinate descent are
-        # iterative even at inference time, so there is no relational query
-        # side to persist-and-verify; all are pinned by pytest (brute-force
-        # LP-vertex enumeration / sequential replicas of the reference's
-        # update flows).
+        "lda_doc_topics": _lda_doc_topics_sql(),
+        "nmf_doc_topics": _nmf_doc_topics_sql(),
+        # wmd_topk: no oracle_sql on purpose — the exact Word Mover's
+        # Distance is a transportation LP that is iterative even at
+        # inference time (no relational query side to persist-and-verify);
+        # pinned by pytest via brute-force LP-vertex enumeration and a
+        # hypothesis sweep.
     }

@@ -393,6 +393,47 @@ def doc_topics(postings: DataFrame, model: LdaModel,
         gen, "doc_id long, topic_id long, probability double")
 
 
+def doc_gamma(postings: DataFrame, model: LdaModel,
+              update_no: int = -1) -> DataFrame:
+    """Raw variational γ per document — all ``num_topics`` rows,
+    unnormalized. This is the persistable artifact form of
+    ``get_document_topics`` (ldamodel.py:1337-1364): given γ, the rest of
+    the contract — θ = γ/Σγ and the ``minimum_probability`` filter — is
+    pure relational post-processing that an external SQL engine can
+    re-derive (the inference itself is iterative and pytest-pinned).
+    → (doc_id, topic_id, gamma)."""
+    k = model.num_topics
+    sc = postings.sparkSession.sparkContext
+    bc = sc.broadcast(model.exp_elogbeta)
+    alpha, iters, thr = model.alpha, model.iterations, model.gamma_threshold
+    seed = model.random_seed
+
+    def gen(batches):
+        import pandas as pd
+
+        eeb = bc.value
+        for pdf in batches:
+            out_doc, out_g = [], []
+            for doc_id, ids_l, cts_l in zip(pdf["doc_id"], pdf["ids"],
+                                            pdf["cts"]):
+                ids = np.asarray(ids_l, dtype=np.int64)
+                cts = np.asarray(cts_l, dtype=np.float64)
+                gammad = init_gamma(seed, update_no, doc_id, k)
+                gammad, _, _ = infer_doc(ids, cts, gammad, eeb, alpha,
+                                         iters, thr)
+                out_doc.append(doc_id)
+                out_g.append(gammad.tolist())
+            yield pd.DataFrame({"doc_id": pd.Series(out_doc, dtype="int64"),
+                                "gamma": pd.Series(out_g)})
+
+    wide = corpus_bow(postings).mapInPandas(
+        gen, "doc_id long, gamma array<double>")
+    return wide.select(
+        "doc_id",
+        F.posexplode("gamma").alias("topic_id", "gamma")
+    ).select("doc_id", F.col("topic_id").cast("long"), "gamma")
+
+
 def bound(postings: DataFrame, model: LdaModel,
           subsample_ratio: float = 1.0, update_no: int = -2) -> float:
     """The ELBO over the corpus (ldamodel.py:1085-1145): per-document terms

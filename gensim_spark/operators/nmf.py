@@ -371,6 +371,60 @@ def doc_topics(postings: DataFrame, model: NmfModel,
         gen, "doc_id long, topic_id long, probability double")
 
 
+def doc_factors(postings: DataFrame, model: NmfModel) -> DataFrame:
+    """Raw document factors h per document — all ``num_topics`` rows,
+    unnormalized (fresh v_max = ∞ solve, nmf.py:472-519). The persistable
+    artifact form of ``get_document_topics``: the ``normalize`` division
+    and the ``minimum_probability`` filter are pure relational
+    post-processing an external SQL engine can re-derive (the projected-
+    gradient solve itself is iterative and pytest-pinned).
+    → (doc_id, topic_id, h)."""
+    k = model.num_topics
+    sc = postings.sparkSession.sparkContext
+    bc = sc.broadcast((model.W, model.kappa, model.h_max_iter,
+                       model.h_stop_condition, model.random_seed))
+
+    def gen(batches):
+        import pandas as pd
+
+        W, kappa, h_max_iter, h_stop, seed = bc.value
+        Wt = W.T
+        WtW = Wt @ W
+        m = W.shape[0]
+        perms = make_perms(k, seed, _TRANSFORM_UPDATE_NO, h_max_iter)
+        out_doc, out_h = [], []
+        block: list = []
+
+        def flush():
+            if not block:
+                return
+            n = len(block)
+            Wtv = np.empty((k, n))
+            for j, (_, ids, cts) in enumerate(block):
+                Wtv[:, j] = Wt[:, ids] @ cts
+            h = solveproj_block(WtW, Wtv, m, kappa, h_stop, perms)
+            for j, (doc_id, _, _) in enumerate(block):
+                out_doc.append(doc_id)
+                out_h.append(h[:, j].tolist())
+            block.clear()
+
+        for pdf in batches:
+            for doc_id, ids_l, cts_l in zip(pdf["doc_id"], pdf["ids"],
+                                            pdf["cts"]):
+                block.append((doc_id, np.asarray(ids_l, dtype=np.int64),
+                              np.asarray(cts_l, dtype=np.float64)))
+                if len(block) >= 512:
+                    flush()
+        flush()
+        yield pd.DataFrame({"doc_id": out_doc, "h": out_h})
+
+    wide = corpus_bow(postings).mapInPandas(
+        gen, "doc_id long, h array<double>")
+    return wide.select(
+        "doc_id", F.posexplode("h").alias("topic_id", "h")
+    ).select("doc_id", F.col("topic_id").cast("long"), "h")
+
+
 def l2_norm(postings: DataFrame, model: NmfModel) -> float:
     """√Σ_d ‖v_d − W·h_d‖² over the corpus (nmf.py:542-551), one job.
     The reference evaluates this against the last training chunk's resident

@@ -369,3 +369,23 @@ def test_topics_df_and_show_topic(lda_fixture, spark, common_texts):
     id2token = {i: t for t, i in token2id.items()}
     assert [r["token"] for r in top] == [id2token[i] for i in want_ids]
     assert [r["prob"] for r in top] == pytest.approx(row[want_ids])
+
+
+def test_doc_gamma_is_artifact_form_of_doc_topics(lda_fixture, spark):
+    corpus, v, postings = lda_fixture
+    model = L.lda_fit(postings, num_topics=K, num_terms=v, passes=2,
+                      random_seed=13)
+    gamma = {(r["doc_id"], r["topic_id"]): r["gamma"]
+             for r in L.doc_gamma(postings, model).collect()}
+    assert len(gamma) == len(corpus) * K
+    # relational tail θ = γ/Σγ + filter reproduces doc_topics exactly
+    sums = {}
+    for (d, _), g in gamma.items():
+        sums[d] = sums.get(d, 0.0) + g
+    want = {(d, t): g / sums[d] for (d, t), g in gamma.items()
+            if g / sums[d] >= max(model.minimum_probability, 1e-8)}
+    got = {(r["doc_id"], r["topic_id"]): r["probability"]
+           for r in L.doc_topics(postings, model).collect()}
+    assert set(got) == set(want)
+    for key in got:
+        assert got[key] == pytest.approx(want[key], rel=1e-12)

@@ -203,3 +203,25 @@ def test_nmf_fit_weight_column_matches_tf(spark):
     np.testing.assert_allclose(got.W, want.W, atol=0)
     assert got.v_max == want.v_max
     assert got.w_std == pytest.approx(want.w_std)
+
+
+def test_doc_factors_is_artifact_form_of_doc_topics(spark):
+    rng = np.random.default_rng(21)
+    bow = rand_bow(rng, n_docs=40, vocab=20)
+    postings = bow_to_df(spark, bow).repartition(3)
+    model = N.nmf_fit(postings, num_topics=3, num_terms=20, passes=1)
+
+    h = {(r["doc_id"], r["topic_id"]): r["h"]
+         for r in N.doc_factors(postings, model).collect()}
+    assert len(h) == 40 * 3 and all(v >= 0 for v in h.values())
+    sums = {}
+    for (d, _), val in h.items():
+        sums[d] = sums.get(d, 0.0) + val
+    min_p = max(model.minimum_probability, 1e-8)
+    want = {(d, t): val / sums[d] for (d, t), val in h.items()
+            if sums[d] > 0 and val / sums[d] > min_p}
+    got = {(r["doc_id"], r["topic_id"]): r["probability"]
+           for r in N.doc_topics(postings, model).collect()}
+    assert set(got) == set(want)
+    for key in got:
+        assert got[key] == pytest.approx(want[key], rel=1e-12)
