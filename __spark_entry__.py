@@ -629,6 +629,20 @@ def _q_kv_most_similar(spark, sf_dir):
                            topn=_KV_TOPN)
 
 
+_KV_CM_POS, _KV_CM_NEG = [0, 2], [4]
+
+
+def _q_kv_cosmul_top10(spark, sf_dir):
+    """3CosMul retrieval (most_similar_cosmul, keyedvectors.py:1011-1098,
+    Levy & Goldberg eq. 4): product of shifted cosines to the positives over
+    the shifted cosine to the negative + 1e-6, inputs excluded, top-10.
+    One relational scan — fully oracled."""
+    from gensim_spark.operators import keyedvectors as KV
+
+    return KV.most_similar_cosmul(_emb(spark, sf_dir), positive=_KV_CM_POS,
+                                  negative=_KV_CM_NEG, topn=_KV_TOPN)
+
+
 _ANALOGY_TRIPLES = [(0, 1, 2), (3, 4, 5), (6, 7, 8)]  # (a, b, c) vec_ids
 
 
@@ -1092,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translation_topk": _q_translation_topk,
         "kv_most_similar": _q_kv_most_similar,
         "kv_analogy_top5": _q_kv_analogy_top5,
+        "kv_cosmul_top10": _q_kv_cosmul_top10,
         "w2v_most_similar": _q_w2v_most_similar,
         "d2v_dm_doc_knn": _q_d2v_dm_doc_knn,
         "author_topics": _q_author_topics,
@@ -1725,6 +1740,35 @@ SELECT stable_topic, rank, term_id, round(nprob, 6) AS prob
 FROM ranked WHERE rank <= 10"""
 
 
+def _kv_cosmul_top10_sql() -> str:
+    all_keys = ", ".join(str(k) for k in _KV_CM_POS + _KV_CM_NEG)
+    pos_keys = ", ".join(str(k) for k in _KV_CM_POS)
+    neg_key = _KV_CM_NEG[0]
+    return f"""
+WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             FROM embeddings),
+unit AS (SELECT vec_id,
+                CASE WHEN sq > 0
+                     THEN list_transform(v, x -> x / sqrt(sq)) ELSE v END AS u
+         FROM (SELECT vec_id, v,
+                      list_sum(list_transform(v, x -> x * x)) AS sq
+               FROM emb)),
+k AS (SELECT vec_id AS key_id, u AS ku FROM unit
+      WHERE vec_id IN ({all_keys})),
+shifted AS (SELECT e.vec_id, k.key_id,
+                   (1 + list_dot_product(e.u, k.ku)) / 2 AS t
+            FROM unit e CROSS JOIN k
+            WHERE e.vec_id NOT IN ({all_keys})),
+agg AS (SELECT vec_id,
+               product(CASE WHEN key_id IN ({pos_keys}) THEN t END) AS num,
+               sum(CASE WHEN key_id = {neg_key} THEN t END) AS den
+        FROM shifted GROUP BY vec_id)
+SELECT vec_id, round(num / (den + 1e-6), 6) AS score,
+       CAST(row_number() OVER (ORDER BY num / (den + 1e-6) DESC, vec_id ASC)
+            AS INTEGER) AS rank
+FROM agg ORDER BY rank LIMIT {_KV_TOPN}"""
+
+
 def _lda_doc_topics_sql() -> str:
     g = f"{_ART_DIR}/{_ORACLE_SF}/lda_gamma/*.parquet"
     return f"""
@@ -2133,6 +2177,7 @@ FROM ranked WHERE rank <= 10""",
         "translation_normal_eqs": _translation_normal_eqs_sql(),
         "kv_most_similar": _kv_most_similar_sql(),
         "kv_analogy_top5": _kv_analogy_top5_sql(),
+        "kv_cosmul_top10": _kv_cosmul_top10_sql(),
         "poincare_knn": _poincare_knn_sql(),
         # persisted-artifact oracles: training happens in Spark, the fitted
         # artifact lands in parquet, and DuckDB independently re-runs the
