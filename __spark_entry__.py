@@ -691,6 +691,26 @@ def _q_kv_analogy_top5(spark, sf_dir):
                     F.round("sim", 6).alias("sim")))
 
 
+_W2V_MODEL_MEMO: dict = {}
+
+
+def _w2v_model(spark, sf_dir):
+    """Train-once memo for the SGNS model shared by the w2v entries."""
+    if sf_dir not in _W2V_MODEL_MEMO:
+        import numpy as np
+
+        from gensim_spark.operators import word2vec as W2V
+
+        idx = _index(spark, sf_dir)
+        rows = idx.vocab.select("term_id", "cf").orderBy("term_id").collect()
+        counts = np.array([r["cf"] for r in rows], dtype=np.int64)
+        ids = W2V.corpus_ids(_tokenized(spark, sf_dir), idx.vocab)
+        _W2V_MODEL_MEMO[sf_dir] = W2V.word2vec_fit(
+            ids, len(counts), counts, vector_size=24, window=3, negative=3,
+            epochs=2, seed=13, num_shards=32)
+    return _W2V_MODEL_MEMO[sf_dir]
+
+
 def _q_w2v_most_similar(spark, sf_dir):
     """SGNS Word2Vec trained on the corpus, then most_similar for the 3
     highest-df tokens. Stochastic-gradient training is not SQL-expressible
@@ -698,18 +718,10 @@ def _q_w2v_most_similar(spark, sf_dir):
     but the retrieval — cosine top-k over the trained vectors — IS: the
     vectors and query terms are persisted as parquet artifacts and the
     oracle re-runs the most_similar scan (keyedvectors.py:778-860)."""
-    import numpy as np
-
     from gensim_spark.operators import keyedvectors as KV
-    from gensim_spark.operators import word2vec as W2V
 
     idx = _index(spark, sf_dir)
-    rows = idx.vocab.select("term_id", "cf").orderBy("term_id").collect()
-    counts = np.array([r["cf"] for r in rows], dtype=np.int64)
-    ids = W2V.corpus_ids(_tokenized(spark, sf_dir), idx.vocab)
-    model = W2V.word2vec_fit(ids, len(counts), counts, vector_size=24,
-                             window=3, negative=3, epochs=2, seed=13,
-                             num_shards=32)
+    model = _w2v_model(spark, sf_dir)
     vecs = model.vectors_df(spark)
     top3 = [r["term_id"] for r in idx.vocab
             .orderBy(F.desc("df"), F.asc("token")).limit(3).collect()]
@@ -727,6 +739,33 @@ def _q_w2v_most_similar(spark, sf_dir):
         out = out.unionByName(o)
     return out.select("query_term", "rank", F.col("term_id").alias("near"),
                       "sim")
+
+
+def _q_w2v_predict_output(spark, sf_dir):
+    """predict_output_word (word2vec.py:1822-1867): CBOW-style propagation
+    of a 3-term context through the trained SGNS model — softmax(l1 ·
+    syn1negᵀ) top-10. The hidden vector l1 is a handful of driver-side rows;
+    the V-sized propagation is one relational scan of the output-embedding
+    table. Output matrix and the literal l1 are persisted as parquet
+    artifacts so DuckDB re-runs the exact softmax retrieval."""
+    from gensim_spark.operators import word2vec as W2V
+
+    idx = _index(spark, sf_dir)
+    model = _w2v_model(spark, sf_dir)
+    ctx = [r["term_id"] for r in idx.vocab
+           .orderBy(F.desc("df"), F.asc("token")).limit(3).collect()]
+    out_vecs = model.output_vectors_df(spark)
+    _persist_artifact(out_vecs, sf_dir, "w2v_syn1neg")
+    l1 = model.syn0[[int(t) for t in ctx]].sum(axis=0)
+    if model.cbow_mean:
+        l1 = l1 / len(ctx)
+    _persist_artifact(
+        spark.createDataFrame([(i, float(x)) for i, x in enumerate(l1)],
+                              "i long, x double"),
+        sf_dir, "w2v_l1")
+    top = W2V.predict_output_word(out_vecs, model, ctx, topn=10)
+    return top.select("term_id", F.round("probability", 8)
+                      .alias("probability"), "rank")
 
 
 def _q_ft_oov_neighbors(spark, sf_dir):
@@ -1108,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kv_analogy_top5": _q_kv_analogy_top5,
         "kv_cosmul_top10": _q_kv_cosmul_top10,
         "w2v_most_similar": _q_w2v_most_similar,
+        "w2v_predict_output": _q_w2v_predict_output,
         "d2v_dm_doc_knn": _q_d2v_dm_doc_knn,
         "author_topics": _q_author_topics,
         "ldaseq_topics": _q_ldaseq_topics,
@@ -1740,6 +1780,22 @@ SELECT stable_topic, rank, term_id, round(nprob, 6) AS prob
 FROM ranked WHERE rank <= 10"""
 
 
+def _w2v_predict_output_sql() -> str:
+    ov = f"{_ART_DIR}/{_ORACLE_SF}/w2v_syn1neg/*.parquet"
+    l1 = f"{_ART_DIR}/{_ORACLE_SF}/w2v_l1/*.parquet"
+    return f"""
+WITH ov AS (SELECT term_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM read_parquet('{ov}')),
+l1 AS (SELECT i, x FROM read_parquet('{l1}')),
+dots AS (SELECT term_id, sum(v[l1.i + 1] * l1.x) AS dot
+         FROM ov CROSS JOIN l1 GROUP BY term_id),
+e AS (SELECT term_id, exp(dot) AS ev FROM dots)
+SELECT term_id, round(ev / (SELECT sum(ev) FROM e), 8) AS probability,
+       CAST(row_number() OVER (ORDER BY ev DESC, term_id ASC) AS INTEGER)
+         AS rank
+FROM e ORDER BY rank LIMIT 10"""
+
+
 def _kv_cosmul_top10_sql() -> str:
     all_keys = ", ".join(str(k) for k in _KV_CM_POS + _KV_CM_NEG)
     pos_keys = ", ".join(str(k) for k in _KV_CM_POS)
@@ -2186,6 +2242,7 @@ FROM ranked WHERE rank <= 10""",
         "ensemble_stable_topics": _ensemble_stable_topics_sql(),
         "translation_topk": _translation_topk_sql(),
         "w2v_most_similar": _w2v_most_similar_sql(),
+        "w2v_predict_output": _w2v_predict_output_sql(),
         "ft_oov_neighbors": _ft_oov_neighbors_sql(),
         "d2v_dm_doc_knn": _d2v_dm_doc_knn_sql(),
         "author_topics": _author_topics_sql(),

@@ -240,6 +240,53 @@ class Word2VecModel:
         return spark.createDataFrame(rows,
                                      "term_id long, embedding array<double>")
 
+    def output_vectors_df(self, spark) -> DataFrame:
+        """(term_id, embedding) rows of the OUTPUT matrix ``syn1neg`` —
+        the persistable artifact behind :func:`predict_output_word`."""
+        rows = [(w, [float(x) for x in self.syn1neg[w]])
+                for w in range(self.vocab_size)]
+        return spark.createDataFrame(rows,
+                                     "term_id long, embedding array<double>")
+
+
+def predict_output_word(out_vecs: DataFrame, model: Word2VecModel,
+                        context_ids, topn: int = 10,
+                        key_col: str = "term_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Probability distribution of the center word given context words
+    (word2vec.py:1822-1867): CBOW-style propagation — l1 = Σ (or mean, when
+    ``cbow_mean``) of the context INPUT vectors, softmax(l1 · syn1negᵀ),
+    top-``topn``. The hidden vector is driver-side (a handful of rows of the
+    vocab-bounded model); the V-sized propagation is relational: one scan of
+    the output-embedding table computing the dot as a JVM ``zip_with`` fold,
+    one scalar agg for the softmax denominator, and a TakeOrdered top-k —
+    the plan that survives a 10^9-row output table.
+    → (term_id, probability, rank)."""
+    if not model.negative:
+        raise RuntimeError(
+            "predict_output_word is only implemented for the negative "
+            "sampling scheme; train with negative > 0.")
+    ids = [int(w) for w in context_ids if 0 <= int(w) < model.vocab_size]
+    if not ids:
+        return None
+    l1 = model.syn0[ids].sum(axis=0)
+    if model.cbow_mean:
+        l1 = l1 / len(ids)
+
+    q = F.array(*[F.lit(float(x)) for x in l1])
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(v, q, lambda a, b: a * b),
+                      F.lit(0.0), lambda a, x: a + x)
+    scored = out_vecs.select(F.col(key_col), F.exp(dot).alias("e"))
+    total = scored.agg(F.sum("e")).collect()[0][0]
+    top = (scored.select(key_col, (F.col("e") / F.lit(float(total)))
+                         .alias("probability"))
+           .orderBy(F.desc("probability"), F.asc(key_col)).limit(topn))
+    from pyspark.sql import Window
+
+    wnd = Window.orderBy(F.desc("probability"), F.asc(key_col))
+    return top.withColumn("rank", F.row_number().over(wnd))
+
 
 def _epoch_partials(docs: DataFrame, model: Word2VecModel, epoch: int,
                     alpha: float, num_shards: int) -> list:

@@ -255,3 +255,34 @@ def save_word2vec_format(vecs: DataFrame, fname: str,
                            .encode("utf8"))
     if vout is not None:
         vout.close()
+
+
+def glove2word2vec(spark: SparkSession, glove_input_file: str,
+                   word2vec_output_file: str) -> tuple:
+    """Convert a GloVe-format text file to word2vec format
+    (scripts/glove2word2vec.py:93-111): load headerless (faked descending
+    counts = load order), save with the ``"<n> <d>"`` header prepended.
+    Returns (num_lines, num_dims)."""
+    vecs = load_word2vec_format(spark, glove_input_file, binary=False,
+                                no_header=True)
+    num_lines = vecs.count()
+    first = vecs.select(F.size("embedding").alias("d")).first()
+    num_dims = int(first["d"]) if first is not None else 0
+    save_word2vec_format(vecs, word2vec_output_file, binary=False)
+    return num_lines, num_dims
+
+
+def word2vec2tensor(spark: SparkSession, word2vec_model_path: str,
+                    tensor_filename: str, binary: bool = False) -> None:
+    """Emit TensorBoard-projector TSVs from a word2vec-format file
+    (scripts/word2vec2tensor.py:53-78): ``<prefix>_tensor.tsv`` holds one
+    tab-separated float32 vector per line, ``<prefix>_metadata.tsv`` the
+    words, both in the model's index order."""
+    vecs = load_word2vec_format(spark, word2vec_model_path, binary=binary)
+    with copen(tensor_filename + "_tensor.tsv", "wb") as fvec, \
+            copen(tensor_filename + "_metadata.tsv", "wb") as fmeta:
+        for r in vecs.orderBy("word_id").toLocalIterator():
+            fmeta.write(r["word"].encode("utf8") + b"\n")
+            row = "\t".join(str(x) for x in
+                            np.asarray(r["embedding"], dtype=np.float32))
+            fvec.write(row.encode("utf8") + b"\n")

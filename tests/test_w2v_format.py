@@ -260,3 +260,37 @@ def test_reference_shipped_vec_fixture(spark):
             want[parts[0]] = np.array([float(x) for x in parts[1:]])
     for w in ("landlady", "хозяйка"):
         np.testing.assert_allclose(rows[w], want[w], atol=0)
+
+
+def test_glove2word2vec(spark, tmp_path):
+    words, vecs = _rand(6, 4, seed=9)
+    glove = str(tmp_path / "glove.txt")
+    _ref_write_text(glove, words, vecs, write_header=False)
+    out = str(tmp_path / "w2v.txt")
+    n, d = WF.glove2word2vec(spark, glove, out)
+    assert (n, d) == (6, 4)
+    with open(out, "rb") as f:
+        lines = f.read().decode("utf8").splitlines()
+    assert lines[0] == "6 4"
+    # no_header fakes counts descending in load order → save preserves order
+    assert [ln.split()[0] for ln in lines[1:]] == words
+    back = WF.load_word2vec_format(spark, out)
+    got = {r["word"]: np.asarray(r["embedding"], dtype=np.float32)
+           for r in back.collect()}
+    for w, v in zip(words, vecs):
+        np.testing.assert_array_equal(got[w], v)
+
+
+def test_word2vec2tensor(spark, tmp_path):
+    words, vecs = _rand(5, 3, seed=4)
+    src = str(tmp_path / "model.txt")
+    _ref_write_text(src, words, vecs)
+    prefix = str(tmp_path / "tb")
+    WF.word2vec2tensor(spark, src, prefix)
+    # replica of scripts/word2vec2tensor.py:73-76
+    with open(prefix + "_metadata.tsv", "rb") as f:
+        assert f.read().decode("utf8").splitlines() == words
+    with open(prefix + "_tensor.tsv", "rb") as f:
+        rows = f.read().decode("utf8").splitlines()
+    want = ["\t".join(str(x) for x in v) for v in vecs]
+    assert rows == want

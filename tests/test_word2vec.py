@@ -247,3 +247,39 @@ def test_facades(spark):
     d2v_dbow = Doc2Vec(tok, vector_size=12, window=2, negative=3, epochs=2,
                        sample=0, seed=3, dm=0, dbow_words=1)
     assert d2v_dbow.dv.count() == 40
+
+
+def test_predict_output_word_matches_reference_kernel(spark):
+    rng = np.random.default_rng(23)
+    docs = rand_docs(rng)
+    counts = np.zeros(20, dtype=np.int64)
+    for _, ids in docs:
+        for w in ids:
+            counts[w] += 1
+    df = spark.createDataFrame(
+        [(d, ids) for d, ids in docs],
+        "doc_id long, ids array<long>").repartition(4)
+    m = W2V.word2vec_fit(df, 20, counts, vector_size=12, window=3,
+                         negative=3, epochs=1, seed=7, num_shards=4)
+
+    # reference replica (word2vec.py:1822-1867): l1 = mean of context input
+    # vectors (cbow_mean=1), softmax(l1 · syn1negᵀ), argsort ties by index
+    ctx = [2, 5, 9]
+    l1 = m.syn0[ctx].sum(axis=0) / len(ctx)
+    probs = np.exp(l1 @ m.syn1neg.T)
+    probs /= probs.sum()
+    order = sorted(range(20), key=lambda i: (-probs[i], i))[:5]
+
+    out = W2V.predict_output_word(m.output_vectors_df(spark), m, ctx,
+                                  topn=5).collect()
+    assert [r["term_id"] for r in out] == order
+    for r, i in zip(out, order):
+        assert r["probability"] == pytest.approx(float(probs[i]), rel=1e-9)
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+
+    # all-OOV context → None (reference returns None with a warning)
+    assert W2V.predict_output_word(m.output_vectors_df(spark), m,
+                                   [99, 120]) is None
+    m.negative = 0
+    with pytest.raises(RuntimeError):
+        W2V.predict_output_word(m.output_vectors_df(spark), m, ctx)
