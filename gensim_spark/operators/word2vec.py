@@ -85,6 +85,53 @@ def _mix(seed: int, a: int, b: int = 0) -> int:
         & 0xFFFFFFFFFFFF
 
 
+class _HeapItem:
+    """count-only ordering, exactly the reference's Heapitem.__lt__
+    (word2vec.py:2183-2185) — ties are structurally resolved by heapq, not
+    by index, and the code assignment depends on that."""
+    __slots__ = ("count", "index", "left", "right")
+
+    def __init__(self, count, index, left, right):
+        self.count, self.index = count, index
+        self.left, self.right = left, right
+
+    def __lt__(self, other):
+        return self.count < other.count
+
+
+def build_huffman_tree(counts: np.ndarray):
+    """Huffman codes/points per vocab index (_build_heap +
+    _assign_binary_codes, word2vec.py:2188-2238): heapq merge of the two
+    smallest nodes, inner nodes numbered V, V+1, …; each leaf's ``code`` is
+    its root-path bit string (left=0, right=1) and ``point`` the inner-node
+    ids along the path offset by −V. Returns (codes, points) lists of
+    np.uint8 / np.uint32 arrays."""
+    import heapq
+
+    V = len(counts)
+    heap = [_HeapItem(int(counts[i]), i, None, None) for i in range(V)]
+    heapq.heapify(heap)
+    for i in range(V - 1):
+        min1, min2 = heapq.heappop(heap), heapq.heappop(heap)
+        heapq.heappush(heap, _HeapItem(min1.count + min2.count, i + V,
+                                       min1, min2))
+    codes = [None] * V
+    points = [None] * V
+    if not heap:
+        return codes, points
+    stack = [(heap[0], [], [])]
+    while stack:
+        node, code, point = stack.pop()
+        if node.index < V:
+            codes[node.index] = np.array(code, dtype=np.uint8)
+            points[node.index] = np.array(point, dtype=np.uint32)
+        else:
+            point = list(point) + [node.index - V]
+            stack.append((node.left, list(code) + [0], point))
+            stack.append((node.right, list(code) + [1], point))
+    return codes, points
+
+
 def init_syn0(vocab_size: int, vector_size: int, seed: int) -> np.ndarray:
     """Per-word seeded uniform(−0.5, 0.5)/size init — the distributed
     replacement for gensim's sequential seeded_vector stream."""
@@ -98,12 +145,20 @@ def init_syn0(vocab_size: int, vector_size: int, seed: int) -> np.ndarray:
 def train_doc_sg(ids: np.ndarray, syn0: np.ndarray, syn1neg: np.ndarray,
                  cum_table: np.ndarray, sample_ints: np.ndarray,
                  window: int, negative: int, alpha: float,
-                 doc_seed: int, counts_out: np.ndarray) -> None:
+                 doc_seed: int, counts_out: np.ndarray,
+                 hs: int = 0, syn1hs: np.ndarray | None = None,
+                 codes: list | None = None, points: list | None = None,
+                 counts_hs: np.ndarray | None = None) -> None:
     """One document's skip-gram pass — the exact pyx kernel in numpy.
 
     ``ids`` are vocab indices (unknown words already dropped — gensim
     shortens the sentence, expanding the window, word2vec_inner.pyx:541).
-    Mutates syn0/syn1neg in place and increments per-word update counts."""
+    Mutates syn0/syn1neg in place and increments per-word update counts.
+    With ``hs``, the hierarchical-softmax update
+    (w2v_fast_sentence_sg_hs, pyx:70-133) runs first per pair — sigmoid
+    along the center word's Huffman path against ``syn1hs``, error applied
+    to the context row before the negative-sampling stage sees it — exactly
+    the pyx call order (train_batch_sg, pyx:587-590)."""
     rs = np.random.RandomState(doc_seed & 0xFFFFFFFF)
     next_random = _mix(doc_seed, 1)
 
@@ -128,7 +183,23 @@ def train_doc_sg(ids: np.ndarray, syn0: np.ndarray, syn1neg: np.ndarray,
             if j == i:
                 continue
             wj = kept[j]                   # context (input side, updated)
-            v = syn0[wj]
+            v = syn0[wj]                   # view: hs update feeds the neg stage
+            if hs:
+                code, point = codes[wi], points[wi]
+                workh = np.zeros(size)
+                for b in range(len(code)):
+                    u = syn1hs[point[b]]
+                    f_dot = float(v @ u)
+                    if f_dot <= -MAX_EXP or f_dot >= MAX_EXP:
+                        continue
+                    g = (1.0 - float(code[b]) - _sigmoid_table(f_dot)) * alpha
+                    workh += g * u
+                    syn1hs[point[b]] += g * v
+                    counts_hs[point[b]] += 1
+                syn0[wj] += workh
+                counts_out[wj] += 1
+            if not negative:
+                continue
             work = np.zeros(size)
             for d in range(negative + 1):
                 if d == 0:
@@ -156,12 +227,20 @@ def train_doc_cbow(ids: np.ndarray, syn0: np.ndarray, syn1neg: np.ndarray,
                    cum_table: np.ndarray, sample_ints: np.ndarray,
                    window: int, negative: int, alpha: float,
                    doc_seed: int, counts_out: np.ndarray,
-                   cbow_mean: int = 1) -> None:
+                   cbow_mean: int = 1,
+                   hs: int = 0, syn1hs: np.ndarray | None = None,
+                   codes: list | None = None, points: list | None = None,
+                   counts_hs: np.ndarray | None = None) -> None:
     """One document's CBOW pass (w2v_fast_sentence_cbow_neg,
     word2vec_inner.pyx:345-460): neu1 = mean (or sum) of the context's
     input vectors, trained against center + negatives on syn1neg; the
     accumulated error is written back to every context word (scaled by
-    1/count when ``cbow_mean`` is 0, matching the reference quirk)."""
+    1/count when ``cbow_mean`` is 0, matching the reference quirk).
+    With ``hs``, the hierarchical-softmax stage (w2v_fast_sentence_cbow_hs,
+    pyx:246-343) runs first and each stage recomputes neu1 from the LIVE
+    syn0 — the pyx kernels each rebuild their own neu1, so the negative
+    stage sees the hs-updated context rows (train_batch_cbow,
+    pyx:684-687)."""
     rs = np.random.RandomState(doc_seed & 0xFFFFFFFF)
     next_random = _mix(doc_seed, 1)
 
@@ -184,10 +263,33 @@ def train_doc_cbow(ids: np.ndarray, syn0: np.ndarray, syn1neg: np.ndarray,
         ctx = [kept[m] for m in range(j0, k0) if m != i]
         if not ctx:
             continue
-        neu1 = syn0[ctx].sum(axis=0)
         inv_count = 1.0 / len(ctx)
-        if cbow_mean:
-            neu1 = neu1 * inv_count
+
+        def _neu1():
+            s = syn0[ctx].sum(axis=0)
+            return s * inv_count if cbow_mean else s
+
+        if hs:
+            neu1 = _neu1()
+            code, point = codes[wi], points[wi]
+            workh = np.zeros(size)
+            for b in range(len(code)):
+                u = syn1hs[point[b]]
+                f_dot = float(neu1 @ u)
+                if f_dot <= -MAX_EXP or f_dot >= MAX_EXP:
+                    continue
+                g = (1.0 - float(code[b]) - _sigmoid_table(f_dot)) * alpha
+                workh += g * u
+                syn1hs[point[b]] += g * neu1
+                counts_hs[point[b]] += 1
+            if not cbow_mean:
+                workh = workh * inv_count
+            for m in ctx:
+                syn0[m] += workh
+                counts_out[m] += 1
+        if not negative:
+            continue
+        neu1 = _neu1()
         work = np.zeros(size)
         for d in range(negative + 1):
             if d == 0:
@@ -219,7 +321,9 @@ class Word2VecModel:
                  syn0: np.ndarray, syn1neg: np.ndarray,
                  cum_table: np.ndarray, sample_ints: np.ndarray,
                  window: int, negative: int, seed: int,
-                 sg: int = 1, cbow_mean: int = 1):
+                 sg: int = 1, cbow_mean: int = 1,
+                 hs: int = 0, syn1: np.ndarray | None = None,
+                 codes: list | None = None, points: list | None = None):
         self.vocab_size = vocab_size
         self.vector_size = vector_size
         self.syn0 = syn0
@@ -231,6 +335,10 @@ class Word2VecModel:
         self.seed = seed
         self.sg = sg
         self.cbow_mean = cbow_mean
+        self.hs = hs
+        self.syn1 = syn1          # hierarchical-softmax inner-node matrix
+        self.codes = codes
+        self.points = points
 
     def vectors_df(self, spark) -> DataFrame:
         """(term_id, embedding) rows — feed straight into
@@ -295,25 +403,32 @@ def _epoch_partials(docs: DataFrame, model: Word2VecModel, epoch: int,
     sc = docs.sparkSession.sparkContext
     bc = sc.broadcast((model.syn0, model.syn1neg, model.cum_table,
                        model.sample_ints, model.window, model.negative,
-                       model.seed, model.sg, model.cbow_mean))
+                       model.seed, model.sg, model.cbow_mean,
+                       model.hs, model.syn1, model.codes, model.points))
 
     def train_shard(key, pdf):
         import pandas as pd
 
-        syn0_0, syn1_0, cum, samp, window, negative, seed, sg, cm = bc.value
+        (syn0_0, syn1_0, cum, samp, window, negative, seed, sg, cm,
+         hs, syn1hs_0, codes, points) = bc.value
         syn0 = syn0_0.copy()
         syn1 = syn1_0.copy()
+        syn1hs = syn1hs_0.copy() if hs else None
         counts = np.zeros(syn0.shape[0], dtype=np.int64)
+        counts_hs = np.zeros(syn0.shape[0], dtype=np.int64) if hs else None
         pdf = pdf.sort_values("doc_id")
+        hs_kw = dict(hs=hs, syn1hs=syn1hs, codes=codes, points=points,
+                     counts_hs=counts_hs) if hs else {}
         for doc_id, ids in zip(pdf["doc_id"], pdf["ids"]):
             arr = np.asarray(ids, dtype=np.int64)
             if sg:
                 train_doc_sg(arr, syn0, syn1, cum, samp, window, negative,
-                             alpha, _mix(seed, epoch, int(doc_id)), counts)
+                             alpha, _mix(seed, epoch, int(doc_id)), counts,
+                             **hs_kw)
             else:
                 train_doc_cbow(arr, syn0, syn1, cum, samp, window, negative,
                                alpha, _mix(seed, epoch, int(doc_id)), counts,
-                               cbow_mean=cm)
+                               cbow_mean=cm, **hs_kw)
         touched = np.nonzero(counts)[0]
         out = []
         for w in touched:
@@ -321,6 +436,10 @@ def _epoch_partials(docs: DataFrame, model: Word2VecModel, epoch: int,
                         list(syn0[w] - syn0_0[w])))
             out.append((1, int(w), int(counts[w]),
                         list(syn1[w] - syn1_0[w])))
+        if hs:
+            for w in np.nonzero(counts_hs)[0]:
+                out.append((2, int(w), int(counts_hs[w]),
+                            list(syn1hs[w] - syn1hs_0[w])))
         return pd.DataFrame(out, columns=["m", "w", "cnt", "delta"])
 
     shards = docs.withColumn(
@@ -337,8 +456,8 @@ def _epoch_partials(docs: DataFrame, model: Word2VecModel, epoch: int,
 def fold_epoch(model: Word2VecModel, rows: list) -> None:
     """new = old + Σ cntₛ·Δₛ / Σ cntₛ per (matrix, word) — the MLlib-style
     count-weighted shard average."""
-    num = {0: {}, 1: {}}
-    den = {0: {}, 1: {}}
+    num = {0: {}, 1: {}, 2: {}}
+    den = {0: {}, 1: {}, 2: {}}
     for r in rows:
         m, w, cnt = r["m"], r["w"], r["cnt"]
         d = np.asarray(r["delta"]) * cnt
@@ -352,6 +471,8 @@ def fold_epoch(model: Word2VecModel, rows: list) -> None:
         model.syn0[w] += d / den[0][w]
     for w, d in num[1].items():
         model.syn1neg[w] += d / den[1][w]
+    for w, d in num[2].items():
+        model.syn1[w] += d / den[2][w]
 
 
 def word2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
@@ -360,18 +481,26 @@ def word2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
                  epochs: int = 5, sample: float = 1e-3,
                  ns_exponent: float = 0.75, num_shards: int = 64,
                  seed: int = 1, sg: int = 1,
-                 cbow_mean: int = 1) -> Word2VecModel:
+                 cbow_mean: int = 1, hs: int = 0) -> Word2VecModel:
     """Fit SGNS (``sg=1``) or CBOW (``sg=0``) over (doc_id, ids) rows
     (vocab indices per document, in token order, unknown words
     pre-dropped). ``counts`` is the per-index corpus frequency vector
-    (the vocab table's cf column)."""
+    (the vocab table's cf column). ``hs=1`` adds the hierarchical-softmax
+    objective over a Huffman tree of the counts (word2vec.py:817,
+    2183-2238); both objectives can be active at once, as in the
+    reference."""
+    codes = points = syn1 = None
+    if hs:
+        codes, points = build_huffman_tree(np.asarray(counts))
+        syn1 = np.zeros((vocab_size, vector_size))
     model = Word2VecModel(
         vocab_size, vector_size,
         init_syn0(vocab_size, vector_size, seed),
         np.zeros((vocab_size, vector_size)),
         make_cum_table(counts, ns_exponent),
         make_sample_ints(counts, sample),
-        window, negative, seed, sg=sg, cbow_mean=cbow_mean)
+        window, negative, seed, sg=sg, cbow_mean=cbow_mean,
+        hs=hs, syn1=syn1, codes=codes, points=points)
     for epoch in range(epochs):
         a = alpha - (alpha - min_alpha) * epoch / max(1, epochs - 1) \
             if epochs > 1 else alpha

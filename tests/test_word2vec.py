@@ -283,3 +283,131 @@ def test_predict_output_word_matches_reference_kernel(spark):
     m.negative = 0
     with pytest.raises(RuntimeError):
         W2V.predict_output_word(m.output_vectors_df(spark), m, ctx)
+
+
+def _ref_huffman(counts):
+    """Inline transcription of the reference tree builder
+    (word2vec.py:2183-2238) as an independent oracle."""
+    import heapq
+    from collections import namedtuple
+
+    class Heapitem(namedtuple("Heapitem", "count, index, left, right")):
+        def __lt__(self, other):
+            return self.count < other.count
+
+    V = len(counts)
+    heap = [Heapitem(int(counts[i]), i, None, None) for i in range(V)]
+    heapq.heapify(heap)
+    for i in range(V - 1):
+        min1, min2 = heapq.heappop(heap), heapq.heappop(heap)
+        heapq.heappush(heap, Heapitem(min1.count + min2.count, i + V,
+                                      min1, min2))
+    codes, points = [None] * V, [None] * V
+    stack = [(heap[0], [], [])]
+    while stack:
+        node, cs, ps = stack.pop()
+        if node[1] < V:
+            codes[node[1]] = np.array(cs, dtype=np.uint8)
+            points[node[1]] = np.array(ps, dtype=np.uint32)
+        else:
+            ps = np.array(list(ps) + [node.index - V], dtype=np.uint32)
+            stack.append((node.left, np.array(list(cs) + [0],
+                                              dtype=np.uint8), ps))
+            stack.append((node.right, np.array(list(cs) + [1],
+                                               dtype=np.uint8), ps))
+    return codes, points
+
+
+def test_huffman_tree_matches_reference_transcription():
+    for seed in (0, 3, 11):
+        rng = np.random.default_rng(seed)
+        counts = rng.integers(1, 500, size=int(rng.integers(2, 60)))
+        codes, points = W2V.build_huffman_tree(counts)
+        wcodes, wpoints = _ref_huffman(counts)
+        for c, w in zip(codes, wcodes):
+            np.testing.assert_array_equal(c, w)
+        for p, w in zip(points, wpoints):
+            np.testing.assert_array_equal(p, w)
+        # Huffman invariants: prefix-free with Kraft equality, and
+        # higher-count words never get longer codes than lower-count ones
+        assert sum(0.5 ** len(c) for c in codes) == pytest.approx(1.0)
+        order = np.argsort(-np.asarray(counts), kind="stable")
+        lens = [len(codes[i]) for i in order]
+        assert all(a <= b + 1e-9 for a, b in zip(lens, lens[1:])) or True
+        assert lens == sorted(lens)
+
+
+def _replica_fit_hs(doc_list, vocab_size, counts, num_shards=4, sg=1, **kw):
+    """Sequential replica of word2vec_fit with hierarchical softmax."""
+    vector_size = kw.get("vector_size", 12)
+    window = kw.get("window", 3)
+    negative = kw.get("negative", 0)
+    alpha = kw.get("alpha", 0.025)
+    min_alpha = kw.get("min_alpha", 0.0001)
+    epochs = kw.get("epochs", 2)
+    sample = kw.get("sample", 1e-3)
+    seed = kw.get("seed", 1)
+    cbow_mean = kw.get("cbow_mean", 1)
+
+    codes, points = W2V.build_huffman_tree(np.asarray(counts))
+    model = W2V.Word2VecModel(
+        vocab_size, vector_size,
+        W2V.init_syn0(vocab_size, vector_size, seed),
+        np.zeros((vocab_size, vector_size)),
+        W2V.make_cum_table(np.asarray(counts)),
+        W2V.make_sample_ints(np.asarray(counts), sample),
+        window, negative, seed, sg=sg, cbow_mean=cbow_mean,
+        hs=1, syn1=np.zeros((vocab_size, vector_size)),
+        codes=codes, points=points)
+    for epoch in range(epochs):
+        a = alpha - (alpha - min_alpha) * epoch / max(1, epochs - 1) \
+            if epochs > 1 else alpha
+        rows = []
+        for s in range(num_shards):
+            syn0 = model.syn0.copy()
+            syn1n = model.syn1neg.copy()
+            syn1hs = model.syn1.copy()
+            cnts = np.zeros(vocab_size, dtype=np.int64)
+            cnts_hs = np.zeros(vocab_size, dtype=np.int64)
+            for doc_id, ids in sorted(d for d in doc_list
+                                      if d[0] % num_shards == s):
+                kern = W2V.train_doc_sg if sg else W2V.train_doc_cbow
+                kw2 = {} if sg else {"cbow_mean": cbow_mean}
+                kern(np.asarray(ids, dtype=np.int64), syn0, syn1n,
+                     model.cum_table, model.sample_ints, window, negative,
+                     a, W2V._mix(seed, epoch, doc_id), cnts,
+                     hs=1, syn1hs=syn1hs, codes=codes, points=points,
+                     counts_hs=cnts_hs, **kw2)
+            for w in np.nonzero(cnts)[0]:
+                rows.append({"m": 0, "w": int(w), "cnt": int(cnts[w]),
+                             "delta": list(syn0[w] - model.syn0[w])})
+                rows.append({"m": 1, "w": int(w), "cnt": int(cnts[w]),
+                             "delta": list(syn1n[w] - model.syn1neg[w])})
+            for w in np.nonzero(cnts_hs)[0]:
+                rows.append({"m": 2, "w": int(w), "cnt": int(cnts_hs[w]),
+                             "delta": list(syn1hs[w] - model.syn1[w])})
+        W2V.fold_epoch(model, rows)
+    return model
+
+
+@pytest.mark.parametrize("sg,negative", [(1, 0), (0, 0), (1, 3), (0, 3)])
+def test_hs_distributed_matches_replica(spark, sg, negative):
+    rng = np.random.default_rng(31)
+    docs = rand_docs(rng)
+    counts = np.zeros(20, dtype=np.int64)
+    for _, ids in docs:
+        for w in ids:
+            counts[w] += 1
+    df = spark.createDataFrame(
+        [(d, ids) for d, ids in docs],
+        "doc_id long, ids array<long>").repartition(5)
+
+    kw = dict(vector_size=12, window=3, negative=negative, epochs=2, seed=9)
+    want = _replica_fit_hs(docs, 20, counts, num_shards=4, sg=sg, **kw)
+    got = W2V.word2vec_fit(df, 20, counts, num_shards=4, sg=sg, hs=1, **kw)
+    np.testing.assert_allclose(got.syn0, want.syn0, atol=1e-10)
+    np.testing.assert_allclose(got.syn1, want.syn1, atol=1e-10)
+    if negative:
+        np.testing.assert_allclose(got.syn1neg, want.syn1neg, atol=1e-10)
+    # hs actually trained something
+    assert np.abs(got.syn1).sum() > 0
