@@ -1098,6 +1098,67 @@ def _q_coherence_cnpmi_doc(spark, sf_dir):
         "topic_id long, coherence double")
 
 
+_DIST_PAIRS = 40
+
+
+def _q_bow_pair_distances(spark, sf_dir):
+    """matutils distance kernels (cossim/hellinger/jaccard/KL/JS,
+    matutils.py:796-1005) over consecutive-document BoW pairs — one
+    full-outer term join + one hash aggregate, all JVM column expressions
+    (operators/distances.py). KL is split into a finite value + an is-inf
+    flag so the oracle compare stays hashable."""
+    from gensim_spark.operators import distances as D
+
+    idx = _index(spark, sf_dir)
+    postings = idx.postings
+    pairs = spark.range(_DIST_PAIRS).select(
+        F.col("id").alias("pair_id"), F.col("id").alias("id_a"),
+        (F.col("id") + 1).alias("id_b"))
+    out = D.pairwise_bow_distances(
+        pairs, postings, postings, metrics=D.METRICS,
+        id_col="doc_id", weight_col="tf")
+    return out.select(
+        "pair_id", "id_a", "id_b",
+        F.round("cossim", 6).alias("cossim"),
+        F.round("hellinger", 6).alias("hellinger"),
+        F.round("jaccard", 6).alias("jaccard"),
+        F.col("kullback_leibler").cast("double").isin(float("inf"))
+        .alias("kl_inf"),
+        # inf → 0.0 (the kl_inf flag carries it) so neither side emits nulls
+        F.when(F.col("kullback_leibler") != float("inf"),
+               F.round("kullback_leibler", 6)).otherwise(F.lit(0.0))
+        .alias("kl"),
+        F.round("jensen_shannon", 6).alias("js"))
+
+
+def _q_lda_topic_diff(spark, sf_dir):
+    """LdaModel.diff (ldamodel.py:1420-1513) between two differently-seeded
+    fits: the K×K Hellinger topic-difference matrix, normed by its max.
+    Both topic-term matrices are persisted as parquet artifacts; the oracle
+    re-runs the pairwise Hellinger + max-norm relationally. The EM itself
+    is pinned by tests/test_lda.py's sequential replica."""
+    from gensim_spark.operators import distances as D
+    from gensim_spark.operators import lda as LD
+
+    idx = _index(spark, sf_dir)
+    postings = idx.postings.select("doc_id", "term_id", "tf")
+    nt = idx.vocab.count()
+    ma = LD.lda_fit(postings, num_topics=_LDA_K, num_terms=nt, passes=1,
+                    random_seed=13, iterations=20)
+    mb = LD.lda_fit(postings, num_topics=_LDA_K, num_terms=nt, passes=1,
+                    random_seed=29, iterations=20)
+    ta = LD.topics_df(spark, ma).select(
+        "topic_id", "term_id", F.col("prob").alias("p"))
+    tb = LD.topics_df(spark, mb).select(
+        "topic_id", "term_id", F.col("prob").alias("p"))
+    _persist_artifact(ta, sf_dir, "lda_diff_a")
+    _persist_artifact(tb, sf_dir, "lda_diff_b")
+    ta = spark.read.parquet(_art_path(sf_dir, "lda_diff_a"))
+    tb = spark.read.parquet(_art_path(sf_dir, "lda_diff_b"))
+    out = D.topic_diff_df(spark, ta, tb, distance="hellinger", normed=True)
+    return out.select("topic_a", "topic_b", F.round("d", 6).alias("d"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokens_count": _q_tokens_count,
@@ -1157,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poincare_knn": _q_poincare_knn,
         "coherence_umass": _q_coherence_umass,
         "coherence_cnpmi_doc": _q_coherence_cnpmi_doc,
+        "bow_pair_distances": _q_bow_pair_distances,
+        "lda_topic_diff": _q_lda_topic_diff,
     }
 
 
@@ -2046,6 +2109,69 @@ def _wmd_rwmd_sql() -> str:
     return WM.rwmd_topk_sql(QUERY_SET, k=_WMD_K, dim=_WMD_DIM)
 
 
+def _bow_pair_distances_sql() -> str:
+    # Same full-outer-join + one-aggregate shape as the Spark kernel
+    # (operators/distances.py:pairwise_bow_distances), re-derived in SQL.
+    return f"""{_PRELUDE},
+dpairs AS (SELECT i AS pair_id, i AS id_a, i + 1 AS id_b
+           FROM range({_DIST_PAIRS}) t(i)),
+pa AS (SELECT pr.pair_id, p.term_id, p.tf::DOUBLE AS wa
+       FROM dpairs pr JOIN postings p ON p.doc_id = pr.id_a),
+pb AS (SELECT pr.pair_id, p.term_id, p.tf::DOUBLE AS wb
+       FROM dpairs pr JOIN postings p ON p.doc_id = pr.id_b),
+j AS (SELECT COALESCE(pa.pair_id, pb.pair_id) AS pair_id,
+             COALESCE(wa, 0.0) AS wa, COALESCE(wb, 0.0) AS wb
+      FROM pa FULL OUTER JOIN pb
+        ON pa.pair_id = pb.pair_id AND pa.term_id = pb.term_id),
+g AS (SELECT pair_id,
+             sum(wa * wb) AS dot, sum(wa * wa) AS na2, sum(wb * wb) AS nb2,
+             sum(wa) AS sa, sum(wb) AS sb,
+             sum((sqrt(wa) - sqrt(wb)) ^ 2) AS h2,
+             sum(least(wa, wb)) AS inter,
+             bool_or(wa > 0 AND wb = 0) AS is_inf,
+             sum(CASE WHEN wa > 0 AND wb > 0
+                      THEN wa * (ln(wa) - ln(wb)) ELSE 0 END) AS plogpq,
+             sum(CASE WHEN wa > 0
+                      THEN wa * (ln(wa) - ln((wa + wb) / 2))
+                      ELSE 0 END) AS pam,
+             sum(CASE WHEN wb > 0
+                      THEN wb * (ln(wb) - ln((wa + wb) / 2))
+                      ELSE 0 END) AS pbm
+      FROM j GROUP BY pair_id)
+SELECT pr.pair_id, pr.id_a, pr.id_b,
+       round(CASE WHEN na2 = 0 OR nb2 = 0 THEN 0.0
+                  ELSE dot / (sqrt(na2) * sqrt(nb2)) END, 6) AS cossim,
+       round(sqrt(0.5 * h2), 6) AS hellinger,
+       round(CASE WHEN sa + sb > 0
+                  THEN 1.0 - inter / (sa + sb) END, 6) AS jaccard,
+       is_inf AS kl_inf,
+       CASE WHEN NOT is_inf
+            THEN round(plogpq / sa + ln(sb / sa), 6)
+            ELSE 0.0 END AS kl,
+       round(0.5 * ((pam / sa + ln((sa + sb) / (2 * sa)))
+                    + (pbm / sb + ln((sa + sb) / (2 * sb)))), 6) AS js
+FROM dpairs pr JOIN g USING (pair_id)"""
+
+
+def _lda_topic_diff_sql() -> str:
+    # topics_df artifacts are dense K×V over one vocab, so the pairwise
+    # Hellinger full-outer term union degenerates to an inner equijoin.
+    pa = f"{_ART_DIR}/{_ORACLE_SF}/lda_diff_a/*.parquet"
+    pb = f"{_ART_DIR}/{_ORACLE_SF}/lda_diff_b/*.parquet"
+    return f"""
+WITH a AS (SELECT topic_id AS topic_a, term_id, p AS wa
+           FROM read_parquet('{pa}')),
+b AS (SELECT topic_id AS topic_b, term_id, p AS wb
+      FROM read_parquet('{pb}')),
+d0 AS (SELECT topic_a, topic_b,
+              sqrt(0.5 * sum((sqrt(wa) - sqrt(wb)) ^ 2)) AS d
+       FROM a JOIN b USING (term_id) GROUP BY topic_a, topic_b),
+mx AS (SELECT max(d) AS m FROM d0)
+SELECT topic_a, topic_b,
+       round(CASE WHEN abs(m) > 1e-8 THEN d / m ELSE d END, 6) AS d
+FROM d0, mx"""
+
+
 def oracle_sql() -> dict[str, str]:
     sw = _stopword_list_sql()
     return {
@@ -2250,6 +2376,8 @@ FROM ranked WHERE rank <= 10""",
         "hdp_topics": _hdp_topics_sql(),
         "lda_doc_topics": _lda_doc_topics_sql(),
         "nmf_doc_topics": _nmf_doc_topics_sql(),
+        "bow_pair_distances": _bow_pair_distances_sql(),
+        "lda_topic_diff": _lda_topic_diff_sql(),
         # wmd_topk: no oracle_sql on purpose — the exact Word Mover's
         # Distance is a transportation LP that is iterative even at
         # inference time (no relational query side to persist-and-verify);

@@ -516,3 +516,59 @@ def show_topic(model: LdaModel, vocab: DataFrame, topic_id: int,
         "term_id long, prob double, rank long")
     return (top.join(F.broadcast(vocab.select("term_id", "token")), "term_id")
             .orderBy("rank").select("token", "prob"))
+
+
+def get_term_topics(model: LdaModel, term_id: int,
+                    minimum_probability: float | None = None):
+    """Most relevant topics for one term (ldamodel.py:1388-1418): topics
+    whose expElogβ[topic, term] clears the threshold, as (topic_id, p)
+    pairs in topic order. The floor of 1e-8 matches the reference's
+    never-zero clamp."""
+    min_p = (model.minimum_probability if minimum_probability is None
+             else float(minimum_probability))
+    min_p = max(min_p, 1e-8)
+    col = np.exp(model.get_elogbeta())[:, int(term_id)]
+    return [(k, float(col[k])) for k in range(model.num_topics)
+            if col[k] >= min_p]
+
+
+def top_topics(model: LdaModel, measure: str = "u_mass", topn: int = 20,
+               vocab: DataFrame | None = None, **coherence_kw):
+    """Topics ranked by coherence, best first (ldamodel.py:1255-1306):
+    [(topic_repr, score)] where topic_repr is the top-``topn``
+    (prob, term) list — term ids, or tokens when ``vocab`` is given.
+
+    ``coherence_kw`` forwards to ``coherence.coherence_per_topic``
+    (postings=/num_docs= for u_mass, texts= for the windowed measures).
+    For the windowed measures the topic word lists handed to the estimator
+    are token strings, so ``vocab`` is required there."""
+    from gensim_spark.operators import coherence as C
+
+    probs = model.get_topics()
+    bestn = [np.argsort(-probs[t], kind="stable")[:topn].tolist()
+             for t in range(model.num_topics)]
+    id2tok = None
+    if vocab is not None:
+        id2tok = {r["term_id"]: r["token"]
+                  for r in vocab.select("term_id", "token").collect()}
+    topic_words = (bestn if measure == "u_mass"
+                   else [[id2tok[w] for w in t] for t in bestn])
+    scores = C.coherence_per_topic(topic_words, measure, **coherence_kw)
+    reprs = [[(float(probs[t, w]), id2tok[w] if id2tok else int(w))
+              for w in bestn[t]] for t in range(model.num_topics)]
+    return sorted(zip(reprs, [float(s) for s in scores]),
+                  key=lambda x: x[1], reverse=True)
+
+
+def diff(model: LdaModel, other: LdaModel,
+         distance: str = "kullback_leibler", num_words: int = 100,
+         n_ann_terms: int = 10, diagonal: bool = False,
+         annotation: bool = True, normed: bool = True):
+    """Topic-difference matrix between two fitted models
+    (ldamodel.py:1420-1513) — delegates to the shared distance kernels."""
+    from gensim_spark.operators import distances as D
+
+    return D.lda_diff(model.get_topics(), other.get_topics(),
+                      distance=distance, num_words=num_words,
+                      n_ann_terms=n_ann_terms, diagonal=diagonal,
+                      annotation=annotation, normed=normed)
