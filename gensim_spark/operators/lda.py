@@ -290,9 +290,13 @@ def _estep(docs: DataFrame, model: LdaModel, update_no: int) -> tuple:
 
 
 def lda_fit(postings: DataFrame, num_topics: int, num_terms: int | None = None,
-            passes: int = 1, **model_kwargs) -> LdaModel:
+            passes: int = 1, callbacks=None, **model_kwargs) -> LdaModel:
     """Fit by batch EM over the corpus (``update_every=0`` semantics of
     ldamodel.py:855-1048: one E-step over everything, one M-step, per pass).
+
+    ``callbacks``: list of ``operators.callbacks.Metric`` — evaluated after
+    every pass exactly like ``LdaModel.update`` (ldamodel.py:971-1038);
+    per-metric value lists land on ``model.metrics``.
     """
     if num_terms is None:
         num_terms = postings.agg(
@@ -301,6 +305,14 @@ def lda_fit(postings: DataFrame, num_topics: int, num_terms: int | None = None,
     lencorpus = docs.count()
     model = LdaModel(num_topics, num_terms, **model_kwargs)
     model.numdocs += lencorpus                        # ldamodel.py:934
+    cb = None
+    if callbacks:
+        from collections import defaultdict
+
+        from gensim_spark.operators.callbacks import Callback
+        cb = Callback(callbacks)
+        cb.set_model(model)
+        model.metrics = defaultdict(list)
     for pass_ in range(int(passes)):
         rho = model.rho(pass_)
         sstats, elogtheta_sum, ndocs = _estep(docs, model, update_no=pass_)
@@ -308,6 +320,9 @@ def lda_fit(postings: DataFrame, num_topics: int, num_terms: int | None = None,
             logphat = elogtheta_sum / ndocs
             model.alpha = update_dir_prior(model.alpha, ndocs, logphat, rho)
         model.do_mstep(rho, sstats, int(ndocs), extra_pass=pass_ > 0)
+        if cb is not None:                            # ldamodel.py:1035-1038
+            for label, value in cb.on_epoch_end(pass_).items():
+                model.metrics[label].append(value)
     docs.unpersist()
     return model
 

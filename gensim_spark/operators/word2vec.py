@@ -481,7 +481,8 @@ def word2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
                  epochs: int = 5, sample: float = 1e-3,
                  ns_exponent: float = 0.75, num_shards: int = 64,
                  seed: int = 1, sg: int = 1,
-                 cbow_mean: int = 1, hs: int = 0) -> Word2VecModel:
+                 cbow_mean: int = 1, hs: int = 0,
+                 callbacks=()) -> Word2VecModel:
     """Fit SGNS (``sg=1``) or CBOW (``sg=0``) over (doc_id, ids) rows
     (vocab indices per document, in token order, unknown words
     pre-dropped). ``counts`` is the per-index corpus frequency vector
@@ -501,11 +502,19 @@ def word2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
         make_sample_ints(counts, sample),
         window, negative, seed, sg=sg, cbow_mean=cbow_mean,
         hs=hs, syn1=syn1, codes=codes, points=points)
+    for cb in callbacks:      # CallbackAny2Vec (callbacks.py:567-616)
+        cb.on_train_begin(model)
     for epoch in range(epochs):
+        for cb in callbacks:
+            cb.on_epoch_begin(model)
         a = alpha - (alpha - min_alpha) * epoch / max(1, epochs - 1) \
             if epochs > 1 else alpha
         rows = _epoch_partials(docs, model, epoch, a, num_shards)
         fold_epoch(model, rows)
+        for cb in callbacks:
+            cb.on_epoch_end(model)
+    for cb in callbacks:
+        cb.on_train_end(model)
     return model
 
 
