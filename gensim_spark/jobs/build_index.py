@@ -16,6 +16,73 @@ sys.path.insert(
 )
 
 
+def run(spark, input_path: str, output: str, variant: str = "okapi",
+        docs_per_shard: int = 32768, num_groups: int = 8,
+        from_html: bool = False, resume: bool = True,
+        iceberg: bool = False) -> dict:
+    """The job body; returns build metrics. Importable so tests can drive
+    it on the shared session without a subprocess."""
+    from pyspark.sql import functions as F
+
+    from gensim_spark.index.layout import write_packed_shards
+    from gensim_spark.plans import pipeline as P
+
+    t0 = time.perf_counter()
+    pages = spark.read.parquet(input_path)
+    if "doc_id" not in pages.columns:
+        pages = pages.withColumn(
+            "doc_id", F.monotonically_increasing_id())
+    if from_html:
+        idx = P.build_from_pages(pages, variant=variant)
+    else:
+        docs = pages.select("doc_id", "text")
+        tok = P.tokenize(docs)
+        idx = P.build(tok, variant=variant)
+    if iceberg:
+        from gensim_spark.index.icetable import IceTable
+        from gensim_spark.index.layout import write_packed_shards_iceberg
+
+        try:
+            vt = IceTable.load(f"{output}/vocab")
+        except FileNotFoundError:
+            vt = IceTable.create(
+                f"{output}/vocab",
+                "token string, term_id bigint, df bigint, cf bigint,"
+                " first_doc bigint")
+        vt.append(idx.vocab, operation="overwrite",
+                  summary={"num_docs": idx.num_docs})
+        table = write_packed_shards_iceberg(
+            idx.weighted, f"{output}/shards",
+            docs_per_shard=docs_per_shard,
+            num_groups=num_groups, resume=resume,
+        )
+        groups = {
+            str(s.summary["group"]): {k: s.summary[k] for k in
+                                      ("docs", "terms", "postings",
+                                       "wall_sec")}
+            for s in table.snapshots if "group" in s.summary
+        }
+    else:
+        idx.vocab.write.mode("overwrite").parquet(f"{output}/vocab")
+        manifest = write_packed_shards(
+            idx.weighted, output, docs_per_shard=docs_per_shard,
+            num_groups=num_groups, resume=resume,
+        )
+        groups = manifest["groups"]
+    wall = time.perf_counter() - t0
+    metrics = {
+        "num_docs": idx.num_docs,
+        "avgdl": idx.stats.avgdl,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(idx.num_docs / wall, 1),
+        "iceberg": bool(iceberg),
+        "groups": groups,
+    }
+    with open(f"{output}/build_metrics.json", "w") as f:
+        json.dump(metrics, f, indent=1)
+    return metrics
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="pages parquet dir")
@@ -32,68 +99,13 @@ def main() -> None:
                          "(snapshot commits, time travel, manifest pruning)")
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
-    from gensim_spark.index.layout import write_packed_shards
-    from gensim_spark.plans import pipeline as P
     from gensim_spark.session import get_spark
 
     spark = get_spark("gensim_spark_build")
-    t0 = time.perf_counter()
-    pages = spark.read.parquet(args.input)
-    if args.from_html:
-        idx = P.build_from_pages(pages, variant=args.variant)
-    else:
-        if "doc_id" in pages.columns:
-            docs = pages.select("doc_id", "text")
-        else:
-            docs = pages.select(
-                F.monotonically_increasing_id().alias("doc_id"), "text"
-            )
-        tok = P.tokenize(docs)
-        idx = P.build(tok, variant=args.variant)
-    if args.iceberg:
-        from gensim_spark.index.icetable import IceTable
-        from gensim_spark.index.layout import write_packed_shards_iceberg
-
-        try:
-            vt = IceTable.load(f"{args.output}/vocab")
-        except FileNotFoundError:
-            vt = IceTable.create(
-                f"{args.output}/vocab",
-                "token string, term_id bigint, df bigint, cf bigint,"
-                " first_doc bigint")
-        vt.append(idx.vocab, operation="overwrite",
-                  summary={"num_docs": idx.num_docs})
-        table = write_packed_shards_iceberg(
-            idx.weighted, f"{args.output}/shards",
-            docs_per_shard=args.docs_per_shard,
-            num_groups=args.num_groups, resume=not args.no_resume,
-        )
-        groups = {
-            str(s.summary["group"]): {k: s.summary[k] for k in
-                                      ("docs", "terms", "postings",
-                                       "wall_sec")}
-            for s in table.snapshots if "group" in s.summary
-        }
-    else:
-        idx.vocab.write.mode("overwrite").parquet(f"{args.output}/vocab")
-        manifest = write_packed_shards(
-            idx.weighted, args.output, docs_per_shard=args.docs_per_shard,
-            num_groups=args.num_groups, resume=not args.no_resume,
-        )
-        groups = manifest["groups"]
-    wall = time.perf_counter() - t0
-    metrics = {
-        "num_docs": idx.num_docs,
-        "avgdl": idx.stats.avgdl,
-        "wall_sec": round(wall, 2),
-        "docs_per_sec": round(idx.num_docs / wall, 1),
-        "iceberg": bool(args.iceberg),
-        "groups": groups,
-    }
-    with open(f"{args.output}/build_metrics.json", "w") as f:
-        json.dump(metrics, f, indent=1)
+    metrics = run(spark, args.input, args.output, variant=args.variant,
+                  docs_per_shard=args.docs_per_shard,
+                  num_groups=args.num_groups, from_html=args.from_html,
+                  resume=not args.no_resume, iceberg=args.iceberg)
     print(json.dumps(metrics))
     spark.stop()
 

@@ -15,6 +15,48 @@ sys.path.insert(
 )
 
 
+def run(spark, index_dir: str, queries: list[str], k: int = 10,
+        iceberg: bool = False, snapshot_id: int | None = None) -> dict:
+    """The job body; returns {"results": {qid: [{doc_id, score, rank}]},
+    "wall_sec": s}. Importable so tests can drive it without a subprocess."""
+    from pyspark.sql import functions as F
+
+    from gensim_spark.functions import textref
+    from gensim_spark.index.wand import wand_topk
+
+    packed = None
+    if iceberg:
+        from gensim_spark.index.icetable import IceTable
+        from gensim_spark.index.layout import read_packed_shards_iceberg
+
+        vocab = IceTable.load(f"{index_dir}/vocab").scan(spark)
+        packed = read_packed_shards_iceberg(
+            spark, f"{index_dir}/shards", snapshot_id=snapshot_id)
+    else:
+        vocab = spark.read.parquet(f"{index_dir}/vocab")
+    tokens = {qid: textref.simple_preprocess(q)
+              for qid, q in enumerate(queries)}
+    all_tokens = sorted({t for ts in tokens.values() for t in ts})
+    tid = {
+        r["token"]: r["term_id"]
+        for r in vocab.filter(F.col("token").isin(all_tokens)).collect()
+    }
+    query_terms = {
+        qid: {int(tid[t]): 1.0 for t in set(ts) if t in tid}
+        for qid, ts in tokens.items()
+    }
+    t0 = time.perf_counter()
+    rows = wand_topk(spark, index_dir, query_terms, k=k,
+                     packed=packed).collect()
+    wall = time.perf_counter() - t0
+    out = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        out.setdefault(str(r["query_id"]), []).append(
+            {"doc_id": r["doc_id"], "score": r["score"], "rank": r["rank"]}
+        )
+    return {"results": out, "wall_sec": round(wall, 3)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True, help="index dir (from build)")
@@ -27,44 +69,12 @@ def main() -> None:
                     help="time-travel the shard store to this snapshot")
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
-    from gensim_spark.functions import textref
-    from gensim_spark.index.wand import wand_topk
     from gensim_spark.session import get_spark
 
     spark = get_spark("gensim_spark_query")
-    packed = None
-    if args.iceberg:
-        from gensim_spark.index.icetable import IceTable
-        from gensim_spark.index.layout import read_packed_shards_iceberg
-
-        vocab = IceTable.load(f"{args.index}/vocab").scan(spark)
-        packed = read_packed_shards_iceberg(
-            spark, f"{args.index}/shards", snapshot_id=args.snapshot_id)
-    else:
-        vocab = spark.read.parquet(f"{args.index}/vocab")
-    tokens = {qid: textref.simple_preprocess(q)
-              for qid, q in enumerate(args.query)}
-    all_tokens = sorted({t for ts in tokens.values() for t in ts})
-    tid = {
-        r["token"]: r["term_id"]
-        for r in vocab.filter(F.col("token").isin(all_tokens)).collect()
-    }
-    query_terms = {
-        qid: {int(tid[t]): 1.0 for t in set(ts) if t in tid}
-        for qid, ts in tokens.items()
-    }
-    t0 = time.perf_counter()
-    rows = wand_topk(spark, args.index, query_terms, k=args.k,
-                     packed=packed).collect()
-    wall = time.perf_counter() - t0
-    out = {}
-    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
-        out.setdefault(str(r["query_id"]), []).append(
-            {"doc_id": r["doc_id"], "score": r["score"], "rank": r["rank"]}
-        )
-    print(json.dumps({"results": out, "wall_sec": round(wall, 3)}))
+    out = run(spark, args.index, args.query, k=args.k,
+              iceberg=args.iceberg, snapshot_id=args.snapshot_id)
+    print(json.dumps(out))
     spark.stop()
 
 

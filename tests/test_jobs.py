@@ -1,0 +1,204 @@
+"""spark-submit job bodies (gensim_spark/jobs/) driven end-to-end on tiny
+synthetic inputs — the north rule's ``spark-submit --py-files`` pipeline
+surface: build_index → query_index (resumable), make_wikicorpus
+(gensim/scripts/make_wikicorpus.py parity artifacts), word2vec_train
+(gensim/scripts/word2vec_standalone.py flag surface)."""
+
+import bz2
+import datetime
+import json
+import os
+
+import pytest
+
+
+def _pages_df(spark, n=40):
+    """Common-Crawl-shaped pages table (url, warc_ts, html, text, lang)."""
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    for i in range(n):
+        toks = [words[(i + j) % len(words)] for j in range(6)] + ["common"]
+        text = " ".join(toks)
+        rows.append((
+            f"https://example.org/p{i}",
+            datetime.datetime(2024, 1, 1 + i % 28),
+            ("<html><body><p>" + text + "</p></body></html>").encode("utf8"),
+            text,
+            "en",
+        ))
+    return spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def test_build_and_query_index_job(spark, tmp_path):
+    from gensim_spark.jobs import build_index, query_index
+
+    pages = str(tmp_path / "pages")
+    _pages_df(spark).write.parquet(pages)
+    out = str(tmp_path / "idx")
+
+    metrics = build_index.run(spark, pages, out, docs_per_shard=16,
+                              num_groups=2)
+    assert metrics["num_docs"] == 40
+    assert metrics["avgdl"] == pytest.approx(7.0)
+    assert set(metrics["groups"]) == {"0", "1"}
+    assert os.path.exists(os.path.join(out, "build_metrics.json"))
+
+    res = query_index.run(spark, out, ["alpha beta", "zeta common"], k=5)
+    assert set(res["results"]) == {"0", "1"}
+    for hits in res["results"].values():
+        assert len(hits) == 5
+        scores = [h["score"] for h in hits]
+        assert scores == sorted(scores, reverse=True)
+        assert [h["rank"] for h in hits] == [1, 2, 3, 4, 5]
+
+    # resume: a second run over committed groups is a no-op for results
+    metrics2 = build_index.run(spark, pages, out, docs_per_shard=16,
+                               num_groups=2, resume=True)
+    assert metrics2["num_docs"] == 40
+    res2 = query_index.run(spark, out, ["alpha beta", "zeta common"], k=5)
+    assert res2["results"] == res["results"]
+
+
+def test_build_index_job_from_html(spark, tmp_path):
+    from gensim_spark.jobs import build_index, query_index
+
+    pages = str(tmp_path / "pages")
+    _pages_df(spark, n=12).write.parquet(pages)
+    out = str(tmp_path / "idx")
+    metrics = build_index.run(spark, pages, out, from_html=True,
+                              num_groups=1)
+    assert metrics["num_docs"] == 12
+    res = query_index.run(spark, out, ["gamma delta"], k=3)
+    assert len(res["results"]["0"]) == 3
+
+
+WIKI_XML = """<mediawiki>
+{pages}
+</mediawiki>"""
+
+PAGE = ("  <page><title>{title}</title><ns>0</ns><revision><text>"
+        "{text}</text></revision></page>")
+
+
+def _write_dump(path, n=6):
+    words = ["spark", "index", "query", "vector", "topic", "corpus",
+             "model", "token"]
+    pages = []
+    for i in range(n):
+        # 4 distinct words per page (cyclic) so dfs differ across terms
+        body = " ".join(words[(i + j) % len(words)] for j in range(4)) \
+            + f" {words[i % len(words)]}" * 2
+        pages.append(PAGE.format(title=f"Article {i}", text=body))
+    with open(path, "w") as fh:
+        fh.write(WIKI_XML.format(pages="\n".join(pages)))
+
+
+def test_make_wikicorpus_job(spark, tmp_path):
+    from gensim_spark.jobs import make_wikicorpus
+    from gensim_spark.sources.matrix_market import mm_stats, read_mm
+
+    dump = str(tmp_path / "dump.xml")
+    _write_dump(dump)
+    prefix = str(tmp_path / "out" / "wiki")
+    metrics = make_wikicorpus.run(spark, dump, prefix, keep_words=100,
+                                  no_below=1, no_above=1.0, min_words=1)
+    assert metrics["num_docs"] == 6
+    assert metrics["vocab_size"] == 8
+
+    # _wordids.txt.bz2: save_as_text format, header == num_docs
+    with bz2.open(prefix + "_wordids.txt.bz2", "rt") as fh:
+        lines = [ln.rstrip("\n") for ln in fh if ln.strip()]
+    assert lines[0] == "6"
+    assert len(lines) == 1 + 8
+    assert all(len(ln.split("\t")) == 3 for ln in lines[1:])
+
+    # _bow.mm / _tfidf.mm parse and agree with the metrics
+    nd, nt, nnz = mm_stats(spark, prefix + "_bow.mm")
+    assert (nd, nnz) == (6, metrics["num_nnz"])
+    bow = read_mm(spark, prefix + "_bow.mm")
+    assert bow.count() == nnz
+    tfidf = read_mm(spark, prefix + "_tfidf.mm")
+    assert tfidf.count() > 0
+
+    # fitted tfidf model state + metadata parquet
+    meta = json.load(open(prefix + ".tfidf_model/meta.json"))
+    assert meta["smartirs"] == "nfc" and meta["num_docs"] == 6
+    titles = spark.read.parquet(prefix + "_metadata")
+    assert titles.count() == 6 and set(titles.columns) == {"doc_id", "title"}
+
+
+def test_make_wikicorpus_job_online_parquet_sink(spark, tmp_path):
+    """make_wiki_online variant: hash-mapped ids + parquet postings sink."""
+    from pyspark.sql import functions as F
+
+    from gensim_spark.jobs import make_wikicorpus
+
+    dump = str(tmp_path / "dump.xml")
+    _write_dump(dump)
+    prefix = str(tmp_path / "out" / "wiki")
+    metrics = make_wikicorpus.run(spark, dump, prefix, keep_words=1000,
+                                  no_below=1, no_above=1.0, min_words=1,
+                                  sink="parquet", online=True)
+    assert metrics["num_docs"] == 6
+    post = spark.read.parquet(prefix + "_bow")
+    assert post.count() == metrics["num_nnz"]
+    # hash ids live in [0, keep_words)
+    mx = post.agg(F.max("term_id"), F.min("term_id")).first()
+    assert 0 <= mx[1] and mx[0] < 1000
+
+
+def test_word2vec_train_job(spark, tmp_path, common_texts):
+    from gensim_spark.jobs import word2vec_train
+    from gensim_spark.sources.word2vec_format import load_word2vec_format
+
+    corpus = str(tmp_path / "corpus.txt")
+    with open(corpus, "w") as fh:
+        for _ in range(4):
+            for t in common_texts:
+                fh.write(" ".join(t) + "\n")
+
+    questions = str(tmp_path / "questions.txt")
+    with open(questions, "w") as fh:
+        fh.write(": test-section\n")
+        fh.write("human interface user system\n")
+        fh.write("graph trees minors survey\n")
+        fh.write("unknownword user graph trees\n")   # OOV row
+
+    out = str(tmp_path / "vectors.txt")
+    metrics = word2vec_train.run(
+        spark, corpus, out, size=8, window=3, negative=2, iter_=2,
+        min_count=1, cbow=0, num_shards=2, accuracy=questions)
+    assert metrics["vocab_size"] == 12
+    assert metrics["sg"] == 1
+
+    vecs = load_word2vec_format(spark, out)
+    assert vecs.count() == 12
+    row = vecs.first()
+    assert len(row["embedding"]) == 8
+
+    acc = metrics["accuracy"]
+    assert acc["oov"] == 1
+    assert 0.0 <= acc["score"] <= 1.0
+    total = [s for s in acc["sections"] if s["section"] == "Total accuracy"]
+    assert total and total[0]["correct"] + total[0]["incorrect"] == 2
+
+
+def test_word2vec_train_job_binary_cbow_hs(spark, tmp_path, common_texts):
+    from gensim_spark.jobs import word2vec_train
+    from gensim_spark.sources.word2vec_format import load_word2vec_format
+
+    corpus = str(tmp_path / "corpus.txt")
+    with open(corpus, "w") as fh:
+        for t in common_texts:
+            fh.write(" ".join(t) + "\n")
+    out = str(tmp_path / "vectors.bin")
+    metrics = word2vec_train.run(
+        spark, corpus, out, size=4, negative=0, hs=1, iter_=1,
+        min_count=1, cbow=1, binary=1, num_shards=2)
+    assert metrics["sg"] == 0
+    vecs = load_word2vec_format(spark, out, binary=True)
+    assert vecs.count() == 12
+    assert len(vecs.first()["embedding"]) == 4
