@@ -439,9 +439,10 @@ class Word2Vec:
 
 
 class FastText:
-    """``gensim.models.FastText`` (fasttext.py, sg=1 + negative sampling):
-    subword-bucket SGNS at construction over (doc_id, tokens). ``.wv`` is a
-    :class:`KeyedVectors` over the adjusted in-vocab vectors;
+    """``gensim.models.FastText`` (fasttext.py, negative sampling; ``sg=0``
+    CBOW is the reference's constructor default, ``sg=1`` skip-gram):
+    subword-bucket training at construction over (doc_id, tokens). ``.wv``
+    is a :class:`KeyedVectors` over the adjusted in-vocab vectors;
     :meth:`get_vector` also serves OOV words from their character n-grams
     — the feature that distinguishes FastText from Word2Vec."""
 
@@ -449,7 +450,8 @@ class FastText:
                  window: int = 5, negative: int = 5, epochs: int = 5,
                  sample: float = 1e-3, bucket: int = 100000,
                  min_n: int = 3, max_n: int = 6, num_shards: int = 64,
-                 seed: int = 1, dictionary: Dictionary | None = None):
+                 seed: int = 1, dictionary: Dictionary | None = None,
+                 sg: int = 0, cbow_mean: int = 1):
         import numpy as np
 
         from gensim_spark.operators import fasttext as _ft
@@ -467,7 +469,8 @@ class FastText:
         self.model = _ft.fasttext_fit(
             ids, tokens, counts, vector_size=vector_size, window=window,
             negative=negative, epochs=epochs, sample=sample, bucket=bucket,
-            min_n=min_n, max_n=max_n, num_shards=num_shards, seed=seed)
+            min_n=min_n, max_n=max_n, num_shards=num_shards, seed=seed,
+            sg=sg, cbow_mean=cbow_mean)
         spark = documents.sparkSession
         vecs = self.model.vectors_df(spark, d.df)
         self.wv = KeyedVectors(vecs.select("token", "embedding"),

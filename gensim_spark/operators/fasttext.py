@@ -207,15 +207,101 @@ def train_doc_ft_sg(ids: np.ndarray, subwords: list, syn0v: np.ndarray,
                 counts_n[nh] += 1
 
 
+def train_doc_ft_cbow(ids: np.ndarray, subwords: list, syn0v: np.ndarray,
+                      syn0n: np.ndarray, syn1neg: np.ndarray,
+                      cum_table: np.ndarray, sample_ints: np.ndarray,
+                      window: int, negative: int, alpha: float,
+                      doc_seed: int, counts_v: np.ndarray,
+                      counts_n: np.ndarray, counts_o: np.ndarray,
+                      cbow_mean: int = 1) -> None:
+    """One document's FastText CBOW pass — the exact pyx kernel
+    (fasttext_inner.pyx fasttext_fast_sentence_cbow_neg) in numpy float64.
+
+    CBOW quirks vs the SG kernel: the context sum counts BOTH each context
+    word and every one of its subwords toward ``inv_count``; saturated
+    dot products CLAMP the sigmoid to 0/1 (SG skips the sample); with
+    ``cbow_mean=0`` the accumulated error is scaled by ``inv_count``
+    before it is applied to every context row."""
+    rs = np.random.RandomState(doc_seed & 0xFFFFFFFF)
+    next_random = _mix(doc_seed, 1)
+
+    kept = []
+    for w in ids:
+        if sample_ints[w] < rs.randint(0, 2 ** 31) * 2:
+            continue
+        kept.append(int(w))
+    n = len(kept)
+    if n == 0:
+        return
+    reduced = rs.randint(0, window, size=n)
+
+    size = syn0v.shape[1]
+    cum_last = int(cum_table[-1])
+    for i in range(n):
+        wi = kept[i]                      # output side: predicted word
+        j0 = max(0, i - window + reduced[i])
+        k0 = min(n, i + window + 1 - reduced[i])
+        neu1 = np.zeros(size)
+        count = 0.0
+        for m in range(j0, k0):
+            if m == i:
+                continue
+            wm = kept[m]
+            count += 1.0
+            neu1 += syn0v[wm]
+            for nh in subwords[wm]:
+                count += 1.0
+                neu1 += syn0n[nh]
+        inv_count = 1.0 / count if count > 0.5 else 1.0
+        if cbow_mean:
+            neu1 *= inv_count
+        work = np.zeros(size)
+        for d in range(negative + 1):
+            if d == 0:
+                target, label = wi, 1.0
+            else:
+                r = (next_random >> 16) % cum_last
+                target = int(np.searchsorted(cum_table, r, side="left"))
+                next_random = (next_random * _LCG_MUL + 11) & _LCG_MOD
+                if target == wi:
+                    continue
+                label = 0.0
+            u = syn1neg[target]
+            f_dot = float(neu1 @ u)
+            if f_dot <= -FT_MAX_EXP:
+                f = 0.0
+            elif f_dot >= FT_MAX_EXP:
+                f = 1.0
+            else:
+                f = _ft_sigmoid(f_dot)
+            g = (label - f) * alpha
+            work += g * u
+            syn1neg[target] += g * neu1
+            counts_o[target] += 1
+        if not cbow_mean:
+            work *= inv_count
+        for m in range(j0, k0):
+            if m == i:
+                continue
+            wm = kept[m]
+            syn0v[wm] += work
+            counts_v[wm] += 1
+            for nh in subwords[wm]:
+                syn0n[nh] += work
+                counts_n[nh] += 1
+
+
 def fasttext_fit(docs: DataFrame, vocab_tokens: list, counts: np.ndarray,
                  vector_size: int = 100, window: int = 5, negative: int = 5,
                  alpha: float = 0.025, min_alpha: float = 0.0001,
                  epochs: int = 5, sample: float = 1e-3, bucket: int = 100000,
                  min_n: int = 3, max_n: int = 6, num_shards: int = 64,
-                 seed: int = 1) -> FastTextModel:
-    """Fit FastText SGNS over (doc_id, ids) rows. ``vocab_tokens`` is the
-    id-ordered token list (for n-gram computation); ``counts`` the matching
-    frequency vector."""
+                 seed: int = 1, sg: int = 1,
+                 cbow_mean: int = 1) -> FastTextModel:
+    """Fit FastText SGNS (``sg=1``) or CBOW (``sg=0``, the reference's
+    constructor default, fasttext.py:312) over (doc_id, ids) rows.
+    ``vocab_tokens`` is the id-ordered token list (for n-gram computation);
+    ``counts`` the matching frequency vector."""
     vocab_size = len(vocab_tokens)
     subwords = [ft_ngram_hashes(tok, min_n, max_n, bucket)
                 for tok in vocab_tokens]
@@ -235,23 +321,31 @@ def fasttext_fit(docs: DataFrame, vocab_tokens: list, counts: np.ndarray,
         bc = sc.broadcast((model.syn0_vocab, model.syn0_ngrams,
                            model.syn1neg, model.cum_table,
                            model.sample_ints, model.subwords,
-                           window, negative, seed))
+                           window, negative, seed, sg, cbow_mean))
 
         def make_train_shard(epoch, a, bc):
             def train_shard(key, pdf):
                 import pandas as pd
 
-                s0v, s0n, s1, cum, samp, subs, win, neg, sd = bc.value
+                (s0v, s0n, s1, cum, samp, subs, win, neg, sd, sg_,
+                 cm) = bc.value
                 v0, n0, o0 = s0v.copy(), s0n.copy(), s1.copy()
                 cv = np.zeros(v0.shape[0], dtype=np.int64)
                 cn = np.zeros(n0.shape[0], dtype=np.int64)
                 co = np.zeros(o0.shape[0], dtype=np.int64)
                 pdf = pdf.sort_values("doc_id")
                 for doc_id, ids in zip(pdf["doc_id"], pdf["ids"]):
-                    train_doc_ft_sg(np.asarray(ids, dtype=np.int64), subs,
-                                    v0, n0, o0, cum, samp, win, neg, a,
-                                    _mix(sd, epoch, int(doc_id)),
-                                    cv, cn, co)
+                    if sg_:
+                        train_doc_ft_sg(
+                            np.asarray(ids, dtype=np.int64), subs,
+                            v0, n0, o0, cum, samp, win, neg, a,
+                            _mix(sd, epoch, int(doc_id)), cv, cn, co)
+                    else:
+                        train_doc_ft_cbow(
+                            np.asarray(ids, dtype=np.int64), subs,
+                            v0, n0, o0, cum, samp, win, neg, a,
+                            _mix(sd, epoch, int(doc_id)), cv, cn, co,
+                            cbow_mean=cm)
                 out = []
                 for m, (mat0, mat, cnts) in enumerate(
                         [(s0v, v0, cv), (s0n, n0, cn), (s1, o0, co)]):

@@ -126,6 +126,98 @@ def test_fasttext_fit_matches_replica(spark):
     np.testing.assert_allclose(got.syn1neg, model.syn1neg, atol=1e-10)
 
 
+def test_fasttext_cbow_fit_matches_replica(spark):
+    """sg=0 CBOW (the reference constructor default) through the same
+    shard-sync protocol, pinned against a sequential replica of
+    fasttext_fast_sentence_cbow_neg."""
+    rng = np.random.default_rng(17)
+    vocab_tokens = ["apple", "apples", "banana", "bananas", "cherry",
+                    "stone", "stones", "rock", "rocks", "cliff"]
+    docs, counts = _toy_corpus(rng, vocab_tokens)
+    df = spark.createDataFrame([(d, ids) for d, ids in docs],
+                               "doc_id long, ids array<long>").repartition(5)
+    got = FT.fasttext_fit(df, vocab_tokens, counts, vector_size=10,
+                          window=3, negative=3, epochs=2, sample=0,
+                          bucket=500, min_n=3, max_n=5, seed=6,
+                          num_shards=4, sg=0)
+
+    subs = [FT.ft_ngram_hashes(t, 3, 5, 500) for t in vocab_tokens]
+    model = FT.FastTextModel(
+        10, 10, 500, W2V.init_syn0(10, 10, 6),
+        W2V.init_syn0(500, 10, W2V._mix(6, 77)), np.zeros((10, 10)),
+        W2V.make_cum_table(counts), W2V.make_sample_ints(counts, 0),
+        subs, 3, 3, 3, 5, 6)
+    for epoch in range(2):
+        a = 0.025 - (0.025 - 0.0001) * epoch / 1
+        mats = {0: model.syn0_vocab, 1: model.syn0_ngrams, 2: model.syn1neg}
+        num, den = {0: {}, 1: {}, 2: {}}, {0: {}, 1: {}, 2: {}}
+        for s in range(4):
+            v0 = model.syn0_vocab.copy()
+            n0 = model.syn0_ngrams.copy()
+            o0 = model.syn1neg.copy()
+            cv = np.zeros(10, dtype=np.int64)
+            cn = np.zeros(500, dtype=np.int64)
+            co = np.zeros(10, dtype=np.int64)
+            for doc_id, ids in sorted(d for d in docs if d[0] % 4 == s):
+                FT.train_doc_ft_cbow(np.asarray(ids), subs, v0, n0, o0,
+                                     model.cum_table, model.sample_ints,
+                                     3, 3, a, W2V._mix(6, epoch, doc_id),
+                                     cv, cn, co)
+            for m, (base, mat, cnts) in enumerate(
+                    [(model.syn0_vocab, v0, cv),
+                     (model.syn0_ngrams, n0, cn),
+                     (model.syn1neg, o0, co)]):
+                for w in np.nonzero(cnts)[0]:
+                    d_ = (mat[w] - base[w]) * cnts[w]
+                    if w in num[m]:
+                        num[m][w] += d_
+                        den[m][w] += cnts[w]
+                    else:
+                        num[m][w] = d_
+                        den[m][w] = int(cnts[w])
+        for m, mat in mats.items():
+            for w, d_ in num[m].items():
+                mat[w] += d_ / den[m][w]
+
+    np.testing.assert_allclose(got.syn0_vocab, model.syn0_vocab, atol=1e-10)
+    np.testing.assert_allclose(got.syn0_ngrams, model.syn0_ngrams,
+                               atol=1e-10)
+    np.testing.assert_allclose(got.syn1neg, model.syn1neg, atol=1e-10)
+
+
+def test_ft_cbow_kernel_semantics():
+    """Kernel-level quirks vs the SG kernel: context sum counts words AND
+    subwords; saturation clamps instead of skipping; cbow_mean=0 scales the
+    applied error by inv_count."""
+    rng = np.random.default_rng(3)
+    V, B, D = 4, 20, 6
+    subs = [[int(x) for x in rng.integers(0, B, size=2)] for _ in range(V)]
+    counts = np.array([5, 4, 3, 2], dtype=np.int64)
+    cum = W2V.make_cum_table(counts)
+    samp = W2V.make_sample_ints(counts, 0)
+    ids = np.array([0, 1, 2, 3], dtype=np.int64)
+
+    def run(cbow_mean, scale=1.0):
+        v = W2V.init_syn0(V, D, 1) * scale
+        n = W2V.init_syn0(B, D, 2) * scale
+        o = W2V.init_syn0(V, D, 3) * scale
+        cv = np.zeros(V, dtype=np.int64)
+        cn = np.zeros(B, dtype=np.int64)
+        co = np.zeros(V, dtype=np.int64)
+        FT.train_doc_ft_cbow(ids, subs, v, n, o, cum, samp, 2, 2, 0.05,
+                             99, cv, cn, co, cbow_mean=cbow_mean)
+        return v, n, o, cv, cn, co
+
+    v1, n1, o1, cv1, cn1, co1 = run(1)
+    v0, n0, o0, *_ = run(0)
+    # both modes train (matrices move) and differ from each other
+    assert cv1.sum() > 0 and cn1.sum() > 0 and co1.sum() > 0
+    assert not np.allclose(v1, v0)
+    # saturation path: huge vectors → f clamps to 0/1, updates still apply
+    vs, ns, os_, cvs, _, cos_ = run(1, scale=200.0)
+    assert cos_.sum() > 0 and cvs.sum() > 0  # no sample was skipped
+
+
 def test_adjusted_and_oov_vectors(spark):
     rng = np.random.default_rng(7)
     vocab_tokens = ["apple", "apples", "grape"]
