@@ -150,6 +150,44 @@ def test_make_wikicorpus_job_online_parquet_sink(spark, tmp_path):
     assert 0 <= mx[1] and mx[0] < 1000
 
 
+def test_stream_index_job(spark, tmp_path):
+    """Streaming ingestion job: drain a landing dir with availableNow,
+    restart picks up ONLY new files via the checkpoint, compaction builds
+    queryable weighted shards."""
+    from pyspark.sql import functions as F
+
+    from gensim_spark.jobs import stream_index
+    from gensim_spark.streaming.incremental import read_counts, read_vocab
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    _pages_df(spark, n=20).coalesce(1).write.parquet(str(landing / "f0"))
+    # the file source walks the dir tree; one parquet dir per arrival works
+    m1 = stream_index.run(spark, str(landing), store, ckpt)
+    assert m1["batches_committed"] >= 1
+    n1 = read_counts(spark, store).select("doc_id").distinct().count()
+    assert n1 == 20
+
+    # second arrival: only the new file is processed on restart
+    _pages_df(spark, n=30).filter("url like '%p2_'") \
+        .coalesce(1).write.parquet(str(landing / "f1"))
+    m2 = stream_index.run(spark, str(landing), store, ckpt,
+                          compact_to=str(tmp_path / "shards"))
+    counts = read_counts(spark, store)
+    n2 = counts.select("doc_id").distinct().count()
+    assert n2 > n1
+    assert m2["batches_committed"] > m1["batches_committed"]
+    assert m2["shard_snapshots"] >= 1
+
+    # vocab ids stayed stable across batches (same token, same id)
+    vocab = read_vocab(spark, store)
+    assert vocab.groupBy("token").count().filter("count > 1").count() == 0
+    assert m2["vocab_terms"] == vocab.count()
+
+
 def test_word2vec_train_job(spark, tmp_path, common_texts):
     from gensim_spark.jobs import word2vec_train
     from gensim_spark.sources.word2vec_format import load_word2vec_format
