@@ -245,6 +245,15 @@ class LsiModel:
         return self._lsi.doc_topics(postings, self.projection,
                                     weight_col=self.weight_col)
 
+    def add_documents(self, corpus: DataFrame, decay: float = 1.0) -> None:
+        """Online update (lsimodel.py:470-545): decompose the new postings
+        chunk and merge it into the projection with ``decay`` — the
+        streamed one-pass algorithm of the reference."""
+        self.projection = self._lsi.add_documents(
+            self.projection, corpus, decay=decay,
+            weight_col=self.weight_col)
+        self.num_topics = self.projection.num_topics
+
     def show_topic(self, topic_id: int, topn: int = 10) -> DataFrame:
         if self.id2word is None:
             raise ValueError("show_topic needs id2word (a Dictionary)")

@@ -229,6 +229,137 @@ def doc_topics(postings: DataFrame, projection: LsiProjection,
                     F.col("p.weight").alias("weight")))
 
 
+def _cross_gram(df: DataFrame, cols_a: list[str],
+                cols_b: list[str]) -> np.ndarray:
+    """XᵀY over the given column groups of one frame — same partial-fold
+    shape as :func:`_gram` (each task ships exactly |A|·|B| rows)."""
+    import pandas as pd
+
+    na, nb = len(cols_a), len(cols_b)
+
+    def partial(batches):
+        acc = np.zeros((na, nb))
+        for pdf in batches:
+            x = pdf[cols_a].to_numpy(np.float64)
+            y = pdf[cols_b].to_numpy(np.float64)
+            acc += x.T @ y
+        yield pd.DataFrame({"i": np.arange(na * nb, dtype="int32"),
+                            "v": acc.ravel()})
+
+    rows = (df.select(*cols_a, *cols_b)
+            .mapInPandas(partial, schema="i int, v double")
+            .groupBy("i").agg(F.sum("v").alias("v")).collect())
+    g = np.zeros(na * nb)
+    for r in rows:
+        g[r["i"]] = r["v"] or 0.0
+    return g.reshape(na, nb)
+
+
+def clip_spectrum(s: np.ndarray, k: int, discard: float = 0.001) -> int:
+    """How many factors to keep (lsimodel.py:85-111): drop the trailing
+    ``min(discard, 1/k)`` of the energy spectrum, then clip against k.
+    ``s`` is the EIGENvalue spectrum (singular values squared)."""
+    s = np.asarray(s, dtype=np.float64)
+    rel_spectrum = np.abs(1.0 - np.cumsum(s / np.sum(s)))
+    small = 1 + len(np.where(rel_spectrum > min(discard, 1.0 / k))[0])
+    return min(int(k), int(small))
+
+
+def merge_projections(p1: LsiProjection, p2: LsiProjection,
+                      decay: float = 1.0) -> LsiProjection:
+    """Merge two fitted projections — ``Projection.merge``
+    (lsimodel.py:242-332), the core of LSI's streamed one-pass updates
+    (Řehůřek, "Fast and Faster: A Comparison of Two Streamed Matrix
+    Decomposition Algorithms", arXiv:1102.5597).
+
+    The reference's dense steps — c = U₁ᵀU₂; QR of the orthogonal
+    component U₂−U₁c; SVD of the (n₁+n₂)² core; basis rotation — compose
+    here so the distributed work is exactly three passes over the joined
+    (term_id, u₁ᵣₒw, u₂ᵣₒw) frame: one |n₁×n₂| cross-Gram (→ c), one
+    |n₂×n₂| Gram of the orthogonal component (→ R by Cholesky QR), and one
+    wide select producing the rotated basis
+    ``U = U₁·(u1ₖ − c·R⁻¹·u2ₖ) + U₂·(R⁻¹·u2ₖ)`` — Q is never
+    materialized, every driver matrix is topics-sized. Matches the
+    reference numerically (full QR vs Cholesky QR differ only by a
+    rotation the SVD absorbs); the trailing sign canonicalization (flip
+    columns whose first-term entry is negative, lsimodel.py:328-332) is
+    applied from the term_id-0 row."""
+    if p2.u is None:
+        return p1
+    if p1.u is None:
+        return p2
+    n1, n2 = len(p1.s), len(p2.s)
+    k = p1.num_topics
+    a_cols = [f"t{i}" for i in range(n1)]
+    b_cols = [f"b{i}" for i in range(n2)]
+    u2 = p2.u.select("term_id",
+                     *[F.col(f"t{i}").alias(b) for i, b in enumerate(b_cols)])
+    joined = p1.u.join(u2, "term_id", "full_outer").select(
+        "term_id",
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+          for c in a_cols + b_cols]).cache()
+    joined.count()
+
+    # c = U1ᵀ·U2 (n1×n2, driver)
+    c = _cross_gram(joined, a_cols, b_cols)
+    # Gram of the orthogonal component U2 − U1·c, without materializing it:
+    # G = U2ᵀU2 − cᵀc (U1 orthonormal ⇒ U1ᵀU1 = I)
+    g2 = _gram(joined, b_cols) - c.T @ c
+    r = np.linalg.cholesky(
+        g2 + 1e-12 * max(np.trace(g2), 1.0) * np.eye(n2)).T
+    rinv = np.linalg.inv(r)
+
+    k_mat = np.zeros((n1 + n2, n1 + n2))
+    k_mat[:n1, :n1] = np.diag(decay * np.asarray(p1.s, dtype=np.float64))
+    k_mat[:n1, n1:] = c * np.asarray(p2.s)[np.newaxis, :]
+    k_mat[n1:, n1:] = r * np.asarray(p2.s)[np.newaxis, :]
+    u_k, s_k, _ = np.linalg.svd(k_mat, full_matrices=False)
+    kc = clip_spectrum(s_k ** 2, k)
+    u1_k, u2_k, s_new = u_k[:n1, :kc], u_k[n1:, :kc], s_k[:kc]
+
+    m2 = rinv @ u2_k                      # U2's rotation (n2×kc)
+    m1 = u1_k - c @ m2                    # U1's rotation (n1×kc)
+
+    # sign canonicalization from the first term row (lsimodel.py:328-332)
+    first = joined.filter(F.col("term_id") == 0).collect()
+    if first:
+        row = first[0]
+        x1 = np.array([row[c] for c in a_cols])
+        x2 = np.array([row[c] for c in b_cols])
+        u0 = x1 @ m1 + x2 @ m2
+        flip = np.where(u0 < 0.0, -1.0, 1.0)
+        m1 = m1 * flip[np.newaxis, :]
+        m2 = m2 * flip[np.newaxis, :]
+
+    outs = []
+    for i in range(kc):
+        lin = None
+        for j, col in enumerate(a_cols):
+            term = F.col(col) * F.lit(float(m1[j, i]))
+            lin = term if lin is None else lin + term
+        for j, col in enumerate(b_cols):
+            lin = lin + F.col(col) * F.lit(float(m2[j, i]))
+        outs.append(lin.alias(f"t{i}"))
+    u = joined.select("term_id", *outs)
+    return LsiProjection(u, s_new, kc)
+
+
+def add_documents(projection: LsiProjection, postings: DataFrame,
+                  decay: float = 1.0, extra_dims: int | None = None,
+                  power_iters: int = P2_EXTRA_ITERS,
+                  weight_col: str = "weight") -> LsiProjection:
+    """``LsiModel.add_documents`` (lsimodel.py:470-545): decompose the new
+    postings chunk at the same rank, then merge into the existing
+    projection with ``decay``. The reference iterates driver-sized
+    chunks; here the whole update IS one distributed chunk — at 100 TB the
+    chunk is a new partition/day of the corpus and the merge cost is
+    independent of how much history the projection already carries."""
+    chunk = lsi_fit(postings, num_topics=projection.num_topics,
+                    extra_dims=extra_dims, power_iters=power_iters,
+                    weight_col=weight_col)
+    return merge_projections(projection, chunk, decay=decay)
+
+
 def show_topic(projection: LsiProjection, vocab: DataFrame, topic_id: int,
                topn: int = 10) -> DataFrame:
     """Top-weighted terms of one topic (lsimodel.py:510-545 show_topic):

@@ -105,3 +105,128 @@ def test_show_topic_and_facade(spark, common_texts, lsi_fixture):
     assert out.columns == ["doc_id", "topic_id", "weight"]
     assert out.count() == len(common_texts) * 3
     assert len(model.projection.s) == 3
+
+
+def _dense_from_postings(rows, n_docs, n_terms):
+    dense = np.zeros((n_docs, n_terms))
+    for r in rows:
+        dense[r["doc_id"], r["term_id"]] = r["weight"]
+    return dense
+
+
+def _collect_u(proj, n_terms):
+    k = proj.num_topics
+    u = np.zeros((n_terms, k))
+    for r in proj.u.collect():
+        for i in range(k):
+            u[r["term_id"], i] = r[f"t{i}"]
+    return u
+
+
+def _ref_merge(u1, s1, u2, s2, k, decay=1.0):
+    """numpy replica of Projection.merge (lsimodel.py:242-332)."""
+    n1, n2 = u1.shape[1], u2.shape[1]
+    c = u1.T @ u2
+    comp = u2 - u1 @ c
+    q, r = np.linalg.qr(comp)
+    km = np.zeros((n1 + n2, n1 + n2))
+    km[:n1, :n1] = np.diag(decay * s1)
+    km[:n1, n1:] = c * s2[np.newaxis, :]
+    km[n1:, n1:] = r * s2[np.newaxis, :]
+    u_k, s_k, _ = np.linalg.svd(km, full_matrices=False)
+    kc = L.clip_spectrum(s_k ** 2, k)
+    u_new = u1 @ u_k[:n1, :kc] + q @ u_k[n1:, :kc]
+    for i in range(kc):
+        if u_new[0, i] < 0.0:
+            u_new[:, i] *= -1.0
+    return u_new, s_k[:kc]
+
+
+def test_merge_projections_matches_reference_replica(spark, common_texts):
+    """merge(P(A1), P(A2)) ≡ the reference's Projection.merge run in numpy
+    on the same inputs, and — at full rank — ≡ one-shot SVD of [A1; A2]."""
+    from gensim_spark import api
+
+    docs = docs_df(spark, common_texts)
+    dct = api.Dictionary(docs)
+    post = (dct.doc2bow(docs)
+            .select("doc_id", "term_id",
+                    F.col("tf").cast("double").alias("weight")).cache())
+    n_terms = len(dct)
+    p_a = post.filter("doc_id < 5")
+    p_b = post.filter("doc_id >= 5")
+    da = _dense_from_postings(p_a.collect(), 9, n_terms)
+    db = _dense_from_postings(p_b.collect(), 9, n_terms)
+    ra, rb = np.linalg.matrix_rank(da), np.linalg.matrix_rank(db)
+    # full-rank half decompositions: the streamed merge is then EXACT
+    # (truncated halves lose mass, as in the reference)
+    k = max(ra, rb)
+
+    pa = L.lsi_fit(p_a, num_topics=k, extra_dims=2, power_iters=3)
+    pb = L.lsi_fit(p_b, num_topics=k, extra_dims=2, power_iters=3)
+    merged = L.merge_projections(pa, pb)
+
+    u1, u2 = _collect_u(pa, n_terms), _collect_u(pb, n_terms)
+    want_u, want_s = _ref_merge(u1, pa.s, u2, pb.s, k)
+    got_u = _collect_u(merged, n_terms)
+    assert merged.s == pytest.approx(want_s, rel=1e-7)
+    # columns may differ by sign only where the canonicalizing row is 0
+    for i in range(merged.num_topics):
+        col, ref = got_u[:, i], want_u[:, i]
+        assert min(np.abs(col - ref).max(),
+                   np.abs(col + ref).max()) < 1e-7
+
+    # full-rank cross-check: singular values of the stacked corpus
+    s_np = np.linalg.svd(np.vstack([da, db]), compute_uv=False)
+    assert merged.s == pytest.approx(s_np[:merged.num_topics], rel=1e-6)
+
+
+def test_merge_projections_decay_and_empty(spark, common_texts):
+    from gensim_spark import api
+
+    docs = docs_df(spark, common_texts)
+    dct = api.Dictionary(docs)
+    post = (dct.doc2bow(docs)
+            .select("doc_id", "term_id",
+                    F.col("tf").cast("double").alias("weight")).cache())
+    n_terms = len(dct)
+    p_a, p_b = post.filter("doc_id < 5"), post.filter("doc_id >= 5")
+    k = 3
+    pa = L.lsi_fit(p_a, num_topics=k, extra_dims=4, power_iters=3)
+    pb = L.lsi_fit(p_b, num_topics=k, extra_dims=4, power_iters=3)
+    half = L.merge_projections(pa, pb, decay=0.5)
+    u1, u2 = _collect_u(pa, n_terms), _collect_u(pb, n_terms)
+    want_u, want_s = _ref_merge(u1, pa.s, u2, pb.s, k, decay=0.5)
+    assert half.s == pytest.approx(want_s, rel=1e-7)
+    got_u = _collect_u(half, n_terms)
+    for i in range(half.num_topics):
+        col, ref = got_u[:, i], want_u[:, i]
+        assert min(np.abs(col - ref).max(),
+                   np.abs(col + ref).max()) < 1e-7
+
+
+def test_add_documents_online_equals_batch_spectrum(spark, common_texts):
+    """add_documents over two halves reproduces the batch spectrum at full
+    rank (the streamed-SVD guarantee the reference's algorithm carries)."""
+    from gensim_spark import api
+
+    docs = docs_df(spark, common_texts)
+    dct = api.Dictionary(docs)
+    post = (dct.doc2bow(docs)
+            .select("doc_id", "term_id",
+                    F.col("tf").cast("double").alias("weight")).cache())
+    n_terms = len(dct)
+    dense = _dense_from_postings(post.collect(), 9, n_terms)
+    # full-rank halves: streamed == batch exactly (truncated halves drop
+    # mass, as in the reference's own algorithm)
+    k = max(np.linalg.matrix_rank(dense[:5]),
+            np.linalg.matrix_rank(dense[5:]))
+    pa = L.lsi_fit(post.filter("doc_id < 5"), num_topics=k, extra_dims=5,
+                   power_iters=3)
+    upd = L.add_documents(pa, post.filter("doc_id >= 5"), extra_dims=5,
+                          power_iters=3)
+    s_np = np.linalg.svd(dense, compute_uv=False)
+    assert upd.s == pytest.approx(s_np[:upd.num_topics], rel=1e-6)
+    # the updated projection folds new docs in: doc_topics runs at new rank
+    dt = L.doc_topics(post, upd)
+    assert dt.count() == 9 * upd.num_topics
