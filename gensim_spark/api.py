@@ -411,16 +411,17 @@ class Word2Vec:
     vocab build + SGNS training at construction over a (doc_id, tokens)
     DataFrame. ``.wv`` is a :class:`KeyedVectors` over (token, embedding)
     rows. See operators/word2vec.py for the exact kernels (skip-gram and
-    CBOW, both negative-sampling), the shard-synchronous distribution
-    scheme, and the determinism deviations. hs=1 (hierarchical softmax) is
-    not implemented — negative sampling is the reference's default."""
+    CBOW, negative-sampling and/or ``hs=1`` hierarchical softmax), the
+    shard-synchronous distribution scheme, and the determinism
+    deviations. :meth:`update` continues training over new documents
+    (``build_vocab(update=True)`` + ``train()``)."""
 
     def __init__(self, documents: DataFrame, vector_size: int = 100,
                  window: int = 5, negative: int = 5, alpha: float = 0.025,
                  min_alpha: float = 0.0001, epochs: int = 5,
                  sample: float = 1e-3, ns_exponent: float = 0.75,
                  num_shards: int = 64, seed: int = 1, sg: int = 1,
-                 cbow_mean: int = 1,
+                 cbow_mean: int = 1, hs: int = 0,
                  dictionary: Dictionary | None = None):
         import numpy as np
 
@@ -439,12 +440,38 @@ class Word2Vec:
             window=window, negative=negative, alpha=alpha,
             min_alpha=min_alpha, epochs=epochs, sample=sample,
             ns_exponent=ns_exponent, num_shards=num_shards, seed=seed,
-            sg=sg, cbow_mean=cbow_mean)
-        spark = documents.sparkSession
+            sg=sg, cbow_mean=cbow_mean, hs=hs)
+        self._refresh_wv(documents.sparkSession)
+
+    def _refresh_wv(self, spark) -> None:
         vecs = self.model.vectors_df(spark).join(
-            F.broadcast(d.df.select("term_id", "token")), "term_id")
+            F.broadcast(self.dictionary.df.select("term_id", "token")),
+            "term_id")
         self.wv = KeyedVectors(vecs.select("token", "embedding"),
                                key_col="token")
+
+    def update(self, documents: DataFrame, epochs: int = 5,
+               alpha: float = 0.025, min_alpha: float = 0.0001,
+               sample: float = 1e-3, ns_exponent: float = 0.75,
+               num_shards: int = 64) -> "Word2Vec":
+        """``build_vocab(documents, update=True)`` + continued ``train()``
+        (word2vec.py:449-499): the vocabulary merges (old ids keep their
+        vectors; new tokens get seeded init rows) and training continues
+        over the new corpus only."""
+        import numpy as np
+
+        merged = self.dictionary.merge_with(Dictionary(documents))
+        rows = merged.df.select("term_id", "cf") \
+            .orderBy("term_id").collect()
+        counts = np.array([r["cf"] for r in rows], dtype=np.int64)
+        ids = self._w2v.corpus_ids(documents, merged.df)
+        self._w2v.word2vec_update(
+            ids, self.model, counts, alpha=alpha, min_alpha=min_alpha,
+            epochs=epochs, sample=sample, ns_exponent=ns_exponent,
+            num_shards=num_shards)
+        self.dictionary = merged
+        self._refresh_wv(documents.sparkSession)
+        return self
 
 
 class FastText:

@@ -515,6 +515,66 @@ def word2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
             cb.on_epoch_end(model)
     for cb in callbacks:
         cb.on_train_end(model)
+    model.trained_epochs = epochs
+    return model
+
+
+def word2vec_update(docs: DataFrame, model: Word2VecModel,
+                    counts: np.ndarray, alpha: float = 0.025,
+                    min_alpha: float = 0.0001, epochs: int = 5,
+                    sample: float = 1e-3, ns_exponent: float = 0.75,
+                    num_shards: int = 64, callbacks=()) -> Word2VecModel:
+    """Continued training — ``build_vocab(update=True)`` + ``train()``
+    (word2vec.py:449-499 update path, prepare_weights update branch).
+
+    ``counts`` is the per-index frequency vector over the MERGED vocabulary
+    (old ids preserved, new ids appended — exactly ``vocab.merge_with`` /
+    the incremental store's id assignment), and ``docs`` carries the new
+    corpus as (doc_id, ids) under those merged ids. New syn0 rows get the
+    same deterministic per-index seeded init a fresh fit would give them
+    (the reference's seeded_vector stream); new output rows start at zero
+    as in the reference; the negative-sampling cum_table, subsample
+    thresholds, and (for hs) the Huffman tree are rebuilt over the merged
+    counts. Epoch seeds continue from ``model.trained_epochs`` so the new
+    pass does not replay the original sampling stream. Mutates and returns
+    ``model``."""
+    counts = np.asarray(counts)
+    v_new, v_old = len(counts), model.vocab_size
+    if v_new < v_old:
+        raise ValueError(
+            f"merged vocab ({v_new}) smaller than trained vocab ({v_old})")
+    if v_new > v_old:
+        grown = init_syn0(v_new, model.vector_size, model.seed)
+        model.syn0 = np.vstack([model.syn0, grown[v_old:]])
+        model.syn1neg = np.vstack(
+            [model.syn1neg, np.zeros((v_new - v_old, model.vector_size))])
+        model.vocab_size = v_new
+    model.cum_table = make_cum_table(counts, ns_exponent)
+    model.sample_ints = make_sample_ints(counts, sample)
+    if model.hs:
+        # frequencies changed → the Huffman tree changes shape entirely;
+        # inner-node vectors carry over by index, new nodes start at zero
+        # (word2vec.py:817 create_binary_tree on the updated vocab)
+        model.codes, model.points = build_huffman_tree(counts)
+        syn1 = np.zeros((v_new, model.vector_size))
+        syn1[:len(model.syn1)] = model.syn1[:v_new]
+        model.syn1 = syn1
+
+    epoch0 = getattr(model, "trained_epochs", 0)
+    for cb in callbacks:
+        cb.on_train_begin(model)
+    for epoch in range(epochs):
+        for cb in callbacks:
+            cb.on_epoch_begin(model)
+        a = alpha - (alpha - min_alpha) * epoch / max(1, epochs - 1) \
+            if epochs > 1 else alpha
+        rows = _epoch_partials(docs, model, epoch0 + epoch, a, num_shards)
+        fold_epoch(model, rows)
+        for cb in callbacks:
+            cb.on_epoch_end(model)
+    for cb in callbacks:
+        cb.on_train_end(model)
+    model.trained_epochs = epoch0 + epochs
     return model
 
 

@@ -411,3 +411,106 @@ def test_hs_distributed_matches_replica(spark, sg, negative):
         np.testing.assert_allclose(got.syn1neg, want.syn1neg, atol=1e-10)
     # hs actually trained something
     assert np.abs(got.syn1).sum() > 0
+
+
+def replica_update(model, new_docs, counts_merged, epochs=2,
+                   num_shards=4, alpha=0.025, min_alpha=0.0001,
+                   sample=1e-3):
+    """Driver-only replica of word2vec_update: same expansion, same
+    rebuilt tables, same epoch-offset seeds, same fold."""
+    v_new, v_old = len(counts_merged), model.vocab_size
+    if v_new > v_old:
+        grown = W2V.init_syn0(v_new, model.vector_size, model.seed)
+        model.syn0 = np.vstack([model.syn0, grown[v_old:]])
+        model.syn1neg = np.vstack(
+            [model.syn1neg, np.zeros((v_new - v_old, model.vector_size))])
+        model.vocab_size = v_new
+    model.cum_table = W2V.make_cum_table(np.asarray(counts_merged))
+    model.sample_ints = W2V.make_sample_ints(np.asarray(counts_merged),
+                                             sample)
+    epoch0 = model.trained_epochs
+    for epoch in range(epochs):
+        a = alpha - (alpha - min_alpha) * epoch / max(1, epochs - 1) \
+            if epochs > 1 else alpha
+        rows = []
+        for s in range(num_shards):
+            syn0 = model.syn0.copy()
+            syn1 = model.syn1neg.copy()
+            cnts = np.zeros(v_new, dtype=np.int64)
+            for doc_id, ids in sorted(d for d in new_docs
+                                      if d[0] % num_shards == s):
+                W2V.train_doc_sg(np.asarray(ids, dtype=np.int64), syn0,
+                                 syn1, model.cum_table, model.sample_ints,
+                                 model.window, model.negative, a,
+                                 W2V._mix(model.seed, epoch0 + epoch,
+                                          doc_id), cnts)
+            for w in np.nonzero(cnts)[0]:
+                rows.append({"m": 0, "w": int(w), "cnt": int(cnts[w]),
+                             "delta": list(syn0[w] - model.syn0[w])})
+                rows.append({"m": 1, "w": int(w), "cnt": int(cnts[w]),
+                             "delta": list(syn1[w] - model.syn1neg[w])})
+        W2V.fold_epoch(model, rows)
+    return model
+
+
+def test_word2vec_update_matches_replica(spark):
+    """Continued training (build_vocab(update=True) + train): vocab grows
+    20 → 25, old vectors carry over, the distributed continuation equals
+    the sequential replica, and the epoch seeds do NOT replay the
+    original stream."""
+    rng = np.random.default_rng(23)
+    docs_a = rand_docs(rng, n_docs=30, vocab=20)
+    # new corpus over the MERGED id space: old ids 0..19 + new ids 20..24
+    docs_b = [(d, [int(rng.integers(25)) for _ in range(12)])
+              for d in range(30, 55)]
+    counts_a = np.zeros(20, dtype=np.int64)
+    for _, ids in docs_a:
+        for w in ids:
+            counts_a[w] += 1
+    counts_m = np.zeros(25, dtype=np.int64)
+    counts_m[:20] = counts_a
+    for _, ids in docs_b:
+        for w in ids:
+            counts_m[w] += 1
+
+    kw = dict(vector_size=12, window=3, negative=3, alpha=0.025,
+              min_alpha=0.0001, epochs=2, sample=1e-3, seed=9)
+    df_a = spark.createDataFrame(docs_a, "doc_id long, ids array<long>")
+    df_b = spark.createDataFrame(docs_b, "doc_id long, ids array<long>")
+
+    got = W2V.word2vec_fit(df_a, 20, counts_a, num_shards=4, **kw)
+    syn0_pre = got.syn0.copy()
+    got = W2V.word2vec_update(df_b, got, counts_m, epochs=2,
+                              num_shards=4, sample=1e-3)
+    assert got.vocab_size == 25 and got.trained_epochs == 4
+
+    want = replica_fit(docs_a, 20, counts_a, num_shards=4, **kw)
+    want.trained_epochs = 2
+    want = replica_update(want, docs_b, counts_m, epochs=2, num_shards=4)
+    np.testing.assert_allclose(got.syn0, want.syn0, atol=1e-10)
+    np.testing.assert_allclose(got.syn1neg, want.syn1neg, atol=1e-10)
+
+    # words absent from the new corpus kept their trained vectors
+    absent = [w for w in range(20)
+              if all(w not in ids for _, ids in docs_b)]
+    for w in absent:
+        np.testing.assert_allclose(got.syn0[w], syn0_pre[w])
+
+
+def test_word2vec_facade_update(spark):
+    from gensim_spark.api import Word2Vec
+
+    docs = spark.createDataFrame(
+        [(d, ["cat", "dog", "fish"] if d % 2 else ["red", "green", "blue"])
+         for d in range(20)], "doc_id long, tokens array<string>")
+    m = Word2Vec(docs, vector_size=8, window=2, negative=2, epochs=2,
+                 sample=0, num_shards=4, seed=3)
+    assert len(m.dictionary) == 6
+    new = spark.createDataFrame(
+        [(d, ["cat", "lion", "tiger"]) for d in range(100, 115)],
+        "doc_id long, tokens array<string>")
+    m.update(new, epochs=2, num_shards=4)
+    assert len(m.dictionary) == 8
+    sims = m.wv.most_similar(positive=["lion"], topn=3)
+    assert len(sims) == 3   # new token is servable
+    assert m.model.trained_epochs == 4
