@@ -251,17 +251,18 @@ def run_suite():
         "bench_reps": REPS,
         "index_build_reps_sec": [round(t, 3) for t in build_times],
         "packed_shard_build_reps_sec": [round(t, 3) for t in shard_times],
-        # measured via _wand_bench_inner(1_000_000) (round 3, block-lazy
-        # decode; interleaved reps, min-of-3 in-run + best-of-2 invocations,
+        # measured via _wand_bench_inner(1_000_000) (block-lazy decode;
+        # interleaved reps, min-of-3 in-run + best-of-2 invocations,
         # rank-identity asserted in-run); regenerate with
         # python -c "import bench; print(bench._wand_bench_inner(1_000_000))"
         "wand_1m_reference": {
             "docs": 1000000, "postings": 51904408, "cores": 32,
-            "wand_sec": 0.561, "joinagg_sec": 0.882, "speedup": 1.57,
+            "wand_sec": 0.574, "joinagg_sec": 0.836, "speedup": 1.46,
             "query_postings": 4268522, "query_evaluated": 73954,
             "skipped_pct": 98.3, "query_blocks_total": 33786,
             "query_blocks_decoded": 4024, "blocks_decoded_pct": 11.9,
-            "measured": "round 3, BASELINE.md (round 2: 0.657/0.951 = 1.45x, "
+            "measured": "round 4 re-run, flat vs round 3's 0.561/0.882 "
+                        "(round 2, eager decode: 0.657/0.951 = 1.45x, "
                         "100% blocks decoded)",
         },
         # measured via _salting_evidence(1_000_000) (round 3): head-term

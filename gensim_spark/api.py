@@ -523,6 +523,100 @@ class FastText:
     __getitem__ = get_vector
 
 
+class HdpModel:
+    """``gensim.models.HdpModel`` (hdpmodel.py:295-577): online two-level
+    stick-breaking HDP fitted at construction over (doc_id, term_id, tf)
+    postings; the number of topics is inferred, capped at ``T``.
+    ``model[postings]`` returns per-document topic rows through the frozen
+    LDA surface; :meth:`suggested_lda_model` hands the (α, β) pair to the
+    LdaModel machinery."""
+
+    def __init__(self, corpus: DataFrame, id2word: Dictionary | None = None,
+                 kappa: float = 1.0, tau: float = 64.0, K: int = 15,
+                 T: int = 150, alpha: float = 1.0, gamma: float = 1.0,
+                 eta: float = 0.01, scale: float = 1.0,
+                 var_converge: float = 0.0001, chunksize: int = 256,
+                 max_chunks: int | None = None, random_state: int = 13):
+        from gensim_spark.operators import hdp as _hdp
+
+        self._hdp = _hdp
+        self.id2word = id2word
+        num_terms = len(id2word) if id2word is not None else None
+        self.model = _hdp.hdp_fit(
+            corpus, num_terms=num_terms, chunksize=chunksize,
+            max_chunks=max_chunks, kappa=kappa, tau=tau, K=K, T=T,
+            alpha=alpha, gamma=gamma, eta=eta, scale=scale,
+            var_converge=var_converge, random_seed=random_state)
+        self._spark = corpus.sparkSession
+
+    def __getitem__(self, postings: DataFrame) -> DataFrame:
+        return self._hdp.hdp_doc_topics(postings, self.model)
+
+    def get_topics(self):
+        return self.model.get_topics()
+
+    def topics_df(self) -> DataFrame:
+        return self._hdp.topics_df(self._spark, self.model)
+
+    def show_topic(self, topic_id: int, topn: int = 20):
+        """[(token, prob), ...] (hdpmodel.py:591-620) — needs id2word."""
+        if self.id2word is None:
+            raise ValueError("show_topic needs id2word (a Dictionary)")
+        beta = self.model.get_topics()[int(topic_id)]
+        order = beta.argsort()[::-1][:topn]
+        toks = {r["term_id"]: r["token"]
+                for r in self.id2word.df.filter(
+                    F.col("term_id").isin([int(t) for t in order]))
+                .collect()}
+        return [(toks[int(t)], float(beta[t])) for t in order]
+
+    def evaluate_test_corpus(self, postings: DataFrame) -> float:
+        return self._hdp.evaluate_test_corpus(postings, self.model)
+
+    def suggested_lda_model(self):
+        return self.model.suggested_lda_model()
+
+
+class TranslationMatrix:
+    """``gensim.models.translation_matrix.TranslationMatrix``
+    (translation_matrix.py:120-366): learn W with src·W ≈ tgt over anchor
+    word pairs by distributed normal equations, then
+    :meth:`translate` retrieves target-space nearest neighbours of mapped
+    source words. Vector tables are (vec_id, embedding) DataFrames; word
+    pairs a (src_id, tgt_id) DataFrame."""
+
+    def __init__(self, source_vecs: DataFrame, target_vecs: DataFrame,
+                 word_pairs: DataFrame | None = None, dims: int | None = None,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        from gensim_spark.operators import translation as _tr
+
+        self._tr = _tr
+        self.source_vecs, self.target_vecs = source_vecs, target_vecs
+        self._id, self._vec = id_col, vec_col
+        if dims is None:
+            dims = len(source_vecs.select(vec_col).first()[0])
+        self.dims = dims
+        self.translation_matrix = None
+        if word_pairs is not None:
+            self.train(word_pairs)
+
+    def train(self, word_pairs: DataFrame) -> None:
+        self.translation_matrix = self._tr.fit_translation_matrix(
+            word_pairs, self.source_vecs, self.target_vecs, self.dims,
+            id_col=self._id, vec_col=self._vec)
+
+    def apply_transmat(self, vecs: DataFrame) -> DataFrame:
+        return self._tr.apply_transmat(vecs, self.translation_matrix,
+                                       self._id, self._vec)
+
+    def translate(self, source_words: DataFrame | None = None,
+                  topn: int = 5) -> DataFrame:
+        src = self.source_vecs if source_words is None else source_words
+        return self._tr.translate(src, self.target_vecs,
+                                  self.translation_matrix, topn=topn,
+                                  id_col=self._id, vec_col=self._vec)
+
+
 class Doc2Vec:
     """``gensim.models.Doc2Vec`` (operators/doc2vec.py). ``dm=1`` is the
     reference's default PV-DM (doc vector + window mean trained jointly

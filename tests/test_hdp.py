@@ -265,3 +265,22 @@ def test_topics_df_matches_model(hdp_fixture, spark):
     assert len(pdf) == beta.size
     got = pdf.pivot(index="topic", columns="term_id", values="prob").values
     assert np.allclose(got, beta)
+
+
+def test_hdp_facade(spark):
+    from gensim_spark.api import HdpModel
+
+    docs = make_corpus(seed=11, n_docs=40, vocab=25)
+    post = postings_df(spark, docs)
+    m = HdpModel(post, K=4, T=8, chunksize=16, random_state=5)
+    beta = m.get_topics()
+    assert beta.shape == (8, 25)
+    np.testing.assert_allclose(beta.sum(axis=1), 1.0, atol=1e-10)
+    dt = m[post]
+    assert dt.count() > 0
+    tdf = m.topics_df()
+    assert tdf.count() == 8 * 25
+    lik = m.evaluate_test_corpus(post)
+    assert np.isfinite(lik)
+    lda = m.suggested_lda_model()
+    assert lda.get_topics().shape[1] == 25

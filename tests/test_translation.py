@@ -95,3 +95,21 @@ def test_apply_transmat_shape(spark):
     for r in out:
         np.testing.assert_allclose(np.array(r["embedding"]),
                                    src_rows[r["vec_id"]] @ w, atol=1e-12)
+
+
+def test_translation_facade(spark):
+    from gensim_spark.api import TranslationMatrix
+
+    rng = np.random.default_rng(4)
+    src, tgt, src_df, tgt_df, pairs = make_spaces(spark, rng)
+    tm = TranslationMatrix(src_df, tgt_df, word_pairs=pairs)
+    assert tm.translation_matrix.shape == (8, 8)
+    want = np.linalg.lstsq(_unit(src), _unit(tgt), rcond=-1)[0]
+    np.testing.assert_allclose(tm.translation_matrix, want, atol=1e-8)
+    # self-translation: each source's top-1 should overwhelmingly be its
+    # own paired target (the spaces are a noisy linear map of each other)
+    top1 = tm.translate(topn=1).filter("rank = 1")
+    hits = top1.filter(F.col("src_id") == F.col("tgt_id")).count()
+    assert hits >= 36   # ≥90% of 40
+    mapped = tm.apply_transmat(src_df)
+    assert mapped.count() == 40
