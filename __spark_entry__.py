@@ -539,6 +539,37 @@ def _q_lsi_topics(spark, sf_dir):
                       F.round(F.abs("weight"), 4).alias("abs_weight"))
 
 
+def _q_lsi_merged_topics(spark, sf_dir):
+    """LSI ONLINE update (LsiModel.add_documents ≡ Projection.merge,
+    lsimodel.py:242-332,470-545): fit the first half of the corpus, merge
+    in the second half's decomposition, persist the merged u and project
+    the whole corpus. The merge itself is pinned against a numpy replica
+    of the reference algorithm (tests/test_lsi.py); the projection over
+    the merged basis is re-run relationally by DuckDB."""
+    from gensim_spark.operators import lsi as L
+
+    idx = _index(spark, sf_dir)
+    postings = idx.postings.select(
+        "doc_id", "term_id", F.col("tf").cast("double").alias("weight"))
+    mid = idx.num_docs // 2
+    p1 = L.lsi_fit(postings.filter(F.col("doc_id") < mid),
+                   num_topics=_LSI_K, power_iters=2)
+    merged = L.add_documents(p1, postings.filter(F.col("doc_id") >= mid),
+                             power_iters=2)
+    k = merged.num_topics
+    u_pairs = F.array(*[
+        F.struct(F.lit(i).alias("topic_id"), F.col(f"t{i}").alias("u"))
+        for i in range(k)])
+    u_long = (merged.u.select("term_id", F.explode(u_pairs).alias("p"))
+              .select("term_id",
+                      F.col("p.topic_id").cast("long").alias("topic_id"),
+                      F.col("p.u").alias("u")))
+    _persist_artifact(u_long, sf_dir, "lsi_merged_u")
+    out = L.doc_topics(postings, merged)
+    return out.select("doc_id", "topic_id",
+                      F.round(F.abs("weight"), 4).alias("abs_weight"))
+
+
 _LDA_K = 4
 
 
@@ -1200,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wmd_rwmd": _q_wmd_rwmd,
         "wmd_topk": _q_wmd_topk,
         "lsi_topics": _q_lsi_topics,
+        "lsi_merged_topics": _q_lsi_merged_topics,
         "lda_doc_topics": _q_lda_doc_topics,
         "nmf_doc_topics": _q_nmf_doc_topics,
         "translation_normal_eqs": _q_translation_normal_eqs,
@@ -1908,8 +1940,8 @@ FROM h JOIN tot t USING (doc_id)
 WHERE t.h_sum > 0 AND h.h / t.h_sum > 0.01"""
 
 
-def _lsi_topics_sql() -> str:
-    u = f"{_ART_DIR}/{_ORACLE_SF}/lsi_u/*.parquet"
+def _lsi_topics_sql(artifact: str = "lsi_u") -> str:
+    u = f"{_ART_DIR}/{_ORACLE_SF}/{artifact}/*.parquet"
     return f"""{_PRELUDE},
 u AS (SELECT term_id, topic_id, u FROM read_parquet('{u}')),
 dt AS (SELECT p.doc_id, u.topic_id, sum(p.tf::DOUBLE * u.u) AS w
@@ -2365,6 +2397,7 @@ FROM ranked WHERE rank <= 10""",
         # artifact lands in parquet, and DuckDB independently re-runs the
         # relational retrieval over it (see _persist_artifact)
         "lsi_topics": _lsi_topics_sql(),
+        "lsi_merged_topics": _lsi_topics_sql("lsi_merged_u"),
         "ensemble_stable_topics": _ensemble_stable_topics_sql(),
         "translation_topk": _translation_topk_sql(),
         "w2v_most_similar": _w2v_most_similar_sql(),
