@@ -513,6 +513,37 @@ class FastText:
                                key_col="token")
         self._adjusted = self.model.adjusted_vectors()
 
+    def update(self, documents: DataFrame, epochs: int = 5,
+               alpha: float = 0.025, min_alpha: float = 0.0001,
+               sample: float = 1e-3, num_shards: int = 64) -> "FastText":
+        """``build_vocab(documents, update=True)`` + continued ``train()``
+        (fasttext.py:395-470): vocab merges (new tokens get seeded init
+        rows and fresh subword lists; the shared bucket matrix transfers
+        their n-gram knowledge immediately) and training continues over
+        the new corpus only."""
+        import numpy as np
+
+        from gensim_spark.operators import word2vec as _w2v
+
+        merged = self.dictionary.merge_with(Dictionary(documents))
+        rows = merged.df.select("term_id", "token", "cf") \
+            .orderBy("term_id").collect()
+        counts = np.array([r["cf"] for r in rows], dtype=np.int64)
+        tokens = [r["token"] for r in rows]
+        ids = _w2v.corpus_ids(documents, merged.df)
+        self._ft.fasttext_update(
+            ids, self.model, tokens, counts, alpha=alpha,
+            min_alpha=min_alpha, epochs=epochs, sample=sample,
+            num_shards=num_shards)
+        self.dictionary = merged
+        self._tok2id = {t: i for i, t in enumerate(tokens)}
+        spark = documents.sparkSession
+        vecs = self.model.vectors_df(spark, merged.df)
+        self.wv = KeyedVectors(vecs.select("token", "embedding"),
+                               key_col="token")
+        self._adjusted = self.model.adjusted_vectors()
+        return self
+
     def get_vector(self, word: str):
         """In-vocab: the adjusted (vocab+ngrams)/(n+1) vector; OOV: the
         n-gram mean (fasttext.py:1085-1130)."""

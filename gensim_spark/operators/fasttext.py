@@ -314,68 +314,121 @@ def fasttext_fit(docs: DataFrame, vocab_tokens: list, counts: np.ndarray,
         make_sample_ints(np.asarray(counts), sample),
         subwords, window, negative, min_n, max_n, seed)
 
-    sc = docs.sparkSession.sparkContext
     for epoch in range(epochs):
         a = alpha - (alpha - min_alpha) * epoch / max(1, epochs - 1) \
             if epochs > 1 else alpha
-        bc = sc.broadcast((model.syn0_vocab, model.syn0_ngrams,
-                           model.syn1neg, model.cum_table,
-                           model.sample_ints, model.subwords,
-                           window, negative, seed, sg, cbow_mean))
-
-        def make_train_shard(epoch, a, bc):
-            def train_shard(key, pdf):
-                import pandas as pd
-
-                (s0v, s0n, s1, cum, samp, subs, win, neg, sd, sg_,
-                 cm) = bc.value
-                v0, n0, o0 = s0v.copy(), s0n.copy(), s1.copy()
-                cv = np.zeros(v0.shape[0], dtype=np.int64)
-                cn = np.zeros(n0.shape[0], dtype=np.int64)
-                co = np.zeros(o0.shape[0], dtype=np.int64)
-                pdf = pdf.sort_values("doc_id")
-                for doc_id, ids in zip(pdf["doc_id"], pdf["ids"]):
-                    if sg_:
-                        train_doc_ft_sg(
-                            np.asarray(ids, dtype=np.int64), subs,
-                            v0, n0, o0, cum, samp, win, neg, a,
-                            _mix(sd, epoch, int(doc_id)), cv, cn, co)
-                    else:
-                        train_doc_ft_cbow(
-                            np.asarray(ids, dtype=np.int64), subs,
-                            v0, n0, o0, cum, samp, win, neg, a,
-                            _mix(sd, epoch, int(doc_id)), cv, cn, co,
-                            cbow_mean=cm)
-                out = []
-                for m, (mat0, mat, cnts) in enumerate(
-                        [(s0v, v0, cv), (s0n, n0, cn), (s1, o0, co)]):
-                    for w in np.nonzero(cnts)[0]:
-                        out.append((m, int(w), int(cnts[w]),
-                                    list(mat[w] - mat0[w])))
-                return pd.DataFrame(out,
-                                    columns=["m", "w", "cnt", "delta"])
-            return train_shard
-
-        rows = (docs.withColumn(
-            "shard", F.pmod(F.col("doc_id"), F.lit(num_shards)))
-            .groupBy("shard").applyInPandas(
-                make_train_shard(epoch, a, bc),
-                "m int, w long, cnt long, delta array<double>").collect())
-        bc.destroy()  # per-epoch broadcast of 3 matrices — don't accumulate
-
-        mats = {0: model.syn0_vocab, 1: model.syn0_ngrams, 2: model.syn1neg}
-        num: dict = {0: {}, 1: {}, 2: {}}
-        den: dict = {0: {}, 1: {}, 2: {}}
-        for r in rows:
-            m, w, cnt = r["m"], r["w"], r["cnt"]
-            d = np.asarray(r["delta"]) * cnt
-            if w in num[m]:
-                num[m][w] += d
-                den[m][w] += cnt
-            else:
-                num[m][w] = d
-                den[m][w] = cnt
-        for m, mat in mats.items():
-            for w, d in num[m].items():
-                mat[w] += d / den[m][w]
+        _ft_epoch(docs, model, epoch, a, num_shards, sg, cbow_mean)
+    model.trained_epochs = epochs
+    model.sg, model.cbow_mean = sg, cbow_mean
     return model
+
+
+def fasttext_update(docs: DataFrame, model: FastTextModel,
+                    vocab_tokens: list, counts: np.ndarray,
+                    alpha: float = 0.025, min_alpha: float = 0.0001,
+                    epochs: int = 5, sample: float = 1e-3,
+                    num_shards: int = 64) -> FastTextModel:
+    """Continued training — FastText ``build_vocab(update=True)`` +
+    ``train()`` (fasttext.py:395-470 update path). ``vocab_tokens`` /
+    ``counts`` cover the MERGED vocabulary (old ids preserved, new ids
+    appended — vocab.merge_with semantics); ``docs`` carries the new
+    corpus as (doc_id, ids) under those ids. New vocab rows get the same
+    per-index seeded init a fresh fit would give them; their subword
+    hash lists are computed with the model's n-gram params; the bucket
+    matrix carries over untouched (shared subwords ARE the transfer
+    mechanism); output rows start at zero; sampling tables rebuild over
+    the merged counts; epoch seeds continue from ``trained_epochs``.
+    Mutates and returns ``model``."""
+    counts = np.asarray(counts)
+    v_new, v_old = len(counts), model.vocab_size
+    if v_new < v_old:
+        raise ValueError(
+            f"merged vocab ({v_new}) smaller than trained vocab ({v_old})")
+    if v_new > v_old:
+        grown = init_syn0(v_new, model.vector_size, model.seed)
+        model.syn0_vocab = np.vstack([model.syn0_vocab, grown[v_old:]])
+        model.syn1neg = np.vstack(
+            [model.syn1neg, np.zeros((v_new - v_old, model.vector_size))])
+        model.subwords = list(model.subwords) + [
+            ft_ngram_hashes(tok, model.min_n, model.max_n, model.bucket)
+            for tok in vocab_tokens[v_old:]]
+        model.vocab_size = v_new
+    model.cum_table = make_cum_table(counts)
+    model.sample_ints = make_sample_ints(counts, sample)
+    epoch0 = getattr(model, "trained_epochs", 0)
+    sg = getattr(model, "sg", 1)
+    cbow_mean = getattr(model, "cbow_mean", 1)
+    for epoch in range(epochs):
+        a = alpha - (alpha - min_alpha) * epoch / max(1, epochs - 1) \
+            if epochs > 1 else alpha
+        _ft_epoch(docs, model, epoch0 + epoch, a, num_shards, sg, cbow_mean)
+    model.trained_epochs = epoch0 + epochs
+    return model
+
+
+def _ft_epoch(docs: DataFrame, model: FastTextModel, epoch: int, a: float,
+              num_shards: int, sg: int, cbow_mean: int) -> None:
+    """One shard-synchronous epoch: broadcast the three matrices, run the
+    per-shard sequential kernels, fold count-weighted deltas back."""
+    sc = docs.sparkSession.sparkContext
+    window, negative, seed = model.window, model.negative, model.seed
+    bc = sc.broadcast((model.syn0_vocab, model.syn0_ngrams,
+                       model.syn1neg, model.cum_table,
+                       model.sample_ints, model.subwords,
+                       window, negative, seed, sg, cbow_mean))
+
+    def make_train_shard(epoch, a, bc):
+        def train_shard(key, pdf):
+            import pandas as pd
+
+            (s0v, s0n, s1, cum, samp, subs, win, neg, sd, sg_,
+             cm) = bc.value
+            v0, n0, o0 = s0v.copy(), s0n.copy(), s1.copy()
+            cv = np.zeros(v0.shape[0], dtype=np.int64)
+            cn = np.zeros(n0.shape[0], dtype=np.int64)
+            co = np.zeros(o0.shape[0], dtype=np.int64)
+            pdf = pdf.sort_values("doc_id")
+            for doc_id, ids in zip(pdf["doc_id"], pdf["ids"]):
+                if sg_:
+                    train_doc_ft_sg(
+                        np.asarray(ids, dtype=np.int64), subs,
+                        v0, n0, o0, cum, samp, win, neg, a,
+                        _mix(sd, epoch, int(doc_id)), cv, cn, co)
+                else:
+                    train_doc_ft_cbow(
+                        np.asarray(ids, dtype=np.int64), subs,
+                        v0, n0, o0, cum, samp, win, neg, a,
+                        _mix(sd, epoch, int(doc_id)), cv, cn, co,
+                        cbow_mean=cm)
+            out = []
+            for m, (mat0, mat, cnts) in enumerate(
+                    [(s0v, v0, cv), (s0n, n0, cn), (s1, o0, co)]):
+                for w in np.nonzero(cnts)[0]:
+                    out.append((m, int(w), int(cnts[w]),
+                                list(mat[w] - mat0[w])))
+            return pd.DataFrame(out,
+                                columns=["m", "w", "cnt", "delta"])
+        return train_shard
+
+    rows = (docs.withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(num_shards)))
+        .groupBy("shard").applyInPandas(
+            make_train_shard(epoch, a, bc),
+            "m int, w long, cnt long, delta array<double>").collect())
+    bc.destroy()  # per-epoch broadcast of 3 matrices — don't accumulate
+
+    mats = {0: model.syn0_vocab, 1: model.syn0_ngrams, 2: model.syn1neg}
+    num: dict = {0: {}, 1: {}, 2: {}}
+    den: dict = {0: {}, 1: {}, 2: {}}
+    for r in rows:
+        m, w, cnt = r["m"], r["w"], r["cnt"]
+        d = np.asarray(r["delta"]) * cnt
+        if w in num[m]:
+            num[m][w] += d
+            den[m][w] += cnt
+        else:
+            num[m][w] = d
+            den[m][w] = cnt
+    for m, mat in mats.items():
+        for w, d in num[m].items():
+            mat[w] += d / den[m][w]

@@ -282,3 +282,117 @@ def test_facade(spark):
     assert v.shape == (10,) and np.linalg.norm(v) > 0
     v2 = ft.get_vector("cat")  # in-vocab: adjusted vector
     assert v2.shape == (10,)
+
+
+def test_fasttext_update_matches_replica(spark):
+    """Continued training: vocab grows, new tokens get seeded init + fresh
+    subword lists, the bucket matrix carries over, the distributed
+    continuation equals a sequential replica with offset epoch seeds."""
+    rng = np.random.default_rng(31)
+    vocab_a = ["apple", "apples", "banana", "bananas", "cherry"]
+    docs_a, counts_a = _toy_corpus(rng, vocab_a, n_docs=30)
+    vocab_m = vocab_a + ["cherries", "grape"]
+    docs_b = [(d, [int(rng.integers(len(vocab_m))) for _ in range(10)])
+              for d in range(30, 50)]
+    counts_m = np.zeros(len(vocab_m), dtype=np.int64)
+    counts_m[:5] = counts_a
+    for _, ids in docs_b:
+        for w in ids:
+            counts_m[w] += 1
+
+    kw = dict(vector_size=8, window=3, negative=3, epochs=2, sample=0,
+              bucket=400, min_n=3, max_n=5, seed=12)
+    df_a = spark.createDataFrame(docs_a, "doc_id long, ids array<long>")
+    df_b = spark.createDataFrame(docs_b, "doc_id long, ids array<long>")
+    got = FT.fasttext_fit(df_a, vocab_a, counts_a, num_shards=4, **kw)
+    ngrams_pre = got.syn0_ngrams.copy()
+    got = FT.fasttext_update(df_b, got, vocab_m, counts_m, epochs=2,
+                             sample=0, num_shards=4)
+    assert got.vocab_size == 7 and got.trained_epochs == 4
+    assert len(got.subwords) == 7
+
+    # sequential replica: same expansion, same offset seeds, same fold
+    subs = [FT.ft_ngram_hashes(t, 3, 5, 400) for t in vocab_a]
+    model = FT.FastTextModel(
+        5, 8, 400, W2V.init_syn0(5, 8, 12),
+        W2V.init_syn0(400, 8, W2V._mix(12, 77)), np.zeros((5, 8)),
+        W2V.make_cum_table(counts_a), W2V.make_sample_ints(counts_a, 0),
+        subs, 3, 3, 3, 5, 12)
+
+    def run_epochs(doc_list, epoch0, epochs, subs_l):
+        for epoch in range(epochs):
+            a = 0.025 - (0.025 - 0.0001) * epoch / 1
+            V = model.syn0_vocab.shape[0]
+            num, den = {0: {}, 1: {}, 2: {}}, {0: {}, 1: {}, 2: {}}
+            for s in range(4):
+                v0 = model.syn0_vocab.copy()
+                n0 = model.syn0_ngrams.copy()
+                o0 = model.syn1neg.copy()
+                cv = np.zeros(V, dtype=np.int64)
+                cn = np.zeros(400, dtype=np.int64)
+                co = np.zeros(V, dtype=np.int64)
+                for doc_id, ids in sorted(d for d in doc_list
+                                          if d[0] % 4 == s):
+                    FT.train_doc_ft_sg(np.asarray(ids), subs_l, v0, n0, o0,
+                                       model.cum_table, model.sample_ints,
+                                       3, 3, a,
+                                       W2V._mix(12, epoch0 + epoch, doc_id),
+                                       cv, cn, co)
+                for m, (base, mat, cnts) in enumerate(
+                        [(model.syn0_vocab, v0, cv),
+                         (model.syn0_ngrams, n0, cn),
+                         (model.syn1neg, o0, co)]):
+                    for w in np.nonzero(cnts)[0]:
+                        d_ = (mat[w] - base[w]) * cnts[w]
+                        if w in num[m]:
+                            num[m][w] += d_
+                            den[m][w] += cnts[w]
+                        else:
+                            num[m][w] = d_
+                            den[m][w] = int(cnts[w])
+            mats = {0: model.syn0_vocab, 1: model.syn0_ngrams,
+                    2: model.syn1neg}
+            for m, mat in mats.items():
+                for w, d_ in num[m].items():
+                    mat[w] += d_ / den[m][w]
+
+    run_epochs(docs_a, 0, 2, subs)
+    grown = W2V.init_syn0(7, 8, 12)
+    model.syn0_vocab = np.vstack([model.syn0_vocab, grown[5:]])
+    model.syn1neg = np.vstack([model.syn1neg, np.zeros((2, 8))])
+    subs_m = subs + [FT.ft_ngram_hashes(t, 3, 5, 400) for t in vocab_m[5:]]
+    model.cum_table = W2V.make_cum_table(counts_m)
+    model.sample_ints = W2V.make_sample_ints(counts_m, 0)
+    run_epochs(docs_b, 2, 2, subs_m)
+
+    np.testing.assert_allclose(got.syn0_vocab, model.syn0_vocab, atol=1e-10)
+    np.testing.assert_allclose(got.syn0_ngrams, model.syn0_ngrams,
+                               atol=1e-10)
+    np.testing.assert_allclose(got.syn1neg, model.syn1neg, atol=1e-10)
+    # bucket rows untouched by either corpus kept their round-1 state
+    touched = set()
+    for s_l in subs_m:
+        touched.update(s_l)
+    untouched = [b for b in range(400) if b not in touched]
+    if untouched:
+        np.testing.assert_allclose(got.syn0_ngrams[untouched],
+                                   ngrams_pre[untouched])
+
+
+def test_fasttext_facade_update(spark):
+    from gensim_spark.api import FastText
+
+    docs = spark.createDataFrame(
+        [(d, ["cat", "cats", "dog"] if d % 2 else ["red", "green", "blue"])
+         for d in range(20)], "doc_id long, tokens array<string>")
+    ft = FastText(docs, vector_size=8, window=2, negative=2, epochs=1,
+                  sample=0, bucket=300, num_shards=4, seed=2, sg=1)
+    assert len(ft.dictionary) == 6
+    new = spark.createDataFrame(
+        [(d, ["cat", "kitten", "kittens"]) for d in range(100, 112)],
+        "doc_id long, tokens array<string>")
+    ft.update(new, epochs=1, sample=0, num_shards=4)
+    assert len(ft.dictionary) == 8
+    assert ft.get_vector("kitten").shape == (8,)
+    sims = ft.wv.most_similar(positive=["kitten"], topn=3)
+    assert len(sims) == 3
