@@ -422,13 +422,26 @@ class Word2Vec:
                  sample: float = 1e-3, ns_exponent: float = 0.75,
                  num_shards: int = 64, seed: int = 1, sg: int = 1,
                  cbow_mean: int = 1, hs: int = 0,
+                 min_count: int | None = None,
+                 max_final_vocab: int | None = None,
                  dictionary: Dictionary | None = None):
         import numpy as np
 
+        from gensim_spark.operators import vocab as _vocab
         from gensim_spark.operators import word2vec as _w2v
 
         self._w2v = _w2v
         d = dictionary if dictionary is not None else Dictionary(documents)
+        if max_final_vocab is not None:
+            # word2vec.py:615-631: resolve max_final_vocab to the
+            # min_count that best satisfies it, then trim
+            min_count = _vocab.effective_min_count(
+                d.df, max_final_vocab, min_count or 1)
+        if min_count is not None and min_count > 1:
+            trimmed = _vocab.compactify(
+                d.df.filter(F.col("cf") >= min_count))
+            d = Dictionary(documents, vocab_df=trimmed,
+                           num_docs=d.num_docs)
         self.dictionary = d
         rows = d.df.select("term_id", "token", "cf") \
             .orderBy("term_id").collect()

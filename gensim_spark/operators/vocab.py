@@ -210,6 +210,19 @@ def merge_with(vocab: DataFrame, other: DataFrame) -> DataFrame:
     return merged_common.unionByName(fresh)
 
 
+def effective_min_count(vocab: DataFrame, max_final_vocab: int,
+                        min_count: int = 5) -> int:
+    """Word2Vec's ``max_final_vocab`` → min_count resolution
+    (word2vec.py:615-631 prepare_vocab): take the cf of the
+    ``max_final_vocab``-th word by descending count (the first one that
+    must NOT survive) + 1, clamped below by ``min_count``. One
+    sort-limit job — never materializes the vocabulary on the driver."""
+    row = (vocab.orderBy(F.col("cf").desc())
+           .select("cf").offset(max_final_vocab).limit(1).collect())
+    calc_min_count = int(row[0]["cf"]) + 1 if row else 1
+    return max(calc_min_count, min_count)
+
+
 def patch_with_special_tokens(vocab: DataFrame,
                               special: dict[str, int]) -> DataFrame:
     """Force specific tokens onto specific ids (dictionary.py:593-637):

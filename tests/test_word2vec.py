@@ -514,3 +514,26 @@ def test_word2vec_facade_update(spark):
     sims = m.wv.most_similar(positive=["lion"], topn=3)
     assert len(sims) == 3   # new token is servable
     assert m.model.trained_epochs == 4
+
+
+def test_effective_min_count_and_max_final_vocab(spark):
+    """word2vec.py:615-631: max_final_vocab resolves to the min_count that
+    best satisfies it (cf of the first word that must NOT survive, + 1)."""
+    from gensim_spark.operators import vocab as V_OP
+    from gensim_spark.api import Word2Vec
+
+    # cfs: a=6, b=5, c=4, d=3, e=2  (distinct counts, clean boundary)
+    toks = (["a"] * 6 + ["b"] * 5 + ["c"] * 4 + ["d"] * 3 + ["e"] * 2)
+    docs = spark.createDataFrame(
+        [(i, toks[i * 4:(i + 1) * 4]) for i in range(5)],
+        "doc_id long, tokens array<string>")
+    from gensim_spark.api import Dictionary
+    d = Dictionary(docs)
+    assert V_OP.effective_min_count(d.df, 2, 1) == 5   # cf of 'c' + 1
+    assert V_OP.effective_min_count(d.df, 2, 6) == 6   # min_count clamps
+    assert V_OP.effective_min_count(d.df, 10, 3) == 3  # vocab smaller: 1→3
+
+    m = Word2Vec(docs, vector_size=4, window=2, negative=2, epochs=1,
+                 sample=0, num_shards=2, seed=1, max_final_vocab=2)
+    assert len(m.dictionary) == 2
+    assert {t for t, _ in m.dictionary.most_common(5)} == {"a", "b"}
