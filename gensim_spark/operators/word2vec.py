@@ -148,7 +148,8 @@ def train_doc_sg(ids: np.ndarray, syn0: np.ndarray, syn1neg: np.ndarray,
                  doc_seed: int, counts_out: np.ndarray,
                  hs: int = 0, syn1hs: np.ndarray | None = None,
                  codes: list | None = None, points: list | None = None,
-                 counts_hs: np.ndarray | None = None) -> None:
+                 counts_hs: np.ndarray | None = None,
+                 shrink_windows: int = 1) -> None:
     """One document's skip-gram pass — the exact pyx kernel in numpy.
 
     ``ids`` are vocab indices (unknown words already dropped — gensim
@@ -171,7 +172,8 @@ def train_doc_sg(ids: np.ndarray, syn0: np.ndarray, syn1neg: np.ndarray,
     n = len(kept)
     if n == 0:
         return
-    reduced = rs.randint(0, window, size=n)
+    reduced = (rs.randint(0, window, size=n) if shrink_windows
+               else np.zeros(n, dtype=np.int64))   # word2vec.py:1370-1376
 
     size = syn0.shape[1]
     cum_last = int(cum_table[-1])
@@ -230,7 +232,8 @@ def train_doc_cbow(ids: np.ndarray, syn0: np.ndarray, syn1neg: np.ndarray,
                    cbow_mean: int = 1,
                    hs: int = 0, syn1hs: np.ndarray | None = None,
                    codes: list | None = None, points: list | None = None,
-                   counts_hs: np.ndarray | None = None) -> None:
+                   counts_hs: np.ndarray | None = None,
+                   shrink_windows: int = 1) -> None:
     """One document's CBOW pass (w2v_fast_sentence_cbow_neg,
     word2vec_inner.pyx:345-460): neu1 = mean (or sum) of the context's
     input vectors, trained against center + negatives on syn1neg; the
@@ -252,7 +255,8 @@ def train_doc_cbow(ids: np.ndarray, syn0: np.ndarray, syn1neg: np.ndarray,
     n = len(kept)
     if n == 0:
         return
-    reduced = rs.randint(0, window, size=n)
+    reduced = (rs.randint(0, window, size=n) if shrink_windows
+               else np.zeros(n, dtype=np.int64))   # word2vec.py:1370-1376
 
     size = syn0.shape[1]
     cum_last = int(cum_table[-1])
@@ -404,13 +408,14 @@ def _epoch_partials(docs: DataFrame, model: Word2VecModel, epoch: int,
     bc = sc.broadcast((model.syn0, model.syn1neg, model.cum_table,
                        model.sample_ints, model.window, model.negative,
                        model.seed, model.sg, model.cbow_mean,
-                       model.hs, model.syn1, model.codes, model.points))
+                       model.hs, model.syn1, model.codes, model.points,
+                       getattr(model, "shrink_windows", 1)))
 
     def train_shard(key, pdf):
         import pandas as pd
 
         (syn0_0, syn1_0, cum, samp, window, negative, seed, sg, cm,
-         hs, syn1hs_0, codes, points) = bc.value
+         hs, syn1hs_0, codes, points, sw) = bc.value
         syn0 = syn0_0.copy()
         syn1 = syn1_0.copy()
         syn1hs = syn1hs_0.copy() if hs else None
@@ -419,6 +424,7 @@ def _epoch_partials(docs: DataFrame, model: Word2VecModel, epoch: int,
         pdf = pdf.sort_values("doc_id")
         hs_kw = dict(hs=hs, syn1hs=syn1hs, codes=codes, points=points,
                      counts_hs=counts_hs) if hs else {}
+        hs_kw["shrink_windows"] = sw
         for doc_id, ids in zip(pdf["doc_id"], pdf["ids"]):
             arr = np.asarray(ids, dtype=np.int64)
             if sg:
@@ -482,6 +488,7 @@ def word2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
                  ns_exponent: float = 0.75, num_shards: int = 64,
                  seed: int = 1, sg: int = 1,
                  cbow_mean: int = 1, hs: int = 0,
+                 shrink_windows: bool = True,
                  callbacks=()) -> Word2VecModel:
     """Fit SGNS (``sg=1``) or CBOW (``sg=0``) over (doc_id, ids) rows
     (vocab indices per document, in token order, unknown words
@@ -502,6 +509,7 @@ def word2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
         make_sample_ints(counts, sample),
         window, negative, seed, sg=sg, cbow_mean=cbow_mean,
         hs=hs, syn1=syn1, codes=codes, points=points)
+    model.shrink_windows = 1 if shrink_windows else 0
     for cb in callbacks:      # CallbackAny2Vec (callbacks.py:567-616)
         cb.on_train_begin(model)
     for epoch in range(epochs):

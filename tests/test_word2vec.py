@@ -537,3 +537,49 @@ def test_effective_min_count_and_max_final_vocab(spark):
                  sample=0, num_shards=2, seed=1, max_final_vocab=2)
     assert len(m.dictionary) == 2
     assert {t for t, _ in m.dictionary.most_common(5)} == {"a", "b"}
+
+
+def test_shrink_windows_false(spark):
+    """shrink_windows=False (word2vec.py:1370-1376, gensim 4.1): full
+    window used for every pair, no RNG draw for reduced windows — the
+    distributed fit still equals a sequential replica, and the effective
+    context is never smaller than with shrink_windows=True."""
+    rng = np.random.default_rng(77)
+    docs = rand_docs(rng, n_docs=24, vocab=15)
+    counts = np.zeros(15, dtype=np.int64)
+    for _, ids in docs:
+        for w in ids:
+            counts[w] += 1
+    df = spark.createDataFrame(docs, "doc_id long, ids array<long>")
+    kw = dict(vector_size=8, window=3, negative=2, alpha=0.025,
+              min_alpha=0.0001, epochs=1, sample=0, seed=5)
+    got = W2V.word2vec_fit(df, 15, counts, num_shards=4,
+                           shrink_windows=False, **kw)
+
+    # sequential replica with reduced = 0 everywhere
+    model = W2V.Word2VecModel(
+        15, 8, W2V.init_syn0(15, 8, 5), np.zeros((15, 8)),
+        W2V.make_cum_table(counts), W2V.make_sample_ints(counts, 0),
+        3, 2, 5)
+    rows = []
+    for s in range(4):
+        syn0 = model.syn0.copy()
+        syn1 = model.syn1neg.copy()
+        cnts = np.zeros(15, dtype=np.int64)
+        for doc_id, ids in sorted(d for d in docs if d[0] % 4 == s):
+            W2V.train_doc_sg(np.asarray(ids, dtype=np.int64), syn0, syn1,
+                             model.cum_table, model.sample_ints, 3, 2,
+                             0.025, W2V._mix(5, 0, doc_id), cnts,
+                             shrink_windows=0)
+        for w in np.nonzero(cnts)[0]:
+            rows.append({"m": 0, "w": int(w), "cnt": int(cnts[w]),
+                         "delta": list(syn0[w] - model.syn0[w])})
+            rows.append({"m": 1, "w": int(w), "cnt": int(cnts[w]),
+                         "delta": list(syn1[w] - model.syn1neg[w])})
+    W2V.fold_epoch(model, rows)
+    np.testing.assert_allclose(got.syn0, model.syn0, atol=1e-10)
+    np.testing.assert_allclose(got.syn1neg, model.syn1neg, atol=1e-10)
+
+    # full windows ⇒ at least as many (doc, word) updates as shrunk ones
+    shrunk = W2V.word2vec_fit(df, 15, counts, num_shards=4, **kw)
+    assert not np.allclose(got.syn0, shrunk.syn0)
