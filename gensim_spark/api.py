@@ -422,6 +422,7 @@ class Word2Vec:
                  sample: float = 1e-3, ns_exponent: float = 0.75,
                  num_shards: int = 64, seed: int = 1, sg: int = 1,
                  cbow_mean: int = 1, hs: int = 0,
+                 shrink_windows: bool = True,
                  min_count: int | None = None,
                  max_final_vocab: int | None = None,
                  dictionary: Dictionary | None = None):
@@ -453,7 +454,8 @@ class Word2Vec:
             window=window, negative=negative, alpha=alpha,
             min_alpha=min_alpha, epochs=epochs, sample=sample,
             ns_exponent=ns_exponent, num_shards=num_shards, seed=seed,
-            sg=sg, cbow_mean=cbow_mean, hs=hs)
+            sg=sg, cbow_mean=cbow_mean, hs=hs,
+            shrink_windows=shrink_windows)
         self._refresh_wv(documents.sparkSession)
 
     def _refresh_wv(self, spark) -> None:
