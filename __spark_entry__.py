@@ -499,15 +499,23 @@ def _q_wmd_rwmd(spark, sf_dir):
 
 def _q_wmd_topk(spark, sf_dir):
     """Exact WMD top-k (prefetch-and-prune; one transportation LP per
-    surviving candidate). The LP is not SQL-expressible, so this entry is
-    rows-only for the driver; exactness is pinned by tests/test_wmd.py
-    against brute-force LP-vertex enumeration."""
+    surviving candidate). The LP itself is not SQL-expressible (pinned by
+    tests/test_wmd.py against brute-force LP-vertex enumeration), so the
+    entry persists the pruned survivors with their exact LP distances as
+    a parquet artifact and DuckDB re-runs the retrieval tail — the rank
+    window, k-cut, and doc-asc tie-break — over it (the lda_doc_topics /
+    lsi_topics persisted-artifact pattern)."""
     from gensim_spark.operators import wmd as WM
 
     doc_nbow, q_nbow = _wmd_nbows(spark, sf_dir, {0: QUERY_SET[0]})
-    out = WM.wmd_topk(doc_nbow, q_nbow, k=_WMD_EXACT_K, dim=_WMD_DIM)
-    return out.select("query_id", "doc_id",
-                      F.round("wmd", 6).alias("wmd"), "rank")
+    cands = WM.wmd_exact_candidates(doc_nbow, q_nbow, k=_WMD_EXACT_K,
+                                    dim=_WMD_DIM)
+    cands = cands.select("query_id", "doc_id",
+                         F.round("wmd", 6).alias("wmd"))
+    _persist_artifact(cands, sf_dir, "wmd_exact")
+    out = WM.wmd_rank_candidates(
+        spark.read.parquet(_art_path(sf_dir, "wmd_exact")), k=_WMD_EXACT_K)
+    return out.select("query_id", "doc_id", "wmd", "rank")
 
 
 _LSI_K = 4
@@ -1950,6 +1958,17 @@ dt AS (SELECT p.doc_id, u.topic_id, sum(p.tf::DOUBLE * u.u) AS w
 SELECT doc_id, topic_id, round(abs(w), 4) AS abs_weight FROM dt"""
 
 
+def _wmd_topk_sql() -> str:
+    p = f"{_ART_DIR}/{_ORACLE_SF}/wmd_exact/*.parquet"
+    return f"""
+WITH cands AS (SELECT query_id, doc_id, wmd FROM read_parquet('{p}')),
+ranked AS (SELECT query_id, doc_id, wmd,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY wmd ASC, doc_id ASC) AS INTEGER) AS rank
+           FROM cands)
+SELECT query_id, doc_id, wmd, rank FROM ranked WHERE rank <= {_WMD_EXACT_K}"""
+
+
 def _translation_topk_sql() -> str:
     wp = f"{_ART_DIR}/{_ORACLE_SF}/tm_w/*.parquet"
     return f"""
@@ -2411,9 +2430,8 @@ FROM ranked WHERE rank <= 10""",
         "nmf_doc_topics": _nmf_doc_topics_sql(),
         "bow_pair_distances": _bow_pair_distances_sql(),
         "lda_topic_diff": _lda_topic_diff_sql(),
-        # wmd_topk: no oracle_sql on purpose — the exact Word Mover's
-        # Distance is a transportation LP that is iterative even at
-        # inference time (no relational query side to persist-and-verify);
-        # pinned by pytest via brute-force LP-vertex enumeration and a
-        # hypothesis sweep.
+        # wmd_topk: the transportation LP itself stays pytest-pinned
+        # (brute-force vertex enumeration + hypothesis sweep); the oracle
+        # re-runs the retrieval tail over the persisted exact distances.
+        "wmd_topk": _wmd_topk_sql(),
     }

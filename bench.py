@@ -265,6 +265,19 @@ def run_suite():
                         "(round 2, eager decode: 0.657/0.951 = 1.45x, "
                         "100% blocks decoded)",
         },
+        # measured via _wand_bench_inner(4_000_000) (round 4): 4x the 1M
+        # evidence — the skip/decode ratios HOLD and the speedup grows
+        # with corpus size (join-agg scales with postings, WAND with the
+        # evaluated band)
+        "wand_4m_reference": {
+            "docs": 4000000, "postings": 207627726, "cores": 32,
+            "wand_sec": 0.86, "joinagg_sec": 1.528, "speedup": 1.78,
+            "query_postings": 17071323, "query_evaluated": 292343,
+            "skipped_pct": 98.3, "query_blocks_total": 135134,
+            "query_blocks_decoded": 16546, "blocks_decoded_pct": 12.2,
+            "measured": "round 4, BASELINE.md (4x postings -> 1.5x WAND "
+                        "wall; rank identity asserted in-run)",
+        },
         # measured via _salting_evidence(1_000_000) (round 3): head-term
         # skew handling on the bucketed store — salted build bounds every
         # parquet file at ~df/salts so no scan task is df-sized

@@ -247,14 +247,15 @@ def wmd_pairs(doc_nbow: DataFrame, query_nbow: DataFrame,
         solve, schema=_WMD_SCHEMA)
 
 
-def wmd_topk(doc_nbow: DataFrame, query_nbow: DataFrame, k: int = 10,
-             dim: int = DIM, eps: float = 1e-9) -> DataFrame:
-    """Exact WMD top-k via prefetch-and-prune (module docstring #3):
-    returns (query_id, doc_id, wmd, rank) with rank 1..k ascending wmd.
+def wmd_exact_candidates(doc_nbow: DataFrame, query_nbow: DataFrame,
+                         k: int = 10, dim: int = DIM,
+                         eps: float = 1e-9) -> DataFrame:
+    """The prefetch-and-prune survivor set with their EXACT LP distances:
+    (query_id, doc_id, wmd) for every document whose RWMD lower bound does
+    not already exclude it from the top k.
 
     Correctness: RWMD ≤ WMD, so a doc with RWMD > θ (the worst exact score
-    among the k RWMD-nearest) cannot displace any of those k.
-    """
+    among the k RWMD-nearest) cannot displace any of those k."""
     r = rwmd(doc_nbow, query_nbow, dim=dim).cache()
     w_r = Window.partitionBy("query_id").orderBy(
         F.col("rwmd").asc(), F.col("doc_id").asc())
@@ -267,11 +268,25 @@ def wmd_topk(doc_nbow: DataFrame, query_nbow: DataFrame, k: int = 10,
             .join(theta, "query_id")
             .filter(F.col("rwmd") <= F.col("_theta") + eps))
     exact2 = wmd_pairs(doc_nbow, query_nbow, band, dim=dim)
-    all_exact = exact1.unionByName(exact2)
+    return exact1.unionByName(exact2)
+
+
+def wmd_rank_candidates(all_exact: DataFrame, k: int = 10) -> DataFrame:
+    """(query_id, doc_id, wmd) candidates → top-k with rank 1..k ascending
+    wmd, doc_id-ascending ties — the relational retrieval tail."""
     w_f = Window.partitionBy("query_id").orderBy(
         F.col("wmd").asc(), F.col("doc_id").asc())
     return (all_exact.withColumn("rank", F.row_number().over(w_f))
             .filter(F.col("rank") <= k))
+
+
+def wmd_topk(doc_nbow: DataFrame, query_nbow: DataFrame, k: int = 10,
+             dim: int = DIM, eps: float = 1e-9) -> DataFrame:
+    """Exact WMD top-k via prefetch-and-prune (module docstring #3):
+    returns (query_id, doc_id, wmd, rank) with rank 1..k ascending wmd."""
+    return wmd_rank_candidates(
+        wmd_exact_candidates(doc_nbow, query_nbow, k=k, dim=dim, eps=eps),
+        k=k)
 
 
 def wmd_similarity_topk(doc_nbow: DataFrame, query_nbow: DataFrame,
