@@ -60,7 +60,8 @@ def train_doc_dm(ids: np.ndarray, dvec: np.ndarray, syn0: np.ndarray,
                  sample_ints: np.ndarray, window: int, negative: int,
                  alpha: float, doc_seed: int, counts_out: np.ndarray,
                  cbow_mean: int = 1, learn_words: bool = True,
-                 learn_hidden: bool = True) -> None:
+                 learn_hidden: bool = True,
+                 shrink_windows: int = 1) -> None:
     """One document's PV-DM pass (train_document_dm,
     doc2vec_inner.pyx:420-566, negative-sampling path, one doctag).
     Mutates ``dvec`` in place; ``syn0``/``syn1neg`` when learning."""
@@ -70,7 +71,8 @@ def train_doc_dm(ids: np.ndarray, dvec: np.ndarray, syn0: np.ndarray,
     n = len(kept)
     if n == 0:
         return
-    reduced = rs.randint(0, window, size=n)
+    reduced = (rs.randint(0, window, size=n) if shrink_windows
+               else np.zeros(n, dtype=np.int64))
 
     size = syn0.shape[1]
     cum_last = int(cum_table[-1])
@@ -118,7 +120,8 @@ def train_doc_dbow(ids: np.ndarray, dvec: np.ndarray, syn0: np.ndarray,
                    sample_ints: np.ndarray, window: int, negative: int,
                    alpha: float, doc_seed: int, counts_out: np.ndarray,
                    train_words: bool = True, learn_words: bool = True,
-                   learn_hidden: bool = True) -> None:
+                   learn_hidden: bool = True,
+                   shrink_windows: int = 1) -> None:
     """One document's PV-DBOW pass with optional simultaneous skip-gram
     word training (train_document_dbow, doc2vec_inner.pyx:286-417): per
     position, skip-gram pairs over the window first (when ``train_words``),
@@ -131,8 +134,8 @@ def train_doc_dbow(ids: np.ndarray, dvec: np.ndarray, syn0: np.ndarray,
     n = len(kept)
     if n == 0:
         return
-    reduced = rs.randint(0, window, size=n) if train_words \
-        else np.zeros(n, dtype=np.int64)
+    reduced = rs.randint(0, window, size=n) \
+        if (train_words and shrink_windows) else np.zeros(n, dtype=np.int64)
 
     cum_last = int(cum_table[-1])
 
@@ -201,7 +204,8 @@ def doc2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
                 epochs: int = 5, sample: float = 1e-3,
                 ns_exponent: float = 0.75, num_shards: int = 64,
                 seed: int = 1, dm: int = 1, dm_mean: int = 1,
-                dbow_words: int = 0) -> Doc2VecModel:
+                dbow_words: int = 0,
+                shrink_windows: bool = True) -> Doc2VecModel:
     """Fit PV-DM (``dm=1``, reference default) or PV-DBOW+words (``dm=0``,
     ``dbow_words=1``) over (doc_id, ids) rows. Word matrices are folded on
     the driver per epoch (count-weighted shard averaging); doc vectors stay
@@ -234,14 +238,15 @@ def doc2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
             if epochs > 1 else alpha
         bc = sc.broadcast((wv.syn0, wv.syn1neg, wv.cum_table,
                            wv.sample_ints, window, negative, seed,
-                           dm, dm_mean, dbow_words))
+                           dm, dm_mean, dbow_words,
+                           1 if shrink_windows else 0))
 
         def make_shard_fn(epoch, a, bc):
             def run(key, pdf):
                 import pandas as pd
 
                 (syn0_0, syn1_0, cum, samp, window_, negative_, seed_,
-                 dm_, dm_mean_, dbow_words_) = bc.value
+                 dm_, dm_mean_, dbow_words_, sw_) = bc.value
                 syn0 = syn0_0.copy()
                 syn1 = syn1_0.copy()
                 cnts = np.zeros(syn0.shape[0], dtype=np.int64)
@@ -255,11 +260,13 @@ def doc2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
                     if dm_:
                         train_doc_dm(arr, vec, syn0, syn1, cum, samp,
                                      window_, negative_, a, ds, cnts,
-                                     cbow_mean=dm_mean_)
+                                     cbow_mean=dm_mean_,
+                                     shrink_windows=sw_)
                     else:
                         train_doc_dbow(arr, vec, syn0, syn1, cum, samp,
                                        window_, negative_, a, ds, cnts,
-                                       train_words=bool(dbow_words_))
+                                       train_words=bool(dbow_words_),
+                                       shrink_windows=sw_)
                     out.append((2, int(doc_id), 1, list(vec)))
                 for w in np.nonzero(cnts)[0]:
                     out.append((0, int(w), int(cnts[w]),

@@ -149,7 +149,8 @@ def train_doc_ft_sg(ids: np.ndarray, subwords: list, syn0v: np.ndarray,
                     cum_table: np.ndarray, sample_ints: np.ndarray,
                     window: int, negative: int, alpha: float, doc_seed: int,
                     counts_v: np.ndarray, counts_n: np.ndarray,
-                    counts_o: np.ndarray) -> None:
+                    counts_o: np.ndarray,
+                    shrink_windows: int = 1) -> None:
     """One document's FastText skip-gram pass — the exact pyx kernel
     (fasttext_inner.pyx:75-146) in numpy float64."""
     rs = np.random.RandomState(doc_seed & 0xFFFFFFFF)
@@ -163,7 +164,8 @@ def train_doc_ft_sg(ids: np.ndarray, subwords: list, syn0v: np.ndarray,
     n = len(kept)
     if n == 0:
         return
-    reduced = rs.randint(0, window, size=n)
+    reduced = (rs.randint(0, window, size=n) if shrink_windows
+               else np.zeros(n, dtype=np.int64))
 
     size = syn0v.shape[1]
     cum_last = int(cum_table[-1])
@@ -213,7 +215,8 @@ def train_doc_ft_cbow(ids: np.ndarray, subwords: list, syn0v: np.ndarray,
                       window: int, negative: int, alpha: float,
                       doc_seed: int, counts_v: np.ndarray,
                       counts_n: np.ndarray, counts_o: np.ndarray,
-                      cbow_mean: int = 1) -> None:
+                      cbow_mean: int = 1,
+                      shrink_windows: int = 1) -> None:
     """One document's FastText CBOW pass — the exact pyx kernel
     (fasttext_inner.pyx fasttext_fast_sentence_cbow_neg) in numpy float64.
 
@@ -233,7 +236,8 @@ def train_doc_ft_cbow(ids: np.ndarray, subwords: list, syn0v: np.ndarray,
     n = len(kept)
     if n == 0:
         return
-    reduced = rs.randint(0, window, size=n)
+    reduced = (rs.randint(0, window, size=n) if shrink_windows
+               else np.zeros(n, dtype=np.int64))
 
     size = syn0v.shape[1]
     cum_last = int(cum_table[-1])
@@ -296,8 +300,8 @@ def fasttext_fit(docs: DataFrame, vocab_tokens: list, counts: np.ndarray,
                  alpha: float = 0.025, min_alpha: float = 0.0001,
                  epochs: int = 5, sample: float = 1e-3, bucket: int = 100000,
                  min_n: int = 3, max_n: int = 6, num_shards: int = 64,
-                 seed: int = 1, sg: int = 1,
-                 cbow_mean: int = 1) -> FastTextModel:
+                 seed: int = 1, sg: int = 1, cbow_mean: int = 1,
+                 shrink_windows: bool = True) -> FastTextModel:
     """Fit FastText SGNS (``sg=1``) or CBOW (``sg=0``, the reference's
     constructor default, fasttext.py:312) over (doc_id, ids) rows.
     ``vocab_tokens`` is the id-ordered token list (for n-gram computation);
@@ -317,9 +321,11 @@ def fasttext_fit(docs: DataFrame, vocab_tokens: list, counts: np.ndarray,
     for epoch in range(epochs):
         a = alpha - (alpha - min_alpha) * epoch / max(1, epochs - 1) \
             if epochs > 1 else alpha
-        _ft_epoch(docs, model, epoch, a, num_shards, sg, cbow_mean)
+        _ft_epoch(docs, model, epoch, a, num_shards, sg, cbow_mean,
+                  1 if shrink_windows else 0)
     model.trained_epochs = epochs
     model.sg, model.cbow_mean = sg, cbow_mean
+    model.shrink_windows = 1 if shrink_windows else 0
     return model
 
 
@@ -361,13 +367,15 @@ def fasttext_update(docs: DataFrame, model: FastTextModel,
     for epoch in range(epochs):
         a = alpha - (alpha - min_alpha) * epoch / max(1, epochs - 1) \
             if epochs > 1 else alpha
-        _ft_epoch(docs, model, epoch0 + epoch, a, num_shards, sg, cbow_mean)
+        _ft_epoch(docs, model, epoch0 + epoch, a, num_shards, sg,
+                  cbow_mean, getattr(model, "shrink_windows", 1))
     model.trained_epochs = epoch0 + epochs
     return model
 
 
 def _ft_epoch(docs: DataFrame, model: FastTextModel, epoch: int, a: float,
-              num_shards: int, sg: int, cbow_mean: int) -> None:
+              num_shards: int, sg: int, cbow_mean: int,
+              shrink_windows: int = 1) -> None:
     """One shard-synchronous epoch: broadcast the three matrices, run the
     per-shard sequential kernels, fold count-weighted deltas back."""
     sc = docs.sparkSession.sparkContext
@@ -375,14 +383,15 @@ def _ft_epoch(docs: DataFrame, model: FastTextModel, epoch: int, a: float,
     bc = sc.broadcast((model.syn0_vocab, model.syn0_ngrams,
                        model.syn1neg, model.cum_table,
                        model.sample_ints, model.subwords,
-                       window, negative, seed, sg, cbow_mean))
+                       window, negative, seed, sg, cbow_mean,
+                       shrink_windows))
 
     def make_train_shard(epoch, a, bc):
         def train_shard(key, pdf):
             import pandas as pd
 
             (s0v, s0n, s1, cum, samp, subs, win, neg, sd, sg_,
-             cm) = bc.value
+             cm, sw) = bc.value
             v0, n0, o0 = s0v.copy(), s0n.copy(), s1.copy()
             cv = np.zeros(v0.shape[0], dtype=np.int64)
             cn = np.zeros(n0.shape[0], dtype=np.int64)
@@ -393,13 +402,14 @@ def _ft_epoch(docs: DataFrame, model: FastTextModel, epoch: int, a: float,
                     train_doc_ft_sg(
                         np.asarray(ids, dtype=np.int64), subs,
                         v0, n0, o0, cum, samp, win, neg, a,
-                        _mix(sd, epoch, int(doc_id)), cv, cn, co)
+                        _mix(sd, epoch, int(doc_id)), cv, cn, co,
+                        shrink_windows=sw)
                 else:
                     train_doc_ft_cbow(
                         np.asarray(ids, dtype=np.int64), subs,
                         v0, n0, o0, cum, samp, win, neg, a,
                         _mix(sd, epoch, int(doc_id)), cv, cn, co,
-                        cbow_mean=cm)
+                        cbow_mean=cm, shrink_windows=sw)
             out = []
             for m, (mat0, mat, cnts) in enumerate(
                     [(s0v, v0, cv), (s0n, n0, cn), (s1, o0, co)]):

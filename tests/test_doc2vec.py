@@ -162,3 +162,26 @@ def test_infer_vectors_frozen_and_deterministic(spark):
     across = np.mean([unit[a] @ unit[b] for a in range(0, 16, 2)
                       for b in range(1, 16, 2)])
     assert within > across
+
+
+def test_d2v_shrink_windows_false(spark):
+    """shrink_windows=False (dm=1): full context windows; result differs
+    from the shrunk run and is deterministic across partitionings."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    docs = [(d, [int(rng.integers(10)) for _ in range(12)])
+            for d in range(16)]
+    counts = np.zeros(10, dtype=np.int64)
+    for _, ids in docs:
+        for w in ids:
+            counts[w] += 1
+    df = spark.createDataFrame(docs, "doc_id long, ids array<long>")
+    kw = dict(vector_size=6, window=2, negative=2, epochs=1, sample=0,
+              seed=3, num_shards=2, dm=1)
+    a = D2V.doc2vec_fit(df, 10, counts, shrink_windows=False, **kw)
+    b = D2V.doc2vec_fit(df.repartition(3), 10, counts,
+                        shrink_windows=False, **kw)
+    c = D2V.doc2vec_fit(df, 10, counts, **kw)
+    np.testing.assert_allclose(a.wv.syn0, b.wv.syn0, atol=1e-12)
+    assert not np.allclose(a.wv.syn0, c.wv.syn0)

@@ -396,3 +396,58 @@ def test_fasttext_facade_update(spark):
     assert ft.get_vector("kitten").shape == (8,)
     sims = ft.wv.most_similar(positive=["kitten"], topn=3)
     assert len(sims) == 3
+
+
+def test_ft_shrink_windows_false(spark):
+    """shrink_windows=False: full windows, no reduced draw; distributed ==
+    replica with reduced = 0."""
+    rng = np.random.default_rng(8)
+    vocab_tokens = ["apple", "apples", "banana", "melon"]
+    docs, counts = _toy_corpus(rng, vocab_tokens, n_docs=20)
+    df = spark.createDataFrame(docs, "doc_id long, ids array<long>")
+    got = FT.fasttext_fit(df, vocab_tokens, counts, vector_size=6,
+                          window=2, negative=2, epochs=1, sample=0,
+                          bucket=200, min_n=3, max_n=4, seed=4,
+                          num_shards=2, shrink_windows=False)
+    shrunk = FT.fasttext_fit(df, vocab_tokens, counts, vector_size=6,
+                             window=2, negative=2, epochs=1, sample=0,
+                             bucket=200, min_n=3, max_n=4, seed=4,
+                             num_shards=2)
+    assert not np.allclose(got.syn0_vocab, shrunk.syn0_vocab)
+
+    subs = [FT.ft_ngram_hashes(t, 3, 4, 200) for t in vocab_tokens]
+    model = FT.FastTextModel(
+        4, 6, 200, W2V.init_syn0(4, 6, 4),
+        W2V.init_syn0(200, 6, W2V._mix(4, 77)), np.zeros((4, 6)),
+        W2V.make_cum_table(counts), W2V.make_sample_ints(counts, 0),
+        subs, 2, 2, 3, 4, 4)
+    num, den = {0: {}, 1: {}, 2: {}}, {0: {}, 1: {}, 2: {}}
+    for s in range(2):
+        v0 = model.syn0_vocab.copy()
+        n0 = model.syn0_ngrams.copy()
+        o0 = model.syn1neg.copy()
+        cv = np.zeros(4, dtype=np.int64)
+        cn = np.zeros(200, dtype=np.int64)
+        co = np.zeros(4, dtype=np.int64)
+        for doc_id, ids in sorted(d for d in docs if d[0] % 2 == s):
+            FT.train_doc_ft_sg(np.asarray(ids), subs, v0, n0, o0,
+                               model.cum_table, model.sample_ints,
+                               2, 2, 0.025, W2V._mix(4, 0, doc_id),
+                               cv, cn, co, shrink_windows=0)
+        for m, (base, mat, cnts) in enumerate(
+                [(model.syn0_vocab, v0, cv),
+                 (model.syn0_ngrams, n0, cn),
+                 (model.syn1neg, o0, co)]):
+            for w in np.nonzero(cnts)[0]:
+                d_ = (mat[w] - base[w]) * cnts[w]
+                if w in num[m]:
+                    num[m][w] += d_
+                    den[m][w] += cnts[w]
+                else:
+                    num[m][w] = d_
+                    den[m][w] = int(cnts[w])
+    for m, mat in {0: model.syn0_vocab, 1: model.syn0_ngrams,
+                   2: model.syn1neg}.items():
+        for w, d_ in num[m].items():
+            mat[w] += d_ / den[m][w]
+    np.testing.assert_allclose(got.syn0_vocab, model.syn0_vocab, atol=1e-10)
