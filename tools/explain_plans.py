@@ -134,8 +134,8 @@ def main() -> None:
         "Block-max WAND pruning counters (terms 3, 11, k=10)",
         f"postings_in_query_runs={stats['postings'].value} "
         f"evaluated={stats['evaluated'].value} "
-        f"(1M-doc evidence: BASELINE.md — 98.3% skipped, 1.57x vs join-agg, "
-        f"11.9% of varint blocks decoded)",
+        f"(1M/4M-doc evidence: BASELINE.md — 98.3% skipped at both sizes, "
+        f"1.46x/1.78x vs join-agg, ~12% of varint blocks decoded)",
         "    see gensim_spark/index/wand.py — ordered-segment traversal"))
 
     # RWMD (WMD lower bound): broadcast the ~|q|-token query against doc
@@ -155,6 +155,25 @@ def main() -> None:
     sections.append((
         "RWMD (WMD lower bound) — query compiled into ONE hash-agg pass "
         "(no join, no window; exchanges = doc tf-agg + nbow)",
+        summarize(p), interesting(p)))
+
+    # LSI projection merge (online add_documents): the rotated basis is ONE
+    # whole-stage-codegen projection over the cached full-outer term join —
+    # Q is never materialized; the Grams feeding the rotation are
+    # topics²-sized partial folds.
+    from gensim_spark.operators import lsi as L
+
+    postings_d = idx.postings.select(
+        "doc_id", "term_id", F.col("tf").cast("double").alias("weight"))
+    pa = L.lsi_fit(postings_d.filter("doc_id % 2 = 0"), num_topics=3,
+                   extra_dims=2, power_iters=1)
+    pb = L.lsi_fit(postings_d.filter("doc_id % 2 = 1"), num_topics=3,
+                   extra_dims=2, power_iters=1)
+    merged = L.merge_projections(pa, pb)
+    p = merged.u._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "LSI projection merge (add_documents) — basis rotation as one "
+        "codegen projection over the term join",
         summarize(p), interesting(p)))
 
     with open("EXPLAIN.md", "w") as f:
