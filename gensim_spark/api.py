@@ -308,6 +308,24 @@ class LdaModel:
                                     topicid, topn).collect()
         return [(r["token"], r["prob"]) for r in rows]
 
+    def get_term_topics(self, term_id: int,
+                        minimum_probability: float | None = None):
+        return self._lda.get_term_topics(self.model, term_id,
+                                         minimum_probability)
+
+    def top_topics(self, measure: str = "u_mass", topn: int = 20,
+                   **coherence_kw):
+        """Topics ranked by coherence (ldamodel.py:1255-1306); tokens when
+        id2word is set, term ids otherwise."""
+        vocab = self.id2word.df if self.id2word is not None else None
+        return self._lda.top_topics(self.model, measure=measure, topn=topn,
+                                    vocab=vocab, **coherence_kw)
+
+    def diff(self, other: "LdaModel", **kw):
+        """Topic-difference matrix vs another fitted model
+        (ldamodel.py:1420-1513)."""
+        return self._lda.diff(self.model, other.model, **kw)
+
     def log_perplexity(self, postings: DataFrame) -> float:
         return self._lda.log_perplexity(postings, self.model)
 

@@ -343,6 +343,18 @@ def test_api_facade_matches_operator(lda_fixture, spark, common_texts):
     top = facade.show_topic(0, topn=3)
     assert len(top) == 3 and all(isinstance(t, str) for t, _ in top)
     assert facade.log_perplexity(bow) < 0
+    # convenience delegations: get_term_topics / top_topics / diff
+    tt = facade.get_term_topics(0, minimum_probability=0.0)
+    assert tt and all(0 <= k < K for k, _ in tt)
+    ranked = facade.top_topics(measure="u_mass", topn=3, postings=bow,
+                               num_docs=dct.num_docs)
+    assert len(ranked) == K
+    scores = [s for _, s in ranked]
+    assert scores == sorted(scores, reverse=True)
+    assert all(isinstance(w, str) for (_, w) in ranked[0][0])
+    mat, ann = facade.diff(facade, num_words=5, n_ann_terms=3)
+    import numpy as np
+    np.testing.assert_allclose(np.diag(mat), 0.0, atol=1e-9)
 
 
 def test_topics_df_and_show_topic(lda_fixture, spark, common_texts):
