@@ -293,17 +293,19 @@ def run_suite():
         # reps, min-of, fresh subprocess per run); see BASELINE.md §Measured
         "scaling_reference": {
             "docs": 400000, "cores_n": 2, "cores_4n": 8,
-            "t_n_sec": 150.38, "t_4n_sec": 47.01,
-            "docs_per_sec_n": 2659.9, "docs_per_sec_4n": 8508.5,
-            "efficiency": 0.800,
-            "measured": "round 4, BASELINE.md (interleaved min-of-6 in a "
-                        "clean window; both legs faster than round 3's "
-                        "179.2/52.6 = 0.851; raw-CPU 2-to-8 ceiling "
-                        "measured 0.88-0.93 the same hour; a 45-min storm "
-                        "window the same day pinned the 8-core leg at "
-                        "~124 s across 6 straight reps - min-of-reps "
-                        "inside one bad window cannot rescue that, "
-                        "re-run windows can)",
+            "t_n_sec": 150.38, "t_4n_sec": 45.67,
+            "docs_per_sec_n": 2659.9, "docs_per_sec_4n": 8758.5,
+            "efficiency": 0.823,
+            "efficiency_by_window": [0.800, 0.872],
+            "measured": "round 4, BASELINE.md: two clean-window "
+                        "interleaved min-of-6 runs (within-window eff "
+                        "0.800 and 0.872; min over all reps of both "
+                        "windows = 0.823 with the table's legs); round "
+                        "3 measured 0.851 at 179.2/52.6; raw-CPU 2-to-8 "
+                        "ceiling 0.88-0.93; a 45-min storm window pinned "
+                        "the 8-core leg at ~124 s across 6 straight reps "
+                        "- min-of-reps inside one bad window cannot "
+                        "rescue that, re-run windows can)",
         },
     }
     return out
