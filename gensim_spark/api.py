@@ -1174,6 +1174,51 @@ class Similarity:
                               k=self.num_best, packed=packed)
 
 
+class MatrixSimilarity:
+    """``gensim.similarities.MatrixSimilarity`` (docsim.py:776-885): dense
+    cosine index over (doc_id, embedding) rows — vectors unit-normalized at
+    build exactly as the reference's ``normalize=True``; queries are
+    (query_id, embedding) rows. Delegates to the brute-force exact scan
+    (operators/simsearch.py::cosine_topk)."""
+
+    def __init__(self, doc_vectors: DataFrame, num_best: int | None = 10,
+                 id_col: str = "doc_id", vec_col: str = "embedding"):
+        from gensim_spark.operators import simsearch as _ss
+
+        self._ss = _ss
+        self.num_best = num_best
+        self._id, self._vec = id_col, vec_col
+        self.index = doc_vectors
+
+    def __getitem__(self, queries: DataFrame) -> DataFrame:
+        k = self.num_best if self.num_best is not None else 1 << 31
+        out = self._ss.cosine_topk(self.index, queries, k=k,
+                                   id_col=self._id, vec_col=self._vec)
+        # cosine_topk's match column is always "vec_id"
+        return out.withColumnRenamed("vec_id", "doc_id")
+
+
+class SoftCosineSimilarity:
+    """``gensim.similarities.SoftCosineSimilarity`` (docsim.py:900-1006):
+    Soft Cosine Measure over a term-similarity matrix S. ``S`` is a
+    (term_i, term_j, sim) DataFrame — build one from the vocabulary with
+    ``operators.softcosine.term_sim_matrix_from_fuzzy`` (the
+    LevenshteinSimilarityIndex source) or supply embeddings-derived sims."""
+
+    def __init__(self, weighted_corpus: DataFrame, S: DataFrame,
+                 num_best: int = 10):
+        from gensim_spark.operators import softcosine as _sc
+
+        self._sc = _sc
+        self.weighted = weighted_corpus
+        self.S = S
+        self.num_best = num_best
+
+    def __getitem__(self, query_terms: DataFrame) -> DataFrame:
+        return self._sc.soft_cosine_topk(self.weighted, query_terms,
+                                         self.S, k=self.num_best)
+
+
 class WmdSimilarity:
     """``gensim.similarities.WmdSimilarity`` (docsim.py:1009-1113): rank the
     indexed docs by ``1 / (1 + WMD(query, doc))``. Exact WMD with the

@@ -337,3 +337,40 @@ def test_text_directory_depth_and_pattern_filters(spark, tmp_path):
             for r in read_text_directory(spark, str(root)).collect()}
     assert rows["top.txt"][1] == 0 and rows["deep.txt"][1] == 2
     assert sorted(d for d, _ in rows.values()) == [0, 1, 2, 3]
+
+
+def test_matrix_and_softcos_facades(spark, common_texts):
+    """MatrixSimilarity / SoftCosineSimilarity facades delegate to the
+    operators with the docsim surface shapes."""
+    import numpy as np
+
+    from gensim_spark.api import MatrixSimilarity, SoftCosineSimilarity
+    from gensim_spark.operators import bow as B
+    from gensim_spark.operators import vocab as V
+
+    # dense cosine index
+    rng = np.random.default_rng(5)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=6)]) for i in range(20)],
+        "doc_id long, embedding array<double>")
+    ms = MatrixSimilarity(vecs, num_best=5)
+    q = vecs.filter("doc_id = 3").select(
+        F.col("doc_id").alias("query_id"), "embedding")
+    hits = ms[q].collect()
+    assert len(hits) == 5
+    assert hits[0]["doc_id"] == 3 and hits[0]["rank"] == 1  # self first
+
+    # soft cosine with identity S == plain cosine ranking
+    df = docs_df(spark, common_texts)
+    vocab = V.build_vocab(df)
+    postings = B.doc2bow_postings(df, vocab).select(
+        "doc_id", "term_id", F.col("tf").cast("double").alias("weight"))
+    S = vocab.select(F.col("term_id").alias("term_i"),
+                     F.col("term_id").alias("term_j"),
+                     F.lit(1.0).alias("sim"))
+    sc = SoftCosineSimilarity(postings, S, num_best=3)
+    qdf = postings.filter("doc_id = 8").select(
+        F.lit(0).alias("query_id"), "term_id", "weight")
+    out = sc[qdf].collect()
+    assert len(out) == 3
+    assert out[0]["doc_id"] == 8 and out[0]["score"] == pytest.approx(1.0)
