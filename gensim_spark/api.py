@@ -1173,6 +1173,20 @@ class Similarity:
         return wand.wand_topk(self._spark, self.prefix, query_terms,
                               k=self.num_best, packed=packed)
 
+    def add_documents(self, weighted_corpus: DataFrame) -> None:
+        """Append new documents as fresh shards in one atomic snapshot
+        (docsim.py:367-416; Iceberg store only). New doc_ids must start at
+        the next shard boundary — the reference's own
+        new-docs-enter-the-tail-shard invariant."""
+        if not self.iceberg:
+            raise ValueError(
+                "add_documents needs the snapshot store (iceberg=True); "
+                "the plain-manifest store is write-once — rebuild or use "
+                "streaming.incremental for continuous ingest.")
+        from gensim_spark.index import layout
+
+        layout.append_packed_shards_iceberg(weighted_corpus, self.prefix)
+
 
 class MatrixSimilarity:
     """``gensim.similarities.MatrixSimilarity`` (docsim.py:776-885): dense

@@ -308,6 +308,59 @@ def write_packed_shards_iceberg(weighted: DataFrame, table_loc: str,
     return table
 
 
+def append_packed_shards_iceberg(weighted_new: DataFrame,
+                                 table_loc: str) -> "IceTable":
+    """``Similarity.add_documents`` for the snapshot store
+    (docsim.py:367-416 buffer-until-shardsize → close a NEW shard): pack
+    the new documents into fresh shards and commit ONE append snapshot.
+
+    The WAND reader holds one packed run per (shard, term), so appended
+    documents must land in shards no existing snapshot wrote — i.e. their
+    doc_ids must start at the next shard boundary (the reference has the
+    same invariant: new docs always enter the fresh tail shard). Violations
+    raise; for arbitrary interleaved ids use the streaming store +
+    ``streaming.incremental.compact`` (the reopen_shard path)."""
+    from gensim_spark.index.icetable import IceTable
+
+    spark = weighted_new.sparkSession
+    table = IceTable.load(table_loc)
+    docs_per_shard = int(table.meta["properties"]["docs_per_shard"])
+    existing = read_packed_shards_iceberg(spark, table_loc)
+    row = existing.agg(F.max("shard_id").alias("mx")).collect()[0]
+    max_shard = -1 if row["mx"] is None else int(row["mx"])
+    min_id = weighted_new.agg(F.min("doc_id").alias("mn")).collect()[0]["mn"]
+    boundary = (max_shard + 1) * docs_per_shard
+    if min_id is None:
+        return table
+    if min_id < boundary:
+        raise ValueError(
+            f"add_documents needs doc_ids >= {boundary} (next shard "
+            f"boundary; max committed shard {max_shard}); got {min_id}. "
+            "Use the streaming incremental store + compact() for "
+            "interleaved ids.")
+    t0 = time.perf_counter()
+    base = weighted_new.withColumn(
+        "shard_id", (F.col("doc_id") / F.lit(docs_per_shard)).cast("long"))
+    docs_acc = spark.sparkContext.accumulator(0)
+    packed = (base.repartition("shard_id")
+              .sortWithinPartitions("shard_id", "term_id", "doc_id")
+              .mapInPandas(_pack_partition_fn(docs_acc),
+                           schema=PACKED_SCHEMA))
+    write_uuid, staging, files = table.stage_write(packed)
+    agg = (spark.read.schema(PACKED_SCHEMA).parquet(staging)
+           .select("term_id", "n")
+           .agg(F.countDistinct("term_id").alias("terms"),
+                F.sum("n").alias("postings")).collect()[0])
+    table.commit_staged(files, write_uuid, summary={
+        "append_batch": len(table.snapshots),
+        "docs": docs_acc.value,
+        "terms": int(agg["terms"]),
+        "postings": int(agg["postings"] or 0),
+        "wall_sec": round(time.perf_counter() - t0, 2),
+    })
+    return table
+
+
 def read_packed_shards_iceberg(spark: SparkSession, table_loc: str,
                                snapshot_id: int | None = None,
                                shard_ids: list[int] | None = None) -> DataFrame:

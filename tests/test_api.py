@@ -215,3 +215,42 @@ def test_dictionary_driver_collect_guard(spark, common_texts):
     # raising the limit restores the compat surface
     dct.MAX_DRIVER_VOCAB = 10**9
     assert dct.token2id["computer"] >= 0
+
+
+def test_similarity_add_documents(spark, common_texts, tmp_path):
+    """Iceberg-store add_documents: new docs enter fresh shards as one
+    atomic snapshot; queries over the grown index equal a one-shot build
+    of the full corpus; mid-shard ids are rejected."""
+    from pyspark.sql import functions as F
+
+    from gensim_spark import api
+
+    docs = docs_df(spark, common_texts)
+    dct = api.Dictionary(docs)
+    weighted = api.OkapiBM25Model(dictionary=dct)[dct.doc2bow(docs)]
+    first = weighted.filter("doc_id < 4")
+    rest = weighted.filter("doc_id >= 4")
+
+    sim = api.Similarity(str(tmp_path / "g"), first, num_best=5,
+                         shardsize=4, iceberg=True)
+    # doc 4 starts shard 1 (shardsize 4) — exactly the boundary
+    sim.add_documents(rest)
+    token2id = {r["token"]: r["term_id"] for r in dct.df.collect()}
+    q = {0: {token2id["graph"]: 1.0, token2id["user"]: 1.0}}
+    got = [(r["doc_id"], r["score"]) for r in
+           sorted(sim[q].collect(), key=lambda r: r["rank"])]
+
+    one_shot = api.Similarity(str(tmp_path / "full"), weighted, num_best=5,
+                              shardsize=4, iceberg=True)
+    want = [(r["doc_id"], r["score"]) for r in
+            sorted(one_shot[q].collect(), key=lambda r: r["rank"])]
+    assert got == want
+
+    # violating the shard boundary is an error, not silent data loss
+    with pytest.raises(ValueError, match="shard boundary"):
+        sim.add_documents(weighted.filter("doc_id = 2"))
+    # plain-manifest store refuses
+    plain = api.Similarity(str(tmp_path / "plain"), first, num_best=5,
+                           shardsize=4)
+    with pytest.raises(ValueError, match="snapshot store"):
+        plain.add_documents(rest)
