@@ -333,6 +333,13 @@ class LdaModel:
         return self._lda.bound(postings, self.model)
 
 
+# ``LdaMulticore`` (ldamulticore.py:16-130) parallelizes the E-step over
+# worker processes; here the E-step is already cluster-parallel (one
+# mapInPandas over all executors), so the multicore class IS the base
+# class. ``workers`` would be the executor count — set it on the session.
+LdaMulticore = LdaModel
+
+
 class AuthorTopicModel:
     """``gensim.models.AuthorTopicModel`` (atmodel.py:161-324): variational
     EM over (doc_id, term_id, tf) postings + (doc_id, author_id) pairs at
