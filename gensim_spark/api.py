@@ -333,11 +333,17 @@ class LdaModel:
         return self._lda.bound(postings, self.model)
 
 
-# ``LdaMulticore`` (ldamulticore.py:16-130) parallelizes the E-step over
-# worker processes; here the E-step is already cluster-parallel (one
-# mapInPandas over all executors), so the multicore class IS the base
-# class. ``workers`` would be the executor count — set it on the session.
-LdaMulticore = LdaModel
+class LdaMulticore(LdaModel):
+    """``gensim.models.LdaMulticore`` (ldamulticore.py:16-130) parallelizes
+    the E-step over worker processes; here the E-step is already
+    cluster-parallel (one mapInPandas over all executors), so this is the
+    base class with the multicore-specific knobs accepted and absorbed:
+    ``workers`` is the executor count (set it on the SparkSession), and
+    ``batch=True`` is already this engine's fit mode."""
+
+    def __init__(self, corpus: DataFrame, *args, workers: int | None = None,
+                 batch: bool = False, **kwargs):
+        super().__init__(corpus, *args, **kwargs)
 
 
 class AuthorTopicModel:
@@ -439,7 +445,13 @@ class Word2Vec:
     CBOW, negative-sampling and/or ``hs=1`` hierarchical softmax), the
     shard-synchronous distribution scheme, and the determinism
     deviations. :meth:`update` continues training over new documents
-    (``build_vocab(update=True)`` + ``train()``)."""
+    (``build_vocab(update=True)`` + ``train()``).
+
+    Deliberate default divergence: the reference trims with
+    ``min_count=5``; here vocabulary policy belongs to the ``Dictionary``
+    (filter_extremes etc.), so ``min_count`` defaults to ``None`` (no
+    trim). Pass ``min_count=5`` for the reference's default behavior, or
+    ``max_final_vocab`` for its size-targeted trim."""
 
     def __init__(self, documents: DataFrame, vector_size: int = 100,
                  window: int = 5, negative: int = 5, alpha: float = 0.025,

@@ -140,7 +140,7 @@ def write_packed_shards(weighted: DataFrame, out_dir: str,
             raise ValueError("resume with different docs_per_shard")
 
     base = weighted.withColumn(
-        "shard_id", (F.col("doc_id") / F.lit(docs_per_shard)).cast("long")
+        "shard_id", F.expr(f"doc_id div {int(docs_per_shard)}")
     )
     data_dir = os.path.join(out_dir, "data")
     for g in range(num_groups):
@@ -275,7 +275,7 @@ def write_packed_shards_iceberg(weighted: DataFrame, table_loc: str,
         if s.operation == "append" and "group" in s.summary
     }
     base = weighted.withColumn(
-        "shard_id", (F.col("doc_id") / F.lit(docs_per_shard)).cast("long")
+        "shard_id", F.expr(f"doc_id div {int(docs_per_shard)}")
     )
     for g in range(num_groups):
         if g in committed:
@@ -340,7 +340,7 @@ def append_packed_shards_iceberg(weighted_new: DataFrame,
             "interleaved ids.")
     t0 = time.perf_counter()
     base = weighted_new.withColumn(
-        "shard_id", (F.col("doc_id") / F.lit(docs_per_shard)).cast("long"))
+        "shard_id", F.expr(f"doc_id div {int(docs_per_shard)}"))
     docs_acc = spark.sparkContext.accumulator(0)
     packed = (base.repartition("shard_id")
               .sortWithinPartitions("shard_id", "term_id", "doc_id")

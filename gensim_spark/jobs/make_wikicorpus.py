@@ -73,23 +73,40 @@ def run(spark, input_path: str, output_prefix: str,
     tok = articles.select("doc_id", "tokens")
     if online:
         # make_wiki_online variant: HashDictionary(id_range=keep_words) —
-        # ids ARE the hashes, so filter_extremes drops rows but must not
-        # re-id (hashdictionary.py keeps hash ids through filtering)
-        from pyspark.sql import Window
+        # ids ARE the hashes. Colliding tokens share one id, so postings
+        # must be re-aggregated by (doc_id, term_id) and the id-level
+        # df/cf recomputed from the aggregated postings (summing the
+        # token-level counts would double-count docs containing two
+        # colliding tokens — hashdictionary.py:119-140 counts per id).
         hashed = V.build_vocab(tok).withColumn(
             "term_id", V.hash_term_id_col(F.col("token"), keep_words))
-        good = hashed.filter((F.col("df") >= no_below)
-                             & (F.col("df") <= int(no_above * num_docs)))
-        w = Window.orderBy(F.col("df").desc(), F.col("term_id").asc())
-        vocab = (good.withColumn("_rank", F.row_number().over(w))
-                 .filter(F.col("_rank") <= keep_words).drop("_rank"))
+        token_post = B.doc2bow_postings(tok, hashed)
+        raw_postings = (token_post.groupBy("doc_id", "term_id")
+                        .agg(F.sum("tf").alias("tf")))
+        id_stats = (raw_postings.groupBy("term_id")
+                    .agg(F.count(F.lit(1)).alias("df"),
+                         F.sum("tf").alias("cf")))
+        good_ids = id_stats.filter(
+            (F.col("df") >= no_below)
+            & (F.col("df") <= int(no_above * num_docs)))
+        # one row per id for the artifacts: merged token set, id-level df
+        # (HashDictionary.save_as_text, hashdictionary.py:310-345)
+        vocab = (hashed.groupBy("term_id")
+                 .agg(F.concat_ws("\t", F.sort_array(
+                     F.collect_set("token"))).alias("token"))
+                 .join(good_ids, "term_id"))
     else:
         vocab = V.filter_extremes(
             V.build_vocab(tok), num_docs, no_below=no_below,
             no_above=no_above, keep_n=keep_words)
     vocab = vocab.cache()
     vocab_size = vocab.count()
-    postings = B.doc2bow_postings(tok, vocab)
+    if online:
+        postings = raw_postings.join(
+            F.broadcast(vocab.select("term_id")), "term_id"
+        ).select("doc_id", "term_id", "tf")
+    else:
+        postings = B.doc2bow_postings(tok, vocab)
 
     os.makedirs(os.path.dirname(output_prefix) or ".", exist_ok=True)
     save_vocab_as_text(vocab, output_prefix + "_wordids.txt.bz2", num_docs)

@@ -70,6 +70,9 @@ def run(spark, train: str, output: str | None, size: int = 100,
 
     if train.endswith(".parquet") or os.path.isdir(train):
         docs = spark.read.parquet(train)
+        if "doc_id" not in docs.columns:
+            docs = docs.withColumn("doc_id",
+                                   F.monotonically_increasing_id())
         if "tokens" not in docs.columns:
             docs = docs.select("doc_id",
                                F.split(F.col("text"), r"\s+").alias("tokens"))

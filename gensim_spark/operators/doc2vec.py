@@ -295,6 +295,7 @@ def doc2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
         out.unpersist()
         dv = new_dv
         fold_epoch(wv, deltas)
+    wv.shrink_windows = 1 if shrink_windows else 0
     return Doc2VecModel(wv, dv, dm, dbow_words)
 
 
@@ -308,13 +309,15 @@ def infer_vectors(docs: DataFrame, model: Doc2VecModel, epochs: int = 10,
     seed = wv.seed if seed is None else seed
     sc = docs.sparkSession.sparkContext
     bc = sc.broadcast((wv.syn0, wv.syn1neg, wv.cum_table, wv.sample_ints,
-                       wv.window, wv.negative, model.dm, wv.cbow_mean))
+                       wv.window, wv.negative, model.dm, wv.cbow_mean,
+                       getattr(wv, "shrink_windows", 1)))
     size = wv.vector_size
 
     def gen(batches):
         import pandas as pd
 
-        syn0, syn1, cum, samp, window, negative, dm, dm_mean = bc.value
+        (syn0, syn1, cum, samp, window, negative, dm, dm_mean,
+         sw) = bc.value
         dummy = np.zeros(syn0.shape[0], dtype=np.int64)
         for pdf in batches:
             out_id, out_vec = [], []
@@ -329,13 +332,15 @@ def infer_vectors(docs: DataFrame, model: Doc2VecModel, epochs: int = 10,
                         train_doc_dm(arr, vec, syn0, syn1, cum, samp,
                                      window, negative, a, ds, dummy,
                                      cbow_mean=dm_mean, learn_words=False,
-                                     learn_hidden=False)
+                                     learn_hidden=False,
+                                     shrink_windows=sw)
                     else:
                         train_doc_dbow(arr, vec, syn0, syn1, cum, samp,
                                        window, negative, a, ds, dummy,
                                        train_words=False,
                                        learn_words=False,
-                                       learn_hidden=False)
+                                       learn_hidden=False,
+                                       shrink_windows=sw)
                 out_id.append(doc_id)
                 out_vec.append(list(vec))
             yield pd.DataFrame({"doc_id": out_id, "embedding": out_vec})

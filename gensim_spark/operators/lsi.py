@@ -207,7 +207,9 @@ def lsi_fit(postings: DataFrame, num_topics: int = 200,
     u = _wide_times(b, "term_id", b_cols, wmat, "t")
     y.unpersist()
     q.unpersist()
-    return LsiProjection(u, s, k)
+    out = LsiProjection(u, s, k)
+    out.k_requested = k
+    return out
 
 
 def doc_topics(postings: DataFrame, projection: LsiProjection,
@@ -289,7 +291,10 @@ def merge_projections(p1: LsiProjection, p2: LsiProjection,
     if p1.u is None:
         return p2
     n1, n2 = len(p1.s), len(p2.s)
-    k = p1.num_topics
+    # clip against the ORIGINALLY REQUESTED k, not the possibly-clipped
+    # column count — the reference's Projection keeps self.k across merges
+    # so a low-rank early chunk never permanently caps later updates
+    k = getattr(p1, "k_requested", p1.num_topics)
     a_cols = [f"t{i}" for i in range(n1)]
     b_cols = [f"b{i}" for i in range(n2)]
     u2 = p2.u.select("term_id",
@@ -303,11 +308,20 @@ def merge_projections(p1: LsiProjection, p2: LsiProjection,
     # c = U1ᵀ·U2 (n1×n2, driver)
     c = _cross_gram(joined, a_cols, b_cols)
     # Gram of the orthogonal component U2 − U1·c, without materializing it:
-    # G = U2ᵀU2 − cᵀc (U1 orthonormal ⇒ U1ᵀU1 = I)
+    # G = U2ᵀU2 − cᵀc (U1 orthonormal ⇒ U1ᵀU1 = I). QR by symmetric
+    # eigendecomposition with a PSEUDO-inverse: directions where U2 already
+    # lies inside span(U1) have eigenvalue ≈ 0 — their R rows are zeroed
+    # (so the SVD of the core sees exactly zero new-basis mass there) and
+    # their R⁺ columns are zeroed (no 1/√λ blow-up), the backward-stable
+    # equivalent of the reference's explicit QR, which never inverts R.
     g2 = _gram(joined, b_cols) - c.T @ c
-    r = np.linalg.cholesky(
-        g2 + 1e-12 * max(np.trace(g2), 1.0) * np.eye(n2)).T
-    rinv = np.linalg.inv(r)
+    evals, evecs = np.linalg.eigh((g2 + g2.T) / 2.0)
+    tol = max(float(evals[-1]), 0.0) * 1e-12
+    root = np.where(evals > tol, np.sqrt(np.maximum(evals, 0.0)), 0.0)
+    inv_root = np.where(evals > tol, 1.0 / np.where(root > 0, root, 1.0),
+                        0.0)
+    r = root[:, np.newaxis] * evecs.T                 # RᵀR = G (n2×n2)
+    r_pinv = evecs * inv_root[np.newaxis, :]          # Q = (U2−U1c)·R⁺
 
     k_mat = np.zeros((n1 + n2, n1 + n2))
     k_mat[:n1, :n1] = np.diag(decay * np.asarray(p1.s, dtype=np.float64))
@@ -317,7 +331,7 @@ def merge_projections(p1: LsiProjection, p2: LsiProjection,
     kc = clip_spectrum(s_k ** 2, k)
     u1_k, u2_k, s_new = u_k[:n1, :kc], u_k[n1:, :kc], s_k[:kc]
 
-    m2 = rinv @ u2_k                      # U2's rotation (n2×kc)
+    m2 = r_pinv @ u2_k                    # U2's rotation (n2×kc)
     m1 = u1_k - c @ m2                    # U1's rotation (n1×kc)
 
     # sign canonicalization from the first term row (lsimodel.py:328-332)
@@ -340,8 +354,14 @@ def merge_projections(p1: LsiProjection, p2: LsiProjection,
         for j, col in enumerate(b_cols):
             lin = lin + F.col(col) * F.lit(float(m2[j, i]))
         outs.append(lin.alias(f"t{i}"))
-    u = joined.select("term_id", *outs)
-    return LsiProjection(u, s_new, kc)
+    # materialize the rotated basis, then release the joined cache — a
+    # long-lived projection under repeated add_documents must not pin one
+    # full-width cached frame per update
+    u = joined.select("term_id", *outs).localCheckpoint(eager=True)
+    joined.unpersist()
+    out = LsiProjection(u, s_new, kc)
+    out.k_requested = k
+    return out
 
 
 def add_documents(projection: LsiProjection, postings: DataFrame,
@@ -354,9 +374,9 @@ def add_documents(projection: LsiProjection, postings: DataFrame,
     chunks; here the whole update IS one distributed chunk — at 100 TB the
     chunk is a new partition/day of the corpus and the merge cost is
     independent of how much history the projection already carries."""
-    chunk = lsi_fit(postings, num_topics=projection.num_topics,
-                    extra_dims=extra_dims, power_iters=power_iters,
-                    weight_col=weight_col)
+    k = getattr(projection, "k_requested", projection.num_topics)
+    chunk = lsi_fit(postings, num_topics=k, extra_dims=extra_dims,
+                    power_iters=power_iters, weight_col=weight_col)
     return merge_projections(projection, chunk, decay=decay)
 
 

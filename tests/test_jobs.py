@@ -148,6 +148,35 @@ def test_make_wikicorpus_job_online_parquet_sink(spark, tmp_path):
     # hash ids live in [0, keep_words)
     mx = post.agg(F.max("term_id"), F.min("term_id")).first()
     assert 0 <= mx[1] and mx[0] < 1000
+    # postings are id-aggregated: no duplicate (doc_id, term_id) rows
+    assert post.groupBy("doc_id", "term_id").count() \
+        .filter("count > 1").count() == 0
+
+
+def test_make_wikicorpus_online_hash_collisions(spark, tmp_path):
+    """keep_words=3 over 8 tokens FORCES id collisions: colliding tokens
+    must merge into one id (summed tf, id-level df), never duplicate MM
+    coordinates or fan out the tfidf join (HashDictionary semantics)."""
+    from pyspark.sql import functions as F
+
+    from gensim_spark.jobs import make_wikicorpus
+    from gensim_spark.sources.matrix_market import read_mm
+
+    dump = str(tmp_path / "dump.xml")
+    _write_dump(dump)
+    prefix = str(tmp_path / "out" / "wiki")
+    metrics = make_wikicorpus.run(spark, dump, prefix, keep_words=3,
+                                  no_below=1, no_above=1.0, min_words=1,
+                                  sink="parquet", online=True)
+    assert metrics["vocab_size"] <= 3
+    post = spark.read.parquet(prefix + "_bow")
+    assert post.groupBy("doc_id", "term_id").count() \
+        .filter("count > 1").count() == 0
+    tfidf = spark.read.parquet(prefix + "_tfidf")
+    assert tfidf.groupBy("doc_id", "term_id").count() \
+        .filter("count > 1").count() == 0
+    # df is id-level: never exceeds the number of documents
+    assert metrics["num_nnz"] == post.count()
 
 
 def test_stream_index_job(spark, tmp_path):

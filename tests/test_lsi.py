@@ -230,3 +230,39 @@ def test_add_documents_online_equals_batch_spectrum(spark, common_texts):
     # the updated projection folds new docs in: doc_topics runs at new rank
     dt = L.doc_topics(post, upd)
     assert dt.count() == 9 * upd.num_topics
+
+
+def test_merge_no_ratchet_and_rank_deficient_stability(spark, common_texts):
+    """A low-rank early chunk must not permanently cap num_topics
+    (k_requested survives clipping), and merging a chunk that lies inside
+    the existing subspace (singular orthogonal-component Gram) stays
+    numerically bounded via the pseudo-inverse QR."""
+    from gensim_spark import api
+
+    docs = docs_df(spark, common_texts)
+    dct = api.Dictionary(docs)
+    post = (dct.doc2bow(docs)
+            .select("doc_id", "term_id",
+                    F.col("tf").cast("double").alias("weight")).cache())
+    k = 6
+    # first chunk: 2 docs → rank ≤ 2, clip fires
+    p = L.lsi_fit(post.filter("doc_id < 2"), num_topics=k, extra_dims=3,
+                  power_iters=3)
+    assert getattr(p, "k_requested") == k
+    p = L.add_documents(p, post.filter("doc_id >= 2 and doc_id < 5"),
+                        extra_dims=3, power_iters=3)
+    p = L.add_documents(p, post.filter("doc_id >= 5"), extra_dims=3,
+                        power_iters=3)
+    # rank grew back past the first chunk's rank — no ratchet at 2
+    assert p.num_topics > 2
+    assert p.k_requested == k
+
+    # rank-deficient merge: re-add documents the projection already spans
+    p2 = L.add_documents(p, post.filter("doc_id < 3"), extra_dims=3,
+                         power_iters=3)
+    u = _collect_u(p2, post.agg(F.max("term_id")).first()[0] + 1)
+    assert np.isfinite(u).all()
+    assert np.abs(u).max() < 10.0   # no 1/sqrt(eps) blow-up
+    # basis stays orthonormal within tolerance
+    gram = u.T @ u
+    np.testing.assert_allclose(gram, np.eye(p2.num_topics), atol=1e-6)
