@@ -540,7 +540,7 @@ class FastText:
                  min_n: int = 3, max_n: int = 6, num_shards: int = 64,
                  seed: int = 1, dictionary: Dictionary | None = None,
                  sg: int = 0, cbow_mean: int = 1,
-                 shrink_windows: bool = True):
+                 shrink_windows: bool = True, hs: int = 0):
         import numpy as np
 
         from gensim_spark.operators import fasttext as _ft
@@ -559,7 +559,8 @@ class FastText:
             ids, tokens, counts, vector_size=vector_size, window=window,
             negative=negative, epochs=epochs, sample=sample, bucket=bucket,
             min_n=min_n, max_n=max_n, num_shards=num_shards, seed=seed,
-            sg=sg, cbow_mean=cbow_mean, shrink_windows=shrink_windows)
+            sg=sg, cbow_mean=cbow_mean, shrink_windows=shrink_windows,
+            hs=hs)
         spark = documents.sparkSession
         vecs = self.model.vectors_df(spark, d.df)
         self.wv = KeyedVectors(vecs.select("token", "embedding"),
@@ -714,7 +715,7 @@ class Doc2Vec:
                  window: int = 5, negative: int = 5, epochs: int = 5,
                  sample: float = 1e-3, num_shards: int = 64, seed: int = 1,
                  dm: int = 1, dm_mean: int = 1, dbow_words: int = 0,
-                 shrink_windows: bool = True,
+                 shrink_windows: bool = True, hs: int = 0,
                  dictionary: Dictionary | None = None):
         import numpy as np
 
@@ -732,7 +733,7 @@ class Doc2Vec:
             ids, len(counts), counts, vector_size=vector_size,
             window=window, negative=negative, epochs=epochs, sample=sample,
             num_shards=num_shards, seed=seed, dm=dm, dm_mean=dm_mean,
-            dbow_words=dbow_words, shrink_windows=shrink_windows)
+            dbow_words=dbow_words, shrink_windows=shrink_windows, hs=hs)
         spark = documents.sparkSession
         vecs = self.model.wv.vectors_df(spark).join(
             F.broadcast(d.df.select("term_id", "token")), "term_id")

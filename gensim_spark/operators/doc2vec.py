@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 
 from gensim_spark.operators.word2vec import (  # noqa: F401
     _LCG_MOD, _LCG_MUL, MAX_EXP, Word2VecModel, _mix, _sigmoid_table,
-    fold_epoch, init_syn0, make_cum_table, make_sample_ints)
+    build_huffman_tree, fold_epoch, init_syn0, make_cum_table,
+    make_sample_ints)
 
 
 def init_doc_vector(doc_id: int, size: int, seed: int) -> np.ndarray:
@@ -61,10 +62,19 @@ def train_doc_dm(ids: np.ndarray, dvec: np.ndarray, syn0: np.ndarray,
                  alpha: float, doc_seed: int, counts_out: np.ndarray,
                  cbow_mean: int = 1, learn_words: bool = True,
                  learn_hidden: bool = True,
-                 shrink_windows: int = 1) -> None:
+                 shrink_windows: int = 1, hs: int = 0,
+                 syn1hs: np.ndarray | None = None,
+                 codes: list | None = None, points: list | None = None,
+                 counts_hs: np.ndarray | None = None) -> None:
     """One document's PV-DM pass (train_document_dm,
     doc2vec_inner.pyx:420-566, negative-sampling path, one doctag).
-    Mutates ``dvec`` in place; ``syn0``/``syn1neg`` when learning."""
+    Mutates ``dvec`` in place; ``syn0``/``syn1neg`` when learning.
+
+    With ``hs``, the hierarchical-softmax stage (fast_document_dm_hs,
+    doc2vec_inner.pyx:106-127) runs first per position against the SAME
+    accumulated error buffer — the reference composes l1 once, lets both
+    stages add into ``work``, and applies it once (train_document_dm main
+    loop, pyx:486-533) — saturated dots skipped."""
     rs = np.random.RandomState(doc_seed & 0xFFFFFFFF)
     next_random = _mix(doc_seed, 1)
     kept = _subsample(ids, sample_ints, rs)
@@ -87,7 +97,19 @@ def train_doc_dm(ids: np.ndarray, dvec: np.ndarray, syn0: np.ndarray,
         if cbow_mean:
             neu1 = neu1 * inv_count
         work = np.zeros(size)
-        for d in range(negative + 1):
+        if hs:
+            code, point = codes[wi], points[wi]
+            for b in range(len(code)):
+                u = syn1hs[point[b]]
+                f_dot = float(neu1 @ u)
+                if f_dot <= -MAX_EXP or f_dot >= MAX_EXP:
+                    continue
+                g = (1.0 - float(code[b]) - _sigmoid_table(f_dot)) * alpha
+                work += g * u
+                if learn_hidden:
+                    syn1hs[point[b]] += g * neu1
+                    counts_hs[point[b]] += 1
+        for d in range(negative + 1 if negative else 0):
             if d == 0:
                 target, label = wi, 1.0
             else:
@@ -121,13 +143,21 @@ def train_doc_dbow(ids: np.ndarray, dvec: np.ndarray, syn0: np.ndarray,
                    alpha: float, doc_seed: int, counts_out: np.ndarray,
                    train_words: bool = True, learn_words: bool = True,
                    learn_hidden: bool = True,
-                   shrink_windows: int = 1) -> None:
+                   shrink_windows: int = 1, hs: int = 0,
+                   syn1hs: np.ndarray | None = None,
+                   codes: list | None = None, points: list | None = None,
+                   counts_hs: np.ndarray | None = None) -> None:
     """One document's PV-DBOW pass with optional simultaneous skip-gram
     word training (train_document_dbow, doc2vec_inner.pyx:286-417): per
     position, skip-gram pairs over the window first (when ``train_words``),
     then the doctag trained against the position's word — one shared
     negative-sampling stream, matching the reference's single
-    ``next_random``."""
+    ``next_random``.
+
+    With ``hs``, fast_document_dbow_hs (pyx:38-63) runs before the neg
+    stage at each site — its own error buffer, applied immediately, so the
+    neg stage sees the hs-updated context vector (the pyx passes the same
+    memory region)."""
     rs = np.random.RandomState(doc_seed & 0xFFFFFFFF)
     next_random = _mix(doc_seed, 1)
     kept = _subsample(ids, sample_ints, rs)
@@ -164,6 +194,22 @@ def train_doc_dbow(ids: np.ndarray, dvec: np.ndarray, syn0: np.ndarray,
                 counts_out[target] += 1
         return work
 
+    def hs_pass(vec, wi):
+        code, point = codes[wi], points[wi]
+        size = vec.shape[0]
+        work = np.zeros(size)
+        for b in range(len(code)):
+            u = syn1hs[point[b]]
+            f_dot = float(vec @ u)
+            if f_dot <= -MAX_EXP or f_dot >= MAX_EXP:
+                continue
+            g = (1.0 - float(code[b]) - _sigmoid_table(f_dot)) * alpha
+            work += g * u
+            if learn_hidden:
+                syn1hs[point[b]] += g * vec
+                counts_hs[point[b]] += 1
+        return work
+
     for i in range(n):
         wi = kept[i]
         if train_words:
@@ -173,12 +219,20 @@ def train_doc_dbow(ids: np.ndarray, dvec: np.ndarray, syn0: np.ndarray,
                 if j == i:
                     continue
                 wj = kept[j]
-                work = neg_pass(syn0[wj], wi)
-                if learn_words:
-                    syn0[wj] += work
-                    counts_out[wj] += 1
-        work = neg_pass(dvec, wi)
-        dvec += work
+                if hs:
+                    work = hs_pass(syn0[wj], wi)
+                    if learn_words:
+                        syn0[wj] += work
+                        counts_out[wj] += 1
+                if negative:
+                    work = neg_pass(syn0[wj], wi)
+                    if learn_words:
+                        syn0[wj] += work
+                        counts_out[wj] += 1
+        if hs:
+            dvec += hs_pass(dvec, wi)
+        if negative:
+            dvec += neg_pass(dvec, wi)
 
 
 class Doc2VecModel:
@@ -205,20 +259,28 @@ def doc2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
                 ns_exponent: float = 0.75, num_shards: int = 64,
                 seed: int = 1, dm: int = 1, dm_mean: int = 1,
                 dbow_words: int = 0,
-                shrink_windows: bool = True) -> Doc2VecModel:
+                shrink_windows: bool = True, hs: int = 0) -> Doc2VecModel:
     """Fit PV-DM (``dm=1``, reference default) or PV-DBOW+words (``dm=0``,
     ``dbow_words=1``) over (doc_id, ids) rows. Word matrices are folded on
     the driver per epoch (count-weighted shard averaging); doc vectors stay
-    a distributed DataFrame joined back in each epoch."""
+    a distributed DataFrame joined back in each epoch. ``hs=1`` adds the
+    hierarchical-softmax objective (Huffman tree over ``counts``;
+    composes with negative sampling when both are set, like the
+    reference)."""
     spark = docs.sparkSession
     sc = spark.sparkContext
+    codes = points = syn1 = None
+    if hs:
+        codes, points = build_huffman_tree(np.asarray(counts))
+        syn1 = np.zeros((vocab_size, vector_size))
     wv = Word2VecModel(
         vocab_size, vector_size,
         init_syn0(vocab_size, vector_size, seed),
         np.zeros((vocab_size, vector_size)),
         make_cum_table(np.asarray(counts), ns_exponent),
         make_sample_ints(np.asarray(counts), sample),
-        window, negative, seed, sg=0, cbow_mean=dm_mean)
+        window, negative, seed, sg=0, cbow_mean=dm_mean,
+        hs=hs, syn1=syn1, codes=codes, points=points)
 
     def init_gen(batches):
         import pandas as pd
@@ -239,17 +301,24 @@ def doc2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
         bc = sc.broadcast((wv.syn0, wv.syn1neg, wv.cum_table,
                            wv.sample_ints, window, negative, seed,
                            dm, dm_mean, dbow_words,
-                           1 if shrink_windows else 0))
+                           1 if shrink_windows else 0,
+                           hs, wv.syn1, wv.codes, wv.points))
 
         def make_shard_fn(epoch, a, bc):
             def run(key, pdf):
                 import pandas as pd
 
                 (syn0_0, syn1_0, cum, samp, window_, negative_, seed_,
-                 dm_, dm_mean_, dbow_words_, sw_) = bc.value
+                 dm_, dm_mean_, dbow_words_, sw_,
+                 hs_, syn1hs_0, codes_, points_) = bc.value
                 syn0 = syn0_0.copy()
                 syn1 = syn1_0.copy()
+                syn1hs = syn1hs_0.copy() if hs_ else None
                 cnts = np.zeros(syn0.shape[0], dtype=np.int64)
+                cnts_h = (np.zeros(syn0.shape[0], dtype=np.int64)
+                          if hs_ else None)
+                hs_kw = dict(hs=hs_, syn1hs=syn1hs, codes=codes_,
+                             points=points_, counts_hs=cnts_h) if hs_ else {}
                 pdf = pdf.sort_values("doc_id")
                 out = []
                 for doc_id, ids, dvec in zip(pdf["doc_id"], pdf["ids"],
@@ -261,18 +330,24 @@ def doc2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
                         train_doc_dm(arr, vec, syn0, syn1, cum, samp,
                                      window_, negative_, a, ds, cnts,
                                      cbow_mean=dm_mean_,
-                                     shrink_windows=sw_)
+                                     shrink_windows=sw_, **hs_kw)
                     else:
                         train_doc_dbow(arr, vec, syn0, syn1, cum, samp,
                                        window_, negative_, a, ds, cnts,
                                        train_words=bool(dbow_words_),
-                                       shrink_windows=sw_)
+                                       shrink_windows=sw_, **hs_kw)
                     out.append((2, int(doc_id), 1, list(vec)))
                 for w in np.nonzero(cnts)[0]:
                     out.append((0, int(w), int(cnts[w]),
                                 list(syn0[w] - syn0_0[w])))
                     out.append((1, int(w), int(cnts[w]),
                                 list(syn1[w] - syn1_0[w])))
+                if hs_:
+                    # m=3: hierarchical-softmax inner-node deltas (m=2 is
+                    # taken by the doc-vector rows in this protocol)
+                    for w in np.nonzero(cnts_h)[0]:
+                        out.append((3, int(w), int(cnts_h[w]),
+                                    list(syn1hs[w] - syn1hs_0[w])))
                 return pd.DataFrame(
                     out, columns=["m", "w", "cnt", "delta"])
             return run
@@ -283,7 +358,12 @@ def doc2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
         out = joined.groupBy("shard").applyInPandas(
             make_shard_fn(epoch, a, bc),
             "m int, w long, cnt long, delta array<double>").cache()
-        deltas = out.filter(F.col("m") <= 1).collect()
+        deltas = out.filter((F.col("m") <= 1) | (F.col("m") == 3)).collect()
+        # fold_epoch's m=2 slot is the hs matrix; this protocol ships hs
+        # deltas as m=3 (m=2 carries doc vectors) — remap before folding
+        deltas = [r if r["m"] != 3 else
+                  {"m": 2, "w": r["w"], "cnt": r["cnt"], "delta": r["delta"]}
+                  for r in deltas]
         # localCheckpoint severs lineage: unpersisting `out` below cascades
         # to dependent caches (SPARK-24596), and a plain cache over `out`
         # would silently recompute through the destroyed epoch broadcast
@@ -308,17 +388,21 @@ def infer_vectors(docs: DataFrame, model: Doc2VecModel, epochs: int = 10,
     wv = model.wv
     seed = wv.seed if seed is None else seed
     sc = docs.sparkSession.sparkContext
+    hs = getattr(wv, "hs", 0)
     bc = sc.broadcast((wv.syn0, wv.syn1neg, wv.cum_table, wv.sample_ints,
                        wv.window, wv.negative, model.dm, wv.cbow_mean,
-                       getattr(wv, "shrink_windows", 1)))
+                       getattr(wv, "shrink_windows", 1),
+                       hs, wv.syn1, wv.codes, wv.points))
     size = wv.vector_size
 
     def gen(batches):
         import pandas as pd
 
         (syn0, syn1, cum, samp, window, negative, dm, dm_mean,
-         sw) = bc.value
+         sw, hs_, syn1hs, codes, points) = bc.value
         dummy = np.zeros(syn0.shape[0], dtype=np.int64)
+        hs_kw = dict(hs=hs_, syn1hs=syn1hs, codes=codes, points=points,
+                     counts_hs=dummy) if hs_ else {}
         for pdf in batches:
             out_id, out_vec = [], []
             for doc_id, ids in zip(pdf["doc_id"], pdf["ids"]):
@@ -333,14 +417,14 @@ def infer_vectors(docs: DataFrame, model: Doc2VecModel, epochs: int = 10,
                                      window, negative, a, ds, dummy,
                                      cbow_mean=dm_mean, learn_words=False,
                                      learn_hidden=False,
-                                     shrink_windows=sw)
+                                     shrink_windows=sw, **hs_kw)
                     else:
                         train_doc_dbow(arr, vec, syn0, syn1, cum, samp,
                                        window, negative, a, ds, dummy,
                                        train_words=False,
                                        learn_words=False,
                                        learn_hidden=False,
-                                       shrink_windows=sw)
+                                       shrink_windows=sw, **hs_kw)
                 out_id.append(doc_id)
                 out_vec.append(list(vec))
             yield pd.DataFrame({"doc_id": out_id, "embedding": out_vec})

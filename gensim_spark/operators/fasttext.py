@@ -34,6 +34,7 @@ from gensim_spark.operators.word2vec import (
     _LCG_MOD,
     _LCG_MUL,
     _mix,
+    build_huffman_tree,
     init_syn0,
     make_cum_table,
     make_sample_ints,
@@ -95,7 +96,8 @@ class FastTextModel:
                  syn1neg: np.ndarray, cum_table: np.ndarray,
                  sample_ints: np.ndarray, subwords: list,
                  window: int, negative: int, min_n: int, max_n: int,
-                 seed: int):
+                 seed: int, hs: int = 0, syn1: np.ndarray | None = None,
+                 codes: list | None = None, points: list | None = None):
         self.vocab_size = vocab_size
         self.vector_size = vector_size
         self.bucket = bucket
@@ -110,6 +112,10 @@ class FastTextModel:
         self.min_n = min_n
         self.max_n = max_n
         self.seed = seed
+        self.hs = hs
+        self.syn1 = syn1          # hierarchical-softmax inner-node matrix
+        self.codes = codes        # per vocab id: Huffman root-path bits
+        self.points = points      # per vocab id: inner-node ids (offset −V)
 
     def adjusted_vectors(self) -> np.ndarray:
         """(vocab + Σ ngrams)/(n+1) per in-vocab word
@@ -150,9 +156,21 @@ def train_doc_ft_sg(ids: np.ndarray, subwords: list, syn0v: np.ndarray,
                     window: int, negative: int, alpha: float, doc_seed: int,
                     counts_v: np.ndarray, counts_n: np.ndarray,
                     counts_o: np.ndarray,
-                    shrink_windows: int = 1) -> None:
+                    shrink_windows: int = 1, hs: int = 0,
+                    syn1hs: np.ndarray | None = None,
+                    codes: list | None = None, points: list | None = None,
+                    counts_h: np.ndarray | None = None) -> None:
     """One document's FastText skip-gram pass — the exact pyx kernel
-    (fasttext_inner.pyx:75-146) in numpy float64."""
+    (fasttext_inner.pyx:75-146) in numpy float64.
+
+    With ``hs``, the hierarchical-softmax stage
+    (fasttext_fast_sentence_sg_hs, pyx:148-218) runs first per pair —
+    sigmoid along the TARGET word's Huffman path against ``syn1hs``, the
+    projection being the center word's vocab row + its subword rows scaled
+    by 1/len(subwords) (the same /len quirk as the neg stage), saturated
+    dots SKIPPED (the neg stage's sg variant skips too) — and the neg
+    stage recomposes the projection from the hs-updated rows, matching the
+    pyx call order (fasttext_inner.pyx:563-567)."""
     rs = np.random.RandomState(doc_seed & 0xFFFFFFFF)
     next_random = _mix(doc_seed, 1)
 
@@ -174,15 +192,39 @@ def train_doc_ft_sg(ids: np.ndarray, subwords: list, syn0v: np.ndarray,
         subs = subwords[wi]
         j0 = max(0, i - window + reduced[i])
         k0 = min(n, i + window + 1 - reduced[i])
-        for j in range(j0, k0):
-            if j == i:
-                continue
-            wj = kept[j]                  # output side target
+        def compose():
             neu1 = syn0v[wi].copy()
             if subs:
                 for nh in subs:
                     neu1 += syn0n[nh]
                 neu1 /= len(subs)         # reference quirk: /len, not /(len+1)
+            return neu1
+
+        for j in range(j0, k0):
+            if j == i:
+                continue
+            wj = kept[j]                  # output side target
+            if hs:
+                neu1 = compose()
+                code, point = codes[wj], points[wj]
+                workh = np.zeros(size)
+                for b in range(len(code)):
+                    u = syn1hs[point[b]]
+                    f_dot = float(neu1 @ u)
+                    if f_dot <= -FT_MAX_EXP or f_dot >= FT_MAX_EXP:
+                        continue
+                    g = (1.0 - float(code[b]) - _ft_sigmoid(f_dot)) * alpha
+                    workh += g * u
+                    syn1hs[point[b]] += g * neu1
+                    counts_h[point[b]] += 1
+                syn0v[wi] += workh
+                counts_v[wi] += 1
+                for nh in subs:
+                    syn0n[nh] += workh
+                    counts_n[nh] += 1
+            if not negative:
+                continue
+            neu1 = compose()              # sees the hs-updated input rows
             work = np.zeros(size)
             for d in range(negative + 1):
                 if d == 0:
@@ -216,7 +258,10 @@ def train_doc_ft_cbow(ids: np.ndarray, subwords: list, syn0v: np.ndarray,
                       doc_seed: int, counts_v: np.ndarray,
                       counts_n: np.ndarray, counts_o: np.ndarray,
                       cbow_mean: int = 1,
-                      shrink_windows: int = 1) -> None:
+                      shrink_windows: int = 1, hs: int = 0,
+                      syn1hs: np.ndarray | None = None,
+                      codes: list | None = None, points: list | None = None,
+                      counts_h: np.ndarray | None = None) -> None:
     """One document's FastText CBOW pass — the exact pyx kernel
     (fasttext_inner.pyx fasttext_fast_sentence_cbow_neg) in numpy float64.
 
@@ -224,7 +269,15 @@ def train_doc_ft_cbow(ids: np.ndarray, subwords: list, syn0v: np.ndarray,
     word and every one of its subwords toward ``inv_count``; saturated
     dot products CLAMP the sigmoid to 0/1 (SG skips the sample); with
     ``cbow_mean=0`` the accumulated error is scaled by ``inv_count``
-    before it is applied to every context row."""
+    before it is applied to every context row.
+
+    With ``hs``, the hierarchical-softmax stage
+    (fasttext_fast_sentence_cbow_hs, pyx:309-374) runs first per position —
+    sigmoid along the CENTER word's Huffman path against ``syn1hs``;
+    saturated dots are SKIPPED there (only the neg stage clamps), the
+    ``inv_count`` error scaling applies the same way, and the neg stage
+    recomposes its projection from the hs-updated context rows (pyx main
+    loop, fasttext_inner.pyx:554-560)."""
     rs = np.random.RandomState(doc_seed & 0xFFFFFFFF)
     next_random = _mix(doc_seed, 1)
 
@@ -245,20 +298,54 @@ def train_doc_ft_cbow(ids: np.ndarray, subwords: list, syn0v: np.ndarray,
         wi = kept[i]                      # output side: predicted word
         j0 = max(0, i - window + reduced[i])
         k0 = min(n, i + window + 1 - reduced[i])
-        neu1 = np.zeros(size)
-        count = 0.0
-        for m in range(j0, k0):
-            if m == i:
-                continue
-            wm = kept[m]
-            count += 1.0
-            neu1 += syn0v[wm]
-            for nh in subwords[wm]:
+
+        def compose():
+            neu1 = np.zeros(size)
+            count = 0.0
+            for m in range(j0, k0):
+                if m == i:
+                    continue
+                wm = kept[m]
                 count += 1.0
-                neu1 += syn0n[nh]
-        inv_count = 1.0 / count if count > 0.5 else 1.0
-        if cbow_mean:
-            neu1 *= inv_count
+                neu1 += syn0v[wm]
+                for nh in subwords[wm]:
+                    count += 1.0
+                    neu1 += syn0n[nh]
+            inv_count = 1.0 / count if count > 0.5 else 1.0
+            if cbow_mean:
+                neu1 *= inv_count
+            return neu1, inv_count
+
+        def apply_work(work):
+            for m in range(j0, k0):
+                if m == i:
+                    continue
+                wm = kept[m]
+                syn0v[wm] += work
+                counts_v[wm] += 1
+                for nh in subwords[wm]:
+                    syn0n[nh] += work
+                    counts_n[nh] += 1
+
+        if hs:
+            neu1, inv_count = compose()
+            code, point = codes[wi], points[wi]
+            work = np.zeros(size)
+            for b in range(len(code)):
+                u = syn1hs[point[b]]
+                f_dot = float(neu1 @ u)
+                if f_dot <= -FT_MAX_EXP or f_dot >= FT_MAX_EXP:
+                    continue
+                g = (1.0 - float(code[b]) - _ft_sigmoid(f_dot)) * alpha
+                work += g * u
+                syn1hs[point[b]] += g * neu1
+                counts_h[point[b]] += 1
+            if not cbow_mean:
+                work *= inv_count
+            apply_work(work)
+        if not negative:
+            continue
+        neu1, inv_count = compose()       # sees the hs-updated context rows
         work = np.zeros(size)
         for d in range(negative + 1):
             if d == 0:
@@ -284,15 +371,7 @@ def train_doc_ft_cbow(ids: np.ndarray, subwords: list, syn0v: np.ndarray,
             counts_o[target] += 1
         if not cbow_mean:
             work *= inv_count
-        for m in range(j0, k0):
-            if m == i:
-                continue
-            wm = kept[m]
-            syn0v[wm] += work
-            counts_v[wm] += 1
-            for nh in subwords[wm]:
-                syn0n[nh] += work
-                counts_n[nh] += 1
+        apply_work(work)
 
 
 def fasttext_fit(docs: DataFrame, vocab_tokens: list, counts: np.ndarray,
@@ -301,14 +380,20 @@ def fasttext_fit(docs: DataFrame, vocab_tokens: list, counts: np.ndarray,
                  epochs: int = 5, sample: float = 1e-3, bucket: int = 100000,
                  min_n: int = 3, max_n: int = 6, num_shards: int = 64,
                  seed: int = 1, sg: int = 1, cbow_mean: int = 1,
-                 shrink_windows: bool = True) -> FastTextModel:
+                 shrink_windows: bool = True, hs: int = 0) -> FastTextModel:
     """Fit FastText SGNS (``sg=1``) or CBOW (``sg=0``, the reference's
     constructor default, fasttext.py:312) over (doc_id, ids) rows.
     ``vocab_tokens`` is the id-ordered token list (for n-gram computation);
-    ``counts`` the matching frequency vector."""
+    ``counts`` the matching frequency vector. ``hs=1`` adds the
+    hierarchical-softmax objective (Huffman tree over ``counts``); like
+    the reference, hs and negative sampling compose when both are set."""
     vocab_size = len(vocab_tokens)
     subwords = [ft_ngram_hashes(tok, min_n, max_n, bucket)
                 for tok in vocab_tokens]
+    codes = points = syn1 = None
+    if hs:
+        codes, points = build_huffman_tree(np.asarray(counts))
+        syn1 = np.zeros((vocab_size, vector_size))
     model = FastTextModel(
         vocab_size, vector_size, bucket,
         init_syn0(vocab_size, vector_size, seed),
@@ -316,7 +401,8 @@ def fasttext_fit(docs: DataFrame, vocab_tokens: list, counts: np.ndarray,
         np.zeros((vocab_size, vector_size)),
         make_cum_table(np.asarray(counts)),
         make_sample_ints(np.asarray(counts), sample),
-        subwords, window, negative, min_n, max_n, seed)
+        subwords, window, negative, min_n, max_n, seed,
+        hs=hs, syn1=syn1, codes=codes, points=points)
 
     for epoch in range(epochs):
         a = alpha - (alpha - min_alpha) * epoch / max(1, epochs - 1) \
@@ -359,6 +445,14 @@ def fasttext_update(docs: DataFrame, model: FastTextModel,
             ft_ngram_hashes(tok, model.min_n, model.max_n, model.bucket)
             for tok in vocab_tokens[v_old:]]
         model.vocab_size = v_new
+        if getattr(model, "hs", 0):
+            model.syn1 = np.vstack(
+                [model.syn1,
+                 np.zeros((v_new - v_old, model.vector_size))])
+    if getattr(model, "hs", 0):
+        # the Huffman tree is a function of the counts — rebuilt over the
+        # merged vocabulary exactly like word2vec_update
+        model.codes, model.points = build_huffman_tree(counts)
     model.cum_table = make_cum_table(counts)
     model.sample_ints = make_sample_ints(counts, sample)
     epoch0 = getattr(model, "trained_epochs", 0)
@@ -380,22 +474,28 @@ def _ft_epoch(docs: DataFrame, model: FastTextModel, epoch: int, a: float,
     per-shard sequential kernels, fold count-weighted deltas back."""
     sc = docs.sparkSession.sparkContext
     window, negative, seed = model.window, model.negative, model.seed
+    hs = getattr(model, "hs", 0)
     bc = sc.broadcast((model.syn0_vocab, model.syn0_ngrams,
                        model.syn1neg, model.cum_table,
                        model.sample_ints, model.subwords,
                        window, negative, seed, sg, cbow_mean,
-                       shrink_windows))
+                       shrink_windows,
+                       hs, model.syn1, model.codes, model.points))
 
     def make_train_shard(epoch, a, bc):
         def train_shard(key, pdf):
             import pandas as pd
 
             (s0v, s0n, s1, cum, samp, subs, win, neg, sd, sg_,
-             cm, sw) = bc.value
+             cm, sw, hs_, s1h, codes_, points_) = bc.value
             v0, n0, o0 = s0v.copy(), s0n.copy(), s1.copy()
+            h0 = s1h.copy() if hs_ else None
             cv = np.zeros(v0.shape[0], dtype=np.int64)
             cn = np.zeros(n0.shape[0], dtype=np.int64)
             co = np.zeros(o0.shape[0], dtype=np.int64)
+            ch = np.zeros(v0.shape[0], dtype=np.int64) if hs_ else None
+            hs_kw = dict(hs=hs_, syn1hs=h0, codes=codes_, points=points_,
+                         counts_h=ch) if hs_ else {}
             pdf = pdf.sort_values("doc_id")
             for doc_id, ids in zip(pdf["doc_id"], pdf["ids"]):
                 if sg_:
@@ -403,16 +503,18 @@ def _ft_epoch(docs: DataFrame, model: FastTextModel, epoch: int, a: float,
                         np.asarray(ids, dtype=np.int64), subs,
                         v0, n0, o0, cum, samp, win, neg, a,
                         _mix(sd, epoch, int(doc_id)), cv, cn, co,
-                        shrink_windows=sw)
+                        shrink_windows=sw, **hs_kw)
                 else:
                     train_doc_ft_cbow(
                         np.asarray(ids, dtype=np.int64), subs,
                         v0, n0, o0, cum, samp, win, neg, a,
                         _mix(sd, epoch, int(doc_id)), cv, cn, co,
-                        cbow_mean=cm, shrink_windows=sw)
+                        cbow_mean=cm, shrink_windows=sw, **hs_kw)
+            triples = [(s0v, v0, cv), (s0n, n0, cn), (s1, o0, co)]
+            if hs_:
+                triples.append((s1h, h0, ch))
             out = []
-            for m, (mat0, mat, cnts) in enumerate(
-                    [(s0v, v0, cv), (s0n, n0, cn), (s1, o0, co)]):
+            for m, (mat0, mat, cnts) in enumerate(triples):
                 for w in np.nonzero(cnts)[0]:
                     out.append((m, int(w), int(cnts[w]),
                                 list(mat[w] - mat0[w])))
@@ -425,11 +527,13 @@ def _ft_epoch(docs: DataFrame, model: FastTextModel, epoch: int, a: float,
         .groupBy("shard").applyInPandas(
             make_train_shard(epoch, a, bc),
             "m int, w long, cnt long, delta array<double>").collect())
-    bc.destroy()  # per-epoch broadcast of 3 matrices — don't accumulate
+    bc.destroy()  # per-epoch broadcast of the matrices — don't accumulate
 
     mats = {0: model.syn0_vocab, 1: model.syn0_ngrams, 2: model.syn1neg}
-    num: dict = {0: {}, 1: {}, 2: {}}
-    den: dict = {0: {}, 1: {}, 2: {}}
+    if hs:
+        mats[3] = model.syn1
+    num: dict = {m: {} for m in mats}
+    den: dict = {m: {} for m in mats}
     for r in rows:
         m, w, cnt = r["m"], r["w"], r["cnt"]
         d = np.asarray(r["delta"]) * cnt

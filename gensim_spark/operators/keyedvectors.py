@@ -28,6 +28,20 @@ def _unitvec(v: np.ndarray) -> np.ndarray:
     return v / n if n > 0 else v
 
 
+def _ensure_list(value):
+    """Wrap a lone key (str/int) or 1-D vector in a list — the reference's
+    _ensure_list (keyedvectors.py:196-209), so ``most_similar("word")``
+    means one key, not an iterable of characters."""
+    if value is None:
+        return []
+    if isinstance(value, (str, bytes, int, np.integer)) or \
+            (isinstance(value, np.ndarray) and value.ndim == 1):
+        return [value]
+    if isinstance(value, np.ndarray) and value.ndim == 2:
+        return list(value)
+    return list(value)
+
+
 def fetch_vectors(vecs: DataFrame, keys, key_col: str = "vec_id",
                   vec_col: str = "embedding") -> dict:
     """Collect the input keys' vectors (≤ |keys| rows) as float64."""
@@ -85,8 +99,8 @@ def most_similar(vecs: DataFrame, positive=None, negative=None,
     """most_similar (keyedvectors.py:778-860) → (key, sim, rank) rows:
     weighted mean of unit input vectors, post-normalized, cosine over the
     whole table with the input keys excluded."""
-    positive = list(positive or [])
-    negative = list(negative or [])
+    positive = _ensure_list(positive)
+    negative = _ensure_list(negative)
     keys = positive + negative
     weights = np.concatenate([np.ones(len(positive)),
                               -np.ones(len(negative))]) if keys else None
@@ -422,8 +436,8 @@ def most_similar_cosmul(vecs: DataFrame, positive=None, negative=None,
     cosine is a JVM ``zip_with``/``aggregate`` expression in the same
     select, so the scan reads the table once and the top-k is a
     TakeOrdered, never a global sort."""
-    positive = list(positive or [])
-    negative = list(negative or [])
+    positive = _ensure_list(positive)
+    negative = _ensure_list(negative)
     if not positive:
         raise ValueError("cannot compute similarity with no input")
     keys = positive + negative

@@ -9,7 +9,7 @@ from gensim_spark.operators import doc2vec as D2V
 
 
 def replica_fit(doc_list, vocab_size, counts, num_shards=4, dm=1,
-                dm_mean=1, dbow_words=0, **kw):
+                dm_mean=1, dbow_words=0, hs=0, **kw):
     """Driver-only replica of doc2vec_fit: same shard split, same
     per-(epoch, doc) seeds, same count-weighted word fold, doc vectors
     carried between epochs exactly like the distributed DataFrame state."""
@@ -22,13 +22,19 @@ def replica_fit(doc_list, vocab_size, counts, num_shards=4, dm=1,
     sample = kw.get("sample", 1e-3)
     seed = kw.get("seed", 1)
 
+    codes = points = syn1hs = None
+    if hs:
+        from gensim_spark.operators.word2vec import build_huffman_tree
+        codes, points = build_huffman_tree(np.asarray(counts))
+        syn1hs = np.zeros((vocab_size, vector_size))
     wv = D2V.Word2VecModel(
         vocab_size, vector_size,
         D2V.init_syn0(vocab_size, vector_size, seed),
         np.zeros((vocab_size, vector_size)),
         D2V.make_cum_table(np.asarray(counts)),
         D2V.make_sample_ints(np.asarray(counts), sample),
-        window, negative, seed, sg=0, cbow_mean=dm_mean)
+        window, negative, seed, sg=0, cbow_mean=dm_mean,
+        hs=hs, syn1=syn1hs, codes=codes, points=points)
     dv = {d: D2V.init_doc_vector(d, vector_size, seed)
           for d, _ in doc_list}
     for epoch in range(epochs):
@@ -39,7 +45,11 @@ def replica_fit(doc_list, vocab_size, counts, num_shards=4, dm=1,
         for s in range(num_shards):
             syn0 = wv.syn0.copy()
             syn1 = wv.syn1neg.copy()
+            s1h = wv.syn1.copy() if hs else None
             cnts = np.zeros(vocab_size, dtype=np.int64)
+            cnts_h = np.zeros(vocab_size, dtype=np.int64) if hs else None
+            hs_kw = dict(hs=hs, syn1hs=s1h, codes=codes, points=points,
+                         counts_hs=cnts_h) if hs else {}
             for doc_id, ids in sorted(d for d in doc_list
                                       if d[0] % num_shards == s):
                 vec = dv[doc_id].copy()
@@ -48,19 +58,24 @@ def replica_fit(doc_list, vocab_size, counts, num_shards=4, dm=1,
                     D2V.train_doc_dm(np.asarray(ids, dtype=np.int64), vec,
                                      syn0, syn1, wv.cum_table,
                                      wv.sample_ints, window, negative, a,
-                                     ds, cnts, cbow_mean=dm_mean)
+                                     ds, cnts, cbow_mean=dm_mean, **hs_kw)
                 else:
                     D2V.train_doc_dbow(np.asarray(ids, dtype=np.int64), vec,
                                        syn0, syn1, wv.cum_table,
                                        wv.sample_ints, window, negative, a,
                                        ds, cnts,
-                                       train_words=bool(dbow_words))
+                                       train_words=bool(dbow_words),
+                                       **hs_kw)
                 new_dv[doc_id] = vec
             for w in np.nonzero(cnts)[0]:
                 rows.append({"m": 0, "w": int(w), "cnt": int(cnts[w]),
                              "delta": list(syn0[w] - wv.syn0[w])})
                 rows.append({"m": 1, "w": int(w), "cnt": int(cnts[w]),
                              "delta": list(syn1[w] - wv.syn1neg[w])})
+            if hs:
+                for w in np.nonzero(cnts_h)[0]:
+                    rows.append({"m": 2, "w": int(w), "cnt": int(cnts_h[w]),
+                                 "delta": list(s1h[w] - wv.syn1[w])})
         D2V.fold_epoch(wv, rows)
         dv = new_dv
     return wv, dv
@@ -80,16 +95,16 @@ def planted_docs(rng, n_docs=80, vocab=10, doc_len=15):
     return docs, counts
 
 
-def _fit_both(spark, dm, dbow_words, seed=5):
+def _fit_both(spark, dm, dbow_words, seed=5, hs=0, negative=3):
     rng = np.random.default_rng(seed)
     docs, counts = planted_docs(rng)
     df = spark.createDataFrame([(d, ids) for d, ids in docs],
                                "doc_id long, ids array<long>")
-    kw = dict(vector_size=12, window=3, negative=3, epochs=2, seed=1)
+    kw = dict(vector_size=12, window=3, negative=negative, epochs=2, seed=1)
     want_wv, want_dv = replica_fit(docs, 10, counts, num_shards=4, dm=dm,
-                                   dbow_words=dbow_words, **kw)
+                                   dbow_words=dbow_words, hs=hs, **kw)
     got = D2V.doc2vec_fit(df.repartition(7), 10, counts, num_shards=4,
-                          dm=dm, dbow_words=dbow_words, **kw)
+                          dm=dm, dbow_words=dbow_words, hs=hs, **kw)
     return want_wv, want_dv, got
 
 
@@ -103,6 +118,43 @@ def test_distributed_matches_replica(spark, dm, dbow_words):
     assert set(got_dv) == set(want_dv)
     for d, v in want_dv.items():
         np.testing.assert_allclose(got_dv[d], v, atol=0)
+
+
+@pytest.mark.parametrize("dm,dbow_words,negative",
+                         [(1, 0, 3), (0, 1, 3), (1, 0, 0)])
+def test_hs_distributed_matches_replica(spark, dm, dbow_words, negative):
+    """hs=1 through both kernels — composed with negative sampling (the
+    reference runs both stages when both are set) and hs-only
+    (negative=0 skips the whole neg stage, positive sample included)."""
+    want_wv, want_dv, got = _fit_both(spark, dm, dbow_words, hs=1,
+                                      negative=negative)
+    np.testing.assert_allclose(got.wv.syn0, want_wv.syn0, atol=0)
+    np.testing.assert_allclose(got.wv.syn1neg, want_wv.syn1neg, atol=0)
+    np.testing.assert_allclose(got.wv.syn1, want_wv.syn1, atol=0)
+    assert np.abs(got.wv.syn1).sum() > 0  # the hs matrix actually trained
+    if negative == 0:
+        assert np.abs(got.wv.syn1neg).sum() == 0  # neg stage fully skipped
+    got_dv = {r["doc_id"]: np.asarray(r["dvec"])
+              for r in got.dv.collect()}
+    for d, v in want_dv.items():
+        np.testing.assert_allclose(got_dv[d], v, atol=0)
+
+
+def test_hs_infer_deterministic(spark):
+    _, _, got = _fit_both(spark, 1, 0, hs=1)
+    docs = spark.createDataFrame([(900, [1, 2, 3, 4, 1, 2]),
+                                  (901, [5, 6, 7, 8, 5, 6])],
+                                 "doc_id long, ids array<long>")
+    syn1_before = got.wv.syn1.copy()
+    a = {r["doc_id"]: np.asarray(r["embedding"])
+         for r in D2V.infer_vectors(docs, got, epochs=3).collect()}
+    b = {r["doc_id"]: np.asarray(r["embedding"])
+         for r in D2V.infer_vectors(docs, got, epochs=3).collect()}
+    for d in a:
+        np.testing.assert_allclose(a[d], b[d], atol=0)
+        assert np.abs(a[d]).sum() > 0
+    # frozen matrices: the hs matrix is untouched by inference
+    np.testing.assert_allclose(got.wv.syn1, syn1_before, atol=0)
 
 
 def test_dm_separates_topics(spark):

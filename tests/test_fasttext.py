@@ -185,6 +185,80 @@ def test_fasttext_cbow_fit_matches_replica(spark):
     np.testing.assert_allclose(got.syn1neg, model.syn1neg, atol=1e-10)
 
 
+@pytest.mark.parametrize("sg,negative", [(1, 3), (0, 3), (1, 0)])
+def test_fasttext_hs_fit_matches_replica(spark, sg, negative):
+    """hs=1 through both FastText kernels (fasttext_fast_sentence_sg_hs /
+    cbow_hs): composed with negative sampling (both stages run when both
+    are set, the neg stage recomposing its projection from the hs-updated
+    rows) and hs-only (negative=0 skips the whole neg stage)."""
+    rng = np.random.default_rng(23)
+    vocab_tokens = ["apple", "apples", "banana", "bananas", "cherry",
+                    "stone", "stones", "rock", "rocks", "cliff"]
+    docs, counts = _toy_corpus(rng, vocab_tokens)
+    df = spark.createDataFrame([(d, ids) for d, ids in docs],
+                               "doc_id long, ids array<long>").repartition(5)
+    got = FT.fasttext_fit(df, vocab_tokens, counts, vector_size=10,
+                          window=3, negative=negative, epochs=2, sample=0,
+                          bucket=500, min_n=3, max_n=5, seed=6,
+                          num_shards=4, sg=sg, hs=1)
+
+    subs = [FT.ft_ngram_hashes(t, 3, 5, 500) for t in vocab_tokens]
+    codes, points = W2V.build_huffman_tree(counts)
+    model = FT.FastTextModel(
+        10, 10, 500, W2V.init_syn0(10, 10, 6),
+        W2V.init_syn0(500, 10, W2V._mix(6, 77)), np.zeros((10, 10)),
+        W2V.make_cum_table(counts), W2V.make_sample_ints(counts, 0),
+        subs, 3, negative, 3, 5, 6,
+        hs=1, syn1=np.zeros((10, 10)), codes=codes, points=points)
+    kernel = FT.train_doc_ft_sg if sg else FT.train_doc_ft_cbow
+    for epoch in range(2):
+        a = 0.025 - (0.025 - 0.0001) * epoch / 1
+        mats = {0: model.syn0_vocab, 1: model.syn0_ngrams,
+                2: model.syn1neg, 3: model.syn1}
+        num = {m: {} for m in mats}
+        den = {m: {} for m in mats}
+        for s in range(4):
+            v0 = model.syn0_vocab.copy()
+            n0 = model.syn0_ngrams.copy()
+            o0 = model.syn1neg.copy()
+            h0 = model.syn1.copy()
+            cv = np.zeros(10, dtype=np.int64)
+            cn = np.zeros(500, dtype=np.int64)
+            co = np.zeros(10, dtype=np.int64)
+            ch = np.zeros(10, dtype=np.int64)
+            for doc_id, ids in sorted(d for d in docs if d[0] % 4 == s):
+                kernel(np.asarray(ids), subs, v0, n0, o0,
+                       model.cum_table, model.sample_ints,
+                       3, negative, a, W2V._mix(6, epoch, doc_id),
+                       cv, cn, co, hs=1, syn1hs=h0, codes=codes,
+                       points=points, counts_h=ch)
+            for m, (base, mat, cnts) in enumerate(
+                    [(model.syn0_vocab, v0, cv),
+                     (model.syn0_ngrams, n0, cn),
+                     (model.syn1neg, o0, co),
+                     (model.syn1, h0, ch)]):
+                for w in np.nonzero(cnts)[0]:
+                    d_ = (mat[w] - base[w]) * cnts[w]
+                    if w in num[m]:
+                        num[m][w] += d_
+                        den[m][w] += cnts[w]
+                    else:
+                        num[m][w] = d_
+                        den[m][w] = int(cnts[w])
+        for m, mat in mats.items():
+            for w, d_ in num[m].items():
+                mat[w] += d_ / den[m][w]
+
+    np.testing.assert_allclose(got.syn0_vocab, model.syn0_vocab, atol=1e-10)
+    np.testing.assert_allclose(got.syn0_ngrams, model.syn0_ngrams,
+                               atol=1e-10)
+    np.testing.assert_allclose(got.syn1neg, model.syn1neg, atol=1e-10)
+    np.testing.assert_allclose(got.syn1, model.syn1, atol=1e-10)
+    assert np.abs(got.syn1).sum() > 0        # the hs matrix actually trained
+    if negative == 0:
+        assert np.abs(got.syn1neg).sum() == 0  # neg stage fully skipped
+
+
 def test_ft_cbow_kernel_semantics():
     """Kernel-level quirks vs the SG kernel: context sum counts words AND
     subwords; saturation clamps instead of skipping; cbow_mean=0 scales the

@@ -39,6 +39,25 @@ def test_most_similar_matches_reference_kernel(kv_df):
         assert r["sim"] == pytest.approx(round(float(dists[want_i]), 6))
 
 
+def test_most_similar_ensure_list_lone_key(kv_df, spark):
+    """_ensure_list parity (reference keyedvectors.py:196-209): a lone key
+    — int or string — is ONE key, not an iterable; a lone string must not
+    be split into characters."""
+    mat, df = kv_df
+    want = [(r["vec_id"], r["sim"])
+            for r in KV.most_similar(df, [3], topn=3).collect()]
+    got = [(r["vec_id"], r["sim"])
+           for r in KV.most_similar(df, 3, topn=3).collect()]
+    assert got == want
+
+    sdf = spark.createDataFrame(
+        [("batch", [1.0, 0.0]), ("b", [0.0, 1.0]), ("join", [0.8, 0.6])],
+        "token string, embedding array<double>")
+    got = KV.most_similar(sdf, "batch", topn=2, key_col="token").collect()
+    assert [r["token"] for r in got] == ["join", "b"]  # 'batch' excluded,
+    # and the query resolved as the key 'batch', not chars b/a/t/c/h
+
+
 def test_mean_vector_weights_and_flags(kv_df):
     mat, df = kv_df
     m = KV.mean_vector(df, [1, 2], weights=[2.0, 1.0], pre_normalize=True)
