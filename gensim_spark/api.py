@@ -716,6 +716,7 @@ class Doc2Vec:
                  sample: float = 1e-3, num_shards: int = 64, seed: int = 1,
                  dm: int = 1, dm_mean: int = 1, dbow_words: int = 0,
                  shrink_windows: bool = True, hs: int = 0,
+                 dm_concat: int = 0,
                  dictionary: Dictionary | None = None):
         import numpy as np
 
@@ -733,7 +734,8 @@ class Doc2Vec:
             ids, len(counts), counts, vector_size=vector_size,
             window=window, negative=negative, epochs=epochs, sample=sample,
             num_shards=num_shards, seed=seed, dm=dm, dm_mean=dm_mean,
-            dbow_words=dbow_words, shrink_windows=shrink_windows, hs=hs)
+            dbow_words=dbow_words, shrink_windows=shrink_windows, hs=hs,
+            dm_concat=dm_concat)
         spark = documents.sparkSession
         vecs = self.model.wv.vectors_df(spark).join(
             F.broadcast(d.df.select("term_id", "token")), "term_id")

@@ -137,6 +137,79 @@ def train_doc_dm(ids: np.ndarray, dvec: np.ndarray, syn0: np.ndarray,
                 counts_out[m] += 1
 
 
+def train_doc_dmc(ids: np.ndarray, dvec: np.ndarray, syn0: np.ndarray,
+                  syn1neg: np.ndarray, cum_table: np.ndarray,
+                  sample_ints: np.ndarray, window: int, negative: int,
+                  alpha: float, doc_seed: int, counts_out: np.ndarray,
+                  null_index: int, learn_words: bool = True,
+                  learn_hidden: bool = True, hs: int = 0,
+                  syn1hs: np.ndarray | None = None,
+                  codes: list | None = None, points: list | None = None,
+                  counts_hs: np.ndarray | None = None) -> None:
+    """PV-DM with concatenation (train_document_dm_concat,
+    doc2vec_inner.pyx:569-702): layer1 = [doc vector | 2·window word
+    vectors] concatenated, positions outside the document padded with the
+    NULL word's vector (a trainable vocab row, index ``null_index`` —
+    add_null_word, word2vec.py:811-815); windows are FULL (the dm_concat
+    loop draws no reduced windows); the accumulated layer1 error is sliced
+    back onto the doc vector and every window slot, null rows included.
+    ``syn1neg``/``syn1hs`` rows are layer1-sized; both dmc kernels skip
+    saturated dots (fast_document_dmc_hs/_neg)."""
+    rs = np.random.RandomState(doc_seed & 0xFFFFFFFF)
+    next_random = _mix(doc_seed, 1)
+    kept = _subsample(ids, sample_ints, rs)
+    n = len(kept)
+    if n == 0:
+        return
+    size = syn0.shape[1]
+    cum_last = int(cum_table[-1])
+    for i in range(n):
+        wi = kept[i]
+        win_idx = []
+        for m in range(i - window, i + window + 1):
+            if m == i:
+                continue
+            win_idx.append(null_index if (m < 0 or m >= n) else kept[m])
+        neu1 = np.concatenate([dvec] + [syn0[w] for w in win_idx])
+        work = np.zeros(neu1.shape[0])
+        if hs:
+            code, point = codes[wi], points[wi]
+            for b in range(len(code)):
+                u = syn1hs[point[b]]
+                f_dot = float(neu1 @ u)
+                if f_dot <= -MAX_EXP or f_dot >= MAX_EXP:
+                    continue
+                g = (1.0 - float(code[b]) - _sigmoid_table(f_dot)) * alpha
+                work += g * u
+                if learn_hidden:
+                    syn1hs[point[b]] += g * neu1
+                    counts_hs[point[b]] += 1
+        for d in range(negative + 1 if negative else 0):
+            if d == 0:
+                target, label = wi, 1.0
+            else:
+                r = (next_random >> 16) % cum_last
+                target = int(np.searchsorted(cum_table, r, side="left"))
+                next_random = (next_random * _LCG_MUL + 11) & _LCG_MOD
+                if target == wi:
+                    continue
+                label = 0.0
+            u = syn1neg[target]
+            f_dot = float(neu1 @ u)
+            if f_dot <= -MAX_EXP or f_dot >= MAX_EXP:
+                continue
+            g = (label - _sigmoid_table(f_dot)) * alpha
+            work += g * u
+            if learn_hidden:
+                syn1neg[target] += g * neu1
+                counts_out[target] += 1
+        dvec += work[:size]
+        if learn_words:
+            for m, w in enumerate(win_idx):
+                syn0[w] += work[(1 + m) * size:(2 + m) * size]
+                counts_out[w] += 1
+
+
 def train_doc_dbow(ids: np.ndarray, dvec: np.ndarray, syn0: np.ndarray,
                    syn1neg: np.ndarray, cum_table: np.ndarray,
                    sample_ints: np.ndarray, window: int, negative: int,
@@ -241,11 +314,14 @@ class Doc2VecModel:
     never collected)."""
 
     def __init__(self, wv: Word2VecModel, dv: DataFrame, dm: int,
-                 dbow_words: int):
+                 dbow_words: int, dm_concat: int = 0,
+                 null_index: int | None = None):
         self.wv = wv
         self.dv = dv
         self.dm = dm
         self.dbow_words = dbow_words
+        self.dm_concat = dm_concat
+        self.null_index = null_index   # the '\0' pad row when dm_concat
 
     def doc_vectors_df(self) -> DataFrame:
         return self.dv.select(F.col("doc_id"),
@@ -259,26 +335,39 @@ def doc2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
                 ns_exponent: float = 0.75, num_shards: int = 64,
                 seed: int = 1, dm: int = 1, dm_mean: int = 1,
                 dbow_words: int = 0,
-                shrink_windows: bool = True, hs: int = 0) -> Doc2VecModel:
-    """Fit PV-DM (``dm=1``, reference default) or PV-DBOW+words (``dm=0``,
-    ``dbow_words=1``) over (doc_id, ids) rows. Word matrices are folded on
-    the driver per epoch (count-weighted shard averaging); doc vectors stay
-    a distributed DataFrame joined back in each epoch. ``hs=1`` adds the
+                shrink_windows: bool = True, hs: int = 0,
+                dm_concat: int = 0) -> Doc2VecModel:
+    """Fit PV-DM (``dm=1``, reference default), PV-DM with concatenation
+    (``dm=1, dm_concat=1``) or PV-DBOW+words (``dm=0``, ``dbow_words=1``)
+    over (doc_id, ids) rows. Word matrices are folded on the driver per
+    epoch (count-weighted shard averaging); doc vectors stay a distributed
+    DataFrame joined back in each epoch. ``hs=1`` adds the
     hierarchical-softmax objective (Huffman tree over ``counts``;
     composes with negative sampling when both are set, like the
-    reference)."""
+    reference). ``dm_concat`` appends the reference's NULL pad word to the
+    vocabulary (count 1, last index — add_null_word) and widens the output
+    matrices to layer1 = (1 + 2·window)·vector_size."""
     spark = docs.sparkSession
     sc = spark.sparkContext
+    counts = np.asarray(counts)
+    dm_concat = 1 if (dm and dm_concat) else 0
+    null_index = None
+    out_width = vector_size
+    if dm_concat:
+        null_index = vocab_size
+        vocab_size = vocab_size + 1
+        counts = np.append(counts, 1)
+        out_width = (1 + 2 * window) * vector_size
     codes = points = syn1 = None
     if hs:
-        codes, points = build_huffman_tree(np.asarray(counts))
-        syn1 = np.zeros((vocab_size, vector_size))
+        codes, points = build_huffman_tree(counts)
+        syn1 = np.zeros((vocab_size, out_width))
     wv = Word2VecModel(
         vocab_size, vector_size,
         init_syn0(vocab_size, vector_size, seed),
-        np.zeros((vocab_size, vector_size)),
-        make_cum_table(np.asarray(counts), ns_exponent),
-        make_sample_ints(np.asarray(counts), sample),
+        np.zeros((vocab_size, out_width)),
+        make_cum_table(counts, ns_exponent),
+        make_sample_ints(counts, sample),
         window, negative, seed, sg=0, cbow_mean=dm_mean,
         hs=hs, syn1=syn1, codes=codes, points=points)
 
@@ -302,7 +391,8 @@ def doc2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
                            wv.sample_ints, window, negative, seed,
                            dm, dm_mean, dbow_words,
                            1 if shrink_windows else 0,
-                           hs, wv.syn1, wv.codes, wv.points))
+                           hs, wv.syn1, wv.codes, wv.points,
+                           dm_concat, null_index))
 
         def make_shard_fn(epoch, a, bc):
             def run(key, pdf):
@@ -310,7 +400,8 @@ def doc2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
 
                 (syn0_0, syn1_0, cum, samp, window_, negative_, seed_,
                  dm_, dm_mean_, dbow_words_, sw_,
-                 hs_, syn1hs_0, codes_, points_) = bc.value
+                 hs_, syn1hs_0, codes_, points_,
+                 dmc_, null_) = bc.value
                 syn0 = syn0_0.copy()
                 syn1 = syn1_0.copy()
                 syn1hs = syn1hs_0.copy() if hs_ else None
@@ -326,7 +417,11 @@ def doc2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
                     arr = np.asarray(ids, dtype=np.int64)
                     vec = np.asarray(dvec, dtype=np.float64).copy()
                     ds = _mix(seed_, epoch, int(doc_id))
-                    if dm_:
+                    if dm_ and dmc_:
+                        train_doc_dmc(arr, vec, syn0, syn1, cum, samp,
+                                      window_, negative_, a, ds, cnts,
+                                      null_, **hs_kw)
+                    elif dm_:
                         train_doc_dm(arr, vec, syn0, syn1, cum, samp,
                                      window_, negative_, a, ds, cnts,
                                      cbow_mean=dm_mean_,
@@ -376,7 +471,8 @@ def doc2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
         dv = new_dv
         fold_epoch(wv, deltas)
     wv.shrink_windows = 1 if shrink_windows else 0
-    return Doc2VecModel(wv, dv, dm, dbow_words)
+    return Doc2VecModel(wv, dv, dm, dbow_words,
+                        dm_concat=dm_concat, null_index=null_index)
 
 
 def infer_vectors(docs: DataFrame, model: Doc2VecModel, epochs: int = 10,
@@ -392,14 +488,16 @@ def infer_vectors(docs: DataFrame, model: Doc2VecModel, epochs: int = 10,
     bc = sc.broadcast((wv.syn0, wv.syn1neg, wv.cum_table, wv.sample_ints,
                        wv.window, wv.negative, model.dm, wv.cbow_mean,
                        getattr(wv, "shrink_windows", 1),
-                       hs, wv.syn1, wv.codes, wv.points))
+                       hs, wv.syn1, wv.codes, wv.points,
+                       getattr(model, "dm_concat", 0),
+                       getattr(model, "null_index", None)))
     size = wv.vector_size
 
     def gen(batches):
         import pandas as pd
 
         (syn0, syn1, cum, samp, window, negative, dm, dm_mean,
-         sw, hs_, syn1hs, codes, points) = bc.value
+         sw, hs_, syn1hs, codes, points, dmc, null_) = bc.value
         dummy = np.zeros(syn0.shape[0], dtype=np.int64)
         hs_kw = dict(hs=hs_, syn1hs=syn1hs, codes=codes, points=points,
                      counts_hs=dummy) if hs_ else {}
@@ -412,7 +510,12 @@ def infer_vectors(docs: DataFrame, model: Doc2VecModel, epochs: int = 10,
                     a = alpha - (alpha - min_alpha) * epoch \
                         / max(1, epochs - 1) if epochs > 1 else alpha
                     ds = _mix(seed, 12 + epoch, int(doc_id))
-                    if dm:
+                    if dm and dmc:
+                        train_doc_dmc(arr, vec, syn0, syn1, cum, samp,
+                                      window, negative, a, ds, dummy,
+                                      null_, learn_words=False,
+                                      learn_hidden=False, **hs_kw)
+                    elif dm:
                         train_doc_dm(arr, vec, syn0, syn1, cum, samp,
                                      window, negative, a, ds, dummy,
                                      cbow_mean=dm_mean, learn_words=False,

@@ -9,7 +9,7 @@ from gensim_spark.operators import doc2vec as D2V
 
 
 def replica_fit(doc_list, vocab_size, counts, num_shards=4, dm=1,
-                dm_mean=1, dbow_words=0, hs=0, **kw):
+                dm_mean=1, dbow_words=0, hs=0, dm_concat=0, **kw):
     """Driver-only replica of doc2vec_fit: same shard split, same
     per-(epoch, doc) seeds, same count-weighted word fold, doc vectors
     carried between epochs exactly like the distributed DataFrame state."""
@@ -22,17 +22,26 @@ def replica_fit(doc_list, vocab_size, counts, num_shards=4, dm=1,
     sample = kw.get("sample", 1e-3)
     seed = kw.get("seed", 1)
 
+    counts = np.asarray(counts)
+    dm_concat = 1 if (dm and dm_concat) else 0
+    null_index = None
+    out_width = vector_size
+    if dm_concat:
+        null_index = vocab_size
+        vocab_size += 1
+        counts = np.append(counts, 1)
+        out_width = (1 + 2 * window) * vector_size
     codes = points = syn1hs = None
     if hs:
         from gensim_spark.operators.word2vec import build_huffman_tree
-        codes, points = build_huffman_tree(np.asarray(counts))
-        syn1hs = np.zeros((vocab_size, vector_size))
+        codes, points = build_huffman_tree(counts)
+        syn1hs = np.zeros((vocab_size, out_width))
     wv = D2V.Word2VecModel(
         vocab_size, vector_size,
         D2V.init_syn0(vocab_size, vector_size, seed),
-        np.zeros((vocab_size, vector_size)),
-        D2V.make_cum_table(np.asarray(counts)),
-        D2V.make_sample_ints(np.asarray(counts), sample),
+        np.zeros((vocab_size, out_width)),
+        D2V.make_cum_table(counts),
+        D2V.make_sample_ints(counts, sample),
         window, negative, seed, sg=0, cbow_mean=dm_mean,
         hs=hs, syn1=syn1hs, codes=codes, points=points)
     dv = {d: D2V.init_doc_vector(d, vector_size, seed)
@@ -54,7 +63,12 @@ def replica_fit(doc_list, vocab_size, counts, num_shards=4, dm=1,
                                       if d[0] % num_shards == s):
                 vec = dv[doc_id].copy()
                 ds = D2V._mix(seed, epoch, doc_id)
-                if dm:
+                if dm and dm_concat:
+                    D2V.train_doc_dmc(np.asarray(ids, dtype=np.int64), vec,
+                                      syn0, syn1, wv.cum_table,
+                                      wv.sample_ints, window, negative, a,
+                                      ds, cnts, null_index, **hs_kw)
+                elif dm:
                     D2V.train_doc_dm(np.asarray(ids, dtype=np.int64), vec,
                                      syn0, syn1, wv.cum_table,
                                      wv.sample_ints, window, negative, a,
@@ -138,6 +152,59 @@ def test_hs_distributed_matches_replica(spark, dm, dbow_words, negative):
               for r in got.dv.collect()}
     for d, v in want_dv.items():
         np.testing.assert_allclose(got_dv[d], v, atol=0)
+
+
+@pytest.mark.parametrize("hs", [0, 1])
+def test_dm_concat_distributed_matches_replica(spark, hs):
+    """dm_concat=1 (train_document_dm_concat): concatenated layer1 with
+    null-word padding, layer1-wide output matrices, full windows."""
+    rng = np.random.default_rng(5)
+    docs, counts = planted_docs(rng)
+    df = spark.createDataFrame([(d, ids) for d, ids in docs],
+                               "doc_id long, ids array<long>")
+    kw = dict(vector_size=6, window=2, negative=3, epochs=2, seed=1)
+    want_wv, want_dv = replica_fit(docs, 10, counts, num_shards=4, dm=1,
+                                   dm_concat=1, hs=hs, **kw)
+    got = D2V.doc2vec_fit(df.repartition(7), 10, counts, num_shards=4,
+                          dm=1, dm_concat=1, hs=hs, **kw)
+    assert got.null_index == 10
+    assert got.wv.syn0.shape == (11, 6)          # null pad row appended
+    assert got.wv.syn1neg.shape == (11, (1 + 2 * 2) * 6)  # layer1-wide
+    np.testing.assert_allclose(got.wv.syn0, want_wv.syn0, atol=0)
+    np.testing.assert_allclose(got.wv.syn1neg, want_wv.syn1neg, atol=0)
+    if hs:
+        np.testing.assert_allclose(got.wv.syn1, want_wv.syn1, atol=0)
+        assert np.abs(got.wv.syn1).sum() > 0
+    # the null word's vector trained (boundary windows pad with it)
+    assert np.abs(got.wv.syn0[10] - want_wv.syn0[10]).sum() == 0
+    got_dv = {r["doc_id"]: np.asarray(r["dvec"]) for r in got.dv.collect()}
+    for d, v in want_dv.items():
+        np.testing.assert_allclose(got_dv[d], v, atol=0)
+    # inference works against the concat model and leaves it frozen
+    new = spark.createDataFrame([(900, [1, 2, 3, 4])],
+                                "doc_id long, ids array<long>")
+    inf = D2V.infer_vectors(new, got, epochs=2).collect()
+    assert len(inf) == 1 and len(inf[0]["embedding"]) == 6
+
+
+def test_dmc_kernel_null_padding():
+    """A position at the document edge pads out-of-range slots with the
+    null row — the null vector must receive word-side updates."""
+    rng = np.random.RandomState(3)
+    V, size, window = 5, 4, 2
+    null = V
+    syn0 = rng.normal(size=(V + 1, size))
+    syn1 = rng.normal(size=(V + 1, (1 + 2 * window) * size))
+    before_null = syn0[null].copy()
+    counts = np.zeros(V + 1, dtype=np.int64)
+    cum = D2V.make_cum_table(np.ones(V + 1))
+    samp = D2V.make_sample_ints(np.ones(V + 1), 0)
+    dvec = np.zeros(size)
+    D2V.train_doc_dmc(np.array([0, 1, 2]), dvec, syn0, syn1, cum, samp,
+                      window, 2, 0.05, 7, counts, null)
+    assert counts[null] > 0                      # null slots were updated
+    assert np.abs(syn0[null] - before_null).sum() > 0
+    assert np.abs(dvec).sum() > 0
 
 
 def test_hs_infer_deterministic(spark):
