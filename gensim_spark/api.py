@@ -808,9 +808,10 @@ class KeyedVectors:
         self._cols = dict(key_col=key_col, vec_col=vec_col)
         self._key_col = key_col
 
-    def most_similar(self, positive=None, negative=None, topn: int = 10):
+    def most_similar(self, positive=None, negative=None, topn: int = 10,
+                     indexer=None):
         rows = self._kv.most_similar(self.df, positive, negative, topn,
-                                     **self._cols).collect()
+                                     indexer=indexer, **self._cols).collect()
         return [(r[self._key_col], r["sim"]) for r in rows]
 
     def similar_by_key(self, key, topn: int = 10):

@@ -95,10 +95,15 @@ def cosine_to_vector(vecs: DataFrame, query: np.ndarray,
 
 def most_similar(vecs: DataFrame, positive=None, negative=None,
                  topn: int = 10, key_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding", indexer=None) -> DataFrame:
     """most_similar (keyedvectors.py:778-860) → (key, sim, rank) rows:
     weighted mean of unit input vectors, post-normalized, cosine over the
-    whole table with the input keys excluded."""
+    whole table with the input keys excluded.
+
+    ``indexer``: an ``annindexer.AnnIndexer`` — the reference's pluggable
+    ANN path (keyedvectors.py:848-849): the query goes to the prebuilt
+    bucket/cell index and, like the reference, the input keys are NOT
+    filtered out of the result."""
     positive = _ensure_list(positive)
     negative = _ensure_list(negative)
     keys = positive + negative
@@ -107,6 +112,8 @@ def most_similar(vecs: DataFrame, positive=None, negative=None,
     mean = mean_vector(vecs, keys, weights, pre_normalize=True,
                        post_normalize=True, key_col=key_col,
                        vec_col=vec_col)
+    if indexer is not None:
+        return indexer.most_similar_df(mean, topn)
     sims = cosine_to_vector(vecs, mean, key_col, vec_col) \
         .filter(~F.col(key_col).isin(keys))
     from pyspark.sql import Window
