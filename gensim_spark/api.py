@@ -502,6 +502,13 @@ class Word2Vec:
         self.wv = KeyedVectors(vecs.select("token", "embedding"),
                                key_col="token")
 
+    def score(self, documents: DataFrame) -> DataFrame:
+        """Per-sentence hs log-probability (``Word2Vec.score``,
+        word2vec.py:1693-1820) → (doc_id, score) rows. hs-only, like the
+        reference; raises unless the model was trained with ``hs=1``."""
+        ids = self._w2v.corpus_ids(documents, self.dictionary.df)
+        return self._w2v.word2vec_score(ids, self.model)
+
     def update(self, documents: DataFrame, epochs: int = 5,
                alpha: float = 0.025, min_alpha: float = 0.0001,
                sample: float = 1e-3, ns_exponent: float = 0.75,
@@ -1240,7 +1247,9 @@ class SoftCosineSimilarity:
     Soft Cosine Measure over a term-similarity matrix S. ``S`` is a
     (term_i, term_j, sim) DataFrame — build one from the vocabulary with
     ``operators.softcosine.term_sim_matrix_from_fuzzy`` (the
-    LevenshteinSimilarityIndex source) or supply embeddings-derived sims."""
+    LevenshteinSimilarityIndex source) or from trained vectors with
+    ``term_sim_matrix_from_embeddings`` (the WordEmbeddingSimilarityIndex
+    source)."""
 
     def __init__(self, weighted_corpus: DataFrame, S: DataFrame,
                  num_best: int = 10):

@@ -79,6 +79,63 @@ def term_sim_matrix_from_fuzzy(spark: SparkSession, vocab: DataFrame,
     return capped.unionByName(diag)
 
 
+def term_sim_matrix_from_embeddings(embeddings: DataFrame,
+                                    threshold: float = 0.0,
+                                    exponent: float = 2.0, topn: int = 10,
+                                    nonzero_limit: int = 100,
+                                    method: str = "brute",
+                                    id_col: str = "term_id",
+                                    vec_col: str = "embedding",
+                                    planes: int = 6) -> DataFrame:
+    """Build S (term_i, term_j, sim) from word-embedding cosine — the
+    ``WordEmbeddingSimilarityIndex`` source (gensim/similarities/
+    termsim.py:102-163): per term, the ``topn`` most similar OTHER terms,
+    keep sims strictly above ``threshold``, raise survivors to
+    ``exponent``; assembled into the symmetric unit-diagonal matrix with
+    the per-term ``nonzero_limit`` cap (SparseTermSimilarityMatrix
+    semantics, shared with the Levenshtein source above).
+
+    ``method="brute"``: exact per-term scan — the reference's own
+    most_similar loop, O(V²) work spread over the cluster.
+    ``method="lsh"``: sign-random-projection bucket equijoin — candidates
+    only within a bucket, the 100-TB vocabulary path."""
+    from gensim_spark.operators.simsearch import cosine_topk, lsh_topk
+
+    q = embeddings.select(F.col(id_col).alias("qid"),
+                          F.col(vec_col).alias(vec_col))
+    if method == "brute":
+        nb = cosine_topk(embeddings, q, k=topn + 1, id_col=id_col,
+                         vec_col=vec_col, query_id_col="qid")
+    elif method == "lsh":
+        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        nb = lsh_topk(embeddings, q, k=topn + 1, planes=planes,
+                      dims=int(first["d"]), id_col=id_col,
+                      vec_col=vec_col, query_id_col="qid")
+    else:
+        raise ValueError("method must be 'brute' or 'lsh'")
+    ids = (nb.filter(F.col("vec_id") != F.col("query_id"))
+           .withColumn("_r2", F.row_number().over(
+               Window.partitionBy("query_id")
+               .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())))
+           .filter((F.col("_r2") <= topn) &
+                   (F.col("cosine") > threshold))
+           .select(F.col("query_id").alias("term_i"),
+                   F.col("vec_id").alias("term_j"),
+                   F.pow("cosine", F.lit(exponent)).alias("sim")))
+    sym = ids.unionByName(
+        ids.select(F.col("term_j").alias("term_i"),
+                   F.col("term_i").alias("term_j"), "sim")
+    ).groupBy("term_i", "term_j").agg(F.max("sim").alias("sim"))
+    w = Window.partitionBy("term_i").orderBy(F.col("sim").desc(),
+                                             F.col("term_j").asc())
+    capped = (sym.withColumn("_r", F.row_number().over(w))
+              .filter(F.col("_r") <= nonzero_limit).drop("_r"))
+    diag = embeddings.select(F.col(id_col).alias("term_i"),
+                             F.col(id_col).alias("term_j"),
+                             F.lit(1.0).alias("sim"))
+    return capped.unionByName(diag)
+
+
 def inner_product(x: DataFrame, y: DataFrame, S: DataFrame,
                   x_id: str = "doc_id", y_id: str = "query_id") -> DataFrame:
     """⟨x, y⟩_S = Σ_ij x_i · S_ij · y_j per (x_id, y_id) pair.

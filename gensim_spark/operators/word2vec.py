@@ -641,6 +641,108 @@ def doc_vectors_dbow(docs: DataFrame, model: Word2VecModel,
     return docs.mapInPandas(gen, "doc_id long, embedding array<double>")
 
 
+_LOG_TABLE = np.log(_EXP_TABLE)
+MAX_SENTENCE_LEN = 10000
+
+
+def _codelen(code) -> int:
+    return 0 if code is None else len(code)
+
+
+def _score_pairs(point: np.ndarray, code: np.ndarray, ctx: np.ndarray,
+                 syn1: np.ndarray) -> float:
+    """Σ log σ(sgn·⟨h, syn1[point_b]⟩) over code bits × context columns —
+    score_pair_sg_hs / score_pair_cbow_hs (word2vec_inner.pyx:772-800,
+    870-900): sgn = +1 for bit 0, −1 for bit 1; dots at or beyond ±MAX_EXP
+    are SKIPPED (not clamped), survivors read the discretized LOG_TABLE."""
+    f = syn1[point] @ ctx                      # (codelen, nctx) or (codelen,)
+    f = f * (1.0 - 2.0 * code.astype(np.float64)).reshape(-1, *([1] *
+                                                                (f.ndim - 1)))
+    mask = (f > -MAX_EXP) & (f < MAX_EXP)
+    idx = ((f[mask] + MAX_EXP) *
+           (EXP_TABLE_SIZE / MAX_EXP / 2)).astype(np.int64)
+    return float(_LOG_TABLE[idx].sum())
+
+
+def _score_ids_sg(ids: np.ndarray, syn0: np.ndarray, syn1: np.ndarray,
+                  codes: list, points: list, window: int) -> float:
+    work = 0.0
+    n = len(ids)
+    for i in range(n):
+        code, point = codes[ids[i]], points[ids[i]]
+        if code is None or len(code) == 0:
+            continue
+        lo, hi = max(0, i - window), min(n, i + window + 1)
+        ctx = [ids[j] for j in range(lo, hi)
+               if j != i and _codelen(codes[ids[j]]) > 0]
+        if ctx:
+            work += _score_pairs(point, code, syn0[ctx].T, syn1)
+    return work
+
+
+def _score_ids_cbow(ids: np.ndarray, syn0: np.ndarray, syn1: np.ndarray,
+                    codes: list, points: list, window: int,
+                    cbow_mean: int) -> float:
+    work = 0.0
+    n = len(ids)
+    for i in range(n):
+        code, point = codes[ids[i]], points[ids[i]]
+        if code is None or len(code) == 0:
+            continue
+        lo, hi = max(0, i - window), min(n, i + window + 1)
+        ctx = [ids[j] for j in range(lo, hi)
+               if j != i and _codelen(codes[ids[j]]) > 0]
+        neu1 = syn0[ctx].sum(axis=0) if ctx \
+            else np.zeros(syn0.shape[1])
+        if cbow_mean and ctx:
+            neu1 = neu1 / len(ctx)
+        work += _score_pairs(point, code, neu1, syn1)
+    return work
+
+
+def word2vec_score(docs: DataFrame, model: Word2VecModel) -> DataFrame:
+    """(doc_id, score): per-sentence hs log-probability (Word2Vec.score,
+    word2vec.py:1693-1820; kernels score_sentence_sg / score_sentence_cbow,
+    word2vec_inner.pyx:693-900). Like the reference, hs-only — the model
+    must carry the Huffman tree (``hs=1``).
+
+    Distribution: the reference fans sentences over a thread pool sharing
+    the in-RAM matrices; here ONE Arrow-batched mapInPandas pass scores
+    every partition against the broadcast (syn0, syn1) — embarrassingly
+    parallel, zero shuffle, corpus never leaves the executors. OOV words
+    were already dropped by :func:`corpus_ids` (the reference compacts the
+    sentence identically, pyx:745-765); sentences truncate at
+    MAX_SENTENCE_LEN=10000 like the C kernel."""
+    if not model.hs or model.syn1 is None:
+        raise RuntimeError(
+            "score is only implemented for the hierarchical softmax "
+            "scheme; train with hs=1 (word2vec.py:1736-1740)")
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast((model.syn0, model.syn1, model.codes, model.points,
+                       model.window, model.sg, model.cbow_mean))
+
+    def gen(batches):
+        import pandas as pd
+
+        syn0, syn1, codes, points, window, sg, cm = bc.value
+        for pdf in batches:
+            scores = []
+            for ids in pdf["ids"]:
+                arr = np.asarray(ids, dtype=np.int64)[:MAX_SENTENCE_LEN]
+                if sg:
+                    s = _score_ids_sg(arr, syn0, syn1, codes, points,
+                                      window)
+                else:
+                    s = _score_ids_cbow(arr, syn0, syn1, codes, points,
+                                        window, cm)
+                scores.append(s)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "score": scores})
+
+    return docs.select("doc_id", "ids").mapInPandas(
+        gen, "doc_id long, score double")
+
+
 def corpus_ids(postings_or_tokens: DataFrame, vocab: DataFrame,
                tokens_col: str = "tokens") -> DataFrame:
     """(doc_id, tokens) + vocab → (doc_id, ids) with unknown words dropped

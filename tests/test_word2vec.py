@@ -583,3 +583,99 @@ def test_shrink_windows_false(spark):
     # full windows ⇒ at least as many (doc, word) updates as shrunk ones
     shrunk = W2V.word2vec_fit(df, 15, counts, num_shards=4, **kw)
     assert not np.allclose(got.syn0, shrunk.syn0)
+
+
+# --- Word2Vec.score (hs log-likelihood, word2vec.py:1693-1820) -----------
+
+def _score_oracle(ids, syn0, syn1, codes, points, window, sg, cbow_mean):
+    _codelen = W2V._codelen
+    """Literal scalar transcription of score_sentence_sg / score_sentence_cbow
+    (word2vec_inner.pyx:693-900): per-bit loop, sign flip, strict ±MAX_EXP
+    skip, discretized LOG_TABLE."""
+    log_table = np.log(W2V._EXP_TABLE)
+    work = 0.0
+    n = len(ids)
+    for i in range(n):
+        code, point = codes[ids[i]], points[ids[i]]
+        if code is None or len(code) == 0:
+            continue
+        lo, hi = max(0, i - window), min(n, i + window + 1)
+        if sg:
+            for j in range(lo, hi):
+                if j == i or _codelen(codes[ids[j]]) == 0:
+                    continue
+                for b in range(len(code)):
+                    f = float(np.dot(syn0[ids[j]], syn1[point[b]]))
+                    f *= (-1) ** code[b]
+                    if f <= -W2V.MAX_EXP or f >= W2V.MAX_EXP:
+                        continue
+                    work += log_table[int(
+                        (f + W2V.MAX_EXP) *
+                        (W2V.EXP_TABLE_SIZE / W2V.MAX_EXP / 2))]
+        else:
+            neu1 = np.zeros(syn0.shape[1])
+            count = 0
+            for m in range(lo, hi):
+                if m == i or _codelen(codes[ids[m]]) == 0:
+                    continue
+                count += 1
+                neu1 = neu1 + syn0[ids[m]]
+            if cbow_mean and count > 0:
+                neu1 = neu1 / count
+            for b in range(len(code)):
+                f = float(np.dot(neu1, syn1[point[b]]))
+                f *= (-1) ** code[b]
+                if f <= -W2V.MAX_EXP or f >= W2V.MAX_EXP:
+                    continue
+                work += log_table[int(
+                    (f + W2V.MAX_EXP) *
+                    (W2V.EXP_TABLE_SIZE / W2V.MAX_EXP / 2))]
+    return work
+
+
+@pytest.mark.parametrize("sg", [1, 0])
+def test_score_matches_scalar_oracle(spark, sg):
+    rng = np.random.default_rng(77)
+    docs = rand_docs(rng, n_docs=25)
+    counts = np.zeros(20, dtype=np.int64)
+    for _, ids in docs:
+        for w in ids:
+            counts[w] += 1
+    codes, points = W2V.build_huffman_tree(counts)
+    syn0 = rng.normal(scale=0.5, size=(20, 8))
+    syn1 = rng.normal(scale=0.5, size=(20, 8))
+    model = W2V.Word2VecModel(
+        20, 8, syn0, np.zeros((20, 8)), W2V.make_cum_table(counts),
+        W2V.make_sample_ints(counts), window=3, negative=0, seed=1,
+        sg=sg, hs=1, syn1=syn1, codes=codes, points=points)
+    df = spark.createDataFrame(docs, "doc_id long, ids array<int>")
+    got = {r["doc_id"]: r["score"]
+           for r in W2V.word2vec_score(df, model).collect()}
+    for doc_id, ids in docs:
+        want = _score_oracle(np.asarray(ids), syn0, syn1, codes, points,
+                             3, sg, 1)
+        assert got[doc_id] == pytest.approx(want, rel=1e-12), doc_id
+
+
+def test_score_requires_hs(spark):
+    model = W2V.Word2VecModel(
+        4, 4, np.zeros((4, 4)), np.zeros((4, 4)),
+        W2V.make_cum_table(np.ones(4)), W2V.make_sample_ints(np.ones(4)),
+        window=2, negative=3, seed=1)
+    df = spark.createDataFrame([(0, [1, 2])], "doc_id long, ids array<int>")
+    with pytest.raises(RuntimeError, match="hierarchical softmax"):
+        W2V.word2vec_score(df, model)
+
+
+def test_score_facade(spark):
+    from gensim_spark.api import Word2Vec
+
+    texts = [(0, ["cat", "say", "meow"]), (1, ["dog", "say", "woof"]),
+             (2, ["cat", "dog", "say"])] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(texts)],
+        "doc_id long, tokens array<string>")
+    m = Word2Vec(df, vector_size=8, window=2, negative=0, hs=1, sg=1,
+                 epochs=1, num_shards=2)
+    out = m.score(df).collect()
+    assert len(out) == 9 and all(np.isfinite(r["score"]) for r in out)
