@@ -1198,6 +1198,26 @@ def _q_lda_topic_diff(spark, sf_dir):
     return out.select("topic_a", "topic_b", F.round("d", 6).alias("d"))
 
 
+def _q_corpus_slice(spark, sf_dir):
+    """SlicedCorpus (utils.py:1090-1134) as a positional filter over the
+    zipWithIndex rank — documents[10:200:7]."""
+    from gensim_spark.operators import corpusops as C
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return C.sliced_corpus(docs, slice(10, 200, 7))
+
+
+def _q_corpus_repeat(spark, sf_dir):
+    """RepeatCorpus (utils.py:994-1025): cycle documents to exactly 666
+    docs — full broadcast-range cycles + one clipped partial cycle."""
+    from gensim_spark.operators import corpusops as C
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return C.repeat_corpus(docs, 666).select("doc_id",
+                                             F.col("rep").cast("long")
+                                             .alias("rep"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokens_count": _q_tokens_count,
@@ -1260,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coherence_cnpmi_doc": _q_coherence_cnpmi_doc,
         "bow_pair_distances": _q_bow_pair_distances,
         "lda_topic_diff": _q_lda_topic_diff,
+        "corpus_slice": _q_corpus_slice,
+        "corpus_repeat": _q_corpus_repeat,
     }
 
 
@@ -2430,6 +2452,26 @@ FROM ranked WHERE rank <= 10""",
         "nmf_doc_topics": _nmf_doc_topics_sql(),
         "bow_pair_distances": _bow_pair_distances_sql(),
         "lda_topic_diff": _lda_topic_diff_sql(),
+        "corpus_slice": """
+WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+pos AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM ids),
+keep AS (SELECT doc_id FROM pos
+         WHERE pos >= 10 AND pos < 200 AND (pos - 10) % 7 = 0)
+SELECT d.doc_id, d.lang, d.n_chars FROM documents d JOIN keep USING (doc_id)""",
+        "corpus_repeat": """
+WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+n AS (SELECT count(*)::BIGINT AS n FROM ids),
+pos AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM ids),
+cfg AS (SELECT (666 // n.n) AS f, (666 % n.n) AS rem FROM n),
+cyc AS (SELECT gs.generate_series AS rep FROM generate_series(0, 665) gs
+        WHERE gs.generate_series < (SELECT f FROM cfg)),
+out_full AS (SELECT p.doc_id, c.rep FROM pos p CROSS JOIN cyc c),
+out_tail AS (SELECT p.doc_id, (SELECT f FROM cfg) AS rep FROM pos p
+             WHERE p.pos < (SELECT rem FROM cfg))
+SELECT doc_id, rep FROM out_full
+UNION ALL SELECT doc_id, rep FROM out_tail""",
         # wmd_topk: the transportation LP itself stays pytest-pinned
         # (brute-force vertex enumeration + hypothesis sweep); the oracle
         # re-runs the retrieval tail over the persisted exact distances.
