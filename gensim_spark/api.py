@@ -614,6 +614,25 @@ class FastText:
 
     __getitem__ = get_vector
 
+    def vectors_for_all(self, keys, allow_inference: bool = True
+                        ) -> "KeyedVectors":
+        """Vectors for all given keys as a new :class:`KeyedVectors`
+        (keyedvectors.py vectors_for_all + the FastTextKeyedVectors
+        subword-inference branch): deduplicated, original order kept;
+        with ``allow_inference`` OOV words get their n-gram-mean vectors,
+        otherwise they are dropped like the plain-KV path."""
+        seen, vocab = set(), []
+        for k in keys:
+            if k not in seen:
+                seen.add(k)
+                if allow_inference or k in self._tok2id:
+                    vocab.append(k)
+        rows = [(k, [float(x) for x in self.get_vector(k)]) for k in vocab]
+        spark = self.wv.df.sparkSession
+        df = spark.createDataFrame(rows, "token string,"
+                                         " embedding array<double>")
+        return KeyedVectors(df, key_col="token")
+
 
 class HdpModel:
     """``gensim.models.HdpModel`` (hdpmodel.py:295-577): online two-level
@@ -859,6 +878,24 @@ class KeyedVectors:
                         post_normalize: bool = False):
         return self._kv.mean_vector(self.df, keys, weights, pre_normalize,
                                     post_normalize, **self._cols)
+
+    def vectors_for_all(self, keys) -> "KeyedVectors":
+        """A new :class:`KeyedVectors` restricted to the given keys
+        (keyedvectors.py vectors_for_all): deduplicated, missing keys
+        dropped (no inference on a plain KV — subword inference lives on
+        :meth:`FastText.vectors_for_all`). The filter is a broadcast
+        semi-join; vectors never leave the executors."""
+        seen, vocab = set(), []
+        for k in keys:
+            if k not in seen:
+                seen.add(k)
+                vocab.append(k)
+        spark = self.df.sparkSession
+        key_t = dict(self.df.dtypes)[self._key_col]
+        keys_df = spark.createDataFrame([(k,) for k in vocab],
+                                        f"{self._key_col} {key_t}")
+        sub = self.df.join(F.broadcast(keys_df), self._key_col, "left_semi")
+        return KeyedVectors(sub, **self._cols)
 
     def wmdistance(self, document1, document2, norm: bool = True) -> float:
         """Word Mover's Distance between two token lists

@@ -525,3 +525,25 @@ def test_ft_shrink_windows_false(spark):
         for w, d_ in num[m].items():
             mat[w] += d_ / den[m][w]
     np.testing.assert_allclose(got.syn0_vocab, model.syn0_vocab, atol=1e-10)
+
+
+def test_vectors_for_all_infers_oov(spark):
+    """FastText.vectors_for_all: OOV keys inferred from n-grams when
+    allow_inference (the FastTextKeyedVectors branch), dropped otherwise."""
+    import numpy as np
+    from gensim_spark.api import FastText
+
+    texts = [["cat", "say", "meow"], ["dog", "say", "woof"]] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, tokens array<string>")
+    m = FastText(df, vector_size=8, window=2, negative=2, epochs=1,
+                 bucket=500, num_shards=2, seed=3)
+    sub = m.vectors_for_all(["cat", "caat", "cat", "dog"])
+    rows = {r["token"]: np.asarray(r["embedding"])
+            for r in sub.df.collect()}
+    assert set(rows) == {"cat", "caat", "dog"}
+    np.testing.assert_allclose(rows["caat"], m.get_vector("caat"))
+    np.testing.assert_allclose(rows["cat"], m.get_vector("cat"))
+    dropped = m.vectors_for_all(["cat", "caat"], allow_inference=False)
+    assert {r["token"] for r in dropped.df.collect()} == {"cat"}

@@ -176,3 +176,20 @@ def test_relative_cosine_similarity(kv_df):
         round(s, 6) for s in top)
     assert KV.relative_cosine_similarity(df, 12, 30, topn=10) == \
         pytest.approx(want, abs=1e-6)
+
+
+def test_vectors_for_all_plain(kv_df, spark):
+    """vectors_for_all on a plain KV (keyedvectors.py): dedup, missing
+    keys dropped, same vectors, and the result is a working KeyedVectors."""
+    from gensim_spark.api import KeyedVectors as KVF
+
+    mat, df = kv_df
+    kv = KVF(df)
+    sub = kv.vectors_for_all([3, 7, 3, 999, 11])  # dup + missing
+    rows = {r["vec_id"]: r["embedding"]
+            for r in sub.df.select("vec_id", "embedding").collect()}
+    assert set(rows) == {3, 7, 11}
+    np.testing.assert_allclose(rows[7], mat[7])
+    # restricted most_similar only sees the subset
+    got = sub.most_similar(positive=[3], topn=5)
+    assert {k for k, _ in got} <= {7, 11}
