@@ -28,8 +28,6 @@ from gensim_spark.operators.simsearch import (
     ivf_assign_det,
     ivf_seed_rows,
     lsh_buckets,
-    _cell_scores,
-    _cells_literal,
 )
 
 _METHODS = ("lsh", "ivf", "brute")
@@ -88,24 +86,40 @@ class AnnIndexer:
 
     # -- query ------------------------------------------------------------
 
-    def _query_bucket(self, v: np.ndarray) -> int:
-        """Driver-side replica of lsh_buckets for ONE vector: the plane
-        signs derive from the same md5 hash60 parity (hashing.hash60_py)."""
-        from gensim_spark.functions.hashing import hash60_py
+    def _sign_matrix(self) -> np.ndarray:
+        """(planes, dims) hyperplane signs — same md5 hash60 parity as the
+        Spark-side lsh_buckets; computed once per indexer, not per query."""
+        if getattr(self, "_signs", None) is None:
+            from gensim_spark.functions.hashing import hash60_py
 
+            self._signs = np.array([
+                [1.0 if hash60_py(f"{j}_{d}") % 2 == 1 else -1.0
+                 for d in range(self.dims)]
+                for j in range(self.planes)
+            ])
+        return self._signs
+
+    def _query_bucket(self, v: np.ndarray) -> int:
+        """Driver-side replica of lsh_buckets for ONE vector. The
+        projection accumulates element-by-element in float64 — the same
+        left-to-right IEEE fold as the Spark-side ``F.aggregate`` — so the
+        sign (and therefore the bucket) is bit-identical to the one the
+        identical indexed vector was assigned to; a BLAS ``np.dot``
+        (pairwise summation) could flip a near-zero projection."""
+        signs = self._sign_matrix()
         bucket = 0
         for j in range(self.planes):
-            signs = np.array([
-                1.0 if hash60_py(f"{j}_{d}") % 2 == 1 else -1.0
-                for d in range(self.dims)
-            ])
-            if float(np.dot(v, signs)) > 0:
+            acc = 0.0
+            row = signs[j]
+            for d in range(self.dims):
+                acc += float(v[d]) * row[d]
+            if acc > 0:
                 bucket |= 1 << j
         return bucket
 
-    def most_similar_df(self, vector, topn: int = 10) -> DataFrame:
-        """(key, sim, rank) DataFrame — candidates from the probed
-        bucket/cells ranked by true cosine; query keys not excluded."""
+    def _topk_rows(self, vector, topn: int):
+        """Collected [(key, sim, rank), ...] from the probed candidates —
+        one Spark job (orderBy().limit() TakeOrdered)."""
         if self._index is None:
             raise ValueError("indexer not built — pass vectors or load()")
         v = np.asarray(vector, dtype=np.float64)
@@ -128,9 +142,14 @@ class AnnIndexer:
             cosine_expr(F.col("_v"), qlit).alias("sim"))
         top = (sims.orderBy(F.desc("sim"), F.asc(self.key_col)).limit(topn)
                .collect())
-        spark = self._index.sparkSession
-        rows = [(r[self.key_col], round(float(r["sim"]), 6), i + 1)
+        return [(r[self.key_col], round(float(r["sim"]), 6), i + 1)
                 for i, r in enumerate(top)]
+
+    def most_similar_df(self, vector, topn: int = 10) -> DataFrame:
+        """(key, sim, rank) DataFrame — candidates from the probed
+        bucket/cells ranked by true cosine; query keys not excluded."""
+        rows = self._topk_rows(vector, topn)
+        spark = self._index.sparkSession
         key_t = dict(self._index.dtypes)["vec_id"]
         return spark.createDataFrame(
             rows, f"{self.key_col} {key_t}, sim double, rank int")
@@ -138,11 +157,7 @@ class AnnIndexer:
     def most_similar(self, vector, topn: int = 10):
         """[(key, sim), ...] — the exact shape keyedvectors.py:848 expects
         back from an indexer."""
-        if self._index is None:
-            raise ValueError("indexer not built — pass vectors or load()")
-        v = np.asarray(vector, dtype=np.float64)
-        rows = self.most_similar_df(v, topn).collect()
-        return [(r[self.key_col], r["sim"]) for r in rows]
+        return [(k, s) for k, s, _ in self._topk_rows(vector, topn)]
 
     # -- persistence (annoy.py:90-155 save/load, parquet instead of a
     # pickled index sidecar) ----------------------------------------------

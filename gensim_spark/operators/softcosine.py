@@ -62,10 +62,27 @@ def term_sim_matrix_from_fuzzy(spark: SparkSession, vocab: DataFrame,
               .withColumnRenamed("term_id", "term_j"), "token_j")
         .select("term_i", "term_j", "sim")
     )
+    return _assemble_S(ids, v.select("term_id"), nonzero_limit,
+                       dedupe=False)
+
+
+def _assemble_S(ids: DataFrame, term_ids: DataFrame,
+                nonzero_limit: int, dedupe: bool = True) -> DataFrame:
+    """Shared SparseTermSimilarityMatrix assembly (termsim.py:380-520):
+    symmetrize (max-merge duplicates), cap off-diagonals at
+    ``nonzero_limit`` strongest per term, add the unit diagonal.
+
+    ``ids``: (term_i, term_j, sim) candidate entries (either direction);
+    ``term_ids``: one-column DataFrame of every term id (diagonal);
+    ``dedupe=False`` skips the max-merge shuffle when the caller already
+    guarantees unique pairs (the fuzzy source's term_i < term_j pairs)."""
+    id_col = term_ids.columns[0]
     sym = ids.unionByName(
         ids.select(F.col("term_j").alias("term_i"),
                    F.col("term_i").alias("term_j"), "sim")
     )
+    if dedupe:
+        sym = sym.groupBy("term_i", "term_j").agg(F.max("sim").alias("sim"))
     w = Window.partitionBy("term_i").orderBy(F.col("sim").desc(),
                                              F.col("term_j").asc())
     capped = (
@@ -73,9 +90,9 @@ def term_sim_matrix_from_fuzzy(spark: SparkSession, vocab: DataFrame,
         .filter(F.col("_r") <= nonzero_limit)
         .drop("_r")
     )
-    diag = v.select(F.col("term_id").alias("term_i"),
-                    F.col("term_id").alias("term_j"),
-                    F.lit(1.0).alias("sim"))
+    diag = term_ids.select(F.col(id_col).alias("term_i"),
+                           F.col(id_col).alias("term_j"),
+                           F.lit(1.0).alias("sim"))
     return capped.unionByName(diag)
 
 
@@ -108,6 +125,9 @@ def term_sim_matrix_from_embeddings(embeddings: DataFrame,
                          vec_col=vec_col, query_id_col="qid")
     elif method == "lsh":
         first = embeddings.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("cannot build a term-similarity matrix from "
+                             "an empty embeddings table")
         nb = lsh_topk(embeddings, q, k=topn + 1, planes=planes,
                       dims=int(first["d"]), id_col=id_col,
                       vec_col=vec_col, query_id_col="qid")
@@ -122,18 +142,7 @@ def term_sim_matrix_from_embeddings(embeddings: DataFrame,
            .select(F.col("query_id").alias("term_i"),
                    F.col("vec_id").alias("term_j"),
                    F.pow("cosine", F.lit(exponent)).alias("sim")))
-    sym = ids.unionByName(
-        ids.select(F.col("term_j").alias("term_i"),
-                   F.col("term_i").alias("term_j"), "sim")
-    ).groupBy("term_i", "term_j").agg(F.max("sim").alias("sim"))
-    w = Window.partitionBy("term_i").orderBy(F.col("sim").desc(),
-                                             F.col("term_j").asc())
-    capped = (sym.withColumn("_r", F.row_number().over(w))
-              .filter(F.col("_r") <= nonzero_limit).drop("_r"))
-    diag = embeddings.select(F.col(id_col).alias("term_i"),
-                             F.col(id_col).alias("term_j"),
-                             F.lit(1.0).alias("sim"))
-    return capped.unionByName(diag)
+    return _assemble_S(ids, embeddings.select(id_col), nonzero_limit)
 
 
 def inner_product(x: DataFrame, y: DataFrame, S: DataFrame,
