@@ -268,7 +268,8 @@ def clip_spectrum(s: np.ndarray, k: int, discard: float = 0.001) -> int:
 
 
 def merge_projections(p1: LsiProjection, p2: LsiProjection,
-                      decay: float = 1.0) -> LsiProjection:
+                      decay: float = 1.0,
+                      checkpoint: bool = True) -> LsiProjection:
     """Merge two fitted projections — ``Projection.merge``
     (lsimodel.py:242-332), the core of LSI's streamed one-pass updates
     (Řehůřek, "Fast and Faster: A Comparison of Two Streamed Matrix
@@ -356,9 +357,12 @@ def merge_projections(p1: LsiProjection, p2: LsiProjection,
         outs.append(lin.alias(f"t{i}"))
     # materialize the rotated basis, then release the joined cache — a
     # long-lived projection under repeated add_documents must not pin one
-    # full-width cached frame per update
-    u = joined.select("term_id", *outs).localCheckpoint(eager=True)
-    joined.unpersist()
+    # full-width cached frame per update. checkpoint=False keeps the lazy
+    # rotation plan (tools/explain_plans.py captures it as evidence).
+    u = joined.select("term_id", *outs)
+    if checkpoint:
+        u = u.localCheckpoint(eager=True)
+        joined.unpersist()
     out = LsiProjection(u, s_new, kc)
     out.k_requested = k
     return out

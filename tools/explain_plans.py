@@ -169,7 +169,7 @@ def main() -> None:
                    extra_dims=2, power_iters=1)
     pb = L.lsi_fit(postings_d.filter("doc_id % 2 = 1"), num_topics=3,
                    extra_dims=2, power_iters=1)
-    merged = L.merge_projections(pa, pb)
+    merged = L.merge_projections(pa, pb, checkpoint=False)
     p = merged.u._jdf.queryExecution().executedPlan().toString()
     sections.append((
         "LSI projection merge (add_documents) — basis rotation as one "
