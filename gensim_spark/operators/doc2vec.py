@@ -33,9 +33,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gensim_spark.operators.word2vec import (  # noqa: F401
-    _LCG_MOD, _LCG_MUL, MAX_EXP, Word2VecModel, _mix, _sigmoid_table,
-    build_huffman_tree, fold_epoch, init_syn0, make_cum_table,
-    make_sample_ints)
+    _LCG_MOD, _LCG_MUL, MAX_EXP, Word2VecModel, _check_objective,
+    _hs_stage, _mix, _sigmoid_table, build_huffman_tree, fold_epoch,
+    init_syn0, make_cum_table, make_sample_ints)
 
 
 def init_doc_vector(doc_id: int, size: int, seed: int) -> np.ndarray:
@@ -98,17 +98,8 @@ def train_doc_dm(ids: np.ndarray, dvec: np.ndarray, syn0: np.ndarray,
             neu1 = neu1 * inv_count
         work = np.zeros(size)
         if hs:
-            code, point = codes[wi], points[wi]
-            for b in range(len(code)):
-                u = syn1hs[point[b]]
-                f_dot = float(neu1 @ u)
-                if f_dot <= -MAX_EXP or f_dot >= MAX_EXP:
-                    continue
-                g = (1.0 - float(code[b]) - _sigmoid_table(f_dot)) * alpha
-                work += g * u
-                if learn_hidden:
-                    syn1hs[point[b]] += g * neu1
-                    counts_hs[point[b]] += 1
+            work += _hs_stage(neu1, codes[wi], points[wi], syn1hs,
+                              alpha, counts_hs, learn_hidden)
         for d in range(negative + 1 if negative else 0):
             if d == 0:
                 target, label = wi, 1.0
@@ -173,17 +164,8 @@ def train_doc_dmc(ids: np.ndarray, dvec: np.ndarray, syn0: np.ndarray,
         neu1 = np.concatenate([dvec] + [syn0[w] for w in win_idx])
         work = np.zeros(neu1.shape[0])
         if hs:
-            code, point = codes[wi], points[wi]
-            for b in range(len(code)):
-                u = syn1hs[point[b]]
-                f_dot = float(neu1 @ u)
-                if f_dot <= -MAX_EXP or f_dot >= MAX_EXP:
-                    continue
-                g = (1.0 - float(code[b]) - _sigmoid_table(f_dot)) * alpha
-                work += g * u
-                if learn_hidden:
-                    syn1hs[point[b]] += g * neu1
-                    counts_hs[point[b]] += 1
+            work += _hs_stage(neu1, codes[wi], points[wi], syn1hs,
+                              alpha, counts_hs, learn_hidden)
         for d in range(negative + 1 if negative else 0):
             if d == 0:
                 target, label = wi, 1.0
@@ -268,20 +250,8 @@ def train_doc_dbow(ids: np.ndarray, dvec: np.ndarray, syn0: np.ndarray,
         return work
 
     def hs_pass(vec, wi):
-        code, point = codes[wi], points[wi]
-        size = vec.shape[0]
-        work = np.zeros(size)
-        for b in range(len(code)):
-            u = syn1hs[point[b]]
-            f_dot = float(vec @ u)
-            if f_dot <= -MAX_EXP or f_dot >= MAX_EXP:
-                continue
-            g = (1.0 - float(code[b]) - _sigmoid_table(f_dot)) * alpha
-            work += g * u
-            if learn_hidden:
-                syn1hs[point[b]] += g * vec
-                counts_hs[point[b]] += 1
-        return work
+        return _hs_stage(vec, codes[wi], points[wi], syn1hs,
+                         alpha, counts_hs, learn_hidden)
 
     for i in range(n):
         wi = kept[i]
@@ -347,6 +317,7 @@ def doc2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
     reference). ``dm_concat`` appends the reference's NULL pad word to the
     vocabulary (count 1, last index — add_null_word) and widens the output
     matrices to layer1 = (1 + 2·window)·vector_size."""
+    _check_objective(hs, negative)
     spark = docs.sparkSession
     sc = spark.sparkContext
     counts = np.asarray(counts)
@@ -488,7 +459,9 @@ def infer_vectors(docs: DataFrame, model: Doc2VecModel, epochs: int = 10,
     bc = sc.broadcast((wv.syn0, wv.syn1neg, wv.cum_table, wv.sample_ints,
                        wv.window, wv.negative, model.dm, wv.cbow_mean,
                        getattr(wv, "shrink_windows", 1),
-                       hs, wv.syn1, wv.codes, wv.points,
+                       hs, getattr(wv, "syn1", None),
+                       getattr(wv, "codes", None),
+                       getattr(wv, "points", None),
                        getattr(model, "dm_concat", 0),
                        getattr(model, "null_index", None)))
     size = wv.vector_size

@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 from gensim_spark.operators.word2vec import (
     _LCG_MOD,
     _LCG_MUL,
+    _check_objective,
+    _hs_stage,
     _mix,
     build_huffman_tree,
     init_syn0,
@@ -206,17 +208,9 @@ def train_doc_ft_sg(ids: np.ndarray, subwords: list, syn0v: np.ndarray,
             wj = kept[j]                  # output side target
             if hs:
                 neu1 = compose()
-                code, point = codes[wj], points[wj]
-                workh = np.zeros(size)
-                for b in range(len(code)):
-                    u = syn1hs[point[b]]
-                    f_dot = float(neu1 @ u)
-                    if f_dot <= -FT_MAX_EXP or f_dot >= FT_MAX_EXP:
-                        continue
-                    g = (1.0 - float(code[b]) - _ft_sigmoid(f_dot)) * alpha
-                    workh += g * u
-                    syn1hs[point[b]] += g * neu1
-                    counts_h[point[b]] += 1
+                workh = _hs_stage(neu1, codes[wj], points[wj], syn1hs,
+                                  alpha, counts_h, sigmoid=_ft_sigmoid,
+                                  max_exp=FT_MAX_EXP)
                 syn0v[wi] += workh
                 counts_v[wi] += 1
                 for nh in subs:
@@ -329,17 +323,9 @@ def train_doc_ft_cbow(ids: np.ndarray, subwords: list, syn0v: np.ndarray,
 
         if hs:
             neu1, inv_count = compose()
-            code, point = codes[wi], points[wi]
-            work = np.zeros(size)
-            for b in range(len(code)):
-                u = syn1hs[point[b]]
-                f_dot = float(neu1 @ u)
-                if f_dot <= -FT_MAX_EXP or f_dot >= FT_MAX_EXP:
-                    continue
-                g = (1.0 - float(code[b]) - _ft_sigmoid(f_dot)) * alpha
-                work += g * u
-                syn1hs[point[b]] += g * neu1
-                counts_h[point[b]] += 1
+            work = _hs_stage(neu1, codes[wi], points[wi], syn1hs,
+                             alpha, counts_h, sigmoid=_ft_sigmoid,
+                             max_exp=FT_MAX_EXP)
             if not cbow_mean:
                 work *= inv_count
             apply_work(work)
@@ -387,6 +373,7 @@ def fasttext_fit(docs: DataFrame, vocab_tokens: list, counts: np.ndarray,
     ``counts`` the matching frequency vector. ``hs=1`` adds the
     hierarchical-softmax objective (Huffman tree over ``counts``); like
     the reference, hs and negative sampling compose when both are set."""
+    _check_objective(hs, negative)
     vocab_size = len(vocab_tokens)
     subwords = [ft_ngram_hashes(tok, min_n, max_n, bucket)
                 for tok in vocab_tokens]
@@ -480,7 +467,9 @@ def _ft_epoch(docs: DataFrame, model: FastTextModel, epoch: int, a: float,
                        model.sample_ints, model.subwords,
                        window, negative, seed, sg, cbow_mean,
                        shrink_windows,
-                       hs, model.syn1, model.codes, model.points))
+                       hs, getattr(model, "syn1", None),
+                       getattr(model, "codes", None),
+                       getattr(model, "points", None)))
 
     def make_train_shard(epoch, a, bc):
         def train_shard(key, pdf):

@@ -37,8 +37,6 @@ def _ensure_list(value):
     if isinstance(value, (str, bytes, int, np.integer)) or \
             (isinstance(value, np.ndarray) and value.ndim == 1):
         return [value]
-    if isinstance(value, np.ndarray) and value.ndim == 2:
-        return list(value)
     return list(value)
 
 
@@ -62,15 +60,23 @@ def mean_vector(vecs: DataFrame, keys, weights=None,
         raise ValueError("cannot compute mean with no input")
     if weights is None:
         weights = np.ones(len(keys))
-    got = fetch_vectors(vecs, keys, key_col, vec_col)
+    # raw-vector entries (get_mean_vector keyedvectors.py:500-506) are
+    # used as-is — only real keys hit the lookup scan
+    lookup = [k for k in keys if not isinstance(k, np.ndarray)]
+    got = fetch_vectors(vecs, lookup, key_col, vec_col) if lookup else {}
     mean = None
     total = 0.0
     for k, w in zip(keys, weights):
-        if k not in got:
-            if ignore_missing:
-                continue
+        if isinstance(k, np.ndarray):
+            v = np.asarray(k, dtype=np.float64)
+        elif k in got:
+            v = got[k]
+        elif ignore_missing:
+            continue
+        else:
             raise KeyError(f"Key {k!r} not present")
-        v = _unitvec(got[k]) if pre_normalize else got[k]
+        if pre_normalize:
+            v = _unitvec(v)
         mean = w * v if mean is None else mean + w * v
         total += abs(w)
     if total > 0:
@@ -114,8 +120,12 @@ def most_similar(vecs: DataFrame, positive=None, negative=None,
                        vec_col=vec_col)
     if indexer is not None:
         return indexer.most_similar_df(mean, topn)
-    sims = cosine_to_vector(vecs, mean, key_col, vec_col) \
-        .filter(~F.col(key_col).isin(keys))
+    sims = cosine_to_vector(vecs, mean, key_col, vec_col)
+    # like the reference (keyedvectors.py:853-858), only named keys are
+    # excluded from the result — raw query vectors have no key to exclude
+    excl = [k for k in keys if not isinstance(k, np.ndarray)]
+    if excl:
+        sims = sims.filter(~F.col(key_col).isin(excl))
     from pyspark.sql import Window
 
     # TakeOrdered top-k (orderBy().limit() → per-partition heaps), NOT a

@@ -59,6 +59,31 @@ def _sigmoid_table(f_dot: float) -> float:
     return _EXP_TABLE[int((f_dot + MAX_EXP) * (EXP_TABLE_SIZE / MAX_EXP / 2))]
 
 
+def _hs_stage(vec, code, point, syn1hs, alpha, counts_hs,
+              learn_hidden: bool = True, sigmoid=_sigmoid_table,
+              max_exp: float = MAX_EXP) -> np.ndarray:
+    """One hierarchical-softmax output stage, shared by every kernel
+    (w2v_fast_sentence_sg_hs/cbow_hs, word2vec_inner.pyx:70-133/246-343;
+    same loop in fasttext_inner/doc2vec_inner): sigmoid along the target
+    word's Huffman path of ``code``/``point`` against ``syn1hs``,
+    saturated dots skipped, inner-node rows updated in place (when
+    ``learn_hidden``); returns the accumulated input-side error for the
+    caller to apply to its layer-1 rows. FastText callers pass their own
+    discretized ``sigmoid``/``max_exp`` (EXP_TABLE_SIZE=512, MAX_EXP=6)."""
+    work = np.zeros(vec.shape[0])
+    for b in range(len(code)):
+        u = syn1hs[point[b]]
+        f_dot = float(vec @ u)
+        if f_dot <= -max_exp or f_dot >= max_exp:
+            continue
+        g = (1.0 - float(code[b]) - sigmoid(f_dot)) * alpha
+        work += g * u
+        if learn_hidden:
+            syn1hs[point[b]] += g * vec
+            counts_hs[point[b]] += 1
+    return work
+
+
 def make_cum_table(counts: np.ndarray, ns_exponent: float = 0.75,
                    domain: int = 2 ** 31 - 1) -> np.ndarray:
     """Cumulative sampling table (word2vec.py make_cum_table): counts^0.75
@@ -78,6 +103,17 @@ def make_sample_ints(counts: np.ndarray, sample: float = 1e-3) -> np.ndarray:
     v = counts.astype(np.float64)
     p = (np.sqrt(v / t) + 1.0) * (t / v)
     return (np.minimum(p, 1.0) * (2 ** 32)).astype(np.uint64)
+
+
+def _check_objective(hs: int, negative: int) -> None:
+    """The reference's _check_training_sanity (word2vec.py:1539-1543):
+    with hs=0 and negative=0 the kernels update nothing, so refuse to
+    silently return untrained vectors."""
+    if not hs and not negative:
+        raise ValueError(
+            "You must set either 'hs' or 'negative' to be positive for "
+            "proper training. When both 'hs=0' and 'negative=0', there "
+            "will be no training.")
 
 
 def _mix(seed: int, a: int, b: int = 0) -> int:
@@ -187,17 +223,8 @@ def train_doc_sg(ids: np.ndarray, syn0: np.ndarray, syn1neg: np.ndarray,
             wj = kept[j]                   # context (input side, updated)
             v = syn0[wj]                   # view: hs update feeds the neg stage
             if hs:
-                code, point = codes[wi], points[wi]
-                workh = np.zeros(size)
-                for b in range(len(code)):
-                    u = syn1hs[point[b]]
-                    f_dot = float(v @ u)
-                    if f_dot <= -MAX_EXP or f_dot >= MAX_EXP:
-                        continue
-                    g = (1.0 - float(code[b]) - _sigmoid_table(f_dot)) * alpha
-                    workh += g * u
-                    syn1hs[point[b]] += g * v
-                    counts_hs[point[b]] += 1
+                workh = _hs_stage(v, codes[wi], points[wi], syn1hs,
+                                  alpha, counts_hs)
                 syn0[wj] += workh
                 counts_out[wj] += 1
             if not negative:
@@ -275,17 +302,8 @@ def train_doc_cbow(ids: np.ndarray, syn0: np.ndarray, syn1neg: np.ndarray,
 
         if hs:
             neu1 = _neu1()
-            code, point = codes[wi], points[wi]
-            workh = np.zeros(size)
-            for b in range(len(code)):
-                u = syn1hs[point[b]]
-                f_dot = float(neu1 @ u)
-                if f_dot <= -MAX_EXP or f_dot >= MAX_EXP:
-                    continue
-                g = (1.0 - float(code[b]) - _sigmoid_table(f_dot)) * alpha
-                workh += g * u
-                syn1hs[point[b]] += g * neu1
-                counts_hs[point[b]] += 1
+            workh = _hs_stage(neu1, codes[wi], points[wi], syn1hs,
+                              alpha, counts_hs)
             if not cbow_mean:
                 workh = workh * inv_count
             for m in ctx:
@@ -408,7 +426,10 @@ def _epoch_partials(docs: DataFrame, model: Word2VecModel, epoch: int,
     bc = sc.broadcast((model.syn0, model.syn1neg, model.cum_table,
                        model.sample_ints, model.window, model.negative,
                        model.seed, model.sg, model.cbow_mean,
-                       model.hs, model.syn1, model.codes, model.points,
+                       getattr(model, "hs", 0),
+                       getattr(model, "syn1", None),
+                       getattr(model, "codes", None),
+                       getattr(model, "points", None),
                        getattr(model, "shrink_windows", 1)))
 
     def train_shard(key, pdf):
@@ -497,6 +518,7 @@ def word2vec_fit(docs: DataFrame, vocab_size: int, counts: np.ndarray,
     objective over a Huffman tree of the counts (word2vec.py:817,
     2183-2238); both objectives can be active at once, as in the
     reference."""
+    _check_objective(hs, negative)
     codes = points = syn1 = None
     if hs:
         codes, points = build_huffman_tree(np.asarray(counts))
@@ -713,7 +735,7 @@ def word2vec_score(docs: DataFrame, model: Word2VecModel) -> DataFrame:
     were already dropped by :func:`corpus_ids` (the reference compacts the
     sentence identically, pyx:745-765); sentences truncate at
     MAX_SENTENCE_LEN=10000 like the C kernel."""
-    if not model.hs or model.syn1 is None:
+    if not getattr(model, "hs", 0) or getattr(model, "syn1", None) is None:
         raise RuntimeError(
             "score is only implemented for the hierarchical softmax "
             "scheme; train with hs=1 (word2vec.py:1736-1740)")

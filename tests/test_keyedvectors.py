@@ -193,3 +193,32 @@ def test_vectors_for_all_plain(kv_df, spark):
     # restricted most_similar only sees the subset
     got = sub.most_similar(positive=[3], topn=5)
     assert {k for k, _ in got} <= {7, 11}
+
+
+def test_most_similar_raw_vector_query(kv_df):
+    """Raw-vector entries in positive/negative (reference
+    keyedvectors.py:820-858): used directly in the mean (unit-normalized
+    under pre_normalize), and never excluded from the result — they have
+    no key. A vector query equal to a stored row must therefore return
+    that row itself at sim≈1."""
+    mat, df = kv_df
+    got = KV.most_similar(df, positive=np.asarray(mat[7]), topn=3).collect()
+    assert got[0]["vec_id"] == 7
+    assert abs(got[0]["sim"] - 1.0) < 1e-6
+
+    # mixing a named key and a raw vector: mean of the two unit vectors,
+    # only the named key excluded — replicate with the numpy kernel
+    q = _unit(_unit(mat[3]) + _unit(mat[9]))
+    sims = mat @ q / np.linalg.norm(mat, axis=1)
+    order = [i for i in np.argsort(-sims) if i != 3][:3]
+    # `order` keeps 9 as a candidate — only the named key 3 is excluded
+    got = KV.most_similar(df, positive=[3, np.asarray(mat[9])],
+                          topn=3).collect()
+    assert [r["vec_id"] for r in got] == order
+
+
+def test_mean_vector_raw_vector_entries(kv_df):
+    mat, df = kv_df
+    got = KV.mean_vector(df, [2, np.asarray(mat[4])], pre_normalize=True)
+    want = (_unit(mat[2]) + _unit(mat[4])) / 2.0
+    np.testing.assert_allclose(got, want, rtol=1e-10)

@@ -679,3 +679,23 @@ def test_score_facade(spark):
                  epochs=1, num_shards=2)
     out = m.score(df).collect()
     assert len(out) == 9 and all(np.isfinite(r["score"]) for r in out)
+
+
+def test_fit_rejects_no_objective(spark):
+    """_check_training_sanity parity (reference word2vec.py:1539-1543):
+    hs=0 + negative=0 trains nothing — every fit must refuse instead of
+    returning random-init vectors."""
+    import pytest as _pytest
+
+    from gensim_spark.operators.doc2vec import doc2vec_fit
+    from gensim_spark.operators.fasttext import fasttext_fit
+    from gensim_spark.operators.word2vec import word2vec_fit
+
+    docs = spark.createDataFrame([(0, [0, 1])], "doc_id long, ids array<long>")
+    counts = np.array([5, 3])
+    for fn, args in [
+            (word2vec_fit, (docs, 2, counts)),
+            (doc2vec_fit, (docs, 2, counts)),
+            (fasttext_fit, (docs, ["a", "b"], counts))]:
+        with _pytest.raises(ValueError, match="hs.*negative|negative.*hs"):
+            fn(*args, negative=0, hs=0, epochs=1)
