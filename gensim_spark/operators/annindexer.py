@@ -117,6 +117,24 @@ class AnnIndexer:
                 bucket |= 1 << j
         return bucket
 
+    @staticmethod
+    def _cos_fold(a, b) -> float:
+        """Driver replica of simsearch.cosine_expr: left-to-right IEEE
+        float64 folds for the dot and both norms, so probe-cell ranking is
+        bit-identical to the Spark-side ``ivf_assign`` cell assignment —
+        the same near-tie fix _query_bucket applies for LSH (a BLAS
+        ``np.dot`` pairwise sum could rank a near-tied cell differently
+        and probe past the query's own cell). Zero norms (Spark divides
+        to NULL, sorted last under desc) rank last here too."""
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            x, y = float(x), float(y)
+            dot += x * y
+            na += x * x
+            nb += y * y
+        den = np.sqrt(na) * np.sqrt(nb)
+        return dot / den if den > 0 else float("-inf")
+
     def _topk_rows(self, vector, topn: int):
         """Collected [(key, sim, rank), ...] from the probed candidates —
         one Spark job (orderBy().limit() TakeOrdered)."""
@@ -130,9 +148,7 @@ class AnnIndexer:
                                int(self._query_bucket(v)))
         elif self.method == "ivf":
             scores = sorted(
-                ((float(np.dot(v, s["sv"]) /
-                        ((np.linalg.norm(v) *
-                          np.linalg.norm(s["sv"])) or 1.0)), s["cell"])
+                ((self._cos_fold(v, s["sv"]), s["cell"])
                  for s in self._seeds),
                 key=lambda t: (-t[0], t[1]))
             probe = [c for _, c in scores[:self.n_probe]]

@@ -119,7 +119,12 @@ def most_similar(vecs: DataFrame, positive=None, negative=None,
                        post_normalize=True, key_col=key_col,
                        vec_col=vec_col)
     if indexer is not None:
-        return indexer.most_similar_df(mean, topn)
+        out = indexer.most_similar_df(mean, topn)
+        # the indexer names its key column after its own key_col — honor
+        # the caller's key_col so facades read the result by name
+        if out.columns[0] != key_col:
+            out = out.withColumnRenamed(out.columns[0], key_col)
+        return out
     sims = cosine_to_vector(vecs, mean, key_col, vec_col)
     # like the reference (keyedvectors.py:853-858), only named keys are
     # excluded from the result — raw query vectors have no key to exclude

@@ -358,11 +358,13 @@ def merge_projections(p1: LsiProjection, p2: LsiProjection,
     # materialize the rotated basis, then release the joined cache — a
     # long-lived projection under repeated add_documents must not pin one
     # full-width cached frame per update. checkpoint=False keeps the lazy
-    # rotation plan (tools/explain_plans.py captures it as evidence).
+    # rotation plan (tools/explain_plans.py captures it as evidence) but
+    # still drops the cache: the Gram passes above already consumed it,
+    # and a later evaluation of the lazy u just recomputes the join.
     u = joined.select("term_id", *outs)
     if checkpoint:
         u = u.localCheckpoint(eager=True)
-        joined.unpersist()
+    joined.unpersist()
     out = LsiProjection(u, s_new, kc)
     out.k_requested = k
     return out

@@ -95,6 +95,41 @@ def lsh_buckets(embeddings: DataFrame, planes: int = 6, dims: int = 64,
                              bucket.cast("long").alias("bucket"))
 
 
+def lsh_self_topk(embeddings: DataFrame, k: int = 10, planes: int = 6,
+                  dims: int = 64, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  max_bucket: int | None = 100_000) -> DataFrame:
+    """All-terms approximate top-k: for EVERY vector, its ``k`` best
+    same-bucket neighbours (self included) by true cosine —
+    (query_id, vec_id, cosine, rank).
+
+    Unlike :func:`lsh_topk`, NEITHER side is broadcast: when the query set
+    IS the corpus (a vocabulary-wide term-similarity build), broadcasting
+    it would ship the whole table to every executor. Here both sides are
+    the same bucketed frame and the candidate join is a shuffle equijoin
+    on the bucket key — the same 100-TB shape as
+    ``dedup.embedding_near_dups_lsh``, plus the per-query top-k window.
+    ``max_bucket`` drops degenerate buckets that would explode
+    quadratically (recall dial = ``planes``)."""
+    b = lsh_buckets(embeddings, planes, dims, id_col, vec_col)
+    e = embeddings.join(b, embeddings[id_col] == b.vec_id).select(
+        b.vec_id, F.col(vec_col).alias("_v"), "bucket"
+    )
+    if max_bucket is not None:
+        sizes = e.groupBy("bucket").count().filter(
+            F.col("count") <= max_bucket).select("bucket")
+        e = e.join(F.broadcast(sizes), "bucket")
+    q = e.select(F.col("vec_id").alias("query_id"),
+                 F.col("_v").alias("_qv"), "bucket")
+    scored = e.join(q, "bucket").select(
+        "query_id", "vec_id",
+        cosine_expr(F.col("_v"), F.col("_qv")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def ivf_fit(embeddings: DataFrame, n_cells: int = 16, seed: int = 42,
             vec_col: str = "embedding"):
     """IVF coarse quantizer: k-means centroids over the corpus (pyspark.ml,

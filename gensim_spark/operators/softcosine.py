@@ -72,6 +72,15 @@ def _assemble_S(ids: DataFrame, term_ids: DataFrame,
     symmetrize (max-merge duplicates), cap off-diagonals at
     ``nonzero_limit`` strongest per term, add the unit diagonal.
 
+    Symmetry: the reference inserts an entry only when BOTH columns have
+    budget left (termsim.py:471-505), so its S is always symmetric. The
+    relational form enforces the same invariant by keeping an entry only
+    if its mirror also survived the per-term cap — a hub term that caps
+    out drops BOTH directions of its weakest pairs (the reference's
+    greedy insertion picks a different, order-dependent subset of the
+    same budget; both are symmetric with ≤ nonzero_limit off-diagonals
+    per term, which is what ``inner_product``'s qᵀSd = dᵀSq needs).
+
     ``ids``: (term_i, term_j, sim) candidate entries (either direction);
     ``term_ids``: one-column DataFrame of every term id (diagonal);
     ``dedupe=False`` skips the max-merge shuffle when the caller already
@@ -90,10 +99,14 @@ def _assemble_S(ids: DataFrame, term_ids: DataFrame,
         .filter(F.col("_r") <= nonzero_limit)
         .drop("_r")
     )
+    mutual = capped.join(
+        capped.select(F.col("term_j").alias("term_i"),
+                      F.col("term_i").alias("term_j")),
+        ["term_i", "term_j"], "leftsemi")
     diag = term_ids.select(F.col(id_col).alias("term_i"),
                            F.col(id_col).alias("term_j"),
                            F.lit(1.0).alias("sim"))
-    return capped.unionByName(diag)
+    return mutual.unionByName(diag)
 
 
 def term_sim_matrix_from_embeddings(embeddings: DataFrame,
@@ -113,14 +126,18 @@ def term_sim_matrix_from_embeddings(embeddings: DataFrame,
     semantics, shared with the Levenshtein source above).
 
     ``method="brute"``: exact per-term scan — the reference's own
-    most_similar loop, O(V²) work spread over the cluster.
-    ``method="lsh"``: sign-random-projection bucket equijoin — candidates
-    only within a bucket, the 100-TB vocabulary path."""
-    from gensim_spark.operators.simsearch import cosine_topk, lsh_topk
+    most_similar loop; O(V²) and it broadcasts the vocabulary as the
+    query side, so it is the SMALL-vocab exact path (test oracle /
+    ≤10^5 terms).
+    ``method="lsh"``: sign-random-projection bucket SELF-join
+    (:func:`simsearch.lsh_self_topk`) — neither side broadcast,
+    candidates only within a bucket; the 100-TB vocabulary path."""
+    from gensim_spark.operators.simsearch import (cosine_topk,
+                                                  lsh_self_topk)
 
-    q = embeddings.select(F.col(id_col).alias("qid"),
-                          F.col(vec_col).alias(vec_col))
     if method == "brute":
+        q = embeddings.select(F.col(id_col).alias("qid"),
+                              F.col(vec_col).alias(vec_col))
         nb = cosine_topk(embeddings, q, k=topn + 1, id_col=id_col,
                          vec_col=vec_col, query_id_col="qid")
     elif method == "lsh":
@@ -128,9 +145,9 @@ def term_sim_matrix_from_embeddings(embeddings: DataFrame,
         if first is None:
             raise ValueError("cannot build a term-similarity matrix from "
                              "an empty embeddings table")
-        nb = lsh_topk(embeddings, q, k=topn + 1, planes=planes,
-                      dims=int(first["d"]), id_col=id_col,
-                      vec_col=vec_col, query_id_col="qid")
+        nb = lsh_self_topk(embeddings, k=topn + 1, planes=planes,
+                           dims=int(first["d"]), id_col=id_col,
+                           vec_col=vec_col)
     else:
         raise ValueError("method must be 'brute' or 'lsh'")
     ids = (nb.filter(F.col("vec_id") != F.col("query_id"))

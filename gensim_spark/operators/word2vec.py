@@ -681,8 +681,11 @@ def _score_pairs(point: np.ndarray, code: np.ndarray, ctx: np.ndarray,
     f = f * (1.0 - 2.0 * code.astype(np.float64)).reshape(-1, *([1] *
                                                                 (f.ndim - 1)))
     mask = (f > -MAX_EXP) & (f < MAX_EXP)
-    idx = ((f[mask] + MAX_EXP) *
-           (EXP_TABLE_SIZE / MAX_EXP / 2)).astype(np.int64)
+    # f within 1 ulp of MAX_EXP passes the mask but (f + MAX_EXP) rounds
+    # up to 2·MAX_EXP exactly, indexing one past the table — clamp
+    idx = np.minimum(((f[mask] + MAX_EXP) *
+                      (EXP_TABLE_SIZE / MAX_EXP / 2)).astype(np.int64),
+                     EXP_TABLE_SIZE - 1)
     return float(_LOG_TABLE[idx].sum())
 
 

@@ -96,3 +96,28 @@ def test_facade_indexer_kwarg(kv_df):
     res = kv.most_similar(positive=[4], topn=2, indexer=idx)
     assert isinstance(res, list) and res[0][0] == 4
     assert res[0][1] == pytest.approx(1.0)
+
+
+def test_ivf_indexed_vector_probes_own_cell(kv_df):
+    """Probe-cell ranking uses the same left-to-right IEEE fold as the
+    Spark-side cell assignment, so a query identical to an indexed vector
+    always probes that vector's own cell first — even with n_probe=1 the
+    vector finds itself at sim 1.0 (the near-tie parity fix LSH got in
+    commit 35bc3f8, applied to IVF)."""
+    mat, df = kv_df
+    idx = AnnIndexer(df, method="ivf", n_cells=6, n_probe=1)
+    for i in (0, 17, 42, 59):
+        got = idx.most_similar(mat[i], topn=1)
+        assert got[0][0] == i
+        assert abs(got[0][1] - 1.0) < 1e-9
+
+
+def test_indexer_result_renamed_to_key_col(kv_df, spark):
+    """most_similar(key_col=...) must present the indexer's result under
+    the caller's key column name."""
+    mat, df = kv_df
+    tok = df.selectExpr("concat('w', vec_id) as token", "embedding")
+    idx = AnnIndexer(tok, method="lsh", planes=4, key_col="token")
+    out = KV.most_similar(tok, "w5", topn=3, key_col="token", indexer=idx)
+    assert out.columns[0] == "token"
+    assert len(out.collect()) == 3

@@ -438,3 +438,49 @@ def test_term_sim_matrix_from_embeddings_lsh_path(spark):
             assert (j, i) in lsh
             assert s <= brute[(i, j)] + 1e-9 if (i, j) in brute else True
     assert all((i, i) in lsh for i in range(20))
+
+
+def test_assemble_S_symmetric_under_binding_cap(spark):
+    """SparseTermSimilarityMatrix parity: the reference inserts entries
+    only in symmetric pairs (both columns must have budget,
+    termsim.py:471-505), so S is always symmetric — a hub term whose row
+    caps out must drop BOTH directions of its weakest pairs."""
+    from gensim_spark.operators.softcosine import _assemble_S
+
+    # hub 0 is similar to 1..5; spokes are similar only to the hub
+    ids = spark.createDataFrame(
+        [(0, j, 1.0 - 0.01 * j) for j in range(1, 6)],
+        "term_i long, term_j long, sim double")
+    terms = spark.createDataFrame([(i,) for i in range(6)], "term_id long")
+    S = _assemble_S(ids, terms, nonzero_limit=3)
+    entries = {(r["term_i"], r["term_j"]) for r in S.collect()}
+    off = {e for e in entries if e[0] != e[1]}
+    assert off == {(0, 1), (1, 0), (0, 2), (2, 0), (0, 3), (3, 0)}
+    # symmetric and within budget
+    assert all((j, i) in entries for i, j in entries)
+    from collections import Counter
+    per_term = Counter(i for i, _ in off)
+    assert max(per_term.values()) <= 3
+
+
+def test_lsh_self_topk_matches_broadcast_lsh(spark):
+    """The no-broadcast bucket self-join returns the same neighbourhoods
+    as lsh_topk fed the full vocabulary as queries."""
+    import numpy as np
+
+    from gensim_spark.operators.simsearch import lsh_self_topk, lsh_topk
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(40, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "term_id long, embedding array<double>")
+    q = df.selectExpr("term_id as qid", "embedding")
+    want = {(r["query_id"], r["vec_id"], r["rank"])
+            for r in lsh_topk(df, q, k=4, planes=4, dims=8,
+                              id_col="term_id",
+                              query_id_col="qid").collect()}
+    got = {(r["query_id"], r["vec_id"], r["rank"])
+           for r in lsh_self_topk(df, k=4, planes=4, dims=8,
+                                  id_col="term_id").collect()}
+    assert got == want
