@@ -35,6 +35,8 @@ _KNN_QUERIES = 3          # embeddings vec_id < 3 used as queries
 _KNN_K = 5
 _LSH_PLANES = 4
 _EMB_DIMS = 64
+_TERMSIM_TOPN = 5       # neighbours per term in the termsim build
+_TERMSIM_CAP = 3        # nonzero_limit (binding, to exercise the mutual cap)
 _IVF_CELLS = 8
 _IVF_PROBE = 3
 _NEAR_DUP_T = 0.35  # synthetic embeddings max pairwise cosine ~0.51
@@ -407,6 +409,26 @@ def _q_ann_ivf(spark, sf_dir):
                          n_probe=_IVF_PROBE)
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
                       "rank")
+
+
+def _q_termsim_embeddings(spark, sf_dir):
+    """Vocabulary-wide term-similarity matrix from embedding cosine — the
+    WordEmbeddingSimilarityIndex -> SparseTermSimilarityMatrix build
+    (reference termsim.py:102-163, 380-520) on the no-broadcast LSH
+    bucket-SELF-join scale path (simsearch.lsh_self_topk): per term its
+    topn strongest same-bucket neighbours, threshold/exponent, symmetric
+    mutual-survivor nonzero_limit cap, unit diagonal. Every stage (hash60
+    planes, bucket fold, top-k windows, mutual semi-join) is relational,
+    so the DuckDB oracle re-runs the whole build."""
+    from gensim_spark.operators.softcosine import (
+        term_sim_matrix_from_embeddings)
+
+    emb = _emb(spark, sf_dir)
+    S = term_sim_matrix_from_embeddings(
+        emb, threshold=0.0, exponent=2.0, topn=_TERMSIM_TOPN,
+        nonzero_limit=_TERMSIM_CAP, method="lsh", planes=_LSH_PLANES,
+        id_col="vec_id")
+    return S.select("term_i", "term_j", F.round("sim", 6).alias("sim"))
 
 
 def _q_embedding_near_dups(spark, sf_dir):
@@ -1253,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _q_knn_cosine,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "termsim_embeddings": _q_termsim_embeddings,
         "embedding_near_dups": _q_embedding_near_dups,
         "fuzzy_terms": _q_fuzzy_terms,
         "soft_cosine": _q_soft_cosine,
@@ -1720,6 +1743,78 @@ SELECT w0.doc_id, w0.term_id,
        round(w / (0.75 * (SELECT pv_val FROM pv) + 0.25 * nn), 6) AS weight
 FROM w0 JOIN nrm USING (doc_id)
 WHERE abs(w / (0.75 * (SELECT pv_val FROM pv) + 0.25 * nn)) > 1e-12"""
+
+
+def _termsim_emb_sql() -> str:
+    """Re-runs the whole LSH termsim build relationally: same hash60
+    hyperplanes/buckets as _lsh_sql, bucket self-join top-(topn+1), the
+    reference's threshold/exponent, symmetric max-merge, per-term cap,
+    mutual-survivor filter, unit diagonal."""
+    sgn = _h60("CAST(p.p AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)")
+    return f"""
+WITH planes AS (
+  SELECT p.p, i.i,
+         CASE WHEN {sgn} % 2 = 1 THEN 1.0 ELSE -1.0 END AS sgn
+  FROM (SELECT unnest(range({_LSH_PLANES})) AS p) p
+  CROSS JOIN (SELECT unnest(range({_EMB_DIMS})) AS i) i),
+comp AS (
+  SELECT vec_id, c.i, c.v FROM (
+    SELECT vec_id,
+           unnest(list_transform(embedding,
+                  (x, j) -> struct_pack(v := x::DOUBLE, i := j - 1))) AS c
+    FROM embeddings)),
+proj AS (
+  SELECT comp.vec_id, planes.p, sum(comp.v * planes.sgn) AS s
+  FROM comp JOIN planes ON planes.i = comp.i
+  GROUP BY comp.vec_id, planes.p),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id),
+v AS (SELECT b.vec_id, e.embedding::DOUBLE[] AS v, b.bucket
+      FROM buckets b JOIN embeddings e USING (vec_id)),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         list_dot_product(c.v, q.v)
+         / (sqrt(list_dot_product(c.v, c.v))
+            * sqrt(list_dot_product(q.v, q.v))) AS cosine
+  FROM v q JOIN v c USING (bucket)),
+nb AS (
+  SELECT query_id, vec_id, cosine FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored) WHERE rank <= {_TERMSIM_TOPN + 1}),
+cand AS (
+  SELECT query_id AS term_i, vec_id AS term_j,
+         pow(cosine, 2.0) AS sim
+  FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id ASC) AS r2
+    FROM nb WHERE vec_id <> query_id)
+  WHERE r2 <= {_TERMSIM_TOPN} AND cosine > 0.0),
+ded AS (
+  SELECT term_i, term_j, max(sim) AS sim FROM (
+    SELECT term_i, term_j, sim FROM cand
+    UNION ALL
+    SELECT term_j AS term_i, term_i AS term_j, sim FROM cand)
+  GROUP BY term_i, term_j),
+capped AS (
+  SELECT term_i, term_j, sim FROM (
+    SELECT term_i, term_j, sim,
+           row_number() OVER (PARTITION BY term_i
+                ORDER BY sim DESC, term_j ASC) AS r
+    FROM ded) WHERE r <= {_TERMSIM_CAP}),
+mutual AS (
+  SELECT c.term_i, c.term_j, c.sim FROM capped c
+  WHERE EXISTS (SELECT 1 FROM capped m
+                WHERE m.term_i = c.term_j AND m.term_j = c.term_i))
+SELECT term_i, term_j, round(sim, 6) AS sim FROM mutual
+UNION ALL
+SELECT vec_id AS term_i, vec_id AS term_j, CAST(1.0 AS DOUBLE) AS sim
+FROM embeddings"""
 
 
 def _near_dup_lsh_sql() -> str:
@@ -2425,6 +2520,7 @@ FROM ranked WHERE rank <= 10""",
         "knn_cosine": _knn_sql(),
         "ann_lsh": _lsh_sql(),
         "ann_ivf": _ivf_sql(),
+        "termsim_embeddings": _termsim_emb_sql(),
         "embedding_near_dups": _near_dup_lsh_sql(),
         "wmd_rwmd": _wmd_rwmd_sql(),
         "coherence_umass": _coherence_umass_sql(),
