@@ -176,6 +176,29 @@ def main() -> None:
         "codegen projection over the term join",
         summarize(p), interesting(p)))
 
+    # Vocabulary-wide termsim build: the LSH bucket SELF-join must shuffle
+    # both sides on the bucket key and broadcast NOTHING corpus-sized — the
+    # query side IS the corpus, so a broadcast would ship the whole
+    # vocabulary to every executor (the defect this plan proves absent).
+    from gensim_spark.operators.simsearch import lsh_self_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # disable size-based broadcasts so the captured plan is the AT-SCALE
+    # shape (at sf0.001 AQE would broadcast the 500-row table anyway); the
+    # only broadcast that survives is the explicit bucket-size guard,
+    # which is bucket-count-sized, never vocabulary-sized
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    nb = lsh_self_topk(emb, k=4, planes=4, dims=64)
+    p = nb._jdf.queryExecution().executedPlan().toString()
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    sections.append((
+        "Termsim LSH bucket SELF-join (lsh_self_topk) — no vocabulary "
+        "broadcast (size-based broadcasts disabled to show the at-scale "
+        "shape; the one surviving BroadcastExchange is the explicit "
+        "bucket-count-sized size-guard): candidates shuffle-equijoin on "
+        "the bucket key",
+        summarize(p), interesting(p)))
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# Physical-plan evidence\n\n")
         f.write("Generated by `python tools/explain_plans.py` — the plans "
