@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from gensim_spark.functions.special import (dirichlet_expectation,
                                             mean_absolute_difference)
-from gensim_spark.operators.lda import LdaModel, corpus_bow
+from gensim_spark.operators.lda import LdaModel, corpus_bow, infer_dim
 
 _GAMMA_SHAPE = 100.0
 
@@ -135,11 +135,9 @@ def author_topic_fit(postings: DataFrame, doc2author: DataFrame,
     Batch mode: one M-step per pass at ρ(pass), the reference's
     update_every=0 path (atmodel.py:806-906)."""
     if num_terms is None:
-        num_terms = postings.agg(
-            F.max("term_id").alias("m")).collect()[0]["m"] + 1
+        num_terms = infer_dim(postings, "term_id")
     if num_authors is None:
-        num_authors = doc2author.agg(
-            F.max("author_id").alias("m")).collect()[0]["m"] + 1
+        num_authors = infer_dim(doc2author, "author_id", "doc2author table")
     model = AuthorTopicModel(num_topics, num_terms, num_authors,
                              alpha=alpha, eta=eta, decay=decay,
                              offset=offset, iterations=iterations,
@@ -152,10 +150,21 @@ def author_topic_fit(postings: DataFrame, doc2author: DataFrame,
     docs = corpus_bow(postings).join(
         doc2author.groupBy("doc_id").agg(
             F.sort_array(F.collect_list("author_id")).alias("authors")),
-        "doc_id")
+        "doc_id", "left")
     docs = docs.withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(num_shards))).cache()
     n_docs = docs.count()
+    # the reference indexes doc2author[doc] per corpus doc (atmodel.py:700)
+    # and KeyErrors on a gap — an inner join would silently drop the doc
+    # while author_doc_counts kept its |docs(a)| weight, fitting a
+    # different model; fail loudly instead (reads the cache, one filter)
+    orphan = docs.filter(F.col("authors").isNull()).select("doc_id").first()
+    if orphan is not None:
+        docs.unpersist()
+        raise ValueError(
+            f"document {orphan['doc_id']} has postings but no doc2author "
+            "row — every corpus document needs at least one author "
+            "(the reference raises KeyError here)")
     model.lda.numdocs = n_docs
     sc = postings.sparkSession.sparkContext
     k, v = num_topics, num_terms

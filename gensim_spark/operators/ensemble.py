@@ -309,8 +309,7 @@ def ensemble_lda_fit(postings: DataFrame, num_topics: int = 10,
     from gensim_spark.operators import lda as LD
 
     if num_terms is None:
-        num_terms = postings.agg(
-            F.max("term_id").alias("m")).collect()[0]["m"] + 1
+        num_terms = infer_dim(postings, "term_id")
     ttda_parts = []
     eta_scalar = 1.0 / num_topics  # gensim 'symmetric' default
     for m in range(num_models):

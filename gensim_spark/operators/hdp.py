@@ -60,7 +60,7 @@ from gensim_spark.functions.special import (
     gammaln,
     mean_absolute_difference,
 )
-from gensim_spark.operators.lda import LdaModel, corpus_bow
+from gensim_spark.operators.lda import LdaModel, corpus_bow, infer_dim
 
 MEANCHANGETHRESH = 1e-5   # hdpmodel.py:68
 RHOT_BOUND = 0.0          # hdpmodel.py:69
@@ -389,7 +389,7 @@ def hdp_fit(postings: DataFrame, num_terms: int | None = None,
     corpus for extra stochastic updates exactly like the reference.
     """
     if num_terms is None:
-        num_terms = postings.agg(F.max("term_id").alias("m")).first()["m"] + 1
+        num_terms = infer_dim(postings, "term_id")
     docs = (corpus_bow(postings)
             .withColumn("chunk", (F.col("doc_id") / chunksize)
                         .cast("long"))
@@ -456,10 +456,17 @@ def hdp_doc_topics(postings: DataFrame, model: HdpModel,
 def topics_df(spark: SparkSession, model: HdpModel) -> DataFrame:
     """The full (topic, term_id, prob) matrix as a DataFrame — the
     relational query surface over the trained artifact."""
+    import pandas as pd
+
     beta = model.get_topics()
-    rows = [(int(t), int(w), float(beta[t, w]))
-            for t in range(beta.shape[0]) for w in range(beta.shape[1])]
-    return spark.createDataFrame(rows, "topic int, term_id int, prob double")
+    t, w = beta.shape
+    # vectorized Arrow path — T×W Python tuples (150 topics × a real
+    # vocabulary) would be driver-resident PyObject soup
+    pdf = pd.DataFrame({
+        "topic": np.repeat(np.arange(t, dtype=np.int32), w),
+        "term_id": np.tile(np.arange(w, dtype=np.int32), t),
+        "prob": beta.astype(np.float64).ravel()})
+    return spark.createDataFrame(pdf, "topic int, term_id int, prob double")
 
 
 def evaluate_test_corpus(postings: DataFrame, model: HdpModel) -> float:

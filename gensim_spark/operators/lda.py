@@ -207,6 +207,17 @@ class LdaModel:
                    -self.decay)
 
 
+def infer_dim(df: DataFrame, col: str, what: str = "corpus") -> int:
+    """``max(col) + 1`` with a clear error on an empty input — a NULL max
+    would otherwise surface as ``NoneType + int`` deep inside a fit."""
+    m = df.agg(F.max(col).alias("m")).first()["m"]
+    if m is None:
+        raise ValueError(
+            f"cannot infer dimensions from an empty {what} "
+            f"(no rows carry a {col})")
+    return int(m) + 1
+
+
 def corpus_bow(postings: DataFrame) -> DataFrame:
     """(doc_id, term_id, tf) postings → one row per document with parallel
     sorted id/count arrays — the unit the E-step's Arrow batches consume."""
@@ -299,8 +310,7 @@ def lda_fit(postings: DataFrame, num_topics: int, num_terms: int | None = None,
     per-metric value lists land on ``model.metrics``.
     """
     if num_terms is None:
-        num_terms = postings.agg(
-            F.max("term_id").alias("m")).first()["m"] + 1
+        num_terms = infer_dim(postings, "term_id")
     docs = corpus_bow(postings).cache()
     lencorpus = docs.count()
     model = LdaModel(num_topics, num_terms, **model_kwargs)
@@ -343,8 +353,7 @@ def lda_fit_online(postings: DataFrame, num_topics: int,
     partitioning.
     """
     if num_terms is None:
-        num_terms = postings.agg(
-            F.max("term_id").alias("m")).first()["m"] + 1
+        num_terms = infer_dim(postings, "term_id")
     n_chunks = max(1, int(update_chunks))
     docs = corpus_bow(postings).withColumn(
         "_chunk", F.pmod(F.col("doc_id"), F.lit(n_chunks))).cache()

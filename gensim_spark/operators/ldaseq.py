@@ -462,15 +462,13 @@ def ldaseq_fit(postings: DataFrame, doc_times: DataFrame, num_topics: int,
     assignments (use :func:`time_from_slices` to reproduce the reference's
     slice-counting quirk). 'gensim' initialization: a distributed LDA fit
     seeds the chains (ldaseqmodel.py:175-188)."""
-    from gensim_spark.operators.lda import corpus_bow, lda_fit
+    from gensim_spark.operators.lda import corpus_bow, infer_dim, lda_fit
 
     spark = postings.sparkSession
     if num_terms is None:
-        num_terms = postings.agg(
-            F.max("term_id").alias("m")).collect()[0]["m"] + 1
+        num_terms = infer_dim(postings, "term_id")
     if num_time_slices is None:
-        num_time_slices = doc_times.agg(
-            F.max("time").alias("m")).collect()[0]["m"] + 1
+        num_time_slices = infer_dim(doc_times, "time", "doc_times table")
 
     lda0 = lda_fit(postings, num_topics=num_topics, num_terms=num_terms,
                    passes=passes, alpha=np.full(num_topics, alphas),
@@ -482,8 +480,16 @@ def ldaseq_fit(postings: DataFrame, doc_times: DataFrame, num_topics: int,
     for k, chain in enumerate(model.topic_chains):
         chain.counts_init(obs_variance, chain_variance, init_sstats[:, k])
 
-    docs = (corpus_bow(postings).join(doc_times, "doc_id")).cache()
+    docs = (corpus_bow(postings).join(doc_times, "doc_id", "left")).cache()
     n_docs = docs.count()
+    # an inner join would silently drop corpus docs with no slice row;
+    # the reference's corpus/time_slice lengths must agree — fail loudly
+    orphan = docs.filter(F.col("time").isNull()).select("doc_id").first()
+    if orphan is not None:
+        docs.unpersist()
+        raise ValueError(
+            f"document {orphan['doc_id']} has postings but no doc_times "
+            "row — time slices must cover the whole corpus")
     update_obs_fn = make_update_obs_spark(spark) if distributed_mstep \
         else update_obs_driver
 
@@ -546,15 +552,28 @@ def _estep(docs: DataFrame, model: LdaSeqModel,
                 g_ids.append(int(doc_id))
                 g_rows.append(list(gamma))
                 contrib = phi * cts[:, np.newaxis]        # (n, K)
+                # one dict op + one vectorized K-add per posting (a scalar
+                # key per topic costs K dict ops per posting); the packed
+                # wire format below is unchanged
                 for j, term in enumerate(ids):
-                    base = (int(term) * T + int(time)) * K
-                    for k in range(K):
-                        key = base + k
-                        acc[key] = acc.get(key, 0.0) + contrib[j, k]
-        out_i = list(acc.keys()) + [-1]
-        out_v = list(acc.values()) + [bound]
-        out_g = [None] * len(acc) + [None]
-        out_d = [-1] * len(acc) + [-1]
+                    base = int(term) * T + int(time)
+                    row = acc.get(base)
+                    if row is None:
+                        acc[base] = contrib[j].copy()
+                    else:
+                        row += contrib[j]
+        if acc:
+            keys = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+            vals = np.stack(list(acc.values()))
+            out_i = list((keys[:, None] * K +
+                          np.arange(K)[None, :]).ravel())
+            out_v = list(vals.ravel())
+        else:
+            out_i, out_v = [], []
+        out_i += [-1]
+        out_v += [bound]
+        out_g = [None] * len(out_i)
+        out_d = [-1] * len(out_i)
         # γ rows ride along with i = -2 and the doc id in d
         out_i += [-2] * len(g_ids)
         out_v += [0.0] * len(g_ids)

@@ -281,8 +281,7 @@ def nmf_fit(postings: DataFrame, num_topics: int,
     the reference with chunksize ≥ |corpus| (its online chunking exists to
     bound single-node memory; here the corpus never lands on one node)."""
     if num_terms is None:
-        num_terms = postings.agg(
-            F.max("term_id").alias("m")).collect()[0]["m"] + 1
+        num_terms = infer_dim(postings, "term_id")
     model = NmfModel(num_terms, num_topics, kappa, minimum_probability,
                      w_max_iter, w_stop_condition, h_max_iter,
                      h_stop_condition, normalize, random_seed)

@@ -147,3 +147,29 @@ def test_get_author_topics_threshold(spark):
     got = df.groupBy("author_id").agg(
         F.round(F.sum("probability"), 9).alias("s")).collect()
     assert all(r["s"] == pytest.approx(1.0) for r in got)
+
+
+def test_orphan_doc_raises(spark):
+    """A corpus doc with no doc2author row must fail loudly (the reference
+    KeyErrors on doc2author[doc_no]) instead of silently dropping the doc
+    while author_doc_counts keeps its weight."""
+    import pytest as _pytest
+
+    from gensim_spark.operators.atmodel import author_topic_fit
+
+    postings = spark.createDataFrame(
+        [(0, 0, 2.0), (1, 1, 1.0)], "doc_id long, term_id long, tf double")
+    d2a = spark.createDataFrame([(0, 0)], "doc_id long, author_id long")
+    with _pytest.raises(ValueError, match="no doc2author"):
+        author_topic_fit(postings, d2a, num_topics=2, passes=1)
+
+
+def test_empty_corpus_raises(spark):
+    import pytest as _pytest
+
+    from gensim_spark.operators.atmodel import author_topic_fit
+
+    empty = spark.createDataFrame([], "doc_id long, term_id long, tf double")
+    d2a = spark.createDataFrame([(0, 0)], "doc_id long, author_id long")
+    with _pytest.raises(ValueError, match="empty"):
+        author_topic_fit(empty, d2a, num_topics=2, passes=1)

@@ -139,3 +139,16 @@ def test_estep_sstats_mass(spark):
     assert sstats.sum() == pytest.approx(total_cts)   # φ rows sum to 1
     assert np.isfinite(bound)
     assert gammas.count() == 10
+
+
+def test_missing_time_row_raises(spark):
+    import pytest as _pytest
+
+    from gensim_spark.operators.ldaseq import ldaseq_fit
+
+    postings = spark.createDataFrame(
+        [(0, 0, 2.0), (1, 1, 1.0)], "doc_id long, term_id long, tf double")
+    times = spark.createDataFrame([(0, 0)], "doc_id long, time int")
+    with _pytest.raises(ValueError, match="no doc_times"):
+        ldaseq_fit(postings, times, num_topics=2, passes=1,
+                   em_min_iter=1, em_max_iter=1)
