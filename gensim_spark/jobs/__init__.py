@@ -3,5 +3,5 @@
   spark-submit --py-files gensim_spark.zip gensim_spark/jobs/build_index.py \\
       --input pages_parquet --output index_dir [--resume]
   spark-submit --py-files gensim_spark.zip gensim_spark/jobs/query_index.py \\
-      --index index_dir --vocab vocab_dir --query "text" [--k 10]
+      --index index_dir --query "text" [--k 10]
 """

@@ -78,11 +78,18 @@ def run(spark, input_path: str, output_prefix: str,
         # df/cf recomputed from the aggregated postings (summing the
         # token-level counts would double-count docs containing two
         # colliding tokens — hashdictionary.py:119-140 counts per id).
+        # ids are stateless hashes (hash_term_id_col needs no vocab
+        # table), so postings come straight off the token stream — the
+        # doc2bow join would broadcast a corpus-sized distinct-token
+        # table, the exact OOM the online path exists to avoid
+        raw_postings = (
+            tok.select("doc_id", F.explode("tokens").alias("token"))
+            .withColumn("term_id",
+                        V.hash_term_id_col(F.col("token"), keep_words))
+            .groupBy("doc_id", "term_id")
+            .agg(F.count(F.lit(1)).alias("tf")))
         hashed = V.build_vocab(tok).withColumn(
             "term_id", V.hash_term_id_col(F.col("token"), keep_words))
-        token_post = B.doc2bow_postings(tok, hashed)
-        raw_postings = (token_post.groupBy("doc_id", "term_id")
-                        .agg(F.sum("tf").alias("tf")))
         id_stats = (raw_postings.groupBy("term_id")
                     .agg(F.count(F.lit(1)).alias("df"),
                          F.sum("tf").alias("cf")))
@@ -91,8 +98,13 @@ def run(spark, input_path: str, output_prefix: str,
             & (F.col("df") <= int(no_above * num_docs)))
         # one row per id for the artifacts: merged token set, id-level df
         # (HashDictionary.save_as_text, hashdictionary.py:310-345)
+        # colliding tokens merge into one field joined with ', ' — the
+        # reference tab-joins them (hashdictionary.py:347) but puts the
+        # word list LAST in its own 3-column layout; our Dictionary-format
+        # artifact has the token mid-field, where a tab would corrupt the
+        # TSV and load_vocab_from_text would silently drop the row
         vocab = (hashed.groupBy("term_id")
-                 .agg(F.concat_ws("\t", F.sort_array(
+                 .agg(F.concat_ws(", ", F.sort_array(
                      F.collect_set("token"))).alias("token"))
                  .join(good_ids, "term_id"))
     else:

@@ -49,9 +49,11 @@ def run(spark, index_dir: str, queries: list[str], k: int = 10,
     rows = wand_topk(spark, index_dir, query_terms, k=k,
                      packed=packed).collect()
     wall = time.perf_counter() - t0
-    out = {}
+    # every submitted query gets a key — an all-OOV or zero-hit query
+    # answers [], it doesn't vanish from the dict
+    out = {str(qid): [] for qid in tokens}
     for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
-        out.setdefault(str(r["query_id"]), []).append(
+        out[str(r["query_id"])].append(
             {"doc_id": r["doc_id"], "score": r["score"], "rank": r["rank"]}
         )
     return {"results": out, "wall_sec": round(wall, 3)}

@@ -111,10 +111,22 @@ def run(spark, train: str, output: str | None, size: int = 100,
         # -accuracy questions-words.txt: the C tool's analogy eval
         # (word2vec_standalone.py:119 → accuracy(); file format is
         # ": section" headers + 4-word lines)
+        from pyspark.sql import Window
+
         from gensim_spark.operators import keyedvectors as KV
         qdf = read_analogy_questions(spark, accuracy)
+        # the C tool / model.accuracy() restricts the eval to the 30k most
+        # frequent words (keyedvectors.py:1304 restrict_vocab=30000); our
+        # ids are arrival-order, so rank by count first (vocab-sized
+        # single-task window — eval-time only, the vocab is min_count-
+        # bounded)
+        ranked = vecs.withColumn(
+            "freq_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("count"), F.asc("word"))) - 1)
         score, sections, oov = KV.evaluate_word_analogies(
-            vecs.select("word", "embedding"), qdf, key_col="word")
+            ranked.select("word", "embedding", "freq_rank"), qdf,
+            key_col="word", restrict_vocab=30000, index_col="freq_rank")
         metrics["accuracy"] = {
             "score": round(float(score), 4),
             "oov": int(oov),

@@ -66,7 +66,13 @@ def _unpack(fin, fmt):
 
 def _read_matrix(fin, new_format: bool) -> np.ndarray:
     if new_format:
-        _unpack(fin, "@?")                       # quant flag (False)
+        quant, = _unpack(fin, "@?")              # quant flag
+        if quant:
+            # the reference reads-and-ignores this flag and then misparses
+            # the product-quantizer header as (rows, dim); fail clearly
+            raise NotImplementedError(
+                "quantized fastText models (.ftz / -quantize output) are "
+                "not supported — only the dense matrix layout")
     rows, dim = _unpack(fin, "@2q")
     data = fin.read(rows * dim * 4)
     mat = np.frombuffer(data, dtype=np.float32, count=rows * dim)
@@ -108,9 +114,13 @@ def load(fname_or_fin, encoding: str = "utf-8",
                                             errors="backslashreplace")
         count, _etype = _unpack(fin, "@qb")
         raw_vocab[word] = count
-    if new_format:
-        for _ in range(max(0, pruneidx_size)):
-            _unpack(fin, "@2i")
+    if pruneidx_size > 0:
+        # the shrunken input matrix is only interpretable through the
+        # prune-id remap; discarding it (as the reference does) leaves a
+        # matrix whose row count no longer matches nwords + bucket
+        raise NotImplementedError(
+            "pruned fastText models (pruneidx_size "
+            f"{pruneidx_size}) are not supported")
 
     vectors_ngrams = _read_matrix(fin, new_format)
     hidden_output = _read_matrix(fin, new_format) if full_model else None
@@ -169,6 +179,8 @@ def to_fasttext_model(bin_model: FtBin):
     from gensim_spark.operators.word2vec import (make_cum_table,
                                                  make_sample_ints)
 
+    from gensim_spark.operators.word2vec import build_huffman_tree
+
     p = bin_model.params
     nwords = bin_model.nwords
     bucket = p["bucket"]
@@ -177,18 +189,35 @@ def to_fasttext_model(bin_model: FtBin):
     assert mat.shape == (nwords + bucket, dim), mat.shape
     syn0_vocab = mat[:nwords].astype(np.float64)
     syn0_ngrams = mat[nwords:].astype(np.float64)
-    hidden = bin_model.hidden_output
-    syn1neg = (hidden.astype(np.float64) if hidden is not None
-               else np.zeros((nwords + bucket, dim)))
     tokens = list(bin_model.raw_vocab)
     counts = np.array([bin_model.raw_vocab[t] for t in tokens],
                       dtype=np.int64)
+    # the reference maps the header's loss enum to the objective
+    # (fasttext.py:814-815: hs = loss==1, sg = model==2); an hs-trained
+    # .bin stores the Huffman INNER-NODE matrix as hidden_output, which
+    # must land on syn1, not syn1neg
+    hs = int(p.get("loss") == 1)
+    sg = int(p.get("model") == 2)
+    hidden = bin_model.hidden_output
+    syn1 = codes = points = None
+    if hs:
+        syn1 = (hidden.astype(np.float64) if hidden is not None
+                else np.zeros((nwords + bucket, dim)))
+        syn1neg = np.zeros((nwords + bucket, dim))
+        # rebuilt from the stored counts, like the reference's own
+        # prepare-weights path (fastText persists no tree)
+        codes, points = build_huffman_tree(counts)
+    else:
+        syn1neg = (hidden.astype(np.float64) if hidden is not None
+                   else np.zeros((nwords + bucket, dim)))
     subwords = [ft_ngram_hashes(t, p["minn"], p["maxn"], bucket)
                 for t in tokens]
     model = FastTextModel(
         nwords, dim, bucket, syn0_vocab, syn0_ngrams, syn1neg,
         make_cum_table(counts), make_sample_ints(counts, p["t"]),
-        subwords, p["ws"], p["neg"], p["minn"], p["maxn"], seed=1)
+        subwords, p["ws"], p["neg"], p["minn"], p["maxn"], seed=1,
+        hs=hs, syn1=syn1, codes=codes, points=points)
+    model.sg = sg
     model.tokens = tokens
     return model
 

@@ -49,10 +49,12 @@ _BINARY_CHUNK = 100 * 1024  # keyedvectors.py:2000 binary_chunk_size
 
 
 def _text_lines(spark: SparkSession, path: str) -> DataFrame:
-    """(lineno, value) rows in file order (zipWithIndex, one counting job)."""
-    rdd = spark.read.text(path).rdd.zipWithIndex() \
-        .map(lambda ri: (ri[1], ri[0]["value"]))
-    return spark.createDataFrame(rdd, "lineno long, value string")
+    """(lineno, value) rows in file order — formats._lines_with_docno
+    (the shared zipWithIndex idiom) under this module's column name."""
+    from gensim_spark.sources.formats import _lines_with_docno
+
+    return _lines_with_docno(spark, path).select(
+        F.col("doc_id").alias("lineno"), "value")
 
 
 def load_word2vec_format(spark: SparkSession, fname: str,
@@ -94,7 +96,10 @@ def load_word2vec_format(spark: SparkSession, fname: str,
 
 
 def _load_text(spark, fname, encoding, unicode_errors, limit, no_header):
-    lines = _text_lines(spark, fname)
+    # the header collect, EOF-check count, and the dedup self-join inside
+    # _assign_word_ids all consume these lines — without the cache a
+    # multi-GB .vec is re-read and re-split 4-5 times
+    lines = _text_lines(spark, fname).cache()
     if no_header:
         # extra sizing pass (keyedvectors.py:2054-2060)
         vocab_size = lines.count()
@@ -120,7 +125,11 @@ def _load_text(spark, fname, encoding, unicode_errors, limit, no_header):
             .select("rec", F.element_at("parts", 1).alias("word"),
                     F.expr("transform(slice(parts, 2, size(parts) - 1), "
                            "x -> cast(x AS double))").alias("embedding")))
-    return _assign_word_ids(recs, vocab_size)
+    # materialize once, then release the line cache (a loader must not
+    # pin the raw file in executor memory after it returns)
+    out = _assign_word_ids(recs, vocab_size).localCheckpoint(eager=True)
+    lines.unpersist()
+    return out
 
 
 def _assign_word_ids(recs: DataFrame, vocab_size: int) -> DataFrame:

@@ -132,3 +132,44 @@ def test_to_model_feeds_spark_query_surface(spark):
     sims = (adj / np.linalg.norm(adj, axis=1, keepdims=True)) \
         @ (q / np.linalg.norm(q))
     assert abs(top[0]["sim"] - np.max(sims)) < 1e-9
+
+
+def test_hs_bin_loads_as_hs_model():
+    """loss=1 in the header means hierarchical softmax: the hidden_output
+    matrix is the Huffman inner-node matrix and must land on syn1, with
+    hs=1 and a rebuilt tree — NOT on syn1neg (fasttext.py:815
+    hs=int(loss==1))."""
+    rng = np.random.default_rng(1)
+    words = ["aa", "bb", "cc"]
+    counts = [9, 5, 2]
+    dim, bucket = 4, 7
+    vv = rng.standard_normal((3, dim)).astype(np.float32)
+    vn = rng.standard_normal((bucket, dim)).astype(np.float32)
+    ho = rng.standard_normal((3 + bucket, dim)).astype(np.float32)
+    params = dict(dim=dim, ws=5, epoch=5, min_count=0, neg=5,
+                  word_ngrams=1, loss=1, model=1, bucket=bucket,
+                  minn=2, maxn=3, lr_update_rate=100, t=1e-4)
+    buf = io.BytesIO()
+    FB.save(buf, words, counts, vv, vn, ho, params)
+    buf.seek(0)
+    m = FB.to_fasttext_model(FB.load(buf))
+    assert m.hs == 1 and m.sg == 0
+    np.testing.assert_array_equal(m.syn1, ho.astype(np.float64))
+    assert not m.syn1neg.any()
+    assert m.codes is not None and len(m.codes) == 3
+    # ns model keeps the old wiring
+    params["loss"], params["model"] = 2, 2
+    buf = io.BytesIO()
+    FB.save(buf, words, counts, vv, vn, ho, params)
+    buf.seek(0)
+    m2 = FB.to_fasttext_model(FB.load(buf))
+    assert m2.hs == 0 and m2.sg == 1
+    np.testing.assert_array_equal(m2.syn1neg, ho.astype(np.float64))
+
+
+def test_quantized_matrix_raises():
+    import struct
+
+    buf = io.BytesIO(struct.pack("@?", True))
+    with pytest.raises(NotImplementedError, match="quantized"):
+        FB._read_matrix(buf, new_format=True)

@@ -269,3 +269,41 @@ def test_word2vec_train_job_binary_cbow_hs(spark, tmp_path, common_texts):
     vecs = load_word2vec_format(spark, out, binary=True)
     assert vecs.count() == 12
     assert len(vecs.first()["embedding"]) == 4
+
+
+def test_query_index_all_oov_query_keeps_key(spark, tmp_path):
+    """A query whose tokens are all out-of-vocabulary answers [] under its
+    own key — it must not vanish from the results dict."""
+    from gensim_spark.jobs import build_index, query_index
+
+    pages = spark.createDataFrame(
+        [(f"u{i}", f"spark query join spark term{i}") for i in range(20)],
+        "url string, text string")
+    src = str(tmp_path / "pages.parquet")
+    pages.write.parquet(src)
+    idx_dir = str(tmp_path / "idx")
+    build_index.run(spark, src, idx_dir)
+    out = query_index.run(spark, idx_dir, ["spark join", "zzxqv qqwzz"], k=3)
+    assert set(out["results"].keys()) == {"0", "1"}
+    assert out["results"]["1"] == []
+    assert len(out["results"]["0"]) > 0
+
+
+def test_make_wikicorpus_online_vocab_text_roundtrip(spark, tmp_path):
+    """Colliding tokens merge with ', ' so the Dictionary-format TSV stays
+    3-column; load_vocab_from_text must read back every id (a tab-joined
+    merge silently dropped colliding rows)."""
+    from gensim_spark.jobs import make_wikicorpus
+    from gensim_spark.sources.textcorpus import load_vocab_from_text
+
+    dump = str(tmp_path / "dump.xml")
+    _write_dump(dump)
+    prefix = str(tmp_path / "out" / "wiki")
+    metrics = make_wikicorpus.run(spark, dump, prefix, keep_words=3,
+                                  no_below=1, no_above=1.0, min_words=1,
+                                  sink="parquet", online=True)
+    loaded, _num_docs = load_vocab_from_text(
+        spark, prefix + "_wordids.txt.bz2")
+    assert loaded.count() == metrics["vocab_size"]
+    # at least one id must actually carry a merged (comma-joined) token set
+    assert loaded.filter("token like '%, %'").count() >= 1
