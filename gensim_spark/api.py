@@ -36,13 +36,6 @@ from gensim_spark.operators import vocab as _vocab
 ENGLISH_CONNECTOR_WORDS = _phrases.ENGLISH_CONNECTOR_WORDS
 
 
-def _docs_df(spark: SparkSession, texts) -> DataFrame:
-    return spark.createDataFrame(
-        [(i, list(t)) for i, t in enumerate(texts)],
-        "doc_id long, tokens array<string>",
-    )
-
-
 class Dictionary:
     """``gensim.corpora.Dictionary`` over a (doc_id, tokens) DataFrame.
 
@@ -481,10 +474,8 @@ class Word2Vec:
             d = Dictionary(documents, vocab_df=trimmed,
                            num_docs=d.num_docs)
         self.dictionary = d
-        rows = d.df.select("term_id", "token", "cf") \
-            .orderBy("term_id").collect()
+        rows = d.df.select("term_id", "cf").orderBy("term_id").collect()
         counts = np.array([r["cf"] for r in rows], dtype=np.int64)
-        self._id2tok = [r["token"] for r in rows]
         ids = _w2v.corpus_ids(documents, d.df)
         self.model = _w2v.word2vec_fit(
             ids, len(counts), counts, vector_size=vector_size,
@@ -1114,6 +1105,9 @@ class CoherenceModel:
             id2tok = {r["term_id"]: r["token"] for r in rows}
             return [[id2tok[int(w)] for w in t] for t in self._topic_ids]
         if not want_tokens and isinstance(first, str):
+            if self.dictionary is None:
+                raise ValueError("u_mass with token topics needs "
+                                 "dictionary= to map tokens to ids")
             tok2id = {r["token"]: r["term_id"]
                       for r in self.dictionary.df
                       .filter(F.col("token").isin(
@@ -1357,7 +1351,12 @@ class Phrases:
         return FrozenPhrases(self)
 
     def __getitem__(self, docs: DataFrame) -> DataFrame:
-        return self.freeze()[docs]
+        # the export is a full corpus-scoring job + driver collect — do it
+        # once and reuse across subscripts (the reference's __getitem__ is
+        # cheap per call); training-state changes go through a new Phrases
+        if getattr(self, "_frozen", None) is None:
+            self._frozen = self.freeze()
+        return self._frozen[docs]
 
 
 class FrozenPhrases:

@@ -30,8 +30,9 @@ Semantics replicated exactly:
   ``model.metrics`` (ldamodel.py:971-1038) — mirrored by
   ``lda_fit(callbacks=...)``.
 
-Visdom plotting is environment-gated exactly like the reference: asking
-for ``logger="visdom"`` raises ImportError unless visdom is importable.
+Visdom is gated like the reference when absent (ImportError "Please
+install Visdom"); when importable, plotting is still not wired in this
+build and ``logger="visdom"`` raises NotImplementedError.
 ``CallbackAny2Vec`` (callbacks.py:567-616) is the no-op hook base the
 word2vec-family trainers invoke around epochs.
 """
@@ -122,8 +123,13 @@ class CoherenceMetric(Metric):
                                    postings=self.postings,
                                    num_docs=self.num_docs)
         if topics and not isinstance(topics[0][0], str):
+            from pyspark.sql import functions as F
+            # only the K·topn topic words are looked up — collecting the
+            # whole vocab per epoch would ship V rows to the driver
+            ids = sorted({int(w) for t in topics for w in t})
             id2tok = {r["term_id"]: r["token"] for r in
-                      self.vocab.select("term_id", "token").collect()}
+                      self.vocab.filter(F.col("term_id").isin(ids))
+                      .select("term_id", "token").collect()}
             topics = [[id2tok[int(w)] for w in t] for t in topics]
         return C.get_coherence(topics, self.coherence, texts=self.texts,
                                window_size=self.window_size,
@@ -220,8 +226,9 @@ class Callback:
         if any(m.logger == "visdom" for m in self.metrics):
             if not VISDOM_INSTALLED:
                 raise ImportError("Please install Visdom for visualization")
-            raise ImportError(
-                "visdom plotting is not wired in this environment")
+            raise NotImplementedError(
+                "visdom plotting is not wired in this build — use "
+                "logger='shell' or read the returned metric dicts")
         if any(m.logger == "shell" for m in self.metrics):
             self.log_type = logging.getLogger("gensim_spark.operators.lda")
 
@@ -246,8 +253,18 @@ def run_callbacks(metrics, model, pass_: int,
                   store: defaultdict | None = None,
                   callback: Callback | None = None):
     """One ``LdaModel.update`` callback step (ldamodel.py:1035-1038):
-    evaluate every metric, append each value to ``store[label]``."""
+    evaluate every metric, append each value to ``store[label]``.
+
+    For Diff/Convergence metrics the Callback must have been constructed
+    (``set_model``) BEFORE the pass trained the model — a lazily built
+    one would diff the model against a copy of itself and report 0."""
     if callback is None:
+        if any(isinstance(m, (DiffMetric, ConvergenceMetric))
+               for m in metrics):
+            raise ValueError(
+                "Diff/Convergence metrics need a Callback whose "
+                "set_model ran before the training pass; construct it "
+                "first and pass it via callback=")
         callback = Callback(metrics)
         callback.set_model(model)
     current = callback.on_epoch_end(pass_)

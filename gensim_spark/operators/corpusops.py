@@ -66,9 +66,17 @@ def sliced_corpus(df: DataFrame, slice_, doc_col: str = "doc_id"
         if slice_.stop is not None:
             cond &= F.col("pos") < slice_.stop
         keep = pos.filter(cond)
+        # broadcast only a bounded keep-set: slice(10, None) keeps nearly
+        # the whole corpus — shuffle semi-join there, never a corpus-sized
+        # broadcast
+        bounded = slice_.stop is not None
     else:
         keep = pos.filter(F.col("pos").isin([int(p) for p in slice_]))
-    return df.join(F.broadcast(keep.select(doc_col)), doc_col, "left_semi")
+        bounded = True
+    keep = keep.select(doc_col)
+    if bounded:
+        keep = F.broadcast(keep)
+    return df.join(keep, doc_col, "left_semi")
 
 
 def repeat_corpus_n_times(df: DataFrame, n: int, doc_col: str = "doc_id",

@@ -198,8 +198,12 @@ def pairwise_bow_distances(pairs: DataFrame, a: DataFrame, b: DataFrame,
     return pairs.join(out, "pair_id", "left").select(
         "pair_id", "id_a", "id_b",
         *[F.coalesce(F.col(m),
-                     # no postings on either side: cossim 0, others undefined
-                     F.lit(0.0) if m == "cossim" else F.lit(None)
+                     # no postings on either side: cossim 0 and hellinger 0
+                     # (the driver scalars return 0.0 on two empty bows);
+                     # jaccard/KL/JS stay NULL — undefined, like the
+                     # in-join zero-mass rows
+                     F.lit(0.0) if m in ("cossim", "hellinger")
+                     else F.lit(None)
                      ).alias(m) for m in metrics])
 
 

@@ -86,7 +86,9 @@ def similarity_by_id(weighted_postings: DataFrame, doc_id: int,
         F.lit(0).alias("query_id"), "term_id",
         F.col("weight").alias("q_weight"),
     )
-    out = topk(score(weighted_postings, q), k + (1 if exclude_self else 0))
+    # k=None = the facades' num_best=None full-results mode
+    out = topk(score(weighted_postings, q),
+               None if k is None else k + (1 if exclude_self else 0))
     if exclude_self:
         w = Window.partitionBy("query_id").orderBy(
             F.abs(F.col("score")).desc(), F.col("doc_id").asc()
@@ -94,8 +96,9 @@ def similarity_by_id(weighted_postings: DataFrame, doc_id: int,
         out = (
             out.filter(F.col("doc_id") != doc_id)
             .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
         )
+        if k is not None:
+            out = out.filter(F.col("rank") <= k)
     return out
 
 

@@ -161,3 +161,14 @@ def test_callback_any2vec_hooks(spark, common_texts):
     base = CB.CallbackAny2Vec()
     assert base.on_epoch_begin(None) is None
     assert base.on_train_end(None) is None
+
+
+def test_run_callbacks_requires_pretrained_snapshot_for_diff(spark):
+    import pytest as _pytest
+
+    from gensim_spark.operators.callbacks import DiffMetric, run_callbacks
+    from gensim_spark.operators.lda import LdaModel
+
+    model = LdaModel(2, 5)
+    with _pytest.raises(ValueError, match="set_model ran before"):
+        run_callbacks([DiffMetric()], model, 0)

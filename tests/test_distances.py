@@ -217,3 +217,17 @@ def test_lda_term_topics_and_top_topics(spark, common_texts):
     assert z.shape == (2, 2)
     assert z[0, 0] == pytest.approx(0.0, abs=1e-12)
     assert z[1, 1] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_pairwise_fully_absent_pair_matches_scalars(spark):
+    """A pair with no postings on EITHER side: cossim and hellinger answer
+    their two-empty-bows scalar value 0.0; jaccard/KL/JS stay NULL
+    (undefined)."""
+    df = _postings_df(spark, [[(0, 1.0)]])
+    pairs = spark.createDataFrame([(0, 7, 8)],
+                                  "pair_id long, id_a long, id_b long")
+    r = D.pairwise_bow_distances(pairs, df, df, metrics=D.METRICS).collect()[0]
+    assert r["cossim"] == 0.0
+    assert r["hellinger"] == D.hellinger_bow([], []) == 0.0
+    assert r["jaccard"] is None
+    assert r["kullback_leibler"] is None

@@ -104,3 +104,16 @@ def test_tie_break_by_doc_id(spark, bm25_docs):
     rows = T.search(weighted, q, k=2).orderBy("rank").collect()
     assert [r["doc_id"] for r in rows] == [1, 2]
     assert rows[0]["score"] == pytest.approx(rows[1]["score"])
+
+
+def test_similarity_by_id_num_best_none(spark):
+    """k=None (the facades' num_best=None full-results mode) returns every
+    nonzero similarity instead of crashing on None + int."""
+    from gensim_spark.operators.topk import similarity_by_id
+
+    rows = [(d, t, 1.0) for d in range(4) for t in (0, 1)]
+    w = spark.createDataFrame(rows, "doc_id long, term_id long, weight double")
+    got = similarity_by_id(w, 0, k=None).collect()
+    assert len(got) == 4
+    got_ex = similarity_by_id(w, 0, k=None, exclude_self=True).collect()
+    assert len(got_ex) == 3 and all(r["doc_id"] != 0 for r in got_ex)
