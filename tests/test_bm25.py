@@ -120,3 +120,88 @@ def test_zero_idf_scores_zero(spark, fixture):
         for r in M.weight_postings(postings, stats).collect()
     }
     assert all(w[(d, t)] == 0.0 for (d, t) in w if t == cat_id)
+
+
+def _load_reference_bm25():
+    """Load the reference's bm25model.py standalone as a LIVE oracle. Full
+    gensim can't import in this container (no scipy), so the two symbols
+    bm25model actually touches are stubbed: interfaces.TransformationABC
+    (only subclassed) and utils.is_corpus (document-vs-corpus sniff; we
+    feed single documents only)."""
+    import importlib.util
+    import sys
+    import types
+
+    pkg = types.ModuleType("gensim")
+    interfaces = types.ModuleType("gensim.interfaces")
+
+    class TransformationABC:
+        pass
+
+    interfaces.TransformationABC = TransformationABC
+    utils = types.ModuleType("gensim.utils")
+
+    def is_corpus(obj):
+        lst = list(obj)
+        if not lst:
+            return True, lst
+        first = lst[0]
+        if isinstance(first, (list, tuple)) and first \
+                and isinstance(first[0], (list, tuple)):
+            return True, lst
+        return False, lst
+
+    utils.is_corpus = is_corpus
+    pkg.interfaces, pkg.utils = interfaces, utils
+    saved = {k: sys.modules.get(k)
+             for k in ("gensim", "gensim.interfaces", "gensim.utils")}
+    sys.modules.update({"gensim": pkg, "gensim.interfaces": interfaces,
+                        "gensim.utils": utils})
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_bm25model", "/root/reference/gensim/models/bm25model.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+@pytest.mark.parametrize("variant", ["okapi", "lucene", "atire"])
+def test_live_reference_weight_parity(spark, common_texts, variant):
+    """North-rule evidence against the LIVE reference (not fixtures): fit
+    the reference's corpus path and ours on the same bows under the same
+    ids, compare every (doc, term) weight."""
+    from gensim_spark.operators import bm25 as M
+    from gensim_spark.operators import bow as B
+    from gensim_spark.operators import vocab as V
+
+    ref = _load_reference_bm25()
+    cls = {"okapi": ref.OkapiBM25Model, "lucene": ref.LuceneBM25Model,
+           "atire": ref.AtireBM25Model}[variant]
+
+    docs = docs_df(spark, common_texts)
+    vocab = V.build_vocab(docs)
+    postings = B.doc2bow_postings(docs, vocab).cache()
+    bows = {}
+    for r in postings.collect():
+        bows.setdefault(r["doc_id"], []).append(
+            (int(r["term_id"]), int(r["tf"])))
+    corpus = [sorted(bows[d]) for d in sorted(bows)]
+
+    model = cls(corpus=corpus)
+    want = {}
+    for d, bow_d in zip(sorted(bows), corpus):
+        for t, w in model[bow_d]:
+            want[(d, t)] = w
+
+    stats = M.fit_from_postings(postings, variant=variant)
+    got = {(r["doc_id"], r["term_id"]): r["weight"]
+           for r in M.weight_postings(postings, stats).collect()}
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key], abs=1e-12), key
