@@ -367,3 +367,116 @@ def test_vocab_transform(spark, common_texts):
     assert ids <= {100, 200}
     n_in = postings.filter(F.col("term_id").isin([0, 1])).count()
     assert out.count() == n_in
+
+
+def _load_reference_tfidf():
+    """Load the reference's tfidfmodel.py standalone as a LIVE oracle
+    (full gensim needs scipy, absent here). Stubbed surface = exactly what
+    tfidfmodel touches: interfaces.TransformationABC (subclassed only),
+    utils.identity/is_corpus/deprecated, and matutils.unitvec's
+    gensim-sparse branch (matutils.py:772-791 published semantics: l1/l2/
+    unique lengths over (id, val) pairs, zero-safe assert)."""
+    import importlib.util
+    import sys
+    import types
+
+    pkg = types.ModuleType("gensim")
+    interfaces = types.ModuleType("gensim.interfaces")
+
+    class TransformationABC:
+        def add_lifecycle_event(self, *args, **kwargs):
+            pass
+
+    interfaces.TransformationABC = TransformationABC
+    utils = types.ModuleType("gensim.utils")
+    utils.identity = lambda x: x
+
+    def is_corpus(obj):
+        lst = list(obj)
+        if not lst:
+            return True, lst
+        first = lst[0]
+        if isinstance(first, (list, tuple)) and first \
+                and isinstance(first[0], (list, tuple)):
+            return True, lst
+        return False, lst
+
+    utils.is_corpus = is_corpus
+    utils.deprecated = lambda _msg: (lambda fn: fn)
+
+    matutils = types.ModuleType("gensim.matutils")
+
+    def unitvec(vec, norm="l2", return_norm=False):
+        vec = list(vec)
+        if not vec:
+            return (vec, 1.0) if return_norm else vec
+        if norm == "l1":
+            length = float(sum(abs(v) for _, v in vec))
+        elif norm == "l2":
+            length = math.sqrt(sum(v ** 2 for _, v in vec))
+        elif norm == "unique":
+            length = 1.0 * len(vec)
+        else:
+            raise ValueError(norm)
+        assert length > 0.0
+        out = [(t, float(v) / length) for t, v in vec] \
+            if length != 1.0 else list(vec)
+        return (out, length) if return_norm else out
+
+    matutils.unitvec = unitvec
+    pkg.interfaces, pkg.utils, pkg.matutils = interfaces, utils, matutils
+    saved = {k: sys.modules.get(k) for k in
+             ("gensim", "gensim.interfaces", "gensim.utils",
+              "gensim.matutils")}
+    sys.modules.update({"gensim": pkg, "gensim.interfaces": interfaces,
+                        "gensim.utils": utils, "gensim.matutils": matutils})
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_tfidfmodel", "/root/reference/gensim/models/tfidfmodel.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+@pytest.mark.parametrize("smartirs,pivot", [
+    ("nfc", None), ("lfc", None), ("bnn", None), ("dtc", None),
+    ("Ltc", None), ("npc", None), ("nfu", 10.0), ("nfn", None),
+])
+def test_live_reference_tfidf_parity(spark, common_texts, smartirs, pivot):
+    """LIVE-reference SMART-IRS parity: the reference TfidfModel fit on the
+    same bows under the same ids; every surviving (doc, term) weight equal
+    to 1e-12, and the same positions dropped."""
+    from gensim_spark.operators import bow as B
+    from gensim_spark.operators import tfidf as TF
+    from gensim_spark.operators import vocab as V
+
+    ref = _load_reference_tfidf()
+    docs = docs_df(spark, common_texts)
+    vocab = V.build_vocab(docs)
+    postings = B.doc2bow_postings(docs, vocab).cache()
+    bows = {}
+    for r in postings.collect():
+        bows.setdefault(r["doc_id"], []).append(
+            (int(r["term_id"]), int(r["tf"])))
+    corpus = [sorted(bows[d]) for d in sorted(bows)]
+
+    model = ref.TfidfModel(corpus=corpus, smartirs=smartirs, pivot=pivot)
+    want = {}
+    for d, bow_d in zip(sorted(bows), corpus):
+        for t, w in model[bow_d]:
+            want[(d, t)] = w
+
+    dfs = vocab.select("term_id", "df")
+    got = {(r["doc_id"], r["term_id"]): r["weight"]
+           for r in TF.tfidf_postings(postings, dfs, len(corpus),
+                                      smartirs=smartirs,
+                                      pivot=pivot).collect()}
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key], abs=1e-12), key
