@@ -2403,11 +2403,10 @@ cfs AS (SELECT term_id, CAST(sum(tf) AS BIGINT) AS cf
 pr AS (SELECT p.doc_id, p.term_id, p.tf, p.tf::DOUBLE / c.cf AS pp
        FROM postings p JOIN cfs c USING (term_id)),
 ent AS (SELECT term_id,
-        1.0 + sum(pp * ln(pp) / ln(2.0))
-              / (ln((SELECT n FROM nd) + 1.0) / ln(2.0)) AS entropy
+        1.0 + sum(pp * ln(pp)) / ln((SELECT n FROM nd) + 1.0) AS entropy
         FROM pr GROUP BY term_id),
 w0 AS (SELECT p.doc_id, p.term_id,
-       (ln(p.tf + 1.0) / ln(2.0)) * e.entropy AS w
+       ln(p.tf + 1.0) * e.entropy AS w
        FROM postings p JOIN ent e USING (term_id)),
 nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w0 GROUP BY doc_id)
 SELECT w0.doc_id, w0.term_id,

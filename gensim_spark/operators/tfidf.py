@@ -196,7 +196,13 @@ def auto_pivot_b(cfs: DataFrame, term_lens: DataFrame, num_docs: int) -> float:
 
 
 def log_entropy_postings(postings: DataFrame, normalize: bool = True) -> DataFrame:
-    """LogEntropyModel (logentropy_model.py:59-152) over the postings table."""
+    """LogEntropyModel (logentropy_model.py:59-152) over the postings table.
+
+    The reference computes everything in NATURAL log: entropy
+    1 + Σp·ln(p)/ln(n_docs+1) (base-independent — the ratio cancels the
+    base) and local weight ln(tf+1) (base-dependent: a log2 local would
+    scale every weight by 1/ln 2, invisible under the default L2
+    normalization but wrong for normalize=False)."""
     num_docs = postings.select("doc_id").distinct().count()
     cfs = postings.groupBy("term_id").agg(F.sum("tf").alias("cf"))
     p = postings.join(cfs, "term_id").withColumn(
@@ -207,13 +213,13 @@ def log_entropy_postings(postings: DataFrame, normalize: bool = True) -> DataFra
     entropy = p.groupBy("term_id").agg(
         (
             F.lit(1.0)
-            + F.sum(F.col("_p") * _log2(F.col("_p")))
-            / F.lit(math.log2(num_docs + 1.0))
+            + F.sum(F.col("_p") * F.log(F.col("_p")))
+            / F.lit(math.log(num_docs + 1.0))
         ).alias("entropy")
     )
     out = postings.join(F.broadcast(entropy), "term_id").select(
         "doc_id", "term_id",
-        (_log2(F.col("tf").cast("double") + F.lit(1.0)) * F.col("entropy"))
+        (F.log(F.col("tf").cast("double") + F.lit(1.0)) * F.col("entropy"))
         .alias("weight"),
     )
     if not normalize:

@@ -123,52 +123,10 @@ def test_zero_idf_scores_zero(spark, fixture):
 
 
 def _load_reference_bm25():
-    """Load the reference's bm25model.py standalone as a LIVE oracle. Full
-    gensim can't import in this container (no scipy), so the two symbols
-    bm25model actually touches are stubbed: interfaces.TransformationABC
-    (only subclassed) and utils.is_corpus (document-vs-corpus sniff; we
-    feed single documents only)."""
-    import importlib.util
-    import sys
-    import types
+    """Live oracle: the reference's own bm25model.py (tests/refload.py)."""
+    from tests.refload import load_reference_module
 
-    pkg = types.ModuleType("gensim")
-    interfaces = types.ModuleType("gensim.interfaces")
-
-    class TransformationABC:
-        pass
-
-    interfaces.TransformationABC = TransformationABC
-    utils = types.ModuleType("gensim.utils")
-
-    def is_corpus(obj):
-        lst = list(obj)
-        if not lst:
-            return True, lst
-        first = lst[0]
-        if isinstance(first, (list, tuple)) and first \
-                and isinstance(first[0], (list, tuple)):
-            return True, lst
-        return False, lst
-
-    utils.is_corpus = is_corpus
-    pkg.interfaces, pkg.utils = interfaces, utils
-    saved = {k: sys.modules.get(k)
-             for k in ("gensim", "gensim.interfaces", "gensim.utils")}
-    sys.modules.update({"gensim": pkg, "gensim.interfaces": interfaces,
-                        "gensim.utils": utils})
-    try:
-        spec = importlib.util.spec_from_file_location(
-            "ref_bm25model", "/root/reference/gensim/models/bm25model.py")
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                sys.modules.pop(k, None)
-            else:
-                sys.modules[k] = v
-    return mod
+    return load_reference_module("models/bm25model.py", "ref_bm25model")
 
 
 @pytest.mark.parametrize("variant", ["okapi", "lucene", "atire"])

@@ -370,78 +370,10 @@ def test_vocab_transform(spark, common_texts):
 
 
 def _load_reference_tfidf():
-    """Load the reference's tfidfmodel.py standalone as a LIVE oracle
-    (full gensim needs scipy, absent here). Stubbed surface = exactly what
-    tfidfmodel touches: interfaces.TransformationABC (subclassed only),
-    utils.identity/is_corpus/deprecated, and matutils.unitvec's
-    gensim-sparse branch (matutils.py:772-791 published semantics: l1/l2/
-    unique lengths over (id, val) pairs, zero-safe assert)."""
-    import importlib.util
-    import sys
-    import types
+    """Live oracle: the reference's own tfidfmodel.py (tests/refload.py)."""
+    from tests.refload import load_reference_module
 
-    pkg = types.ModuleType("gensim")
-    interfaces = types.ModuleType("gensim.interfaces")
-
-    class TransformationABC:
-        def add_lifecycle_event(self, *args, **kwargs):
-            pass
-
-    interfaces.TransformationABC = TransformationABC
-    utils = types.ModuleType("gensim.utils")
-    utils.identity = lambda x: x
-
-    def is_corpus(obj):
-        lst = list(obj)
-        if not lst:
-            return True, lst
-        first = lst[0]
-        if isinstance(first, (list, tuple)) and first \
-                and isinstance(first[0], (list, tuple)):
-            return True, lst
-        return False, lst
-
-    utils.is_corpus = is_corpus
-    utils.deprecated = lambda _msg: (lambda fn: fn)
-
-    matutils = types.ModuleType("gensim.matutils")
-
-    def unitvec(vec, norm="l2", return_norm=False):
-        vec = list(vec)
-        if not vec:
-            return (vec, 1.0) if return_norm else vec
-        if norm == "l1":
-            length = float(sum(abs(v) for _, v in vec))
-        elif norm == "l2":
-            length = math.sqrt(sum(v ** 2 for _, v in vec))
-        elif norm == "unique":
-            length = 1.0 * len(vec)
-        else:
-            raise ValueError(norm)
-        assert length > 0.0
-        out = [(t, float(v) / length) for t, v in vec] \
-            if length != 1.0 else list(vec)
-        return (out, length) if return_norm else out
-
-    matutils.unitvec = unitvec
-    pkg.interfaces, pkg.utils, pkg.matutils = interfaces, utils, matutils
-    saved = {k: sys.modules.get(k) for k in
-             ("gensim", "gensim.interfaces", "gensim.utils",
-              "gensim.matutils")}
-    sys.modules.update({"gensim": pkg, "gensim.interfaces": interfaces,
-                        "gensim.utils": utils, "gensim.matutils": matutils})
-    try:
-        spec = importlib.util.spec_from_file_location(
-            "ref_tfidfmodel", "/root/reference/gensim/models/tfidfmodel.py")
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                sys.modules.pop(k, None)
-            else:
-                sys.modules[k] = v
-    return mod
+    return load_reference_module("models/tfidfmodel.py", "ref_tfidfmodel")
 
 
 @pytest.mark.parametrize("smartirs,pivot", [
@@ -477,6 +409,68 @@ def test_live_reference_tfidf_parity(spark, common_texts, smartirs, pivot):
            for r in TF.tfidf_postings(postings, dfs, len(corpus),
                                       smartirs=smartirs,
                                       pivot=pivot).collect()}
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key], abs=1e-12), key
+
+
+@pytest.mark.parametrize("normalize", [True, False])
+def test_live_reference_logentropy_parity(spark, common_texts, normalize):
+    """LIVE LogEntropyModel parity (logentropy_model.py run standalone)."""
+    from tests.refload import load_reference_module
+
+    from gensim_spark.operators import bow as B
+    from gensim_spark.operators import tfidf as TF
+    from gensim_spark.operators import vocab as V
+
+    ref = load_reference_module("models/logentropy_model.py", "ref_logent")
+    docs = docs_df(spark, common_texts)
+    vocab = V.build_vocab(docs)
+    postings = B.doc2bow_postings(docs, vocab).cache()
+    bows = {}
+    for r in postings.collect():
+        bows.setdefault(r["doc_id"], []).append(
+            (int(r["term_id"]), int(r["tf"])))
+    corpus = [sorted(bows[d]) for d in sorted(bows)]
+
+    model = ref.LogEntropyModel(corpus, normalize=normalize)
+    want = {(d, t): w for d, bow_d in zip(sorted(bows), corpus)
+            for t, w in model[bow_d]}
+    got = {(r["doc_id"], r["term_id"]): r["weight"]
+           for r in TF.log_entropy_postings(postings,
+                                            normalize=normalize).collect()}
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key], abs=1e-12), key
+
+
+@pytest.mark.parametrize("norm", ["l1", "l2", "unique"])
+def test_live_reference_normmodel_parity(spark, common_texts, norm):
+    """LIVE NormModel parity (normmodel.py run standalone) for all three
+    norms over the raw tf postings."""
+    from tests.refload import load_reference_module
+
+    from gensim_spark.operators import bow as B
+    from gensim_spark.operators import tfidf as TF
+    from gensim_spark.operators import vocab as V
+
+    ref = load_reference_module("models/normmodel.py", "ref_norm")
+    docs = docs_df(spark, common_texts)
+    vocab = V.build_vocab(docs)
+    postings = B.doc2bow_postings(docs, vocab) \
+        .select("doc_id", "term_id",
+                F.col("tf").cast("double").alias("weight")).cache()
+    bows = {}
+    for r in postings.collect():
+        bows.setdefault(r["doc_id"], []).append(
+            (int(r["term_id"]), float(r["weight"])))
+    corpus = [sorted(bows[d]) for d in sorted(bows)]
+
+    model = ref.NormModel(norm=norm)
+    want = {(d, t): w for d, bow_d in zip(sorted(bows), corpus)
+            for t, w in model.normalize(bow_d)}
+    got = {(r["doc_id"], r["term_id"]): r["weight"]
+           for r in TF.normalize_postings(postings, norm=norm).collect()}
     assert set(got) == set(want)
     for key in want:
         assert got[key] == pytest.approx(want[key], abs=1e-12), key
