@@ -51,6 +51,32 @@ def _stub_is_corpus(obj):
     return False, lst
 
 
+class _SaveLoad:
+    """utils.SaveLoad stand-in — persistence is exercised through the
+    graft's own writers, never through the stub."""
+
+    def save(self, *args, **kwargs):
+        raise NotImplementedError("stub SaveLoad")
+
+    @classmethod
+    def load(cls, *args, **kwargs):
+        raise NotImplementedError("stub SaveLoad")
+
+    def add_lifecycle_event(self, *args, **kwargs):
+        pass
+
+
+def _stub_prune_vocab(vocab, min_reduce, trim_rule=None):
+    """utils.prune_vocab (utils.py:1724-1755): drop count <= min_reduce,
+    return the pruned mass."""
+    result = 0
+    for w in list(vocab):
+        if vocab[w] <= min_reduce:
+            result += vocab[w]
+            del vocab[w]
+    return result
+
+
 def load_reference_module(relpath: str, name: str):
     """Execute ``{REFERENCE_ROOT}/{relpath}`` with the stub gensim package
     installed; returns the loaded module."""
@@ -66,6 +92,16 @@ def load_reference_module(relpath: str, name: str):
     utils.identity = lambda x: x
     utils.is_corpus = _stub_is_corpus
     utils.deprecated = lambda _msg: (lambda fn: fn)
+    utils.SaveLoad = _SaveLoad
+    utils.prune_vocab = _stub_prune_vocab
+    utils.revdict = lambda d: {v: k for k, v in dict(d).items()}
+    utils.to_utf8 = lambda s, *a, **k: (
+        s.encode("utf8") if isinstance(s, str) else bytes(s))
+    utils.to_unicode = lambda s, *a, **k: (
+        s.decode("utf8") if isinstance(s, bytes) else str(s))
+    utils.any2unicode = utils.to_unicode
+    from gensim_spark.sources.formats import copen as _copen
+    utils.open = lambda fname, mode="rb", *a, **k: _copen(fname, mode)
     matutils = types.ModuleType("gensim.matutils")
     matutils.unitvec = _stub_unitvec
     pkg.interfaces, pkg.utils, pkg.matutils = interfaces, utils, matutils
@@ -80,6 +116,9 @@ def load_reference_module(relpath: str, name: str):
         spec = importlib.util.spec_from_file_location(
             name, f"{REFERENCE_ROOT}/{relpath}")
         mod = importlib.util.module_from_spec(spec)
+        # registered under its own name so pickle round-trips of module
+        # functions (e.g. Phrases' scoring-fn pickleability check) resolve
+        sys.modules[name] = mod
         spec.loader.exec_module(mod)
     finally:
         for k, v in saved.items():

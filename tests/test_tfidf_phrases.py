@@ -474,3 +474,43 @@ def test_live_reference_normmodel_parity(spark, common_texts, norm):
     assert set(got) == set(want)
     for key in want:
         assert got[key] == pytest.approx(want[key], abs=1e-12), key
+
+
+@pytest.mark.parametrize("scoring,conn", [
+    ("default", frozenset()),
+    ("npmi", frozenset()),
+    ("default", frozenset({"of", "the"})),
+])
+def test_live_reference_phrases_parity(spark, scoring, conn):
+    """LIVE Phrases oracle (models/phrases.py run standalone):
+    export_phrases scores and the frozen transform compared per sentence."""
+    from tests.refload import load_reference_module
+
+    from gensim_spark.operators import phrases as PH
+
+    ref = load_reference_module("models/phrases.py", "ref_phrases")
+    texts = [["new", "york", "city"], ["new", "york", "times"],
+             ["york", "city", "hall"], ["new", "york"],
+             ["bank", "of", "america"], ["bank", "of", "america"],
+             ["bank", "of", "england"], ["the", "bank"]] * 3
+    min_count, threshold = 2, (0.5 if scoring == "npmi" else 10.0)
+
+    model = ref.Phrases(texts, min_count=min_count, threshold=threshold,
+                        scoring=scoring, connector_words=conn)
+    want = dict(model.export_phrases())
+
+    df = docs_df(spark, texts)
+    got = {r["phrase"]: r["score"]
+           for r in PH.export_phrases(df, threshold=threshold,
+                                      min_count=min_count, scoring=scoring,
+                                      connector_words=conn).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+    frozen = ref.FrozenPhrases(model)
+    merged = {r["doc_id"]: list(r["tokens"])
+              for r in PH.apply_phrases(df, set(got),
+                                        connector_words=conn).collect()}
+    for i, doc in enumerate(texts):
+        assert merged[i] == frozen[doc], (i, doc)
