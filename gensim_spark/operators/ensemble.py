@@ -307,6 +307,7 @@ def ensemble_lda_fit(postings: DataFrame, num_topics: int = 10,
     from pyspark.sql import functions as F
 
     from gensim_spark.operators import lda as LD
+    from gensim_spark.operators.lda import infer_dim
 
     if num_terms is None:
         num_terms = infer_dim(postings, "term_id")

@@ -44,7 +44,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gensim_spark.operators.lda import corpus_bow
+from gensim_spark.operators.lda import corpus_bow, infer_dim
 
 
 def _mix_seed(base_seed: int, update_no: int, iteration: int) -> int:

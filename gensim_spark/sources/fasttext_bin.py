@@ -176,10 +176,9 @@ def to_fasttext_model(bin_model: FtBin):
     ngram/FNV semantics, cum_table/sample_ints from the stored counts."""
     from gensim_spark.operators.fasttext import (FastTextModel,
                                                  ft_ngram_hashes)
-    from gensim_spark.operators.word2vec import (make_cum_table,
+    from gensim_spark.operators.word2vec import (build_huffman_tree,
+                                                 make_cum_table,
                                                  make_sample_ints)
-
-    from gensim_spark.operators.word2vec import build_huffman_tree
 
     p = bin_model.params
     nwords = bin_model.nwords

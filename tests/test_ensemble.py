@@ -128,3 +128,13 @@ def test_ensemble_distributed_distance_same_result(spark):
     a = EN.ensemble_lda_fit(postings, distributed_distance=False, **kw)
     b = EN.ensemble_lda_fit(postings, distributed_distance=True, **kw)
     np.testing.assert_allclose(a.get_topics(), b.get_topics(), atol=1e-12)
+
+
+def test_ensemble_fit_infers_num_terms(spark):
+    from gensim_spark.operators.ensemble import ensemble_lda_fit
+
+    postings = spark.createDataFrame(
+        [(d, t, 2.0) for d in range(8) for t in range(5)],
+        "doc_id long, term_id long, tf double")
+    e = ensemble_lda_fit(postings, num_topics=2, num_models=2, passes=1)
+    assert e.ttda.shape[1] == 5

@@ -225,3 +225,13 @@ def test_doc_factors_is_artifact_form_of_doc_topics(spark):
     assert set(got) == set(want)
     for key in got:
         assert got[key] == pytest.approx(want[key], rel=1e-12)
+
+
+def test_nmf_fit_infers_num_terms(spark):
+    from gensim_spark.operators.nmf import nmf_fit
+
+    postings = spark.createDataFrame(
+        [(d, t, 1.0) for d in range(6) for t in range(4)],
+        "doc_id long, term_id long, tf double")
+    m = nmf_fit(postings, num_topics=2, passes=1)
+    assert m.num_tokens == 4
