@@ -283,6 +283,10 @@ class IceTable:
         between ``stage_write`` and ``commit_staged`` — exactly why real
         Iceberg's ``remove_orphan_files`` defaults to a 3-day threshold.
         """
+        # a stale handle would treat files committed by another writer
+        # since load() as orphans — liveness must come from the CURRENT
+        # table version
+        self.refresh()
         live = set()
         for s in self.meta["snapshots"]:
             for name in self._state_manifest_names(s):
@@ -436,31 +440,84 @@ class IceTable:
         """Drop all but the last ``keep_last`` snapshots of the current
         history; delete manifests and data files no longer referenced by any
         surviving snapshot. Returns {snapshots, manifests, data_files}
-        removal counts."""
-        snaps = self.meta["snapshots"]
-        if len(snaps) <= keep_last:
-            return {"snapshots": 0, "manifests": 0, "data_files": 0}
-        keep = snaps[-keep_last:]
-        if self.meta["current-snapshot-id"] not in {
-            s["snapshot-id"] for s in keep
-        }:
-            raise ValueError("cannot expire the current snapshot")
-        drop = snaps[:-keep_last]
-        # Liveness over the FULL state of every kept snapshot (its manifest
-        # list = the ancestor closure of its appends), not just its own
-        # delta manifest — an append snapshot's state includes files added
-        # by expired ancestors, and those must survive.
-        live_manifests: set[str] = set()
-        for s in keep:
-            live_manifests.update(self._state_manifest_names(s))
-        live_files = set()
-        for name in live_manifests:
-            for fentry in self._read_manifest(name):
-                live_files.add(fentry["path"])
+        removal counts.
+
+        Commit-then-clean, like real Iceberg: the trimmed metadata commits
+        FIRST (refresh + optimistic retry on conflict, same protocol as
+        ``_commit_files``), and files are unlinked only after the commit
+        succeeded — a lost race or a crash can strand unreferenced files
+        for ``remove_orphans``, never metadata that points at deleted
+        files. Kept snapshots that predate manifest-lists get one
+        synthesized and persisted before their ancestors leave the
+        snapshot list (their state would otherwise silently truncate to
+        the snapshots still listed)."""
+        for _attempt in range(_MAX_COMMIT_RETRIES):
+            self.refresh()
+            snaps = self.meta["snapshots"]
+            if len(snaps) <= keep_last:
+                return {"snapshots": 0, "manifests": 0, "data_files": 0}
+            keep = snaps[-keep_last:]
+            if self.meta["current-snapshot-id"] not in {
+                s["snapshot-id"] for s in keep
+            }:
+                raise ValueError("cannot expire the current snapshot")
+            drop = snaps[:-keep_last]
+            # Liveness over the FULL state of every kept snapshot (its
+            # manifest list = the ancestor closure of its appends), not
+            # just its own delta manifest — an append snapshot's state
+            # includes files added by expired ancestors, which must
+            # survive. Computed (with the drop snapshots' state) BEFORE
+            # the commit, while the parent-walk fallback still sees the
+            # full snapshot list.
+            live_manifests: set[str] = set()
+            for s in keep:
+                live_manifests.update(self._state_manifest_names(s))
+            live_files = set()
+            for name in live_manifests:
+                for fentry in self._read_manifest(name):
+                    live_files.add(fentry["path"])
+            drop_state = [(s, self._state_manifest_names(s)) for s in drop]
+
+            new_meta = json.loads(json.dumps(self.meta))
+            kept_meta = new_meta["snapshots"][-keep_last:]
+            synthesized: list[str] = []
+            for s_meta in kept_meta:
+                if s_meta.get("manifest-list") is None:
+                    entries = self._manifest_list_entries(s_meta)
+                    mlist_name = (f"snap-{s_meta['snapshot-id']}-"
+                                  f"{_uuid.uuid4().hex}.manifest-list.json")
+                    with open(os.path.join(self._meta_dir, mlist_name),
+                              "w") as f:
+                        json.dump({"manifest-list-format":
+                                   "json (avro in the iceberg spec; no "
+                                   "avro writer in this environment)",
+                                   "entries": entries}, f, indent=1)
+                    s_meta["manifest-list"] = mlist_name
+                    synthesized.append(mlist_name)
+            new_meta["snapshots"] = kept_meta
+            dropped_ids = {s["snapshot-id"] for s in drop}
+            new_meta["snapshot-log"] = [
+                e for e in new_meta["snapshot-log"]
+                if e["snapshot-id"] not in dropped_ids
+            ]
+            new_meta["last-updated-ms"] = _now_ms()
+            try:
+                self._write_version(self.version + 1, new_meta)
+            except CommitConflict:
+                for name in synthesized:
+                    os.unlink(os.path.join(self._meta_dir, name))
+                continue
+            self.meta, self.version = new_meta, self.version + 1
+            break
+        else:
+            raise CommitConflict(
+                f"gave up after {_MAX_COMMIT_RETRIES} optimistic retries")
+
+        # clean-up phase: only after the trimmed metadata is durable
         removed_data = 0
         removed_manifests = 0
-        for s in drop:
-            for name in self._state_manifest_names(s):
+        for _s, state_names in drop_state:
+            for name in state_names:
                 if name in live_manifests:
                     continue
                 for fentry in self._read_manifest(name):
@@ -473,22 +530,14 @@ class IceTable:
                     os.unlink(mpath)
                     removed_manifests += 1
                 live_manifests.add(name)  # shared-by-dropped: delete once
+        for s, _names in drop_state:
             mlist = s.get("manifest-list")
             if mlist is not None:
                 mlpath = os.path.join(self._meta_dir, mlist)
                 if os.path.exists(mlpath):
                     os.unlink(mlpath)
-        new_meta = json.loads(json.dumps(self.meta))
-        new_meta["snapshots"] = keep
-        dropped_ids = {s["snapshot-id"] for s in drop}
-        new_meta["snapshot-log"] = [
-            e for e in new_meta["snapshot-log"]
-            if e["snapshot-id"] not in dropped_ids
-        ]
-        new_meta["last-updated-ms"] = _now_ms()
-        self._write_version(self.version + 1, new_meta)
-        self.meta, self.version = new_meta, self.version + 1
-        return {"snapshots": len(drop), "manifests": removed_manifests,
+        return {"snapshots": len(drop_state),
+                "manifests": removed_manifests,
                 "data_files": removed_data}
 
     # --- read path -----------------------------------------------------------
@@ -578,8 +627,12 @@ class IceTable:
         if not files:
             ddl = self.meta["schema"]["ddl"]
             if part_names:
-                extra = [f"{p} bigint" for p in part_names
-                         if f"{p} " not in ddl]
+                # parse the column NAMES — a substring test would miss a
+                # partition column whose name suffixes another column
+                # ("id" vs "doc_id"), diverging from the non-empty scan
+                cols = {c.strip().split()[0]
+                        for c in ddl.split(",") if c.strip()}
+                extra = [f"{p} bigint" for p in part_names if p not in cols]
                 if extra:
                     ddl = ddl + ", " + ", ".join(extra)
             return spark.createDataFrame([], ddl)

@@ -92,14 +92,19 @@ def pack_run(doc_ids: np.ndarray, weights: np.ndarray,
     weights = np.asarray(weights, dtype=np.float32)
     n = doc_ids.size
     nblocks = (n + block_size - 1) // block_size
-    bmax = np.empty(nblocks, dtype=np.float32)
-    blast = np.empty(nblocks, dtype=np.int64)
-    bfirst = np.empty(nblocks, dtype=np.int64)
-    for i in range(nblocks):
-        sl = slice(i * block_size, min((i + 1) * block_size, n))
-        bmax[i] = np.abs(weights[sl]).max()
-        blast[i] = doc_ids[sl.stop - 1]
-        bfirst[i] = doc_ids[sl.start]
+    if n:
+        # vectorized per-block stats (a head term has ~n/128 blocks — a
+        # Python loop here was the one per-block interpreter pass in the
+        # build hot path)
+        starts = np.arange(nblocks, dtype=np.int64) * block_size
+        ends = np.minimum(starts + block_size, n) - 1
+        bmax = np.maximum.reduceat(np.abs(weights), starts)
+        blast = doc_ids[ends]
+        bfirst = doc_ids[starts]
+    else:
+        bmax = np.empty(0, dtype=np.float32)
+        blast = np.empty(0, dtype=np.int64)
+        bfirst = np.empty(0, dtype=np.int64)
     if n:
         deltas = np.empty_like(doc_ids)
         deltas[0] = doc_ids[0]

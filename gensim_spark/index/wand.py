@@ -153,7 +153,10 @@ def _wand(term_runs, k, block_size=packing.BLOCK_SIZE, stats=None):
     nt = len(runs)
     if nt == 0:
         return []
-    bmax_l = [r.bmax * qw for r, qw in runs]
+    # |qw|: block maxima are max|w| — in the (qw<0, all-weights≤0) case
+    # this path admits, contributions w·qw are POSITIVE up to |qw|·max|w|;
+    # scaling by signed qw would flip the bound negative and prune winners
+    bmax_l = [r.bmax * abs(qw) for r, qw in runs]
     blast_l = [r.blast for r, _ in runs]
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
 
@@ -195,8 +198,11 @@ def _wand(term_runs, k, block_size=packing.BLOCK_SIZE, stats=None):
     evaluated = 0
     for s in order.tolist():
         th = heap[0][0] if len(heap) >= k else 0.0
-        if len(heap) >= k and seg_ub[s] <= th:
-            break  # sorted desc: every remaining segment is ≤ θ too
+        # strict <: a segment with ub == θ can still hold a doc scoring
+        # exactly θ that wins the ascending-doc-id tie-break (the candidate
+        # filters below use ≥ for the same reason)
+        if len(heap) >= k and seg_ub[s] < th:
+            break  # sorted desc: every remaining segment is < θ too
         seg_lo = int(bounds[s - 1]) + 1 if s > 0 else -(1 << 62)
         seg_hi = int(bounds[s])
         slices = []
@@ -227,7 +233,9 @@ def _wand(term_runs, k, block_size=packing.BLOCK_SIZE, stats=None):
         n_ess = len(slices)
         if len(heap) >= k:
             tail_ub = 0.0
-            while n_ess > 1 and tail_ub + slices[n_ess - 1][0] <= th:
+            # strict <, matching the segment break: a tail summing exactly
+            # to θ can complete a θ-scoring doc that wins the doc tie-break
+            while n_ess > 1 and tail_ub + slices[n_ess - 1][0] < th:
                 tail_ub += slices[n_ess - 1][0]
                 n_ess -= 1
         ess, ness = slices[:n_ess], slices[n_ess:]

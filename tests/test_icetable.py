@@ -391,3 +391,83 @@ def test_random_op_sequences_match_model(spark, tmp_path, simple_df):
             hist = {r["doc_id"]
                     for r in t2.scan(spark, snapshot_id=sid).collect()}
             assert hist == want, (trial, sid)
+
+
+def test_expire_synthesizes_manifest_list_for_old_format_snapshots(
+        spark, tmp_path, simple_df):
+    """A kept snapshot written before manifest-lists existed resolves its
+    state through the parent walk — expire must persist a synthesized
+    manifest-list BEFORE dropping ancestors, or the kept snapshot's scans
+    silently lose the ancestors' rows."""
+    from gensim_spark.index.icetable import IceTable
+
+    loc = str(tmp_path / "old_format")
+    t = IceTable.create(loc, "doc_id bigint, term_id bigint, weight double")
+    t.append(simple_df(0, 5))
+    t.append(simple_df(5, 9))
+    # simulate the pre-round-3 format: strip manifest-list from every
+    # snapshot in the CURRENT metadata version (and remove the files)
+    mpath = os.path.join(loc, "metadata", f"v{t.version}.metadata.json")
+    with open(mpath) as f:
+        meta = json.load(f)
+    for s in meta["snapshots"]:
+        ml = s.pop("manifest-list", None)
+        if ml:
+            os.unlink(os.path.join(loc, "metadata", ml))
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+
+    t = IceTable.load(loc)
+    assert all(s.manifest_list is None for s in t.snapshots)
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["snapshots"] == 1
+    # the kept snapshot must still see BOTH appends' rows
+    assert _rows(t.scan(spark)) == [(i,) for i in range(9)]
+    # and survive a reload (state no longer depends on dropped ancestors)
+    assert _rows(IceTable.load(loc).scan(spark)) == [(i,) for i in range(9)]
+
+
+def test_expire_commits_before_deleting(spark, tmp_path, simple_df):
+    """Commit-then-clean: a conflicting commit between refresh and
+    _write_version must leave every referenced file intact (the expire
+    retries against the new version instead of deleting first)."""
+    from gensim_spark.index.icetable import IceTable
+
+    loc = str(tmp_path / "race")
+    t = IceTable.create(loc, "doc_id bigint, term_id bigint, weight double")
+    t.append(simple_df(0, 5), operation="overwrite")
+    t.append(simple_df(5, 9), operation="overwrite")
+
+    other = IceTable.load(loc)
+    real_write = t._write_version
+    raced = {"done": False}
+
+    def race_once(new_version, meta):
+        if not raced["done"]:
+            raced["done"] = True
+            other.append(simple_df(100, 102))  # steals the version
+        real_write(new_version, meta)
+
+    t._write_version = race_once
+    t.expire_snapshots(keep_last=1)
+    # every surviving snapshot scans cleanly after the race
+    final = IceTable.load(loc)
+    got = _rows(final.scan(spark))
+    assert (100,) in got and (101,) in got
+
+
+def test_remove_orphans_refreshes_before_liveness(spark, tmp_path,
+                                                  simple_df):
+    """A stale handle must not treat files committed by ANOTHER writer as
+    orphans."""
+    from gensim_spark.index.icetable import IceTable
+
+    loc = str(tmp_path / "orph")
+    t = IceTable.create(loc, "doc_id bigint, term_id bigint, weight double")
+    t.append(simple_df(0, 5))
+    stale = IceTable.load(loc)
+    writer = IceTable.load(loc)
+    writer.append(simple_df(5, 9))
+    removed = stale.remove_orphans(older_than_s=0.0)
+    assert removed == 0
+    assert _rows(IceTable.load(loc).scan(spark)) == [(i,) for i in range(9)]

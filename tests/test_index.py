@@ -220,3 +220,47 @@ def test_wand_on_common_texts_matches_oracle(spark, common_texts, tmp_path):
         assert [d for d, _ in by_q.get(qid, [])] == [d for d, _ in want]
         for (gd, gs), (wd, ws) in zip(by_q.get(qid, []), want):
             assert gs == pytest.approx(ws, rel=1e-6)  # float32 weights
+
+
+def _mk_run(rng, n, sign=1, dup_weights=False, eager_max=None):
+    from gensim_spark.index import packing, wand
+
+    ids = np.sort(rng.choice(20000, size=n, replace=False)).astype(np.int64)
+    if dup_weights:
+        ws = np.full(n, 0.5, dtype=np.float32) * sign  # exact binary float
+    else:
+        ws = (rng.random(n).astype(np.float32) + 0.01) * sign
+    run = packing.pack_run(ids, ws)
+    return wand._TermRun(run["doc_blob"], run["weight_blob"],
+                         run["block_max"], run["block_last_doc"],
+                         run["block_first_doc"], run["block_offset"],
+                         eager_max=eager_max)
+
+
+def test_wand_negative_qw_and_theta_ties_match_exhaustive():
+    """Kernel fuzz for two pruning soundness cases: (a) a NEGATIVE query
+    weight over an all-negative run (the epsilon-clamp negative-idf shape)
+    — block bounds must scale by |qw|, a signed scale flips them negative
+    and prunes winners; (b) duplicated weights force segments whose upper
+    bound EQUALS θ, where a doc scoring exactly θ still wins the
+    ascending-doc-id tie-break — the prune conditions must be strict."""
+    from gensim_spark.index import wand
+
+    rng = np.random.default_rng(0)
+    for trial in range(60):
+        nt = int(rng.integers(2, 5))
+        runs = []
+        for _t in range(nt):
+            sign = -1 if rng.random() < 0.4 else 1
+            dup = rng.random() < 0.5
+            r = _mk_run(rng, int(rng.integers(5, 2000)), sign, dup,
+                        eager_max=0 if rng.random() < 0.5 else None)
+            qw = float(rng.integers(1, 4)) * sign   # sign-matched: WAND path
+            runs.append((r, qw))
+        for k in (1, 3, 10):
+            got = wand._wand(runs, k)
+            want = wand._exhaustive(
+                [(r.all_docs(), r.weights, qw) for r, qw in runs], k)
+            assert [d for d, _ in got] == [d for d, _ in want], (trial, k)
+            for (dg, sg), (dw, sw) in zip(got, want):
+                assert sg == pytest.approx(sw, rel=1e-9)
