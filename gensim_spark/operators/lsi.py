@@ -61,25 +61,11 @@ def sign_cols(term_col, ell: int) -> list:
 
 
 def _agg_matmul(rows: DataFrame, key: str, in_cols: list[str],
-                weight: str, out_prefix: str, n_out: int,
-                coeff=None) -> DataFrame:
+                weight: str, out_prefix: str, n_out: int) -> DataFrame:
     """groupBy(key).agg(Σ weight·in_col_j) for j — one join-free hash-agg.
-
-    With ``coeff`` (an (n_in × n_out) numpy matrix) computes
-    ``Σ weight · Σ_j in_j·coeff[j, i]`` instead — multiply by a small
-    driver-side matrix without ever collecting the big side.
-    """
-    if coeff is None:
-        exprs = [F.sum(F.col(weight) * F.col(c)).alias(f"{out_prefix}{i}")
-                 for i, c in enumerate(in_cols)]
-    else:
-        exprs = []
-        for i in range(n_out):
-            lin = None
-            for j, c in enumerate(in_cols):
-                term = F.col(c) * F.lit(float(coeff[j, i]))
-                lin = term if lin is None else lin + term
-            exprs.append(F.sum(F.col(weight) * lin).alias(f"{out_prefix}{i}"))
+    Small driver-side matrix multiplies live in :func:`_wide_times`."""
+    exprs = [F.sum(F.col(weight) * F.col(c)).alias(f"{out_prefix}{i}")
+             for i, c in enumerate(in_cols)]
     return rows.groupBy(key).agg(*exprs)
 
 
@@ -183,6 +169,11 @@ def lsi_fit(postings: DataFrame, num_topics: int = 200,
                         ell).cache()
         y_new = _agg_matmul(postings.join(z, "term_id"), "doc_id", y_cols, w,
                             "y", ell).cache()
+        # materialize THROUGH the caches before releasing them — an
+        # unpersist while y_new is still lazy would force the next
+        # iteration to recompute the whole q/z chain from postings,
+        # turning power_iters passes into O(power_iters²)
+        y_new.count()
         y.unpersist()
         z.unpersist()
         y = y_new
@@ -204,9 +195,14 @@ def lsi_fit(postings: DataFrame, num_topics: int = 200,
     # does when rank < k, lsimodel.py:235-239)
     safe = np.where(s > 1e-12, s, np.inf)
     wmat = evecs[:, order] / safe[np.newaxis, :]
-    u = _wide_times(b, "term_id", b_cols, wmat, "t")
+    # materialize the basis, then release every fit-local cache — a
+    # long-lived projection (repeated add_documents) must not pin one
+    # ℓ-wide cached frame per update
+    u = _wide_times(b, "term_id", b_cols, wmat, "t") \
+        .localCheckpoint(eager=True)
     y.unpersist()
     q.unpersist()
+    b.unpersist()
     out = LsiProjection(u, s, k)
     out.k_requested = k
     return out
@@ -346,22 +342,14 @@ def merge_projections(p1: LsiProjection, p2: LsiProjection,
         m1 = m1 * flip[np.newaxis, :]
         m2 = m2 * flip[np.newaxis, :]
 
-    outs = []
-    for i in range(kc):
-        lin = None
-        for j, col in enumerate(a_cols):
-            term = F.col(col) * F.lit(float(m1[j, i]))
-            lin = term if lin is None else lin + term
-        for j, col in enumerate(b_cols):
-            lin = lin + F.col(col) * F.lit(float(m2[j, i]))
-        outs.append(lin.alias(f"t{i}"))
+    rot = np.vstack([m1, m2])                 # (n1+n2) × kc
     # materialize the rotated basis, then release the joined cache — a
     # long-lived projection under repeated add_documents must not pin one
     # full-width cached frame per update. checkpoint=False keeps the lazy
     # rotation plan (tools/explain_plans.py captures it as evidence) but
     # still drops the cache: the Gram passes above already consumed it,
     # and a later evaluation of the lazy u just recomputes the join.
-    u = joined.select("term_id", *outs)
+    u = _wide_times(joined, "term_id", a_cols + b_cols, rot, "t")
     if checkpoint:
         u = u.localCheckpoint(eager=True)
     joined.unpersist()

@@ -261,13 +261,20 @@ def wmd_exact_candidates(doc_nbow: DataFrame, query_nbow: DataFrame,
         F.col("rwmd").asc(), F.col("doc_id").asc())
     prefetch = (r.withColumn("_rk", F.row_number().over(w_r))
                 .filter(F.col("_rk") <= k).drop("_rk"))
-    exact1 = wmd_pairs(doc_nbow, query_nbow, prefetch, dim=dim)
+    # the LP stage is the expensive Python path and exact1 feeds BOTH the
+    # θ computation and the returned union — materialize it once so the
+    # k·|queries| prefetch solves never run twice; the RWMD cache can then
+    # be released (the band filter below is the last reader)
+    exact1 = wmd_pairs(doc_nbow, query_nbow, prefetch, dim=dim) \
+        .localCheckpoint(eager=True)
     theta = exact1.groupBy("query_id").agg(F.max("wmd").alias("_theta"))
     band = (r.join(prefetch.select("query_id", "doc_id"),
                    ["query_id", "doc_id"], "left_anti")
             .join(theta, "query_id")
             .filter(F.col("rwmd") <= F.col("_theta") + eps))
-    exact2 = wmd_pairs(doc_nbow, query_nbow, band, dim=dim)
+    exact2 = wmd_pairs(doc_nbow, query_nbow, band, dim=dim) \
+        .localCheckpoint(eager=True)
+    r.unpersist()
     return exact1.unionByName(exact2)
 
 
