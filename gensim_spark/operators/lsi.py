@@ -167,13 +167,17 @@ def lsi_fit(postings: DataFrame, num_topics: int = 200,
         q = _wide_times(y, "doc_id", y_cols, rinv, "y")
         z = _agg_matmul(postings.join(q, "doc_id"), "term_id", y_cols, w, "y",
                         ell).cache()
+        # eager localCheckpoint does two jobs at once: it materializes
+        # THROUGH z's cache before the unpersists below (an unpersist while
+        # y_new is still lazy would force the next iteration to recompute
+        # the whole q/z chain — O(power_iters²) corpus passes), and it
+        # TRUNCATES the logical plan to a LogicalRDD. cache()+count() is not
+        # enough for the latter: the analyzed tree still embeds both
+        # postings joins of every prior iteration, so Catalyst re-analysis
+        # doubles per iteration (measured: 4.3 s/iter for p≤2, then 35 s at
+        # p=3). Superseded RDD blocks are GC-unpersisted by ContextCleaner.
         y_new = _agg_matmul(postings.join(z, "term_id"), "doc_id", y_cols, w,
-                            "y", ell).cache()
-        # materialize THROUGH the caches before releasing them — an
-        # unpersist while y_new is still lazy would force the next
-        # iteration to recompute the whole q/z chain from postings,
-        # turning power_iters passes into O(power_iters²)
-        y_new.count()
+                            "y", ell).localCheckpoint(eager=True)
         y.unpersist()
         z.unpersist()
         y = y_new
