@@ -39,7 +39,7 @@ def test_ft_hash_fnv1a_signed_quirk():
     def ref(bz):
         h = np.uint32(2166136261)
         for b in bz:
-            signed = np.int8(b)
+            signed = np.uint8(b).view(np.int8)
             h = np.uint32(h ^ np.uint32(np.int32(signed)))
             h = np.uint32(h * np.uint32(16777619))
         return int(h)
