@@ -37,12 +37,12 @@ def test_compute_ngrams_bytes_reference_goldens():
 def test_ft_hash_fnv1a_signed_quirk():
     # independent FNV-1a with signed-char XOR (Facebook dictionary.cc)
     def ref(bz):
-        h = np.uint32(2166136261)
+        h = 2166136261
         for b in bz:
-            signed = np.uint8(b).view(np.int8)
-            h = np.uint32(h ^ np.uint32(np.int32(signed)))
-            h = np.uint32(h * np.uint32(16777619))
-        return int(h)
+            signed = b - 256 if b >= 128 else b  # int8 view of the byte
+            h ^= signed & 0xFFFFFFFF             # sign-extend to uint32
+            h = (h * 16777619) & 0xFFFFFFFF
+        return h
 
     for w in [b"test", b"<te", "тест".encode("utf-8"), b"\xff\x80ab"]:
         assert FT.ft_hash_bytes(w) == ref(w)
