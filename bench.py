@@ -278,6 +278,20 @@ def run_suite():
             "measured": "round 4, BASELINE.md (4x postings -> 1.5x WAND "
                         "wall; rank identity asserted in-run)",
         },
+        # measured via bench.scaling_run(32, n) at n=1M and 4M docs
+        # (round 4, BASELINE.md): the data-size axis of the scaling story —
+        # 4x the docs costs 4.005x the wall at fixed cores (docs/sec flat at
+        # ~22k), i.e. constant per-doc cost; cleanest same-window pair 3.85x
+        "data_scaling_reference": {
+            "cores": 32, "docs_1m": 1000000, "t_1m_sec": 45.38,
+            "docs_4m": 4000000, "t_4m_sec": 181.75,
+            "docs_per_sec_1m": 22037.0, "docs_per_sec_4m": 22009.0,
+            "wall_ratio_4x_docs": 4.005, "docs_per_sec_ratio": 0.999,
+            "measured": "round 4, BASELINE.md (min over 5 interleaved "
+                        "fresh-subprocess reps per size; rep spread "
+                        "45-122 s on the identical 1M job is the "
+                        "documented hypervisor steal noise)",
+        },
         # measured via _salting_evidence(1_000_000) (round 3): head-term
         # skew handling on the bucketed store — salted build bounds every
         # parquet file at ~df/salts so no scan task is df-sized
