@@ -336,6 +336,18 @@ def _q_simhash(spark, sf_dir):
     return D.simhash(_tokenized(spark, sf_dir), bits=_SIMHASH_BITS)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Full near-dup pipeline: MinHash → LSH pairs → connected components
+    (large-star/small-star) → every doc labeled with its cluster's canonical
+    min doc_id + a keep flag. Oracle: recursive-CTE min-label reachability."""
+    from gensim_spark.operators import dedup as D
+
+    tok = _tokenized(spark, sf_dir)
+    sigs = D.minhash_signatures(tok, **_MINHASH)
+    pairs = D.minhash_band_pairs(sigs, **_BANDS)
+    return D.dedup_clusters(_docs(spark, sf_dir).select("doc_id"), pairs)
+
+
 def _q_rp_topics(spark, sf_dir):
     """Random-projection doc vectors (rpmodel.py:50-155): hash-derived ±1
     Achlioptas matrix as a pure relational expression — DuckDB replicates
@@ -1266,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash_signatures,
         "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "rp_topics": _q_rp_topics,
@@ -1463,6 +1476,31 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band_id = b.band_id AND a.band_hash = b.band_hash
 WHERE a.doc_id < b.doc_id
+"""
+
+
+def _dedup_clusters_sql() -> str:
+    """Connected components of the LSH pair graph as a DuckDB recursive CTE:
+    seed (node, node) per edge endpoint, propagate labels along symmetric
+    edges to a fixpoint, take min(label) per node = component min — an
+    implementation-independent oracle for the large-star/small-star result."""
+    pairs_q = _minhash_pairs_sql()
+    head, select_tail = pairs_q.rsplit("SELECT DISTINCT", 1)
+    prelude = head.replace("WITH ", "WITH RECURSIVE ", 1).rstrip().rstrip(",")
+    return f"""{prelude},
+pairs AS (SELECT DISTINCT{select_tail}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.cluster, d.doc_id) AS cluster_id,
+       coalesce(c.cluster, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
@@ -2445,6 +2483,7 @@ SELECT doc_id, md5(text) AS text_hash,
 FROM documents""",
         "minhash_signatures": _minhash_sig_sql(),
         "dedup_minhash_pairs": _minhash_pairs_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "simhash": _simhash_sql(),
         "rp_topics": _rp_sql(),

@@ -220,3 +220,105 @@ def embedding_near_dups_lsh(embeddings: DataFrame, threshold: float = 0.95,
                 cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(pairs: DataFrame, src_col: str = "doc_a",
+                         dst_col: str = "doc_b",
+                         max_iter: int = 50) -> DataFrame:
+    """(node, component): component = min node id of each connected component
+    of the undirected candidate-pair graph.
+
+    The missing last stage of a near-dup pipeline: LSH emits *pairs*, but a
+    keep/drop decision needs *clusters* (a chain a-b, b-c must collapse to
+    one canonical doc even though (a, c) was never emitted as a pair).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", ACM SoCC 2014) — the
+    standard shuffle-based CC method. Each round is two hash-aggregations +
+    joins on node id; converges in O(log^2 n) rounds (2-3 rounds for the
+    shallow clusters near-dup graphs produce). Nothing is ever collected to
+    the driver except the one-row convergence probe, so this holds at
+    10^12-edge scale; per-round ``localCheckpoint`` truncates the iterative
+    plan lineage (SCALE.md discipline).
+
+    * large-star(u): connect every neighbor v > u to m(u) = min(Γ(u) ∪ {u}).
+    * small-star(u): orient edges toward the larger endpoint, connect every
+      smaller neighbor and u itself to m(u).
+
+    At the fixpoint the edge set is a star forest (node → component min).
+    """
+    e = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _mins(edges: DataFrame) -> DataFrame:
+        return edges.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m"))
+
+    for _ in range(max_iter):
+        # large-star works on the full neighborhood of every node, so the
+        # (by now star-oriented) edge list is re-symmetrized each round.
+        sym = (
+            e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+            .distinct()
+        )
+        # large-star: emit (v, m(u)) for every neighbor v > u.
+        ls = (
+            sym.join(_mins(sym), "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star: orient toward the larger endpoint, emit (v, m) for the
+        # smaller neighbors and for u itself.
+        oriented = ls.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        ).distinct()
+        m = _mins(oriented)
+        ss = (
+            oriented.join(m, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(m.select(F.col("src"), F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint: both sides deduped, so equal counts + empty difference
+        # means set equality.
+        if ss.count() == e.count() and ss.exceptAll(e).limit(1).count() == 0:
+            e = ss
+            break
+        e = ss
+
+    roots = e.select(F.col("dst").alias("node")).distinct() \
+        .join(e.select(F.col("src").alias("node")).distinct(), "node",
+              "left_anti")
+    return (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+        .union(roots.select("node", F.col("node").alias("component")))
+    )
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   doc_col: str = "doc_id", src_col: str = "doc_a",
+                   dst_col: str = "doc_b") -> DataFrame:
+    """(doc_id, cluster_id, keep): every document labeled with the canonical
+    (minimum) doc id of its near-dup cluster; singletons label themselves.
+    ``keep`` marks the one survivor per cluster — the standard train-data
+    dedup contract (drop everything with keep = false)."""
+    comp = connected_components(pairs, src_col, dst_col)
+    out = (
+        docs.select(F.col(doc_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+    )
+    return out.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
