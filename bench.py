@@ -131,6 +131,18 @@ def run_suite():
     t, _ = timed_min(mh)
     results["dedup_minhash"] = round(t, 3)
 
+    # 5b. near-dup clustering: LSH pairs → connected components → keep/drop
+    # labels (the last stage of the dedup pipeline). Iterative: wall =
+    # star-rounds × (2 hash-aggs + joins), not data volume (the sf0.1 pair
+    # graph is shallow, 2-3 rounds).
+    def cc():
+        sigs = D.minhash_signatures(idx.docs, num_hashes=4)
+        pairs = D.minhash_band_pairs(sigs, bands=2, rows_per_band=2)
+        return D.dedup_clusters(idx.docs.select("doc_id"), pairs).count()
+
+    t, _ = timed_min(cc, reps=min(REPS, 2))
+    results["dedup_cc"] = round(t, 3)
+
     # 6. brute-force knn over embeddings
     from gensim_spark.operators import simsearch as S
 
@@ -292,6 +304,20 @@ def run_suite():
                         "45-122 s on the identical 1M job is the "
                         "documented hypervisor steal noise)",
         },
+        # measured via _cc_evidence() (round 4): connected-components dedup
+        # clustering at 2M nodes / 1.56M edges incl. a 64-deep chain worst
+        # case and a 50k-spoke skew hub — 7 star rounds, ground truth
+        # verified in-run (0 mismatches; final star forest = nodes −
+        # components edges exactly). Wall is rounds × job floor on this VM,
+        # not data volume — round count grows as log(diameter), so 100× the
+        # edges costs ~the same rounds.
+        "cc_reference": {
+            "nodes": 2056401, "edges": 1556300, "cores": 32, "rounds": 7,
+            "star_edges": 1556300, "wall_sec": 41.04,
+            "edges_per_sec": 37917.6, "largest_component": 50001,
+            "chain_len": 64, "mismatches": 0,
+            "measured": "round 4, BASELINE.md",
+        },
         # measured via _salting_evidence(1_000_000) (round 3): head-term
         # skew handling on the bucketed store — salted build bounds every
         # parquet file at ~df/salts so no scan task is df-sized
@@ -439,6 +465,66 @@ def _wand_bench_inner(n_docs: int, cores: int = 0) -> dict:
         shutil.rmtree(shard_dir, ignore_errors=True)
         spark.stop()
     return out
+
+
+def _cc_evidence(n_nodes: int = 2_000_000, cores: int = 0) -> dict:
+    """Connected-components at size (the dedup keep/drop stage): build a
+    deterministic synthetic pair graph — doublet blocks of 4 (the typical
+    shallow near-dup clusters), 100 chains of 64 (worst-case diameter:
+    forces ~log rounds), and one 50k-spoke boilerplate hub (the skew case a
+    404-page cluster produces) — run large-star/small-star, and verify every
+    node's component against the closed-form ground truth in-run.
+
+    Regenerate: python -c "import bench, json; print(json.dumps(bench._cc_evidence()))"
+    """
+    from pyspark.sql import functions as F
+
+    from gensim_spark.operators import dedup as D
+    from gensim_spark.session import get_spark
+
+    cores = cores or CPUS
+    spark = get_spark(f"cc_bench_{n_nodes}", master=f"local[{cores}]",
+                      shuffle_partitions=2 * cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    paths = (
+        spark.range(n_nodes).filter("id % 4 != 0")
+        .select((F.col("id") - 1).alias("doc_a"), F.col("id").alias("doc_b"))
+    )
+    chain_off, chain_len, n_chains = n_nodes, 64, 100
+    chains = (
+        spark.range(chain_off, chain_off + n_chains * chain_len)
+        .filter((F.col("id") - chain_off) % chain_len != 0)
+        .select((F.col("id") - 1).alias("doc_a"), F.col("id").alias("doc_b"))
+    )
+    hub, spokes = chain_off + n_chains * chain_len, 50_000
+    star = (
+        spark.range(hub + 1, hub + 1 + spokes)
+        .select(F.lit(hub).alias("doc_a"), F.col("id").alias("doc_b"))
+    )
+    pairs = paths.union(chains).union(star).cache()
+    n_edges = pairs.count()
+    stats: dict = {}
+    t0 = time.perf_counter()
+    comp = D.connected_components(pairs, stats=stats).cache()
+    n_labeled = comp.count()
+    wall = time.perf_counter() - t0
+    expected = (
+        F.when(F.col("node") < n_nodes, F.col("node") - F.col("node") % 4)
+        .when(F.col("node") < hub,
+              F.col("node") - (F.col("node") - chain_off) % chain_len)
+        .otherwise(F.lit(hub))
+    )
+    mismatches = comp.filter(F.col("component") != expected).count()
+    assert mismatches == 0, f"CC ground-truth mismatches: {mismatches}"
+    spark.stop()
+    return {
+        "nodes": n_labeled, "edges": n_edges, "cores": cores,
+        "rounds": stats["rounds"], "star_edges": stats["star_edges"],
+        "wall_sec": round(wall, 2),
+        "edges_per_sec": round(n_edges / wall, 1),
+        "largest_component": spokes + 1, "chain_len": chain_len,
+        "mismatches": mismatches,
+    }
 
 
 def _salting_evidence(n_docs: int = 1_000_000, cores: int = 0,

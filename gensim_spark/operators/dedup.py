@@ -223,8 +223,8 @@ def embedding_near_dups_lsh(embeddings: DataFrame, threshold: float = 0.95,
 
 
 def connected_components(pairs: DataFrame, src_col: str = "doc_a",
-                         dst_col: str = "doc_b",
-                         max_iter: int = 50) -> DataFrame:
+                         dst_col: str = "doc_b", max_iter: int = 50,
+                         stats: dict | None = None) -> DataFrame:
     """(node, component): component = min node id of each connected component
     of the undirected candidate-pair graph.
 
@@ -246,6 +246,8 @@ def connected_components(pairs: DataFrame, src_col: str = "doc_a",
       smaller neighbor and u itself to m(u).
 
     At the fixpoint the edge set is a star forest (node → component min).
+    ``stats`` (optional dict) receives build metrics: ``rounds`` (star
+    iterations run) and ``star_edges`` (final star-forest edge count).
     """
     e = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -258,7 +260,9 @@ def connected_components(pairs: DataFrame, src_col: str = "doc_a",
         return edges.groupBy("src").agg(
             F.least(F.min("dst"), F.first("src")).alias("m"))
 
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # large-star works on the full neighborhood of every node, so the
         # (by now star-oriented) edge list is re-symmetrized each round.
         sym = (
@@ -291,10 +295,15 @@ def connected_components(pairs: DataFrame, src_col: str = "doc_a",
         )
         # fixpoint: both sides deduped, so equal counts + empty difference
         # means set equality.
-        if ss.count() == e.count() and ss.exceptAll(e).limit(1).count() == 0:
+        n_ss = ss.count()
+        if n_ss == e.count() and ss.exceptAll(e).limit(1).count() == 0:
             e = ss
             break
         e = ss
+
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["star_edges"] = e.count()
 
     roots = e.select(F.col("dst").alias("node")).distinct() \
         .join(e.select(F.col("src").alias("node")).distinct(), "node",
