@@ -368,6 +368,18 @@ def _q_quality(spark, sf_dir):
     return TS.quality_stats(joined)
 
 
+def _q_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition filters (dup lines/paragraphs,
+    top-2-gram and duplicate-5-gram token fractions) — oracle recomputes the
+    n-gram counts relationally (unnest + GROUP BY) vs the operator's
+    Arrow-batched linear Counter, an independent implementation."""
+    from gensim_spark.operators import textstats as TS
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tok = _tokenized(spark, sf_dir)
+    return TS.repetition_stats(docs.join(tok, "doc_id"))
+
+
 def _q_lang_id(spark, sf_dir):
     from gensim_spark.operators import textstats as TS
 
@@ -1283,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "rp_topics": _q_rp_topics,
         "quality_stats": _q_quality,
+        "repetition_stats": _q_repetition,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "knn_cosine": _q_knn_cosine,
@@ -1476,6 +1489,47 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band_id = b.band_id AND a.band_hash = b.band_hash
 WHERE a.doc_id < b.doc_id
+"""
+
+
+def _repetition_sql() -> str:
+    """Gopher repetition stats recomputed relationally: line/paragraph dup
+    fractions from list_distinct, n-gram fractions from unnest + GROUP BY —
+    independent of the operator's Arrow Counter implementation."""
+    lines = ("list_filter(list_transform(string_split(text, chr(10)), "
+             "x -> trim(x)), x -> x <> '')")
+    paras = ("list_filter(list_transform(regexp_split_to_array(text, "
+             "'\\n{2,}'), x -> trim(x)), x -> x <> '')")
+    lchars = "list_sum(list_transform(ls, x -> len(x)))"
+    ldchars = "list_sum(list_transform(list_distinct(ls), x -> len(x)))"
+    return f"""{_PRELUDE},
+lined AS (SELECT doc_id, {lines} AS ls, {paras} AS ps FROM documents),
+g2 AS (SELECT doc_id,
+              unnest(list_transform(range(greatest(len(tokens) - 1, 0)),
+                     i -> array_to_string(tokens[i + 1 : i + 2], ' '))) AS g
+       FROM tok),
+g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+top2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS v FROM g2c GROUP BY doc_id),
+g5 AS (SELECT doc_id,
+              unnest(list_transform(range(greatest(len(tokens) - 4, 0)),
+                     i -> array_to_string(tokens[i + 1 : i + 5], ' '))) AS g
+       FROM tok),
+g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+dup5 AS (SELECT doc_id, (sum(c) - count(*))::DOUBLE / sum(c) AS v
+         FROM g5c GROUP BY doc_id)
+SELECT d.doc_id,
+  round(CASE WHEN len(ls) > 0 THEN
+    (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)
+    ELSE 0.0 END, 6) AS dup_line_frac,
+  round(CASE WHEN coalesce({lchars}, 0) > 0 THEN
+    ({lchars} - {ldchars})::DOUBLE / {lchars}
+    ELSE 0.0 END, 6) AS dup_line_char_frac,
+  round(CASE WHEN len(ps) > 0 THEN
+    (len(ps) - len(list_distinct(ps)))::DOUBLE / len(ps)
+    ELSE 0.0 END, 6) AS dup_para_frac,
+  round(coalesce(t.v, 0.0), 6) AS top_2gram_frac,
+  round(coalesce(f.v, 0.0), 6) AS dup_5gram_frac
+FROM lined d LEFT JOIN top2 t USING (doc_id) LEFT JOIN dup5 f USING (doc_id)
 """
 
 
@@ -2484,6 +2538,7 @@ FROM documents""",
         "minhash_signatures": _minhash_sig_sql(),
         "dedup_minhash_pairs": _minhash_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "repetition_stats": _repetition_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "simhash": _simhash_sql(),
         "rp_topics": _rp_sql(),
