@@ -1264,6 +1264,66 @@ def _q_corpus_repeat(spark, sf_dir):
                                              .alias("rep"))
 
 
+def _pii_augmented_docs(spark, sf_dir):
+    """documents with deterministic synthetic PII appended (the base corpus
+    is word salad with no digits) — the same augmentation the oracle builds
+    in SQL, so the regex engines are compared on real matches."""
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(
+            F.lit(" mail user"), did.cast("string"), F.lit("@example.com"),
+        )).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.concat(
+            F.lit(" call 415-555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        )).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".7"),
+        )).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select("doc_id", aug.alias("text"))
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction (curation.pii_scrub): count + redact emails/phones/IPv4
+    with engine-portable regexes; oracle replays the same patterns through
+    DuckDB's RE2 — an independent regex engine — over identically
+    synthesized PII."""
+    from gensim_spark.operators import curation as CU
+
+    return CU.pii_scrub(_pii_augmented_docs(spark, sf_dir))
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (curation.decontaminate): flag docs sharing
+    any token 3-gram with the 'benchmark' subset (doc_id % 97 == 0) — the
+    GPT-3-style n-gram-overlap train/test scrub, broadcast-join shaped."""
+    from gensim_spark.operators import curation as CU
+
+    tok = _tokenized(spark, sf_dir)
+    bench = tok.filter(F.col("doc_id") % 97 == 0)
+    return CU.decontaminate(tok, bench, n=3)
+
+
+def _q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split (curation.split_assign): md5-hex
+    threshold buckets — reproducible by any engine with md5, invariant to
+    partitioning and cluster size."""
+    from gensim_spark.operators import curation as CU
+
+    return CU.split_assign(_docs(spark, sf_dir).select("doc_id"))
+
+
+def _q_domain_stats(spark, sf_dir):
+    """Per-domain curation stats (curation.domain_stats): doc counts, char
+    mass, exact-dup fraction via md5 fingerprints — one map-side-combined
+    hash agg keyed by domain."""
+    from gensim_spark.operators import curation as CU
+
+    return CU.domain_stats(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokens_count": _q_tokens_count,
@@ -1331,6 +1391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lda_topic_diff": _q_lda_topic_diff,
         "corpus_slice": _q_corpus_slice,
         "corpus_repeat": _q_corpus_repeat,
+        "pii_scrub": _q_pii_scrub,
+        "decontaminate": _q_decontaminate,
+        "split_assign": _q_split_assign,
+        "domain_stats": _q_domain_stats,
     }
 
 
@@ -1594,6 +1658,52 @@ FROM inter i
 JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
 """
+
+
+def _pii_scrub_sql() -> str:
+    """DuckDB replica of pii_scrub over identically synthesized PII: the
+    same Java-regex/RE2-portable patterns run through an independent regex
+    engine, counts via regexp_extract_all, redaction in the same fixed
+    email → phone → IPv4 order."""
+    from gensim_spark.operators.curation import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR)
+            || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' call 415-555-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.'
+            || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INTEGER) AS n_phones,
+  CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS INTEGER) AS n_ipv4,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+      '{PHONE_RE}', '<PHONE>', 'g'),
+    '{IPV4_RE}', '<IP>', 'g') AS clean_text
+FROM aug"""
+
+
+def _split_assign_sql() -> str:
+    from gensim_spark.operators.curation import _hex_threshold
+
+    t_train = _hex_threshold(0.90)
+    t_val = _hex_threshold(0.95)
+    return f"""
+SELECT doc_id,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket_hex,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{t_train}'
+              THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{t_val}'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
 
 
 def _rp_sql() -> str:
@@ -2661,6 +2771,29 @@ out_tail AS (SELECT p.doc_id, (SELECT f FROM cfg) AS rep FROM pos p
              WHERE p.pos < (SELECT rem FROM cfg))
 SELECT doc_id, rep FROM out_full
 UNION ALL SELECT doc_id, rep FROM out_tail""",
+        "pii_scrub": _pii_scrub_sql(),
+        "decontaminate": f"""{_PRELUDE},
+dgrams AS (
+  SELECT DISTINCT doc_id, s AS gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(greatest(len(tokens) - 2, 0)),
+                  i -> array_to_string(tokens[i + 1 : i + 3], ' '))) AS s
+    FROM tok)),
+bgrams AS (SELECT DISTINCT gram FROM dgrams WHERE doc_id % 97 = 0),
+hits AS (SELECT d.doc_id, count(*) AS n_hits
+         FROM dgrams d JOIN bgrams b USING (gram) GROUP BY d.doc_id)
+SELECT t.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM tok t LEFT JOIN hits h USING (doc_id)""",
+        "split_assign": _split_assign_sql(),
+        "domain_stats": """
+SELECT source AS domain, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       round(avg(length(text)), 6) AS mean_chars,
+       count(DISTINCT md5(text)) AS distinct_texts,
+       round((count(*) - count(DISTINCT md5(text)))::DOUBLE / count(*), 6)
+         AS dup_frac
+FROM documents GROUP BY source""",
         # wmd_topk: the transportation LP itself stays pytest-pinned
         # (brute-force vertex enumeration + hypothesis sweep); the oracle
         # re-runs the retrieval tail over the persisted exact distances.

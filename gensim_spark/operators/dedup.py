@@ -43,8 +43,13 @@ def shingles(docs: DataFrame, tokens_col: str = "tokens", n: int = 3,
     """(doc_id, shingle): distinct n-gram token shingles, built per-row from
     the tokens array with zero shuffles (no posexplode + window needed)."""
     toks = F.col(tokens_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    # guard: sequence(0, -1) is DESCENDING in Spark ([0, -1]), so a doc with
+    # fewer than n tokens must short-circuit to an empty gram list — not
+    # feed slice() a zero start (runtime error) or emit partial grams
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    sh = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
     return (
         docs.select(F.col(doc_col).alias("doc_id"), F.explode(sh).alias("shingle"))
         .distinct()

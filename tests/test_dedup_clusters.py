@@ -131,3 +131,16 @@ def test_dedup_clusters_end_to_end_minhash(spark):
     assert rows[6] == (6, True)  # singleton keeps itself
     kept = [d for d, (_, k) in rows.items() if k]
     assert sorted(kept) == [0, 2, 4, 6]
+
+
+def test_shingles_short_docs_yield_no_grams(spark):
+    # regression: sequence(0, -1) is descending in Spark — a doc shorter
+    # than n used to feed slice() a 0 start and crash the whole job
+    docs = spark.createDataFrame(
+        [(0, ["a"]), (1, ["a", "b"]), (2, ["a", "b", "c"]), (3, [])],
+        "doc_id long, tokens array<string>")
+    got = {(r["doc_id"], r["shingle"]) for r in D.shingles(docs, n=3).collect()}
+    assert got == {(2, "a b c")}
+    # and the full minhash path survives a mixed corpus
+    sigs = D.minhash_signatures(docs, num_hashes=4, shingle_n=3)
+    assert [r["doc_id"] for r in sigs.collect()] == [2]
