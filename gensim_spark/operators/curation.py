@@ -68,13 +68,16 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     Every doc keeps a row (n_hits=0, contaminated=false when clean) so the
     output is a full keep/drop mask.
     """
-    doc_grams = shingles(docs, tokens_col, n, doc_col)
+    # corpus grams stay NON-distinct: dedup after the broadcast probe, so
+    # the only gram shuffle carries hits, not the whole corpus gram stream
+    doc_grams = shingles(docs, tokens_col, n, doc_col, distinct=False)
     bench_grams = (shingles(benchmark, tokens_col, n, doc_col)
                    .select("shingle").distinct())
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
     hits = (doc_grams.join(bench_grams, "shingle")
-            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("shingle").alias("n_hits")))
     return (
         docs.select(F.col(doc_col).alias("doc_id"))
         .join(hits, "doc_id", "left")

@@ -39,9 +39,13 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text",
 
 
 def shingles(docs: DataFrame, tokens_col: str = "tokens", n: int = 3,
-             doc_col: str = "doc_id") -> DataFrame:
+             doc_col: str = "doc_id", distinct: bool = True) -> DataFrame:
     """(doc_id, shingle): distinct n-gram token shingles, built per-row from
-    the tokens array with zero shuffles (no posexplode + window needed)."""
+    the tokens array with zero shuffles (no posexplode + window needed).
+
+    ``distinct=False`` skips the dedup exchange — for consumers that filter
+    the gram stream first (e.g. a broadcast-probe) and dedup the survivors,
+    so the shuffle carries hits instead of the whole gram stream."""
     toks = F.col(tokens_col)
     # guard: sequence(0, -1) is DESCENDING in Spark ([0, -1]), so a doc with
     # fewer than n tokens must short-circuit to an empty gram list — not
@@ -50,10 +54,9 @@ def shingles(docs: DataFrame, tokens_col: str = "tokens", n: int = 3,
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     sh = F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(doc_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = docs.select(F.col(doc_col).alias("doc_id"),
+                      F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(docs: DataFrame, tokens_col: str = "tokens",

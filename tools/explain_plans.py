@@ -199,6 +199,30 @@ def main() -> None:
         "the bucket key",
         summarize(p), interesting(p)))
 
+    # Curation pass: PII scrub + split assignment are pure projections
+    # (exchanges must be 0 — they run at scan speed); decontamination's
+    # benchmark gram set is explicitly broadcast, so the corpus side never
+    # shuffles for the probe.
+    from gensim_spark.operators import curation as CU
+
+    scrubbed = CU.pii_scrub(docs)
+    splits = CU.split_assign(docs.select("doc_id"))
+    p = scrubbed._jdf.queryExecution().executedPlan().toString()
+    p2 = splits._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "Curation projections — pii_scrub / split_assign (zero exchanges: "
+        "regexp + md5 column exprs at scan speed)",
+        summarize(p) + " | " + summarize(p2), interesting(p)))
+
+    bench_tok = tok.filter(F.col("doc_id") % 97 == 0)
+    dec = CU.decontaminate(tok, bench_tok, n=3)
+    p = dec._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "Decontamination — benchmark gram set broadcast (corpus grams "
+        "probe a hash map; no corpus-sized shuffle before the per-doc "
+        "hit count)",
+        summarize(p), interesting(p)))
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# Physical-plan evidence\n\n")
         f.write("Generated by `python tools/explain_plans.py` — the plans "
