@@ -1324,6 +1324,15 @@ def _q_domain_stats(spark, sf_dir):
     return CU.domain_stats(_docs(spark, sf_dir))
 
 
+def _q_chunk_tokens(spark, sf_dir):
+    """Context-window packing (curation.chunk_tokens): size-32 windows with
+    stride 24 (overlapping) over the tokenized corpus — zero-shuffle
+    per-row sequence/slice/posexplode."""
+    from gensim_spark.operators import curation as CU
+
+    return CU.chunk_tokens(_tokenized(spark, sf_dir), size=32, stride=24)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokens_count": _q_tokens_count,
@@ -1394,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "decontaminate": _q_decontaminate,
         "split_assign": _q_split_assign,
+        "chunk_tokens": _q_chunk_tokens,
         "domain_stats": _q_domain_stats,
     }
 
@@ -2786,6 +2796,17 @@ SELECT t.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM tok t LEFT JOIN hits h USING (doc_id)""",
         "split_assign": _split_assign_sql(),
+        "chunk_tokens": f"""{_PRELUDE},
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(tokens), 0), 24),
+                s -> struct_pack(cid := s // 24,
+                                 c := tokens[s + 1 : s + 32]))) AS u
+  FROM tok WHERE len(tokens) > 0)
+SELECT doc_id, CAST(u.cid AS INTEGER) AS chunk_id,
+       CAST(len(u.c) AS INTEGER) AS n_tokens,
+       array_to_string(u.c, ' ') AS chunk
+FROM ch""",
         "domain_stats": """
 SELECT source AS domain, count(*) AS n_docs,
        CAST(sum(length(text)) AS BIGINT) AS total_chars,

@@ -130,6 +130,48 @@ def split_assign(docs: DataFrame, key_col: str = "doc_id",
     )
 
 
+def chunk_tokens(docs: DataFrame, tokens_col: str = "tokens",
+                 size: int = 512, stride: int | None = None,
+                 doc_col: str = "doc_id",
+                 drop_last_shorter_than: int = 0) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk): fixed-size token windows with
+    optional overlap — the context-length packing step between curation and
+    tokenizer/training. ``stride`` defaults to ``size`` (non-overlapping);
+    ``stride < size`` overlaps windows. The final window may be short;
+    ``drop_last_shorter_than`` discards tails below a minimum.
+
+    Pure per-row array expressions (sequence/slice/posexplode) — zero
+    shuffle, scan speed, embarrassingly parallel at any corpus size. The
+    chunk is emitted re-joined as a string column so downstream sinks never
+    carry nested arrays unless they want to re-split.
+    """
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    stride = size if stride is None else stride
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    toks = F.col(tokens_col)
+    # window starts: 0, stride, 2*stride, ... < len(tokens); empty docs → none
+    starts = F.when(
+        F.size(toks) > 0,
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, size))
+    out = (
+        docs.select(F.col(doc_col).alias("doc_id"),
+                    F.posexplode(chunks).alias("chunk_id", "_chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.size("_chunk").alias("n_tokens"),
+            F.concat_ws(" ", F.col("_chunk")).alias("chunk"),
+        )
+    )
+    if drop_last_shorter_than > 0:
+        out = out.filter(F.col("n_tokens") >= drop_last_shorter_than)
+    return out
+
+
 def domain_stats(docs: DataFrame, domain_col: str = "source",
                  text_col: str = "text",
                  doc_col: str = "doc_id") -> DataFrame:

@@ -131,3 +131,32 @@ def test_domain_stats_golden(spark):
     assert d1["dup_frac"] == pytest.approx(1 / 3, abs=1e-6)
     assert (d2["n_docs"], d2["total_chars"], d2["distinct_texts"]) == (1, 6, 1)
     assert d2["dup_frac"] == 0.0
+
+
+def test_chunk_tokens_golden(spark):
+    docs = _tok_df(spark, [
+        (0, ["a", "b", "c", "d", "e", "f", "g"]),  # 7 tokens
+        (1, ["x"]),
+        (2, []),
+    ])
+    out = sorted(map(tuple, C.chunk_tokens(docs, size=3).collect()))
+    assert out == [
+        (0, 0, 3, "a b c"), (0, 1, 3, "d e f"), (0, 2, 1, "g"),
+        (1, 0, 1, "x"),
+    ]  # empty doc → no chunks
+    # overlapping windows: stride 2, size 3
+    ov = sorted(map(tuple, C.chunk_tokens(docs, size=3, stride=2).collect()))
+    assert ov == [
+        (0, 0, 3, "a b c"), (0, 1, 3, "c d e"), (0, 2, 3, "e f g"),
+        (0, 3, 1, "g"),
+        (1, 0, 1, "x"),
+    ]
+    # drop short tails
+    dropped = sorted(map(tuple, C.chunk_tokens(
+        docs, size=3, drop_last_shorter_than=2).collect()))
+    assert dropped == [(0, 0, 3, "a b c"), (0, 1, 3, "d e f")]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        C.chunk_tokens(docs, size=0)
+    with _pt.raises(ValueError):
+        C.chunk_tokens(docs, size=3, stride=-1)
