@@ -1680,7 +1680,7 @@ def _pii_scrub_sql() -> str:
     return f"""
 WITH aug AS (
   SELECT doc_id,
-    text
+    coalesce(text, '')
     || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR)
             || '@example.com' ELSE '' END
     || CASE WHEN doc_id % 4 = 0 THEN ' call 415-555-'
@@ -2808,13 +2808,14 @@ SELECT doc_id, CAST(u.cid AS INTEGER) AS chunk_id,
        array_to_string(u.c, ' ') AS chunk
 FROM ch""",
         "domain_stats": """
+WITH d AS (SELECT source, coalesce(text, '') AS text FROM documents)
 SELECT source AS domain, count(*) AS n_docs,
        CAST(sum(length(text)) AS BIGINT) AS total_chars,
        round(avg(length(text)), 6) AS mean_chars,
        count(DISTINCT md5(text)) AS distinct_texts,
        round((count(*) - count(DISTINCT md5(text)))::DOUBLE / count(*), 6)
          AS dup_frac
-FROM documents GROUP BY source""",
+FROM d GROUP BY source""",
         # wmd_topk: the transportation LP itself stays pytest-pinned
         # (brute-force vertex enumeration + hypothesis sweep); the oracle
         # re-runs the retrieval tail over the persisted exact distances.

@@ -39,7 +39,9 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
     Pure JVM ``regexp_count``/``regexp_replace`` projection — zero shuffle,
     scan speed at any corpus size.
     """
-    t = F.col(text_col)
+    # null-safe: a crawl row with no extracted text scrubs to "" with zero
+    # counts instead of propagating nulls into every output column
+    t = F.coalesce(F.col(text_col), F.lit(""))
     clean = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
     clean = F.regexp_replace(clean, PHONE_RE, "<PHONE>")
     clean = F.regexp_replace(clean, IPV4_RE, "<IP>")
@@ -183,12 +185,13 @@ def domain_stats(docs: DataFrame, domain_col: str = "source",
     fingerprint stands in for the text in the distinct-count so the
     shuffle never carries document bodies.
     """
-    fp = F.md5(F.col(text_col))
+    text = F.coalesce(F.col(text_col), F.lit(""))  # null text == empty text
+    fp = F.md5(text)
     n = F.count(F.lit(1))
     nd = F.countDistinct(F.col("_fp"))
     return (
         docs.select(F.col(domain_col).alias("domain"),
-                    F.length(F.col(text_col)).alias("_len"),
+                    F.length(text).alias("_len"),
                     fp.alias("_fp"))
         .groupBy("domain")
         .agg(

@@ -160,3 +160,13 @@ def test_chunk_tokens_golden(spark):
         C.chunk_tokens(docs, size=0)
     with _pt.raises(ValueError):
         C.chunk_tokens(docs, size=3, stride=-1)
+
+
+def test_null_text_rows_are_safe(spark):
+    df = spark.createDataFrame([(0, None, "d1"), (1, "hi", "d1")],
+                               "doc_id long, text string, source string")
+    p = {r["doc_id"]: r for r in C.pii_scrub(df).collect()}
+    assert (p[0]["n_emails"], p[0]["n_phones"], p[0]["n_ipv4"]) == (0, 0, 0)
+    assert p[0]["clean_text"] == ""
+    d = C.domain_stats(df).collect()[0]
+    assert (d["n_docs"], d["total_chars"], d["distinct_texts"]) == (2, 2, 2)
