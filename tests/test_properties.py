@@ -84,3 +84,58 @@ def test_query_over_salted_store_identity(spark, tmp_path):
     wm = [(r["rank"], r["doc_id"], round(r["score"], 9))
           for r in want.orderBy("rank").collect()]
     assert gm == wm
+
+
+# --- curation properties (driver-side reference implementations) ------------
+
+_word = st.text(alphabet=st.sampled_from("abcdef"), min_size=1, max_size=3)
+
+
+@given(st.lists(st.lists(_word, max_size=20), min_size=1, max_size=8),
+       st.integers(min_value=1, max_value=6))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunk_tokens_reconstruction_property(spark, corpora, size):
+    """Non-overlapping chunks, re-split and concatenated in chunk order,
+    reconstruct each doc's token stream exactly (no token lost/duplicated)."""
+    from gensim_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpora)],
+        "doc_id long, tokens array<string>")
+    rows = CU.chunk_tokens(docs, size=size).collect()
+    got = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        got.setdefault(r["doc_id"], []).extend(
+            r["chunk"].split(" ") if r["chunk"] else [])
+        assert 1 <= r["n_tokens"] <= size
+    for i, toks in enumerate(corpora):
+        assert got.get(i, []) == list(toks)
+
+
+@given(st.lists(st.lists(_word, max_size=12), min_size=1, max_size=6),
+       st.lists(st.lists(_word, max_size=12), min_size=1, max_size=3),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_decontaminate_matches_set_intersection(spark, corpora, benches, n):
+    """n_hits == |doc n-gram set ∩ benchmark n-gram set| (pure-Python
+    reference over the same token lists)."""
+    from gensim_spark.operators import curation as CU
+
+    def grams(toks):
+        return {tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpora)],
+        "doc_id long, tokens array<string>")
+    bench = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(benches)],
+        "doc_id long, tokens array<string>")
+    bench_set = set().union(*(grams(t) for t in benches))
+    out = {r["doc_id"]: r for r in CU.decontaminate(docs, bench, n=n).collect()}
+    assert len(out) == len(corpora)
+    for i, toks in enumerate(corpora):
+        want = len(grams(toks) & bench_set)
+        assert out[i]["n_hits"] == want, (i, toks, want, out[i])
+        assert out[i]["contaminated"] == (want > 0)
