@@ -633,6 +633,13 @@ def _curation_evidence(n_docs: int = 2_000_000, cores: int = 0) -> dict:
     out["decontaminate_sec"] = round(t, 2)
     out["contaminated_docs"] = int(n_cont)
 
+    # hashed scale path: same mask, no per-gram string allocation
+    t, n_cont_h = timed(lambda: CU.decontaminate(
+        tok, bench_tok, n=5, hashed=True).agg(
+        F.sum(F.col("contaminated").cast("int"))).collect()[0][0])
+    assert int(n_cont_h) == int(n_cont), (n_cont_h, n_cont)
+    out["decontaminate_hashed_sec"] = round(t, 2)
+
     t, n_chunks = timed(lambda: CU.chunk_tokens(
         tok, size=32, stride=24).count())
     out["chunk_tokens_sec"] = round(t, 2)

@@ -49,6 +49,7 @@ def _stage_done(output: str, name: str) -> bool:
 def run(spark, input_path: str, output: str, benchmark: str | None = None,
         min_quality: float = 0.5, max_dup_line_frac: float = 0.5,
         near_dup: bool = True, decontaminate_n: int = 13,
+        hashed_decontaminate: bool = False,
         chunk_size: int = 0, chunk_stride: int | None = None,
         num_groups: int = 8, resume: bool = True,
         fractions=(("train", 0.90), ("val", 0.05), ("test", 0.05))) -> dict:
@@ -91,7 +92,8 @@ def run(spark, input_path: str, output: str, benchmark: str | None = None,
         bench_tok = P.tokenize(
             spark.read.parquet(benchmark).select(
                 F.col("doc_id"), F.col("text")))
-        flags = CU.decontaminate(tok, bench_tok, n=decontaminate_n)
+        flags = CU.decontaminate(tok, bench_tok, n=decontaminate_n,
+                                 hashed=hashed_decontaminate)
         flags.filter(F.col("contaminated")).select("doc_id").write.mode(
             "overwrite").parquet(_stage_path(output, "contaminated"))
     contaminated = (spark.read.parquet(_stage_path(output, "contaminated"))
@@ -196,6 +198,9 @@ def main() -> None:
     ap.add_argument("--max-dup-line-frac", type=float, default=0.5)
     ap.add_argument("--no-near-dup", action="store_true")
     ap.add_argument("--decontaminate-n", type=int, default=13)
+    ap.add_argument("--hashed-decontaminate", action="store_true",
+                    help="probe 64-bit gram hashes instead of gram strings "
+                         "(the no-string-allocation scale path)")
     ap.add_argument("--chunk-size", type=int, default=0,
                     help="emit token windows of this size (0 = whole docs)")
     ap.add_argument("--chunk-stride", type=int, default=None)
@@ -211,6 +216,7 @@ def main() -> None:
                   max_dup_line_frac=args.max_dup_line_frac,
                   near_dup=not args.no_near_dup,
                   decontaminate_n=args.decontaminate_n,
+                  hashed_decontaminate=args.hashed_decontaminate,
                   chunk_size=args.chunk_size, chunk_stride=args.chunk_stride,
                   num_groups=args.num_groups, resume=not args.no_resume)
     print(json.dumps(metrics))

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from gensim_spark.operators.dedup import shingles
+from gensim_spark.operators.dedup import gram_hashes, shingles
 
 # Portable PII patterns (Java regex == RE2 semantics for these).
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -57,7 +57,8 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   tokens_col: str = "tokens", n: int = 13,
                   doc_col: str = "doc_id",
-                  broadcast_benchmark: bool = True) -> DataFrame:
+                  broadcast_benchmark: bool = True,
+                  hashed: bool = False) -> DataFrame:
     """(doc_id, n_hits, contaminated): flag corpus documents sharing any
     token n-gram with a benchmark/eval set (GPT-3-style train-test
     decontamination; n=13 is the published choice for web corpora).
@@ -69,17 +70,33 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     back to a shuffle equijoin if the benchmark is genuinely large.
     Every doc keeps a row (n_hits=0, contaminated=false when clean) so the
     output is a full keep/drop mask.
+
+    ``hashed=True`` is the scale path: grams are probed as 64-bit
+    rotate-xor hashes of per-token xxhash64 values (``dedup.gram_hashes``)
+    instead of concatenated strings, so the pass never allocates per-gram
+    strings — the allocation that dominates the exact path's wall at
+    10^8+ grams (measured: BASELINE.md round-4 curation table). Semantics
+    are identical up to 64-bit collisions (~2^-64 per gram pair, i.e. a
+    handful of false ``n_hits`` per 10^18 probes); the exact string path
+    stays the default and the oracle target.
     """
     # corpus grams stay NON-distinct: dedup after the broadcast probe, so
     # the only gram shuffle carries hits, not the whole corpus gram stream
-    doc_grams = shingles(docs, tokens_col, n, doc_col, distinct=False)
-    bench_grams = (shingles(benchmark, tokens_col, n, doc_col)
-                   .select("shingle").distinct())
+    if hashed:
+        gram_col = "gram_hash"
+        doc_grams = gram_hashes(docs, tokens_col, n, doc_col, distinct=False)
+        bench_grams = (gram_hashes(benchmark, tokens_col, n, doc_col)
+                       .select(gram_col).distinct())
+    else:
+        gram_col = "shingle"
+        doc_grams = shingles(docs, tokens_col, n, doc_col, distinct=False)
+        bench_grams = (shingles(benchmark, tokens_col, n, doc_col)
+                       .select(gram_col).distinct())
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
-    hits = (doc_grams.join(bench_grams, "shingle")
+    hits = (doc_grams.join(bench_grams, gram_col)
             .groupBy("doc_id")
-            .agg(F.countDistinct("shingle").alias("n_hits")))
+            .agg(F.countDistinct(gram_col).alias("n_hits")))
     return (
         docs.select(F.col(doc_col).alias("doc_id"))
         .join(hits, "doc_id", "left")

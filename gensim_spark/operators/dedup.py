@@ -22,7 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gensim_spark.functions.hashing import hash60, seeded
@@ -56,6 +56,44 @@ def shingles(docs: DataFrame, tokens_col: str = "tokens", n: int = 3,
         F.array().cast("array<string>"))
     out = docs.select(F.col(doc_col).alias("doc_id"),
                       F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
+
+
+def gram_hashes(docs: DataFrame, tokens_col: str = "tokens", n: int = 3,
+                doc_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+    """(doc_id, gram_hash): 64-bit hash per token n-gram — the bandwidth-lean
+    twin of :func:`shingles` for membership-style consumers (e.g.
+    decontamination), where only gram *identity* matters, never the text.
+
+    Each token is xxhash64-hashed ONCE, then every gram folds its n token
+    hashes with a rotate(5)-xor combine — pure long shift/xor expressions, so
+    the pass never materializes per-gram strings (a 13-gram shingle string
+    copies every token ~13x; at 10^8+ grams that allocation IS the stage
+    cost). The combine is position-sensitive (token j contributes its hash
+    rotated by 5*(n-1-j) bits), ANSI-safe (no arithmetic overflow paths),
+    and engine-portable in structure — though the hash values themselves are
+    Spark-specific, so oracles must compare *counts via the exact string
+    path*, not hash values. Collisions are the usual 64-bit ~2^-64 per pair:
+    negligible, documented, and the exact :func:`shingles` path remains the
+    default wherever byte-exact semantics are required.
+    """
+    toks = F.col(tokens_col)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _comb(acc: Column, x: Column) -> Column:
+        rot = F.shiftleft(acc, 5).bitwiseOR(F.shiftrightunsigned(acc, 59))
+        return rot.bitwiseXOR(x)
+
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.aggregate(F.slice(th, i + 1, n),
+                              F.lit(0).cast("long"), _comb),
+    )
+    gh = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<long>"))
+    out = docs.select(F.col(doc_col).alias("doc_id"),
+                      F.explode(gh).alias("gram_hash"))
     return out.distinct() if distinct else out
 
 

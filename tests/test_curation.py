@@ -85,6 +85,53 @@ def test_decontaminate_shuffle_join_parity(spark):
     assert sum(1 for r in fast if r[2]) == 20  # all contain "a b c"
 
 
+def test_decontaminate_hashed_matches_exact(spark):
+    # the 64-bit gram-hash scale path must produce the identical mask and
+    # identical distinct-hit counts as the exact string path — on a corpus
+    # with repeats inside docs, shared grams across docs, short docs, and
+    # docs whose only overlap is partial
+    import random
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(30)]
+    docs = _tok_df(spark, [
+        (i, [rng.choice(vocab) for _ in range(rng.randint(0, 25))])
+        for i in range(60)
+    ])
+    bench = _tok_df(spark, [
+        (100 + i, [rng.choice(vocab) for _ in range(rng.randint(3, 15))])
+        for i in range(8)
+    ])
+    for n in (3, 5, 13):
+        exact = sorted(map(tuple, C.decontaminate(docs, bench, n=n).collect()))
+        hashed = sorted(map(tuple, C.decontaminate(
+            docs, bench, n=n, hashed=True).collect()))
+        assert exact == hashed, n
+    # and at least some contamination actually occurred at n=3 (the test
+    # would be vacuous if every mask row were clean)
+    assert any(r[2] for r in exact) or True  # n=13 tail may be all-clean
+    n3 = {r[0]: r for r in map(tuple, C.decontaminate(
+        docs, bench, n=3, hashed=True).collect())}
+    assert sum(1 for r in n3.values() if r[2]) > 0
+
+
+def test_gram_hashes_position_sensitive_and_short_doc_safe(spark):
+    from gensim_spark.operators import dedup as D
+    docs = _tok_df(spark, [
+        (0, ["a", "b", "c"]),
+        (1, ["c", "b", "a"]),   # same tokens, reversed order
+        (2, ["a", "b"]),        # shorter than n → no rows
+        (3, []),                # empty → no rows
+        (4, ["a", "b", "c"]),   # identical to doc 0 → identical hash
+    ])
+    rows = D.gram_hashes(docs, n=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["gram_hash"])
+    assert set(by_doc) == {0, 1, 4}
+    assert by_doc[0] != by_doc[1]          # order matters
+    assert by_doc[0] == by_doc[4]          # deterministic per gram
+
+
 def test_split_assign_matches_hashlib_and_fractions(spark):
     n = 2000
     df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
