@@ -274,6 +274,50 @@ class IceTable:
         return self._commit_files(files, operation, dict(summary or {}),
                                   write_uuid)
 
+    def delete_rows(self, df: DataFrame, equality_cols: list[str],
+                    summary: dict[str, Any] | None = None) -> Snapshot:
+        """Commit an Iceberg-v2 **equality delete**: rows of ``df``'s
+        ``equality_cols`` values become a delete file; at read time a data
+        row is dropped when its values equality-match ANY delete row AND its
+        data file's sequence number is strictly below the delete's (spec
+        rule: an equality delete applies only to data written BEFORE it, so
+        a later re-append of the same key is visible). Null values match
+        null, per the spec's equality semantics.
+
+        Merge-on-read: nothing is rewritten here — ``scan()`` applies the
+        deletes as a broadcast anti-join; ``rewrite_data_files()`` is the
+        copy-on-write compaction that folds them into fresh data files.
+        Global-scope unpartitioned delete files (spec-permitted); the
+        equality columns are recorded by NAME rather than field id (this
+        layer's schema has no field ids — documented deviation, same class
+        as JSON manifests)."""
+        missing = [c for c in equality_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"equality columns not in delete frame: {missing}")
+        write_uuid = str(_uuid.uuid4())[:13]
+        staging = os.path.join(self._data_dir, f"delete-{write_uuid}")
+        df.select(*equality_cols).distinct().write.mode("overwrite") \
+            .parquet(staging)
+        files = _collect_file_stats(staging, [])
+        for fentry in files:
+            fentry["content"] = 2  # iceberg: 2 = equality deletes
+            fentry["equality-cols"] = list(equality_cols)
+        return self._commit_files(files, "delete", dict(summary or {}),
+                                  write_uuid, content=1)
+
+    def rewrite_data_files(self, spark: SparkSession,
+                           summary: dict[str, Any] | None = None) -> Snapshot:
+        """Copy-on-write compaction: materialize the current merge-on-read
+        state into fresh data files and commit them as a ``replace``
+        snapshot, whose manifest list starts fresh — all delete manifests
+        (and the anti-joins they cost every scan) drop out of the live
+        state. Old files stay on disk for time travel until
+        ``expire_snapshots``."""
+        live = self.scan(spark)
+        return self.append(live, operation="replace",
+                           summary={"compaction": "rewrite_data_files",
+                                    **(summary or {})})
+
     def remove_orphans(self, older_than_s: float = 3 * 3600.0) -> int:
         """Delete data files not referenced by ANY snapshot (crashed staged
         writes). Returns the number removed.
@@ -305,7 +349,8 @@ class IceTable:
         return removed
 
     def _commit_files(self, files: list[dict], operation: str,
-                      summary: dict[str, Any], write_uuid: str) -> Snapshot:
+                      summary: dict[str, Any], write_uuid: str,
+                      content: int = 0) -> Snapshot:
         added_records = sum(f["record-count"] for f in files)
         added_bytes = sum(f["file-size-in-bytes"] for f in files)
         for attempt in range(_MAX_COMMIT_RETRIES):
@@ -325,16 +370,25 @@ class IceTable:
                 json.dump(manifest, f, indent=1)
             prev_total = 0
             cur = self.current_snapshot
-            if cur is not None and operation == "append":
+            if cur is not None and operation in ("append", "delete"):
                 prev_total = int(cur.summary.get("total-records", 0))
+            if operation == "delete":
+                # merge-on-read: data-file totals are untouched; the exact
+                # surviving count is unknowable without a scan (spec keeps
+                # total-records as the DATA row count here too)
+                total = prev_total
+            elif operation == "append":
+                total = prev_total + added_records
+            else:
+                total = added_records
             full_summary = {
                 "operation": operation,
-                "added-data-files": str(len(files)),
-                "added-records": str(added_records),
+                ("added-delete-files" if content == 1
+                 else "added-data-files"): str(len(files)),
+                ("added-equality-deletes" if content == 1
+                 else "added-records"): str(added_records),
                 "added-files-size": str(added_bytes),
-                "total-records": str(prev_total + added_records
-                                     if operation == "append"
-                                     else added_records),
+                "total-records": str(total),
                 **{str(k): str(v) for k, v in summary.items()},
             }
             # Manifest list (spec: each snapshot points at ONE manifest list
@@ -347,7 +401,7 @@ class IceTable:
                 "manifest_length": os.path.getsize(
                     os.path.join(self._meta_dir, manifest_name)),
                 "partition_spec_id": self.meta.get("default-spec-id", 0),
-                "content": 0,  # 0=data (no delete manifests in this layer)
+                "content": content,  # 0=data manifest, 1=deletes manifest
                 "sequence_number": seq,
                 "min_sequence_number": seq,
                 "added_snapshot_id": snap_id,
@@ -356,7 +410,7 @@ class IceTable:
                 "deleted_data_files_count": 0,
                 "added_rows_count": added_records,
             }
-            if operation == "append" and cur is not None:
+            if operation in ("append", "delete") and cur is not None:
                 entries = self._manifest_list_entries(cur) + [new_entry]
             else:
                 entries = [new_entry]
@@ -606,21 +660,65 @@ class IceTable:
         if snap is None:
             return []
         out = []
-        for name in self._state_manifest_names(snap):
-            for fentry in self._read_manifest(name):
+        for entry in self._manifest_list_entries(snap):
+            if entry.get("content", 0) == 1:
+                continue  # deletes manifest — see plan_delete_files
+            seq = entry.get("sequence_number", 0)
+            for fentry in self._read_manifest(entry["manifest_path"]):
                 if partition_pred and not partition_pred(fentry["partition"]):
                     continue
                 if stats_pred and not stats_pred(fentry):
                     continue
+                fentry = dict(fentry)
+                # data sequence number (inherited from the manifest entry,
+                # like the spec's inheritance rule) — what equality-delete
+                # application orders on
+                fentry["_seq"] = seq
+                out.append(fentry)
+        return out
+
+    def plan_delete_files(self, snapshot_id: int | None = None,
+                          as_of_ms: int | None = None) -> list[dict]:
+        """Equality-delete file entries of the chosen snapshot, each with
+        ``_seq`` (the delete's sequence number) and ``equality-cols``."""
+        if snapshot_id is not None and as_of_ms is not None:
+            raise ValueError("choose snapshot_id or as_of_ms, not both")
+        if snapshot_id is not None:
+            snap = next((s for s in self.snapshots
+                         if s.snapshot_id == snapshot_id), None)
+            if snap is None:
+                raise ValueError(f"unknown snapshot {snapshot_id}")
+        elif as_of_ms is not None:
+            snap = self.snapshot_as_of(as_of_ms)
+        else:
+            snap = self.current_snapshot
+        if snap is None:
+            return []
+        out = []
+        for entry in self._manifest_list_entries(snap):
+            if entry.get("content", 0) != 1:
+                continue
+            seq = entry.get("sequence_number", 0)
+            for fentry in self._read_manifest(entry["manifest_path"]):
+                fentry = dict(fentry)
+                fentry["_seq"] = seq
                 out.append(fentry)
         return out
 
     def scan(self, spark: SparkSession, snapshot_id: int | None = None,
              as_of_ms: int | None = None,
              partition_pred: Callable[[dict], bool] | None = None,
-             stats_pred: Callable[[dict], bool] | None = None) -> DataFrame:
+             stats_pred: Callable[[dict], bool] | None = None,
+             apply_deletes: bool = True) -> DataFrame:
         """DataFrame over the planned files (time travel + pruning). Empty
-        plan → empty DataFrame with the table schema."""
+        plan → empty DataFrame with the table schema.
+
+        Merge-on-read: live equality deletes are applied as broadcast
+        anti-joins, honoring the spec's ordering rule — a delete at sequence
+        s removes only rows from data files with sequence < s, so keys
+        re-appended after the delete survive. When the snapshot has no
+        delete files (the common case, and every post-compaction state) the
+        plan is the plain multi-file parquet scan, unchanged."""
         files = self.plan_files(snapshot_id, as_of_ms, partition_pred,
                                 stats_pred)
         part_names = [pf["name"] for pf in self.meta["partition-spec"]]
@@ -636,9 +734,45 @@ class IceTable:
                 if extra:
                     ddl = ddl + ", " + ", ".join(extra)
             return spark.createDataFrame([], ddl)
-        # partition values live in the data files (see stage_write), so the
-        # planned file list reads directly — no directory inference.
-        return spark.read.parquet(*[f["path"] for f in files])
+        deletes = (self.plan_delete_files(snapshot_id, as_of_ms)
+                   if apply_deletes else [])
+        if not deletes:
+            # partition values live in the data files (see stage_write), so
+            # the planned file list reads directly — no directory inference.
+            return spark.read.parquet(*[f["path"] for f in files])
+        # group data files by sequence number so each scan leg carries its
+        # seq as a literal (one leg per commit generation, not per file)
+        by_seq: dict[int, list[str]] = {}
+        for fentry in files:
+            by_seq.setdefault(fentry["_seq"], []).append(fentry["path"])
+        legs = [
+            spark.read.parquet(*paths).withColumn("__seq", F.lit(seq))
+            for seq, paths in sorted(by_seq.items())
+        ]
+        df = legs[0]
+        for leg in legs[1:]:
+            df = df.unionByName(leg)
+        # one anti-join per distinct equality-column set (in practice one);
+        # delete rows of a set union together carrying their own seq
+        by_cols: dict[tuple, list[dict]] = {}
+        for dentry in deletes:
+            by_cols.setdefault(tuple(dentry["equality-cols"]), []) \
+                .append(dentry)
+        for eq_cols, dentries in by_cols.items():
+            dlegs = [
+                spark.read.parquet(d["path"])
+                .select(*[F.col(c).alias(f"__d_{c}") for c in eq_cols])
+                .withColumn("__dseq", F.lit(d["_seq"]))
+                for d in dentries
+            ]
+            dels = dlegs[0]
+            for leg in dlegs[1:]:
+                dels = dels.unionByName(leg)
+            cond = F.col("__seq") < F.col("__dseq")
+            for c in eq_cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
+            df = df.join(F.broadcast(dels), cond, "left_anti")
+        return df.drop("__seq")
 
     def history(self) -> list[dict]:
         return list(self.meta["snapshot-log"])

@@ -471,3 +471,90 @@ def test_remove_orphans_refreshes_before_liveness(spark, tmp_path,
     removed = stale.remove_orphans(older_than_s=0.0)
     assert removed == 0
     assert _rows(IceTable.load(loc).scan(spark)) == [(i,) for i in range(9)]
+
+
+def test_equality_delete_merge_on_read(spark, tmp_path, simple_df):
+    from gensim_spark.index.icetable import IceTable
+
+    loc = str(tmp_path / "tdel")
+    t = IceTable.create(loc, "doc_id bigint, term_id bigint, weight double")
+    t.append(simple_df(0, 10))
+    dels = spark.createDataFrame([(2,), (5,), (7,)], "doc_id long")
+    s = t.delete_rows(dels, ["doc_id"])
+    assert s.operation == "delete"
+    assert s.summary["added-equality-deletes"] == "3"
+    assert s.summary["total-records"] == "10"  # data totals untouched (MoR)
+    got = _rows(t.scan(spark))
+    assert got == [(i,) for i in range(10) if i not in (2, 5, 7)]
+    # raw scan (apply_deletes=False) still sees everything
+    assert t.scan(spark, apply_deletes=False).count() == 10
+
+
+def test_equality_delete_sequence_ordering(spark, tmp_path, simple_df):
+    # spec rule: a delete at sequence s applies only to data with seq < s —
+    # a key re-appended AFTER the delete must survive
+    from gensim_spark.index.icetable import IceTable
+
+    loc = str(tmp_path / "tdel_seq")
+    t = IceTable.create(loc, "doc_id bigint, term_id bigint, weight double")
+    t.append(simple_df(0, 5))                     # seq 1: docs 0-4
+    t.delete_rows(spark.createDataFrame([(3,), (4,)], "doc_id long"),
+                  ["doc_id"])                     # seq 2: delete 3, 4
+    t.append(simple_df(4, 7))                     # seq 3: docs 4-6 re-adds 4
+    got = _rows(t.scan(spark))
+    assert got == [(0,), (1,), (2,), (4,), (5,), (6,)]
+
+
+def test_equality_delete_time_travel_and_multi_column(spark, tmp_path,
+                                                      simple_df):
+    from gensim_spark.index.icetable import IceTable
+
+    loc = str(tmp_path / "tdel_tt")
+    t = IceTable.create(loc, "doc_id bigint, term_id bigint, weight double")
+    s1 = t.append(simple_df(0, 6))
+    # multi-column equality: (doc_id, term_id) — term_id = doc_id*10 here,
+    # so (2, 20) matches exactly one row and (3, 999) matches none
+    dels = spark.createDataFrame([(2, 20), (3, 999)],
+                                 "doc_id long, term_id long")
+    t.delete_rows(dels, ["doc_id", "term_id"])
+    assert _rows(t.scan(spark)) == [(0,), (1,), (3,), (4,), (5,)]
+    # time travel to the pre-delete snapshot ignores the later delete
+    assert t.scan(spark, snapshot_id=s1.snapshot_id).count() == 6
+
+
+def test_rewrite_data_files_folds_deletes(spark, tmp_path, simple_df):
+    from gensim_spark.index.icetable import IceTable
+
+    loc = str(tmp_path / "tdel_cow")
+    t = IceTable.create(loc, "doc_id bigint, term_id bigint, weight double")
+    t.append(simple_df(0, 8))
+    t.delete_rows(spark.createDataFrame([(1,), (6,)], "doc_id long"),
+                  ["doc_id"])
+    before = _rows(t.scan(spark))
+    snap = t.rewrite_data_files(spark)
+    assert snap.operation == "replace"
+    assert snap.summary["compaction"] == "rewrite_data_files"
+    # no delete manifests remain in the live state
+    assert t.plan_delete_files() == []
+    assert _rows(t.scan(spark)) == before
+    # data totals now reflect the survivors
+    assert snap.summary["total-records"] == str(len(before))
+    # expiry drops the pre-compaction generations and their delete files
+    t.expire_snapshots(keep_last=1)
+    assert _rows(t.scan(spark)) == before
+
+
+def test_expire_preserves_delete_files_of_kept_snapshots(spark, tmp_path,
+                                                         simple_df):
+    from gensim_spark.index.icetable import IceTable
+
+    loc = str(tmp_path / "tdel_exp")
+    t = IceTable.create(loc, "doc_id bigint, term_id bigint, weight double")
+    t.append(simple_df(0, 6))
+    t.delete_rows(spark.createDataFrame([(0,)], "doc_id long"), ["doc_id"])
+    t.append(simple_df(6, 8))
+    # keep only the last snapshot — its state still includes the delete
+    # manifest (inherited through the manifest list), so doc 0 stays gone
+    t.expire_snapshots(keep_last=1)
+    got = _rows(IceTable.load(loc).scan(spark))
+    assert got == [(i,) for i in range(1, 8)]
