@@ -452,3 +452,40 @@ def read_postings_bucketed_iceberg(spark: SparkSession, table_loc: str,
     out = table.scan(spark, snapshot_id=snapshot_id,
                      partition_pred=part_pred, stats_pred=stats_pred)
     return out.filter(F.col("term_id").isin(tids))
+
+
+def delete_docs_iceberg(spark: SparkSession, table_loc: str,
+                        doc_ids, compact: bool = False) -> "IceTable":
+    """Remove documents from a live bucketed postings store WITHOUT a
+    rebuild: one Iceberg-v2 equality-delete commit on ``doc_id``
+    (merge-on-read — a web-corpus takedown/refresh path; the reference's
+    in-memory ``Similarity`` index can only rebuild shards). Every
+    subsequent ``read_postings_bucketed_iceberg`` scan drops the docs'
+    postings via the store's broadcast anti-join; pre-delete snapshots
+    still see them (time travel), and a re-append of the same doc_id after
+    the delete is visible, per the spec's sequence-ordering rule.
+
+    At 10^12-doc scale the delete frame is takedown-sized (thousands of
+    ids, not corpus-sized) — the anti-join stays a broadcast and the
+    commit writes one tiny delete file, never touching the posting data.
+    ``compact=True`` folds the deletes into fresh data files right away
+    (copy-on-write ``rewrite_data_files``) — the amortization knob: cheap
+    deletes accumulate merge-on-read cost per query; periodic compaction
+    resets it to zero."""
+    from gensim_spark.index.icetable import IceTable
+
+    table = IceTable.load(table_loc)
+    if isinstance(doc_ids, DataFrame):
+        dels = doc_ids.select(F.col(doc_ids.columns[0]).cast("long")
+                              .alias("doc_id"))
+        n = None
+    else:
+        ids = sorted({int(d) for d in doc_ids})
+        dels = spark.createDataFrame([(d,) for d in ids], "doc_id bigint")
+        n = len(ids)
+    table.delete_rows(dels, ["doc_id"],
+                      summary={"deleted-doc-ids": n if n is not None
+                               else "dataframe"})
+    if compact:
+        table.rewrite_data_files(spark, summary={"after": "delete_docs"})
+    return table

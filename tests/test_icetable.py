@@ -558,3 +558,93 @@ def test_expire_preserves_delete_files_of_kept_snapshots(spark, tmp_path,
     t.expire_snapshots(keep_last=1)
     got = _rows(IceTable.load(loc).scan(spark))
     assert got == [(i,) for i in range(1, 8)]
+
+
+def test_delete_docs_iceberg_live_index_maintenance(spark, tmp_path):
+    """Equality-delete index maintenance: a doc removed from the live
+    bucketed postings store disappears from BM25 top-k without a rebuild,
+    pre-delete snapshots still rank it (time travel), and compaction folds
+    the delete away with identical query results."""
+    from gensim_spark.index import layout
+    from gensim_spark.index.icetable import IceTable
+    from gensim_spark.operators import topk as T
+    from gensim_spark.plans import pipeline as P
+    from gensim_spark.sources.synth import generate_pages
+
+    pages = generate_pages(spark, 300, tokens_per_doc=30, partitions=3)
+    tok = P.tokenize(pages, ascii_fast_path=True)
+    idx = P.build(tok, num_docs=300)
+    loc = str(tmp_path / "ice_del")
+    layout.write_postings_bucketed_iceberg(
+        idx.weighted, loc, n_buckets=8,
+        dfs=idx.vocab.select("term_id", "df"))
+    pre_snap = IceTable.load(loc).current_snapshot.snapshot_id
+
+    tids = [r["term_id"] for r in idx.vocab.limit(3).collect()]
+    qdf = T.query_terms_df(spark, {0: tids})
+    before = T.search(
+        layout.read_postings_bucketed_iceberg(spark, loc, term_ids=tids),
+        qdf, k=10).collect()
+    victim = before[0]["doc_id"]
+
+    layout.delete_docs_iceberg(spark, loc, [victim])
+    after = T.search(
+        layout.read_postings_bucketed_iceberg(spark, loc, term_ids=tids),
+        qdf, k=10).collect()
+    assert victim not in {r["doc_id"] for r in after}
+    # survivors keep their exact scores (deletion may not perturb others)
+    b_scores = {r["doc_id"]: r["score"] for r in before}
+    for r in after:
+        if r["doc_id"] in b_scores:
+            assert abs(r["score"] - b_scores[r["doc_id"]]) < 1e-12
+    # no posting of the victim survives anywhere in the live scan
+    assert IceTable.load(loc).scan(spark) \
+        .filter(F.col("doc_id") == victim).count() == 0
+
+    # time travel: the pre-delete snapshot still ranks the victim first
+    tt = T.search(
+        layout.read_postings_bucketed_iceberg(spark, loc, term_ids=tids,
+                                              snapshot_id=pre_snap),
+        qdf, k=10).collect()
+    assert tt[0]["doc_id"] == victim
+
+    # copy-on-write compaction folds the delete: same results, zero
+    # delete files in the live plan
+    t = IceTable.load(loc)
+    t.rewrite_data_files(spark)
+    t = t.refresh()
+    assert t.plan_delete_files() == []
+    compacted = T.search(
+        layout.read_postings_bucketed_iceberg(spark, loc, term_ids=tids),
+        qdf, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 10)) for r in compacted] == \
+           [(r["doc_id"], round(r["score"], 10)) for r in after]
+
+
+def test_delete_docs_iceberg_reappend_and_df_input(spark, tmp_path):
+    """Sequence ordering at the store level: a doc re-appended AFTER its
+    delete is live again; DataFrame-typed delete input works."""
+    from gensim_spark.index import layout
+    from gensim_spark.index.icetable import IceTable
+    from gensim_spark.plans import pipeline as P
+    from gensim_spark.sources.synth import generate_pages
+
+    pages = generate_pages(spark, 60, tokens_per_doc=20, partitions=2)
+    idx = P.build(P.tokenize(pages, ascii_fast_path=True), num_docs=60)
+    loc = str(tmp_path / "ice_del2")
+    layout.write_postings_bucketed_iceberg(idx.weighted, loc, n_buckets=4)
+    victim = idx.weighted.select("doc_id").first()["doc_id"]
+    victim_rows = idx.weighted.filter(F.col("doc_id") == victim)
+
+    layout.delete_docs_iceberg(
+        spark, loc, victim_rows.select("doc_id").distinct(), compact=False)
+    t = IceTable.load(loc)
+    assert t.scan(spark).filter(F.col("doc_id") == victim).count() == 0
+
+    # re-append the doc's postings: later sequence -> visible again
+    n_re = victim_rows.count()
+    t.append(victim_rows.withColumn("salt", F.lit(0)).withColumn(
+        "bucket", F.pmod(F.col("term_id"), F.lit(4))))
+    t = t.refresh()
+    assert t.scan(spark).filter(
+        F.col("doc_id") == victim).count() == n_re
