@@ -1333,6 +1333,22 @@ def _q_chunk_tokens(spark, sf_dir):
     return CU.chunk_tokens(_tokenized(spark, sf_dir), size=32, stride=24)
 
 
+def _q_bpe_pair_counts(spark, sf_dir):
+    """Top-20 first-round BPE pair counts over the documents vocabulary
+    (operators/bpe.py): distinct-word histogram → canonical symbols
+    (chars, </w> riding the last char) → adjacent pairs → weighted
+    hash-agg. This is the relational slice of BPE training; the
+    sequential merge loop is pytest-pinned (tests/test_bpe.py) against a
+    naive full-recount reference."""
+    from gensim_spark.operators import bpe as BP
+
+    pc = BP.pair_counts(BP.word_histogram(_tokenized(spark, sf_dir)))
+    return (pc.orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(20)
+            .select(F.col("left").alias("sym_a"),
+                    F.col("right").alias("sym_b"), "cnt"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokens_count": _q_tokens_count,
@@ -1404,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "split_assign": _q_split_assign,
         "chunk_tokens": _q_chunk_tokens,
+        "bpe_pair_counts": _q_bpe_pair_counts,
         "domain_stats": _q_domain_stats,
     }
 
@@ -2820,4 +2837,23 @@ FROM d GROUP BY source""",
         # (brute-force vertex enumeration + hypothesis sweep); the oracle
         # re-runs the retrieval tail over the persisted exact distances.
         "wmd_topk": _wmd_topk_sql(),
+        # BPE first merge round, independently recomputed: same canonical
+        # word form (</w> rides the last char), chars via 1-based substr
+        "bpe_pair_counts": f"""{_PRELUDE},
+words AS (SELECT token AS word, count(*) AS cnt FROM tlong GROUP BY token),
+syms AS (
+  SELECT cnt,
+         CASE WHEN len(word) <= 1 THEN [word || '</w>']
+              ELSE list_append([substr(word, i, 1)
+                                for i in range(1, len(word))],
+                               substr(word, len(word), 1) || '</w>')
+         END AS s
+  FROM words),
+pairs AS (
+  SELECT unnest([struct_pack(a := s[i], b := s[i + 1])
+                 for i in range(1, len(s))]) AS p, cnt
+  FROM syms)
+SELECT p.a AS sym_a, p.b AS sym_b, CAST(sum(cnt) AS BIGINT) AS cnt
+FROM pairs GROUP BY 1, 2
+ORDER BY cnt DESC, sym_a ASC, sym_b ASC LIMIT 20""",
     }
