@@ -163,6 +163,17 @@ def run_suite():
     t, _ = timed_min(curation, reps=min(REPS, 2))
     results["curation_pass"] = round(t, 3)
 
+    # 5d. BPE encode: train once on the corpus histogram (vocab-bounded),
+    # time the Arrow-batched distributed encode sweep (the tokenize stage
+    # of a training-data build)
+    from gensim_spark.operators import bpe as BP
+
+    bpe_model = BP.bpe_train(BP.word_histogram(idx.docs), num_merges=200)
+
+    t, _ = timed_min(lambda: bpe_model.encode(idx.docs).agg(
+        F.sum(F.size("bpe_tokens"))).collect())
+    results["bpe_encode"] = round(t, 3)
+
     # 6. brute-force knn over embeddings
     from gensim_spark.operators import simsearch as S
 
