@@ -380,6 +380,18 @@ def run_suite():
             "build_salted_sec": 41.7, "build_unsalted_sec": 55.0,
             "measured": "round 3, BASELINE.md",
         },
+        # measured via _delete_evidence(1_000_000) (round 4): takedown-
+        # sized equality-delete maintenance on the live Iceberg postings
+        # store — commit is O(delete frame), 53x cheaper than the rebuild;
+        # merge-on-read costs +12% per head-term query until compaction
+        # folds it; victim absence + survivor rank identity asserted in-run
+        "delete_reference": {
+            "docs": 1000000, "postings": 51904408, "takedown_docs": 1000,
+            "build_sec": 37.22, "delete_commit_sec": 0.7,
+            "query_before_sec": 1.252, "query_mor_sec": 1.399,
+            "compaction_sec": 28.6, "query_compacted_sec": 1.033,
+            "measured": "round 4, BASELINE.md",
+        },
         # measured once per round with SPARK_GRAFT_SCALING=1 (interleaved
         # reps, min-of, fresh subprocess per run); see BASELINE.md §Measured
         "scaling_reference": {
@@ -737,6 +749,81 @@ def _salting_evidence(n_docs: int = 1_000_000, cores: int = 0,
     finally:
         shutil.rmtree(salted_dir, ignore_errors=True)
         shutil.rmtree(plain_dir, ignore_errors=True)
+        spark.stop()
+    return out
+
+
+def _delete_evidence(n_docs: int = 1_000_000, cores: int = 0,
+                     n_takedown: int = 1000) -> dict:
+    """Equality-delete index maintenance at index size: build the 1M-doc
+    Iceberg bucketed postings store once, then measure (a) the wall of a
+    takedown-sized delete commit (must be O(delete frame) — seconds —
+    independent of the ~57M-posting corpus), (b) head-term query wall
+    before the delete, under merge-on-read (broadcast anti-join per scan),
+    and after copy-on-write compaction, (c) compaction wall. Correctness
+    asserted in-run: victims vanish, survivor ranking identical."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gensim_spark.index import layout
+    from gensim_spark.index.icetable import IceTable
+    from gensim_spark.operators import topk as T
+    from gensim_spark.session import get_spark
+
+    cores = cores or CPUS
+    spark = get_spark(f"del_bench_{n_docs}", master=f"local[{cores}]",
+                      shuffle_partitions=2 * cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    weighted = _synth_weighted(spark, n_docs, cores).cache()
+    n_postings = weighted.count()
+    dfs = weighted.groupBy("term_id").agg(F.count("*").alias("df"))
+    head = dfs.orderBy(F.col("df").desc()).first()
+    head_term = int(head["term_id"])
+    out: dict = {"docs": n_docs, "postings": n_postings, "cores": cores,
+                 "takedown_docs": n_takedown, "head_df": int(head["df"])}
+    loc = tempfile.mkdtemp(prefix="ice_del_bench_")
+    try:
+        t, _ = timed(lambda: layout.write_postings_bucketed_iceberg(
+            weighted, loc, n_buckets=64,
+            salt_threshold=int(head["df"]) // 2, dfs=dfs))
+        out["build_sec"] = round(t, 2)
+        weighted.unpersist()
+        qdf = T.query_terms_df(spark, {0: [head_term]})
+
+        def query():
+            pruned = layout.read_postings_bucketed_iceberg(
+                spark, loc, term_ids=[head_term])
+            return T.search(pruned.select("doc_id", "term_id", "weight"),
+                            qdf, k=10).collect()
+
+        before = query()  # warm
+        t, _ = timed_min(query, reps=3)
+        out["query_before_sec"] = round(t, 3)
+        # takedown set: the top-2 ranked docs + a spread of ids
+        victims = sorted({r["doc_id"] for r in before[:2]} |
+                         {i * (n_docs // n_takedown) for i in
+                          range(n_takedown - 2)})
+        t, _ = timed(lambda: layout.delete_docs_iceberg(spark, loc, victims))
+        out["delete_commit_sec"] = round(t, 2)
+        vset = set(victims)
+        after = query()  # warm the merge-on-read plan
+        assert not vset & {r["doc_id"] for r in after}, "victim survived"
+        survivors = [r["doc_id"] for r in before if r["doc_id"] not in vset]
+        assert [r["doc_id"] for r in after[:len(survivors)]] == survivors, \
+            "survivor ranking changed"
+        t, _ = timed_min(query, reps=3)
+        out["query_mor_sec"] = round(t, 3)
+        t, _ = timed(lambda: IceTable.load(loc).rewrite_data_files(spark))
+        out["compaction_sec"] = round(t, 2)
+        assert IceTable.load(loc).plan_delete_files() == []
+        cafter = query()
+        assert [r["doc_id"] for r in cafter] == [r["doc_id"] for r in after]
+        t, _ = timed_min(query, reps=3)
+        out["query_compacted_sec"] = round(t, 3)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
         spark.stop()
     return out
 
