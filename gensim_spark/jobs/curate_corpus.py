@@ -51,6 +51,7 @@ def run(spark, input_path: str, output: str, benchmark: str | None = None,
         near_dup: bool = True, decontaminate_n: int = 13,
         hashed_decontaminate: bool = False,
         chunk_size: int = 0, chunk_stride: int | None = None,
+        bpe_merges: int = 0,
         num_groups: int = 8, resume: bool = True,
         fractions=(("train", 0.90), ("val", 0.05), ("test", 0.05))) -> dict:
     """Job body; returns curation metrics. Importable so tests drive it on
@@ -137,10 +138,34 @@ def run(spark, input_path: str, output: str, benchmark: str | None = None,
     splits = CU.split_assign(survivors, fractions=fractions)
     base = (survivors.join(scrubbed, "doc_id").join(splits, "doc_id")
             .select("doc_id", "split", F.col("clean_text").alias("text")))
+    bpe_model = None
+    if bpe_merges > 0:
+        # train on the CURATED corpus (post-filter, post-scrub) — the
+        # tokenizer a training run would actually fit; resumable by
+        # artifact like the other global decision stages
+        from gensim_spark.operators import bpe as BP
+
+        merges_path = f"{output}/bpe_merges.json"
+        if resume and os.path.exists(merges_path):
+            bpe_model = BP.BpeModel.load(merges_path)
+        else:
+            hist = BP.word_histogram(P.tokenize(base.select("doc_id",
+                                                            "text")))
+            bpe_model = BP.bpe_train(hist, bpe_merges)
+            tmp_m = merges_path + ".tmp"
+            bpe_model.save(tmp_m)
+            os.replace(tmp_m, merges_path)
     if chunk_size > 0:
         chunk_tok = P.tokenize(base.select("doc_id", "text"))
-        chunks = CU.chunk_tokens(chunk_tok, size=chunk_size,
-                                 stride=chunk_stride)
+        tokens_col = "tokens"
+        if bpe_model is not None:
+            # context windows budgeted in TOKENIZER tokens (what the
+            # training run consumes), not whitespace words
+            chunk_tok = bpe_model.encode(chunk_tok, tokens_col="tokens",
+                                         out_col="bpe_tokens")
+            tokens_col = "bpe_tokens"
+        chunks = CU.chunk_tokens(chunk_tok, tokens_col=tokens_col,
+                                 size=chunk_size, stride=chunk_stride)
         base = (chunks.join(splits, "doc_id")
                 .select("doc_id", "chunk_id", "split",
                         F.col("chunk").alias("text")))
@@ -176,6 +201,7 @@ def run(spark, input_path: str, output: str, benchmark: str | None = None,
         "curated_docs": n_out,
         "rows_emitted": rows_emitted,
         "chunked": chunk_size > 0,
+        "bpe_merges": len(bpe_model.merges) if bpe_model else 0,
         "groups": len(ledger),
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(n_input / wall, 1),
@@ -204,6 +230,10 @@ def main() -> None:
     ap.add_argument("--chunk-size", type=int, default=0,
                     help="emit token windows of this size (0 = whole docs)")
     ap.add_argument("--chunk-stride", type=int, default=None)
+    ap.add_argument("--bpe-merges", type=int, default=0,
+                    help="train a BPE tokenizer on the curated corpus "
+                         "(resumable artifact bpe_merges.json) and budget "
+                         "chunks in BPE tokens")
     ap.add_argument("--num-groups", type=int, default=8)
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
@@ -218,6 +248,7 @@ def main() -> None:
                   decontaminate_n=args.decontaminate_n,
                   hashed_decontaminate=args.hashed_decontaminate,
                   chunk_size=args.chunk_size, chunk_stride=args.chunk_stride,
+                  bpe_merges=args.bpe_merges,
                   num_groups=args.num_groups, resume=not args.no_resume)
     print(json.dumps(metrics))
     spark.stop()

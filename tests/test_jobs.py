@@ -378,3 +378,42 @@ def test_curate_corpus_job(spark, tmp_path):
     assert "chunk_id" in ch.columns
     assert ch.filter("doc_id = 0 and chunk_id = 0").collect()[0][
         "text"].split(" ") == ["atoka", "atokb", "the", "atokd"]
+
+
+def test_curate_corpus_job_bpe_chunking(spark, tmp_path):
+    """--bpe-merges: tokenizer trained on the curated corpus (resumable
+    artifact), chunks budgeted in BPE tokens; chunk pieces reconstruct the
+    original words on de-BPE."""
+    from gensim_spark.jobs import curate_corpus
+    from gensim_spark.operators import bpe as BP
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "curated_bpe")
+    _curate_pages(spark).write.parquet(src)
+
+    m = curate_corpus.run(
+        spark, src, out, num_groups=2,
+        chunk_size=6, chunk_stride=6, bpe_merges=30)
+    assert m["bpe_merges"] > 0
+    assert m["chunked"]
+    import os
+    assert os.path.exists(f"{out}/bpe_merges.json")
+    model = BP.BpeModel.load(f"{out}/bpe_merges.json")
+    assert len(model.merges) == m["bpe_merges"]
+
+    ch = spark.read.parquet(f"{out}/data")
+    # doc 0's first chunk is exactly the first 6 BPE pieces of its words
+    from gensim_spark.plans import pipeline as P
+    tok = P.tokenize(spark.read.parquet(src).filter("doc_id = 0"))
+    words = tok.collect()[0]["tokens"]
+    want = [p for w in words for p in model.encode_word(w)][:6]
+    got = ch.filter("doc_id = 0 and chunk_id = 0").collect()[0][
+        "text"].split(" ")
+    assert got == want
+
+    # resume: second run reloads the merges artifact, identical output
+    m2 = curate_corpus.run(
+        spark, src, out, num_groups=2,
+        chunk_size=6, chunk_stride=6, bpe_merges=30)
+    assert m2["bpe_merges"] == m["bpe_merges"]
+    assert m2["rows_emitted"] == m["rows_emitted"]
