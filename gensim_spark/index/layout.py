@@ -476,8 +476,13 @@ def delete_docs_iceberg(spark: SparkSession, table_loc: str,
 
     table = IceTable.load(table_loc)
     if isinstance(doc_ids, DataFrame):
-        dels = doc_ids.select(F.col(doc_ids.columns[0]).cast("long")
-                              .alias("doc_id"))
+        if "doc_id" not in doc_ids.columns:
+            # an equality delete on the wrong column would silently drop
+            # the wrong documents from a live index — require the name
+            raise ValueError(
+                f"delete frame must carry a 'doc_id' column; got "
+                f"{doc_ids.columns}")
+        dels = doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
         n = None
     else:
         ids = sorted({int(d) for d in doc_ids})

@@ -51,7 +51,7 @@ def run(spark, input_path: str, output: str, benchmark: str | None = None,
         near_dup: bool = True, decontaminate_n: int = 13,
         hashed_decontaminate: bool = False,
         chunk_size: int = 0, chunk_stride: int | None = None,
-        bpe_merges: int = 0,
+        bpe_merges: int = 0, bpe_min_count: int = 1,
         num_groups: int = 8, resume: bool = True,
         fractions=(("train", 0.90), ("val", 0.05), ("test", 0.05))) -> dict:
     """Job body; returns curation metrics. Importable so tests drive it on
@@ -139,24 +139,32 @@ def run(spark, input_path: str, output: str, benchmark: str | None = None,
     base = (survivors.join(scrubbed, "doc_id").join(splits, "doc_id")
             .select("doc_id", "split", F.col("clean_text").alias("text")))
     bpe_model = None
+    tok_plan = (P.tokenize(base.select("doc_id", "text"))
+                if (bpe_merges > 0 or chunk_size > 0) else None)
     if bpe_merges > 0:
         # train on the CURATED corpus (post-filter, post-scrub) — the
         # tokenizer a training run would actually fit; resumable by
-        # artifact like the other global decision stages
+        # artifact like the other global decision stages, but only when
+        # the artifact was trained with the SAME request (a stale
+        # tokenizer must not silently budget the chunks)
         from gensim_spark.operators import bpe as BP
 
         merges_path = f"{output}/bpe_merges.json"
         if resume and os.path.exists(merges_path):
-            bpe_model = BP.BpeModel.load(merges_path)
-        else:
-            hist = BP.word_histogram(P.tokenize(base.select("doc_id",
-                                                            "text")))
+            cand = BP.BpeModel.load(merges_path)
+            if (cand.meta.get("requested_merges") == bpe_merges
+                    and cand.meta.get("min_count") == bpe_min_count):
+                bpe_model = cand
+        if bpe_model is None:
+            hist = BP.word_histogram(tok_plan, min_count=bpe_min_count)
             bpe_model = BP.bpe_train(hist, bpe_merges)
+            bpe_model.meta.update(requested_merges=bpe_merges,
+                                  min_count=bpe_min_count)
             tmp_m = merges_path + ".tmp"
             bpe_model.save(tmp_m)
             os.replace(tmp_m, merges_path)
     if chunk_size > 0:
-        chunk_tok = P.tokenize(base.select("doc_id", "text"))
+        chunk_tok = tok_plan
         tokens_col = "tokens"
         if bpe_model is not None:
             # context windows budgeted in TOKENIZER tokens (what the
@@ -234,6 +242,9 @@ def main() -> None:
                     help="train a BPE tokenizer on the curated corpus "
                          "(resumable artifact bpe_merges.json) and budget "
                          "chunks in BPE tokens")
+    ap.add_argument("--bpe-min-count", type=int, default=1,
+                    help="drop word types rarer than this from the BPE "
+                         "histogram (the driver-residency knob at scale)")
     ap.add_argument("--num-groups", type=int, default=8)
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
@@ -249,6 +260,7 @@ def main() -> None:
                   hashed_decontaminate=args.hashed_decontaminate,
                   chunk_size=args.chunk_size, chunk_stride=args.chunk_stride,
                   bpe_merges=args.bpe_merges,
+                  bpe_min_count=args.bpe_min_count,
                   num_groups=args.num_groups, resume=not args.no_resume)
     print(json.dumps(metrics))
     spark.stop()

@@ -123,13 +123,20 @@ def bpe_train(words, num_merges: int, min_pair_count: int = 2,
     if collected:
         items = list(words.items())
     else:
-        n = words.count()
-        if n > MAX_DRIVER_TYPES:
-            raise ValueError(
-                f"histogram has {n} distinct types > MAX_DRIVER_TYPES"
-                f" ({MAX_DRIVER_TYPES}); raise min_count in word_histogram"
-                " or the cap")
-        items = [(r["word"], int(r["cnt"])) for r in words.collect()]
+        # persist: the guard count and the collect otherwise re-run the
+        # corpus-sized histogram shuffle twice (the histogram itself is
+        # vocab-bounded, cheap to hold)
+        words = words.persist()
+        try:
+            n = words.count()
+            if n > MAX_DRIVER_TYPES:
+                raise ValueError(
+                    f"histogram has {n} distinct types > MAX_DRIVER_TYPES"
+                    f" ({MAX_DRIVER_TYPES}); raise min_count in"
+                    " word_histogram or the cap")
+            items = [(r["word"], int(r["cnt"])) for r in words.collect()]
+        finally:
+            words.unpersist()
     # canonical iteration order so index-set iteration can't leak
     # collection nondeterminism into equal-count re-segmentations
     items.sort()
@@ -196,19 +203,27 @@ class BpeModel:
     of the ranks and a per-batch word memo (Zipf: a handful of types
     dominate every batch, so most tokens hit the memo)."""
 
-    def __init__(self, merges: list[tuple[str, str]]):
+    def __init__(self, merges: list[tuple[str, str]],
+                 meta: dict | None = None):
         self.merges = [tuple(m) for m in merges]
         self.ranks = {p: i for i, p in enumerate(self.merges)}
+        self.meta = dict(meta or {})
+        self._bc = None
+        self._bc_sc = None
 
-    # -- persistence (json line list — tiny, model-sized) --------------------
+    # -- persistence (tiny, model-sized json) ---------------------------------
     def save(self, path: str) -> None:
         with open(path, "w", encoding="utf-8") as f:
-            json.dump([list(m) for m in self.merges], f)
+            json.dump({"merges": [list(m) for m in self.merges],
+                       "meta": self.meta}, f)
 
     @classmethod
     def load(cls, path: str) -> "BpeModel":
         with open(path, encoding="utf-8") as f:
-            return cls([tuple(m) for m in json.load(f)])
+            raw = json.load(f)
+        if isinstance(raw, list):  # early bare-list format
+            return cls([tuple(m) for m in raw])
+        return cls([tuple(m) for m in raw["merges"]], raw.get("meta"))
 
     def encode_word(self, word: str) -> list[str]:
         return encode_word(word, self.ranks)
@@ -219,7 +234,13 @@ class BpeModel:
         in ``tokens_col``. Arrow-batched, zero shuffle, merge table ships
         once per executor via broadcast."""
         spark = tokens_df.sparkSession
-        bc = spark.sparkContext.broadcast(self.ranks)
+        sc = spark.sparkContext
+        # memoize the broadcast per context: repeated encode() calls must
+        # not accumulate a fresh executor-resident copy of the merge table
+        if self._bc is None or self._bc_sc is not sc:
+            self._bc = sc.broadcast(self.ranks)
+            self._bc_sc = sc
+        bc = self._bc
 
         @F.pandas_udf(ArrayType(StringType()))
         def enc(col: pd.Series) -> pd.Series:

@@ -163,3 +163,21 @@ def test_driver_types_guard(spark):
             bpe.bpe_train(hist_df, 5)
     finally:
         bpe.MAX_DRIVER_TYPES = old
+
+
+def test_model_load_accepts_bare_list_format(tmp_path):
+    import json
+    model = bpe.bpe_train(_rand_hist(3), 10, collected=True)
+    p = str(tmp_path / "bare.json")
+    with open(p, "w") as f:
+        json.dump([list(m) for m in model.merges], f)
+    assert bpe.BpeModel.load(p).merges == model.merges
+
+
+def test_encode_broadcast_is_memoized(spark):
+    tok = _toy_tokens(spark)
+    model = bpe.bpe_train(bpe.word_histogram(tok), 10)
+    model.encode(tok).count()
+    bc1 = model._bc
+    model.encode(tok).count()
+    assert model._bc is bc1

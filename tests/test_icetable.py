@@ -648,3 +648,19 @@ def test_delete_docs_iceberg_reappend_and_df_input(spark, tmp_path):
     t = t.refresh()
     assert t.scan(spark).filter(
         F.col("doc_id") == victim).count() == n_re
+
+
+def test_delete_docs_iceberg_rejects_frame_without_doc_id(spark, tmp_path):
+    """A delete frame lacking a 'doc_id' column must be rejected — a
+    positional guess could equality-delete on the wrong column."""
+    from gensim_spark.index import layout
+    from gensim_spark.plans import pipeline as P
+    from gensim_spark.sources.synth import generate_pages
+
+    pages = generate_pages(spark, 30, tokens_per_doc=15, partitions=1)
+    idx = P.build(P.tokenize(pages, ascii_fast_path=True), num_docs=30)
+    loc = str(tmp_path / "ice_del3")
+    layout.write_postings_bucketed_iceberg(idx.weighted, loc, n_buckets=4)
+    bad = idx.weighted.select("term_id", "weight")
+    with pytest.raises(ValueError, match="doc_id"):
+        layout.delete_docs_iceberg(spark, loc, bad)

@@ -417,3 +417,14 @@ def test_curate_corpus_job_bpe_chunking(spark, tmp_path):
         chunk_size=6, chunk_stride=6, bpe_merges=30)
     assert m2["bpe_merges"] == m["bpe_merges"]
     assert m2["rows_emitted"] == m["rows_emitted"]
+
+    # a CHANGED request must not silently reuse the stale artifact
+    m3 = curate_corpus.run(
+        spark, src, str(tmp_path / "curated_bpe2"), num_groups=2,
+        chunk_size=6, chunk_stride=6, bpe_merges=30)
+    out3 = str(tmp_path / "curated_bpe2")
+    m4 = curate_corpus.run(
+        spark, src, out3, num_groups=2,
+        chunk_size=6, chunk_stride=6, bpe_merges=5, resume=True)
+    assert m4["bpe_merges"] == 5  # retrained, not the stale 30-merge model
+    assert m3["bpe_merges"] == m["bpe_merges"]
