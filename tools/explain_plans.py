@@ -223,6 +223,44 @@ def main() -> None:
         "hit count)",
         summarize(p), interesting(p)))
 
+    from gensim_spark.operators import bpe as BP
+
+    pc = BP.pair_counts(BP.word_histogram(tok))
+    p = pc._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "BPE pair counts — histogram shuffle (map-side combined) + "
+        "zero-shuffle char/pair explode + one vocab-sized hash-agg",
+        summarize(p), interesting(p)))
+
+    enc = None
+    bpe_model = BP.bpe_train(BP.word_histogram(tok), 40)
+    enc = bpe_model.encode(tok)
+    p = enc._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "BPE encode — one Arrow-batched projection over broadcast ranks "
+        "(zero exchanges; the corpus-sized stage is embarrassingly "
+        "parallel)",
+        summarize(p), interesting(p)))
+
+    import shutil
+    import tempfile
+
+    from gensim_spark.index.icetable import IceTable
+
+    ice_loc = tempfile.mkdtemp(prefix="explain_ice_del_")
+    shutil.rmtree(ice_loc, ignore_errors=True)
+    layout.write_postings_bucketed_iceberg(idx.weighted, ice_loc,
+                                           n_buckets=8)
+    layout.delete_docs_iceberg(spark, ice_loc, [1, 2, 3])
+    mor = IceTable.load(ice_loc).scan(spark)
+    p = mor._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "Merge-on-read scan after delete_docs_iceberg — data legs + ONE "
+        "broadcast anti-join against the takedown-sized delete file "
+        "(sequence-ordered; folds to a plain scan after compaction)",
+        summarize(p), interesting(p)))
+    shutil.rmtree(ice_loc, ignore_errors=True)
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# Physical-plan evidence\n\n")
         f.write("Generated by `python tools/explain_plans.py` — the plans "
