@@ -96,7 +96,7 @@ class _TermRun:
             else len(self.blocks)
 
 
-def _exhaustive(term_runs, k):
+def _exhaustive(term_runs, k, exclude=None):
     """Fallback: accumulate all postings of the query terms (vectorized)."""
     if not term_runs:
         return []
@@ -104,6 +104,11 @@ def _exhaustive(term_runs, k):
     all_w = np.concatenate([
         w.astype(np.float64) * qw for _, w, qw in term_runs
     ])
+    if exclude is not None and len(exclude):
+        keep = ~np.isin(all_docs, exclude, assume_unique=False)
+        all_docs, all_w = all_docs[keep], all_w[keep]
+        if not len(all_docs):
+            return []
     uniq, inv = np.unique(all_docs, return_inverse=True)
     scores = np.bincount(inv, weights=all_w)
     nz = scores != 0.0
@@ -115,7 +120,8 @@ def _exhaustive(term_runs, k):
     return [(int(uniq[i]), float(scores[i])) for i in keys]
 
 
-def _wand(term_runs, k, block_size=packing.BLOCK_SIZE, stats=None):
+def _wand(term_runs, k, block_size=packing.BLOCK_SIZE, stats=None,
+          exclude=None):
     """Block-max WAND over one shard's runs for one query.
 
     term_runs: list of (:class:`_TermRun`, q_weight float).
@@ -124,6 +130,12 @@ def _wand(term_runs, k, block_size=packing.BLOCK_SIZE, stats=None):
     runs) and 'evaluated' (positions actually scored — the difference is
     what pruning skipped). Block decode counters are harvested separately
     from the shared runs (see ``_shard_topk_factory``).
+
+    ``exclude``: sorted int64 array of tombstoned doc_ids (query-time
+    takedown filtering on packed stores, pending a re-pack). EXACT: an
+    excluded doc is dropped at candidate time so it never enters the heap
+    and never raises θ; block maxima that include excluded docs merely
+    loosen the upper bounds, which can only reduce pruning, never answers.
     """
     if stats is not None:
         stats["postings"] = stats.get("postings", 0) + sum(
@@ -134,7 +146,8 @@ def _wand(term_runs, k, block_size=packing.BLOCK_SIZE, stats=None):
             stats["evaluated"] = stats.get("evaluated", 0) + sum(
                 r.n for r, _ in term_runs)
         return _exhaustive(
-            [(r.all_docs(), r.weights, qw) for r, qw in term_runs], k)
+            [(r.all_docs(), r.weights, qw) for r, qw in term_runs], k,
+            exclude=exclude)
 
     # Ordered-segment block-max traversal. The doc axis splits into segments
     # at the union of all block boundaries, so each (term, segment) pair is
@@ -244,6 +257,13 @@ def _wand(term_runs, k, block_size=packing.BLOCK_SIZE, stats=None):
         uniq, inv = np.unique(all_docs, return_inverse=True)
         scores = np.bincount(
             inv, weights=np.concatenate([w for _, _, w in ess]))
+        if exclude is not None and len(exclude):
+            # drop tombstones before they can enter the heap or spend
+            # lookup work in the non-essential lists
+            keep = ~np.isin(uniq, exclude, assume_unique=False)
+            uniq, scores = uniq[keep], scores[keep]
+            if not len(uniq):
+                continue
         if ness:
             rem = sum(ub for ub, _, _ in ness)
             if len(heap) >= k:
@@ -275,7 +295,8 @@ def _wand(term_runs, k, block_size=packing.BLOCK_SIZE, stats=None):
 def _shard_topk_factory(query_terms: dict[int, dict[int, float]], k: int,
                         postings_acc=None, evaluated_acc=None,
                         blocks_total_acc=None, blocks_decoded_acc=None,
-                        eager_max: int | None = None):
+                        eager_max: int | None = None,
+                        exclude=None):
     """query_terms: {query_id: {term_id: q_weight}}. Optional Spark
     accumulators receive total-vs-evaluated posting counts and
     total-vs-decoded block counts (pruning + lazy-decode evidence).
@@ -302,7 +323,7 @@ def _shard_topk_factory(query_terms: dict[int, dict[int, float]], k: int,
                     runs.append((runs_by_term[tid], float(qw)))
             if not runs:
                 continue
-            for doc, score in _wand(runs, k, stats=stats):
+            for doc, score in _wand(runs, k, stats=stats, exclude=exclude):
                 rows.append((qid, doc, score))
         if stats is not None:
             postings_acc.add(stats.get("postings", 0))
@@ -321,7 +342,8 @@ def wand_topk(spark: SparkSession, index_dir: str,
               query_terms: dict[int, dict[int, float]], k: int = 10,
               packed: DataFrame | None = None,
               stats_out: dict | None = None,
-              eager_max: int | None = None) -> DataFrame:
+              eager_max: int | None = None,
+              exclude_doc_ids=None) -> DataFrame:
     """Distributed block-max WAND: (query_id, doc_id, score, rank).
 
     Reads only the query terms' packed runs (partition/row-group pruning),
@@ -334,8 +356,18 @@ def wand_topk(spark: SparkSession, index_dir: str,
     stats_out['blocks_total'] / stats_out['blocks_decoded'] (lazy-decode
     evidence: varint blocks in the runs vs blocks actually decoded) — the
     accumulators fill in once the returned DataFrame is collected.
+
+    ``exclude_doc_ids``: takedown tombstones applied at query time — rank-
+    and score-identical to querying an index with those docs absent (the
+    delete path for PACKED stores between re-packs; bucketed plain stores
+    delete via ``layout.delete_docs_iceberg`` instead). Takedown-sized:
+    the set rides the task closure like the query terms themselves.
     """
     all_terms = sorted({int(t) for q in query_terms.values() for t in q})
+    exclude = None
+    if exclude_doc_ids is not None:
+        exclude = np.unique(np.asarray(sorted(
+            int(d) for d in exclude_doc_ids), dtype=np.int64))
     if packed is None:
         packed = read_packed_shards(spark, index_dir)
     pruned = packed.filter(F.col("term_id").isin(all_terms))
@@ -352,7 +384,7 @@ def wand_topk(spark: SparkSession, index_dir: str,
     local = pruned.groupBy("shard_id").applyInPandas(
         _shard_topk_factory(query_terms, k, postings_acc, evaluated_acc,
                             blocks_total_acc, blocks_decoded_acc,
-                            eager_max=eager_max),
+                            eager_max=eager_max, exclude=exclude),
         schema=LOCAL_TOPK_SCHEMA,
     )
     from pyspark.sql import Window

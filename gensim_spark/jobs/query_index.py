@@ -16,7 +16,8 @@ sys.path.insert(
 
 
 def run(spark, index_dir: str, queries: list[str], k: int = 10,
-        iceberg: bool = False, snapshot_id: int | None = None) -> dict:
+        iceberg: bool = False, snapshot_id: int | None = None,
+        exclude_doc_ids=None) -> dict:
     """The job body; returns {"results": {qid: [{doc_id, score, rank}]},
     "wall_sec": s}. Importable so tests can drive it without a subprocess."""
     from pyspark.sql import functions as F
@@ -47,7 +48,8 @@ def run(spark, index_dir: str, queries: list[str], k: int = 10,
     }
     t0 = time.perf_counter()
     rows = wand_topk(spark, index_dir, query_terms, k=k,
-                     packed=packed).collect()
+                     packed=packed,
+                     exclude_doc_ids=exclude_doc_ids).collect()
     wall = time.perf_counter() - t0
     # every submitted query gets a key — an all-OOV or zero-hit query
     # answers [], it doesn't vanish from the dict
@@ -69,13 +71,18 @@ def main() -> None:
                     help="index was built with --iceberg (snapshot store)")
     ap.add_argument("--snapshot-id", type=int, default=None,
                     help="time-travel the shard store to this snapshot")
+    ap.add_argument("--exclude-doc-ids", type=int, nargs="*", default=None,
+                    help="takedown tombstones filtered at query time "
+                         "(rank-identical to an index without those docs; "
+                         "packed stores fold them in at the next re-pack)")
     args = ap.parse_args()
 
     from gensim_spark.session import get_spark
 
     spark = get_spark("gensim_spark_query")
     out = run(spark, args.index, args.query, k=args.k,
-              iceberg=args.iceberg, snapshot_id=args.snapshot_id)
+              iceberg=args.iceberg, snapshot_id=args.snapshot_id,
+              exclude_doc_ids=args.exclude_doc_ids)
     print(json.dumps(out))
     spark.stop()
 

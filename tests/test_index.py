@@ -264,3 +264,73 @@ def test_wand_negative_qw_and_theta_ties_match_exhaustive():
             assert [d for d, _ in got] == [d for d, _ in want], (trial, k)
             for (dg, sg), (dw, sw) in zip(got, want):
                 assert sg == pytest.approx(sw, rel=1e-9)
+
+
+def test_wand_exclusion_matches_rebuilt_index():
+    """Kernel fuzz: WAND with a tombstone set is rank- AND score-identical
+    to exhaustively scoring runs with those docs absent — across eager and
+    lazy decode, negative runs, and tombstones that hit the would-be top
+    docs (θ must converge on survivors only)."""
+    from gensim_spark.index import wand
+
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        nt = int(rng.integers(2, 5))
+        runs = []
+        for _t in range(nt):
+            sign = -1 if rng.random() < 0.3 else 1
+            r = _mk_run(rng, int(rng.integers(5, 2000)), sign,
+                        rng.random() < 0.3,
+                        eager_max=0 if rng.random() < 0.5 else None)
+            runs.append((r, float(rng.integers(1, 4)) * sign))
+        # tombstone half the unexcluded top-10 plus random ids
+        base = wand._exhaustive(
+            [(r.all_docs(), r.weights, qw) for r, qw in runs], 10)
+        excl = np.unique(np.asarray(
+            [d for d, _ in base[::2]] +
+            rng.choice(20000, size=30, replace=False).tolist(),
+            dtype=np.int64))
+        for k in (1, 3, 10):
+            got = wand._wand(runs, k, exclude=excl)
+            assert not (set(excl.tolist())
+                        & {d for d, _ in got}), (trial, k)
+            kept = []
+            for r, qw in runs:
+                d = r.all_docs()
+                m = ~np.isin(d, excl)
+                kept.append((d[m], r.weights[m], qw))
+            want = wand._exhaustive(kept, k)
+            assert [d for d, _ in got] == [d for d, _ in want], (trial, k)
+            for (dg, sg), (dw, sw) in zip(got, want):
+                assert sg == pytest.approx(sw, rel=1e-9)
+
+
+def test_wand_topk_exclusion_distributed(spark, synth_index, tmp_path):
+    """Distributed path: exclude_doc_ids drops the tombstones and matches
+    the join-agg ranking over postings with those docs filtered out."""
+    from gensim_spark.index import layout, wand
+    from gensim_spark.operators import topk as T
+
+    idx, _ = synth_index
+    out = str(tmp_path / "excl_shards")
+    layout.write_packed_shards(idx.weighted, out, docs_per_shard=256,
+                               num_groups=2)
+    vocab_rows = idx.vocab.orderBy("term_id").collect()
+    qterms = {0: {vocab_rows[0]["term_id"]: 1.0,
+                  vocab_rows[5]["term_id"]: 1.0}}
+    before = wand.wand_topk(spark, out, qterms, k=5).collect()
+    excl = [r["doc_id"] for r in before[:2]]
+    got = wand.wand_topk(spark, out, qterms, k=5,
+                         exclude_doc_ids=excl).collect()
+    assert not (set(excl) & {r["doc_id"] for r in got})
+    wf32 = idx.weighted.withColumn(
+        "weight", F.col("weight").cast("float").cast("double")
+    ).filter(~F.col("doc_id").isin(excl))
+    qdf = spark.createDataFrame(
+        [(0, int(t), float(w)) for t, w in qterms[0].items()],
+        "query_id int, term_id long, q_weight double")
+    want = T.search(wf32, qdf, k=5).collect()
+    assert [(r["rank"], r["doc_id"]) for r in got] == \
+        [(r["rank"], r["doc_id"]) for r in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], rel=1e-9)
