@@ -63,6 +63,8 @@ _INDEX_MEMO: dict = {}
 # written Iceberg postings store per (session, sf_dir) — rebuilding the
 # store (and leaking its tempdir) on every query invocation is avoidable
 _ICE_STORE_MEMO: dict = {}
+# packed WAND shard store per (session, sf_dir) — serving-path entry
+_PACKED_STORE_MEMO: dict = {}
 
 
 def _index(spark: SparkSession, sf_dir: str, variant: str = "okapi"):
@@ -195,6 +197,38 @@ def _q_bm25_topk_iceberg(spark, sf_dir):
                    T.query_terms_df(spark, {0: tids}), k=TOPK_K)
     return out.select("query_id", "doc_id", F.round("score", 6).alias("score"),
                       "rank")
+
+
+def _q_bm25_topk_served(spark, sf_dir):
+    """Same top-k as bm25_topk, answered by the in-process serving path:
+    ``serving.PackedIndexServer`` pyarrow-scans the packed WAND shard store
+    (term-pruned via row-group stats) and runs the block-max kernel with no
+    Spark job per query — the query-node deployment of the index. Scores
+    pass through the store's float32 weight storage (docsim.py:1183), which
+    the oracle mirrors with a REAL cast before the float64 sum."""
+    import tempfile
+
+    from gensim_spark.functions import textref
+    from gensim_spark.index import layout, serving
+
+    idx = _index(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    if key not in _PACKED_STORE_MEMO:
+        loc = tempfile.mkdtemp(prefix="gs_packed_store_") + "/index"
+        layout.write_packed_shards(idx.weighted, loc, docs_per_shard=1024,
+                                   num_groups=2, resume=False)
+        _PACKED_STORE_MEMO[key] = loc
+    tokens = sorted(set(textref.simple_preprocess(QUERY_SET[0])))
+    tids = sorted(
+        int(r["term_id"])
+        for r in idx.vocab.filter(F.col("token").isin(tokens)).collect()
+    )
+    srv = serving.PackedIndexServer(_PACKED_STORE_MEMO[key], preload=True)
+    rows = srv.topk({0: {t: 1.0 for t in tids}}, k=TOPK_K)
+    out = spark.createDataFrame(
+        rows, "query_id int, doc_id long, score double, rank int")
+    return out.select("query_id", "doc_id",
+                      F.round("score", 6).alias("score"), "rank")
 
 
 def _q_bm25_topk_batch(spark, sf_dir):
@@ -1362,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_atire": lambda s, d: _bm25_weights(s, d, "atire"),
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_iceberg": _q_bm25_topk_iceberg,
+        "bm25_topk_served": _q_bm25_topk_served,
         "bm25_topk_batch": _q_bm25_topk_batch,
         "tfidf_nfc": _q_tfidf_nfc,
         "tfidf_lfc": _q_tfidf_lfc,
@@ -1499,7 +1534,14 @@ SELECT doc_id, term_id, round(weight, 6) AS weight FROM weights
 """
 
 
-def _topk_sql(queries_: dict[int, str], k: int) -> str:
+def _topk_sql(queries_: dict[int, str], k: int,
+              f32_store: bool = False) -> str:
+    # f32_store: the packed serving store holds weights as float32
+    # (docsim.py:1183); the oracle rounds each weight through REAL before
+    # the float64 sum so scores match the served path bit-for-bit at the
+    # 6-decimal comparison
+    w_expr = ("CAST(CAST(w.weight AS REAL) AS DOUBLE)" if f32_store
+              else "w.weight")
     vals = ", ".join(f"({qid}, '{text}')" for qid, text in queries_.items())
     return f"""{_PRELUDE},
 qraw AS (SELECT * FROM (VALUES {vals}) AS q(query_id, qtext)),
@@ -1524,7 +1566,7 @@ weights AS (
                                               / (SELECT a FROM avgdl)))) AS weight
   FROM postings p JOIN doclen d USING (doc_id) JOIN idf i USING (term_id)),
 scores AS (
-  SELECT q.query_id, w.doc_id, sum(w.weight * 1.0) AS score
+  SELECT q.query_id, w.doc_id, sum({w_expr} * 1.0) AS score
   FROM weights w JOIN qterms q USING (term_id)
   GROUP BY q.query_id, w.doc_id),
 ranked AS (
@@ -2597,6 +2639,10 @@ SELECT token, cf FROM vocab_ids ORDER BY cf DESC, term_id ASC LIMIT 20""",
         "bm25_topk": _topk_sql({0: QUERY_SET[0]}, TOPK_K),
         # Iceberg-backed store must serve the SAME answers — same oracle
         "bm25_topk_iceberg": _topk_sql({0: QUERY_SET[0]}, TOPK_K),
+        # in-process serving path: same ranking, scores through the store's
+        # float32 weight storage (REAL cast in the oracle)
+        "bm25_topk_served": _topk_sql({0: QUERY_SET[0]}, TOPK_K,
+                                      f32_store=True),
         "tfidf_nfu_pivot": _tfidf_nfu_pivot_sql(),
         "phrases_connector": _phrases_connector_sql(),
         "phrases_npmi_conn": _phrases_connector_sql("npmi"),

@@ -273,6 +273,32 @@ def run_suite():
         results["bm25_query_batch32"] = round(t, 3)
         batch32_amortized_ms = 1000 * min(
             results["wand_query_batch32"], results["bm25_query_batch32"]) / 32
+
+        # 9. serving path: the SAME packed store answered in-process
+        # (PackedIndexServer = the query-node deployment; Spark builds the
+        # store, serving it needs no Spark job per query). Identity vs the
+        # distributed WAND plan is asserted in-run; the latency is the
+        # kernel's own cost, free of the per-job scheduling floor that
+        # dominates bm25_query_single.
+        from gensim_spark.index import serving as SV
+
+        t_load, srv = timed(lambda: SV.PackedIndexServer(shard_dir,
+                                                         preload=True))
+        results["serving_load"] = round(t_load, 3)
+        got_serv = {(q, rk): d for q, d, _, rk in srv.topk(qterms, k=10)}
+        want_serv = {(r["query_id"], r["rank"]): r["doc_id"]
+                     for r in wand.wand_topk(spark, shard_dir, qterms, k=10,
+                                             packed=packed).collect()}
+        assert got_serv == want_serv, "serving diverged from distributed WAND"
+        serv_lat = []
+        for _ in range(50):
+            for qid, ts in qterms.items():
+                t, _ = timed(lambda: srv.topk({qid: ts}, k=10))
+                serv_lat.append(t)
+        serv_lat.sort()
+        serving_p95_ms = 1000 * serv_lat[int(0.95 * (len(serv_lat) - 1))]
+        t, _ = timed_min(lambda: srv.topk(q32, k=10))
+        serving_batch32_ms = 1000 * t / 32
     finally:
         shutil.rmtree(shard_dir, ignore_errors=True)
 
@@ -287,6 +313,11 @@ def run_suite():
         "docs_per_sec": round(docs_per_sec, 1),
         "query_p95_ms": round(p95_ms, 1),
         "batch32_amortized_ms_per_query": round(batch32_amortized_ms, 1),
+        # in-process serving over the same packed store (identity vs the
+        # distributed WAND plan asserted in-run): what "query p95" means
+        # for a deployed query node — no Spark job-scheduling floor
+        "serving_p95_ms": round(serving_p95_ms, 2),
+        "serving_batch32_ms_per_query": round(serving_batch32_ms, 3),
         "suite_note": "round 4: every entry is min-of-reps (builds "
                       "interleaved) so one hypervisor steal storm cannot "
                       "print a phantom regression; suite total is therefore "
@@ -300,13 +331,18 @@ def run_suite():
         # python -c "import bench; print(bench._wand_bench_inner(1_000_000))"
         "wand_1m_reference": {
             "docs": 1000000, "postings": 51904408, "cores": 32,
-            "wand_sec": 0.574, "joinagg_sec": 0.836, "speedup": 1.46,
+            "wand_sec": 0.528, "joinagg_sec": 0.818, "speedup": 1.55,
             "query_postings": 4268522, "query_evaluated": 73954,
             "skipped_pct": 98.3, "query_blocks_total": 33786,
             "query_blocks_decoded": 4024, "blocks_decoded_pct": 11.9,
-            "measured": "round 4 re-run, flat vs round 3's 0.561/0.882 "
-                        "(round 2, eager decode: 0.657/0.951 = 1.45x, "
-                        "100% blocks decoded)",
+            # in-process PackedIndexServer over the same store: ONE node
+            # holding ALL 31 shards (a deployment slices shards across
+            # nodes); rank identity vs the distributed plan asserted in-run
+            "serving_load_sec": 3.22, "serving_p95_ms": 57.7,
+            "serving_mean_ms": 45.5,
+            "measured": "round 4 re-run with serving (0.528/0.818; r3: "
+                        "0.561/0.882; round 2, eager decode: 0.657/0.951 = "
+                        "1.45x, 100% blocks decoded)",
         },
         # measured via _wand_bench_inner(4_000_000) (round 4): 4x the 1M
         # evidence — the skip/decode ratios HOLD and the speedup grows
@@ -526,6 +562,27 @@ def _wand_bench_inner(n_docs: int, cores: int = 0) -> dict:
         out["blocks_decoded_pct"] = round(
             100 * out["query_blocks_decoded"]
             / max(out["query_blocks_total"], 1), 1)
+        # in-process serving over the same store at full index size: load
+        # the shard slice once (the query-node startup cost), assert rank
+        # identity vs the distributed plan, then p95 over single queries —
+        # the latency a deployed index answers at (no Spark job per query)
+        from gensim_spark.index import serving as SV
+
+        t_load, srv = timed(lambda: SV.PackedIndexServer(shard_dir,
+                                                         preload=True))
+        out["serving_load_sec"] = round(t_load, 2)
+        got_s = {(q, rk): d for q, d, _, rk in srv.topk(qterms, k=10)}
+        assert got_s == gm, "serving diverged from distributed WAND"
+        serv_lat = []
+        for _ in range(20):
+            for qid, ts in qterms.items():
+                t, _ = timed(lambda: srv.topk({qid: ts}, k=10))
+                serv_lat.append(t)
+        serv_lat.sort()
+        out["serving_p95_ms"] = round(
+            1000 * serv_lat[int(0.95 * (len(serv_lat) - 1))], 2)
+        out["serving_mean_ms"] = round(
+            1000 * sum(serv_lat) / len(serv_lat), 2)
     finally:
         shutil.rmtree(shard_dir, ignore_errors=True)
         spark.stop()

@@ -1,0 +1,183 @@
+"""PackedIndexServer: in-process serving is rank+score identical to the
+distributed WAND plan and the exhaustive join-agg plan over the same store."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def served_store(spark, tmp_path_factory):
+    from gensim_spark.index import layout
+    from gensim_spark.plans import pipeline as P
+    from gensim_spark.sources.synth import generate_pages
+
+    pages = generate_pages(spark, 1200, tokens_per_doc=50, partitions=8)
+    tok = P.tokenize(pages, ascii_fast_path=True)
+    idx = P.build(tok, num_docs=1200)
+    out = str(tmp_path_factory.mktemp("served"))
+    layout.write_packed_shards(idx.weighted, out, docs_per_shard=128,
+                               num_groups=4, resume=False)
+    return idx, out
+
+
+def _rows(df):
+    return sorted((r["query_id"], r["rank"], r["doc_id"],
+                   round(r["score"], 9)) for r in df.collect())
+
+
+def _srows(rows):
+    return sorted((q, rk, d, round(s, 9)) for q, d, s, rk in rows)
+
+
+def _qterms(idx, n_queries=4, terms_per_q=3):
+    vocab_rows = idx.vocab.orderBy("term_id").collect()
+    step = max(1, len(vocab_rows) // (n_queries * terms_per_q + 1))
+    qterms = {}
+    for qid in range(n_queries):
+        qterms[qid] = {
+            int(vocab_rows[(qid * terms_per_q + j) * step]["term_id"]):
+                1.0 + 0.25 * j
+            for j in range(terms_per_q)
+        }
+    return qterms
+
+
+def test_serving_matches_distributed_wand(spark, served_store):
+    from gensim_spark.index import serving, wand
+
+    idx, out = served_store
+    qterms = _qterms(idx)
+    srv = serving.PackedIndexServer(out, preload=True)
+    for k in (1, 5, 20):
+        want = _rows(wand.wand_topk(spark, out, qterms, k=k))
+        got = _srows(srv.topk(qterms, k=k))
+        assert got == want, k
+
+
+def test_serving_disk_mode_identical(spark, served_store):
+    from gensim_spark.index import serving
+
+    idx, out = served_store
+    qterms = _qterms(idx, n_queries=2)
+    hot = serving.PackedIndexServer(out, preload=True)
+    cold = serving.PackedIndexServer(out, preload=False)
+    assert _srows(cold.topk(qterms, k=7)) == _srows(hot.topk(qterms, k=7))
+
+
+def test_serving_matches_joinagg_exhaustive(spark, served_store):
+    """Cross-plan: served results equal the exhaustive relational plan over
+    the same float32-stored weights (the exactness contract of wand.py)."""
+    from gensim_spark.index import serving
+    from gensim_spark.operators import topk as T
+
+    idx, out = served_store
+    qterms = _qterms(idx, n_queries=3)
+    srv = serving.PackedIndexServer(out, preload=True)
+    wf32 = idx.weighted.withColumn(
+        "weight", F.col("weight").cast("float").cast("double"))
+    qdf = spark.createDataFrame(
+        [(qid, int(t), float(w)) for qid, ts in qterms.items()
+         for t, w in ts.items()],
+        "query_id int, term_id long, q_weight double")
+    want = _rows(T.search(wf32, qdf, k=10))
+    got = _srows(srv.topk(qterms, k=10))
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], rel=1e-9)
+
+
+def test_serving_exclusion_matches_distributed(spark, served_store):
+    from gensim_spark.index import serving, wand
+
+    idx, out = served_store
+    qterms = _qterms(idx, n_queries=2)
+    srv = serving.PackedIndexServer(out, preload=True)
+    base = srv.topk(qterms, k=5)
+    victims = sorted({d for _, d, _, _ in base})[:3]
+    want = _rows(wand.wand_topk(spark, out, qterms, k=5,
+                                exclude_doc_ids=victims))
+    got = _srows(srv.topk(qterms, k=5, exclude_doc_ids=victims))
+    assert got == want
+    assert not {d for _, _, d, _ in got} & set(victims)
+
+
+def test_serving_negative_weight_fallback(spark, tmp_path):
+    """Negative q_weights force the exhaustive per-shard fallback; serving
+    must still equal the distributed plan (|score| ranking surfaces)."""
+    from gensim_spark.index import layout, serving, wand
+
+    rng = np.random.default_rng(11)
+    rows = [(int(d), int(t), float(rng.uniform(0.1, 2.0)))
+            for d in range(300) for t in rng.choice(40, 6, replace=False)]
+    weighted = spark.createDataFrame(
+        rows, "doc_id long, term_id long, weight double")
+    out = str(tmp_path / "negstore")
+    layout.write_packed_shards(weighted, out, docs_per_shard=64,
+                               num_groups=2, resume=False)
+    qterms = {0: {3: 1.0, 7: -1.5, 11: 0.5}, 1: {5: -1.0, 9: -2.0}}
+    srv = serving.PackedIndexServer(out, preload=True)
+    for k in (1, 4, 15):
+        want = _rows(wand.wand_topk(spark, out, qterms, k=k))
+        got = _srows(srv.topk(qterms, k=k))
+        assert got == want, k
+
+
+def test_serving_stats_and_cache_warm(spark, served_store):
+    from gensim_spark.index import serving
+
+    idx, out = served_store
+    qterms = _qterms(idx, n_queries=2)
+    srv = serving.PackedIndexServer(out, preload=True)
+    s0 = srv.cache_stats()
+    assert s0["runs_cached"] == 0  # lazy: nothing materialized at load
+    stats = {}
+    srv.topk(qterms, k=5, stats_out=stats)
+    assert stats["postings"] > 0
+    assert 0 < stats["evaluated"] <= stats["postings"]
+    s1 = srv.cache_stats()
+    assert s1["runs_cached"] > 0
+    assert 0 <= s1["blocks_decoded"] <= s1["blocks_total"]
+    # repeat query: run cache is reused (never rebuilt), only warms
+    srv.topk(qterms, k=5)
+    s2 = srv.cache_stats()
+    assert s2["runs_cached"] == s1["runs_cached"]
+    assert s2["blocks_decoded"] >= s1["blocks_decoded"]
+
+
+def test_serving_fuzz_vs_joinagg(spark, tmp_path):
+    """Randomized corpora: served top-k equals the relational plan."""
+    from gensim_spark.index import layout, serving
+    from gensim_spark.operators import topk as T
+
+    rng = np.random.default_rng(29)
+    for trial in range(3):
+        n_docs = int(rng.integers(50, 400))
+        n_terms = int(rng.integers(10, 60))
+        rows = []
+        for d in range(n_docs):
+            for t in rng.choice(n_terms, size=int(rng.integers(1, 8)),
+                                replace=False):
+                rows.append((int(d), int(t),
+                             float(np.float32(rng.uniform(0.05, 3.0)))))
+        weighted = spark.createDataFrame(
+            rows, "doc_id long, term_id long, weight double")
+        out = str(tmp_path / f"fuzz{trial}")
+        layout.write_packed_shards(
+            weighted, out, docs_per_shard=int(rng.integers(16, 128)),
+            num_groups=2, resume=False)
+        qterms = {
+            qid: {int(t): float(rng.uniform(0.5, 2.0))
+                  for t in rng.choice(n_terms, size=3, replace=False)}
+            for qid in range(3)
+        }
+        srv = serving.PackedIndexServer(out, preload=bool(trial % 2))
+        qdf = spark.createDataFrame(
+            [(qid, int(t), float(w)) for qid, ts in qterms.items()
+             for t, w in ts.items()],
+            "query_id int, term_id long, q_weight double")
+        want = _rows(T.search(weighted, qdf, k=10))
+        got = _srows(srv.topk(qterms, k=10))
+        assert [g[:3] for g in got] == [w[:3] for w in want], trial
+        for g, w in zip(got, want):
+            assert g[3] == pytest.approx(w[3], rel=1e-9), trial
