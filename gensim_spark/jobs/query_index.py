@@ -61,6 +61,43 @@ def run(spark, index_dir: str, queries: list[str], k: int = 10,
     return {"results": out, "wall_sec": round(wall, 3)}
 
 
+def run_served(index_dir: str, queries: list[str], k: int = 10,
+               exclude_doc_ids=None) -> dict:
+    """Serve the same answers with NO Spark session: pyarrow vocab lookup +
+    ``serving.PackedIndexServer`` over the packed shards (plain-parquet
+    store layout from build_index). Rank/score identical to :func:`run` by
+    the serving module's identity contract; latency is the kernel's own
+    cost instead of a per-query Spark job."""
+    import pyarrow.dataset as pads
+
+    from gensim_spark.functions import textref
+    from gensim_spark.index.serving import PackedIndexServer
+
+    t_load0 = time.perf_counter()
+    tokens = {qid: textref.simple_preprocess(q)
+              for qid, q in enumerate(queries)}
+    all_tokens = sorted({t for ts in tokens.values() for t in ts})
+    vt = pads.dataset(f"{index_dir}/vocab", format="parquet").to_table(
+        columns=["token", "term_id"],
+        filter=pads.field("token").isin(all_tokens))
+    tid = dict(zip(vt.column("token").to_pylist(),
+                   vt.column("term_id").to_pylist()))
+    query_terms = {
+        qid: {int(tid[t]): 1.0 for t in set(ts) if t in tid}
+        for qid, ts in tokens.items()
+    }
+    srv = PackedIndexServer(index_dir, preload=True)
+    load_sec = time.perf_counter() - t_load0
+    t0 = time.perf_counter()
+    rows = srv.topk(query_terms, k=k, exclude_doc_ids=exclude_doc_ids)
+    wall = time.perf_counter() - t0
+    out = {str(qid): [] for qid in tokens}
+    for qid, doc, score, rank in rows:
+        out[str(qid)].append({"doc_id": doc, "score": score, "rank": rank})
+    return {"results": out, "wall_sec": round(wall, 4),
+            "load_sec": round(load_sec, 3)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True, help="index dir (from build)")
@@ -75,7 +112,18 @@ def main() -> None:
                     help="takedown tombstones filtered at query time "
                          "(rank-identical to an index without those docs; "
                          "packed stores fold them in at the next re-pack)")
+    ap.add_argument("--serve", action="store_true",
+                    help="answer in-process (PackedIndexServer, no Spark "
+                         "session) — plain-parquet stores only")
     args = ap.parse_args()
+
+    if args.serve:
+        if args.iceberg or args.snapshot_id is not None:
+            ap.error("--serve reads the plain-parquet store layout "
+                     "(no --iceberg/--snapshot-id)")
+        print(json.dumps(run_served(args.index, args.query, k=args.k,
+                                    exclude_doc_ids=args.exclude_doc_ids)))
+        return
 
     from gensim_spark.session import get_spark
 

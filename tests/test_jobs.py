@@ -428,3 +428,26 @@ def test_curate_corpus_job_bpe_chunking(spark, tmp_path):
         chunk_size=6, chunk_stride=6, bpe_merges=5, resume=True)
     assert m4["bpe_merges"] == 5  # retrained, not the stale 30-merge model
     assert m3["bpe_merges"] == m["bpe_merges"]
+
+
+def test_query_index_serve_mode_matches_spark_path(spark, tmp_path):
+    """--serve (PackedIndexServer, no Spark session) answers identically to
+    the distributed WAND job, including tombstones and all-OOV queries."""
+    from gensim_spark.jobs import build_index, query_index
+
+    pages = str(tmp_path / "pages_srv")
+    _pages_df(spark).write.parquet(pages)
+    out = str(tmp_path / "idx_srv")
+    build_index.run(spark, pages, out, docs_per_shard=16, num_groups=2)
+
+    qs = ["alpha beta", "zeta common", "nosuchword atall"]
+    want = query_index.run(spark, out, qs, k=5)
+    got = query_index.run_served(out, qs, k=5)
+    assert got["results"] == want["results"]
+    assert got["results"]["2"] == []  # all-OOV key survives, empty
+
+    victims = [h["doc_id"] for h in want["results"]["0"][:2]]
+    want_ex = query_index.run(spark, out, qs, k=5, exclude_doc_ids=victims)
+    got_ex = query_index.run_served(out, qs, k=5, exclude_doc_ids=victims)
+    assert got_ex["results"] == want_ex["results"]
+    assert not {h["doc_id"] for h in got_ex["results"]["0"]} & set(victims)
