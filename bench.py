@@ -336,13 +336,16 @@ def run_suite():
             "skipped_pct": 98.3, "query_blocks_total": 33786,
             "query_blocks_decoded": 4024, "blocks_decoded_pct": 11.9,
             # in-process PackedIndexServer over the same store: ONE node
-            # holding ALL 31 shards (a deployment slices shards across
-            # nodes); rank identity vs the distributed plan asserted in-run
-            "serving_load_sec": 3.22, "serving_p95_ms": 57.7,
-            "serving_mean_ms": 45.5,
-            "measured": "round 4 re-run with serving (0.528/0.818; r3: "
-                        "0.561/0.882; round 2, eager decode: 0.657/0.951 = "
-                        "1.45x, 100% blocks decoded)",
+            # holding ALL 31 shards, then 4 nodes holding 1/4 each (the
+            # deployment slicing; per-query latency = slowest node + broker
+            # merge); rank identity vs the distributed plan asserted in-run
+            "serving_load_sec": 3.22, "serving_p95_ms": 53.96,
+            "serving_mean_ms": 45.5, "serving_nodes": 4,
+            "serving_scaleout_p95_ms": 16.81,
+            "serving_scaleout_mean_ms": 13.19,
+            "measured": "round 4 re-runs with serving, min per protocol "
+                        "(0.528/0.818; r3: 0.561/0.882; round 2, eager "
+                        "decode: 0.657/0.951 = 1.45x, 100% blocks decoded)",
         },
         # measured via _wand_bench_inner(4_000_000) (round 4): 4x the 1M
         # evidence — the skip/decode ratios HOLD and the speedup grows
@@ -583,6 +586,33 @@ def _wand_bench_inner(n_docs: int, cores: int = 0) -> dict:
             1000 * serv_lat[int(0.95 * (len(serv_lat) - 1))], 2)
         out["serving_mean_ms"] = round(
             1000 * sum(serv_lat) / len(serv_lat), 2)
+        # scale-out: 4 nodes each owning 1/4 of the shards (the deployment
+        # slicing). Nodes answer in parallel, so per-query latency is the
+        # SLOWEST node plus the O(nodes·k) broker merge; the merged answer
+        # is asserted identical to the whole-store/distributed ranking.
+        shard_ids = SV.PackedIndexServer.shard_ids(shard_dir)
+        nodes = [SV.PackedIndexServer(shard_dir, preload=True,
+                                      shards=shard_ids[i::4])
+                 for i in range(4)]
+        merged = SV.merge_topk([n.topk(qterms, k=10) for n in nodes], k=10)
+        assert {(q, rk): d for q, d, _, rk in merged} == gm, \
+            "scale-out merge diverged"
+        lat4 = []
+        for _ in range(20):
+            for qid, ts in qterms.items():
+                node_t, node_rows = [], []
+                for n in nodes:
+                    t, rows = timed(lambda: n.topk({qid: ts}, k=10))
+                    node_t.append(t)
+                    node_rows.append(rows)
+                t, _ = timed(lambda: SV.merge_topk(node_rows, k=10))
+                lat4.append(max(node_t) + t)
+        lat4.sort()
+        out["serving_nodes"] = 4
+        out["serving_scaleout_p95_ms"] = round(
+            1000 * lat4[int(0.95 * (len(lat4) - 1))], 2)
+        out["serving_scaleout_mean_ms"] = round(
+            1000 * sum(lat4) / len(lat4), 2)
     finally:
         shutil.rmtree(shard_dir, ignore_errors=True)
         spark.stop()

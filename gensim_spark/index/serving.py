@@ -41,6 +41,24 @@ _RUN_COLUMNS = ["shard_id", "term_id", "doc_blob", "weight_blob",
                 "block_offset"]
 
 
+def merge_topk(node_rows, k: int = 10) -> list[tuple[int, int, float, int]]:
+    """Broker merge of per-node ``topk()`` outputs — the second stage of the
+    two-stage TakeOrdered (≙ docsim.py:236-257). Nodes hold disjoint shard
+    slices, so their k-lists concatenate without dedup; the merge re-ranks
+    with the same contract (|score| desc, doc asc) and re-cuts at k. The
+    merged answer equals a single node serving the union of the slices."""
+    by_q: dict[int, list[tuple[int, float]]] = {}
+    for rows in node_rows:
+        for q, d, s, _rk in rows:
+            by_q.setdefault(q, []).append((d, s))
+    out: list[tuple[int, int, float, int]] = []
+    for q in sorted(by_q):
+        cand = sorted(by_q[q], key=lambda p: (-abs(p[1]), p[0]))[:k]
+        for rank, (d, s) in enumerate(cand, start=1):
+            out.append((q, d, float(s), rank))
+    return out
+
+
 def _norm_exclude(exclude_doc_ids):
     if exclude_doc_ids is None:
         return None
@@ -63,28 +81,51 @@ class PackedIndexServer:
     call (row-group pruning on term_id) — the cold / bigger-than-RAM node,
     correct but paying file I/O per query.
 
+    ``shards``: restrict this node to a slice of the shard set — the
+    deployment unit (shards are doc-disjoint, so N nodes each serving their
+    slice's k-list and a broker merging the lists IS the distributed plan's
+    two-stage TakeOrdered, answer-identical by construction). ``None``
+    serves the whole store.
+
     ``eager_max`` overrides ``wand.EAGER_DECODE_MAX`` (postings count at or
     below which a run decodes its whole doc array up front).
     """
 
     def __init__(self, index_dir: str, *, preload: bool = True,
-                 eager_max: int | None = None):
+                 shards=None, eager_max: int | None = None):
         import pyarrow.dataset as pads
 
         self._data_dir = os.path.join(index_dir, "data")
         self._pads = pads
         self._dataset = pads.dataset(self._data_dir, format="parquet",
                                      partitioning="hive")
+        self._shard_flt = None
+        if shards is not None:
+            self._shard_flt = pads.field("shard_id").isin(
+                [int(s) for s in shards])
         self._eager_max = eager_max
         self._tbl = None
         self._run_cache: dict[int, list[tuple[int, _TermRun]]] = {}
         if preload:
             self._tbl = self._dataset.to_table(
-                columns=_RUN_COLUMNS).combine_chunks()
+                columns=_RUN_COLUMNS,
+                filter=self._shard_flt).combine_chunks()
             tids = self._tbl.column("term_id").to_numpy()
             self._sids = self._tbl.column("shard_id").to_numpy()
             self._order = np.argsort(tids, kind="stable")
             self._tids_sorted = tids[self._order]
+
+    @staticmethod
+    def shard_ids(index_dir: str) -> list[int]:
+        """Shard ids present in the store (from the hive directory layout)."""
+        import glob
+
+        ids = {
+            int(os.path.basename(p).split("=", 1)[1])
+            for p in glob.glob(os.path.join(index_dir, "data", "group=*",
+                                            "shard_id=*"))
+        }
+        return sorted(ids)
 
     def _mk_run(self, tbl, i: int) -> _TermRun:
         return _TermRun(
@@ -110,6 +151,8 @@ class PackedIndexServer:
     def _read_runs(self, term_ids) -> dict[int, list[tuple[int, _TermRun]]]:
         """Cold path: fetch only these terms' runs from parquet."""
         flt = self._pads.field("term_id").isin([int(t) for t in term_ids])
+        if self._shard_flt is not None:
+            flt = flt & self._shard_flt
         tbl = self._dataset.to_table(columns=_RUN_COLUMNS, filter=flt)
         tbl = tbl.combine_chunks()
         tids = tbl.column("term_id").to_numpy()

@@ -181,3 +181,30 @@ def test_serving_fuzz_vs_joinagg(spark, tmp_path):
         assert [g[:3] for g in got] == [w[:3] for w in want], trial
         for g, w in zip(got, want):
             assert g[3] == pytest.approx(w[3], rel=1e-9), trial
+
+
+def test_serving_shard_slices_merge_to_whole_store(spark, served_store):
+    """The deployment shape: N nodes each own a shard slice; the broker
+    merge of their k-lists equals one node serving the whole store (and
+    therefore the distributed plan, by the identity tests above)."""
+    from gensim_spark.index import serving
+
+    idx, out = served_store
+    qterms = _qterms(idx, n_queries=3)
+    whole = serving.PackedIndexServer(out, preload=True)
+    want = whole.topk(qterms, k=8)
+
+    all_shards = serving.PackedIndexServer.shard_ids(out)
+    assert len(all_shards) >= 4  # 1200 docs / 128 per shard
+    slices = [all_shards[i::3] for i in range(3)]
+    nodes = [serving.PackedIndexServer(out, preload=True, shards=sl)
+             for sl in slices]
+    # slice disjointness: per-node run totals sum to the whole store's
+    assert sum(n.num_runs for n in nodes) == whole.num_runs
+    merged = serving.merge_topk([n.topk(qterms, k=8) for n in nodes], k=8)
+    assert merged == want
+
+    # a single-shard node answers only from its slice
+    lone = serving.PackedIndexServer(out, preload=True,
+                                     shards=[all_shards[0]])
+    assert lone.num_runs < whole.num_runs
