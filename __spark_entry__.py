@@ -1383,6 +1383,50 @@ def _q_bpe_pair_counts(spark, sf_dir):
                     F.col("right").alias("sym_b"), "cnt"))
 
 
+# deterministic media-table sizes for the audio/video codec entries
+_AV_N_AUDIO = 24
+_AV_N_VIDEO = 12
+
+
+def _q_audio_features(spark, sf_dir):
+    """REAL WAV codec verified end-to-end (operators/audiovideo.py): the
+    entry builds actual RIFF/PCM16 payloads from an integer sawtooth
+    (synth_audio_int16: v[i] = ((i%p)*2a)//p - a, pure integer), DECODES
+    THE BYTES with the pure-python codec inside mapInPandas, and
+    aggregates rms / zero-crossing rate / peak / duration in float64.
+    The DuckDB oracle recomputes the SAME waveform analytically and the
+    same aggregates — any bit drift in the encode→decode roundtrip (header
+    layout, quantization, channel interleave) breaks the hash."""
+    from gensim_spark.operators import audiovideo as AV
+
+    media = AV.make_audio_media(spark, n=_AV_N_AUDIO)
+    out = AV.audio_stats(media)
+    return out.select(
+        "media_id", "rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+        F.round("peak", 6).alias("peak"),
+    )
+
+
+def _q_video_frame_sample(spark, sf_dir):
+    """REAL Y4M video frame sampling verified end-to-end
+    (operators/audiovideo.py): the entry encodes actual YUV4MPEG2 streams
+    (Cmono, 10 fps) from an integer pixel formula (synth_video_luma:
+    (17f+5y+3x+m)%240+8), then sample_video_frames seek-decodes ONLY the
+    sampled frames (ts = 0,300,600,… < duration; frame stride is fixed)
+    and reports per-frame mean luma. The DuckDB oracle recomputes the
+    sampling grid, the ts→frame mapping, and each frame's brightness
+    analytically from the same integer formula."""
+    from gensim_spark.operators import audiovideo as AV
+
+    media = AV.make_video_media(spark, n=_AV_N_VIDEO)
+    out = AV.sample_video_frames(media, every_ms=300)
+    return out.select("media_id", "frame_idx", "ts_ms", "width", "height",
+                      F.round("brightness", 6).alias("brightness"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokens_count": _q_tokens_count,
@@ -1457,6 +1501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tokens": _q_chunk_tokens,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "domain_stats": _q_domain_stats,
+        "audio_features": _q_audio_features,
+        "video_frame_sample": _q_video_frame_sample,
     }
 
 
@@ -2902,4 +2948,51 @@ pairs AS (
 SELECT p.a AS sym_a, p.b AS sym_b, CAST(sum(cnt) AS BIGINT) AS cnt
 FROM pairs GROUP BY 1, 2
 ORDER BY cnt DESC, sym_a ASC, sym_b ASC LIMIT 20""",
+        # WAV codec end-to-end: DuckDB recomputes the integer sawtooth the
+        # Spark side obtains by DECODING REAL RIFF BYTES, then the same
+        # float64 aggregates (pure-integer zcr/peak comparisons are exact;
+        # rms differs only at summation-order ulps, absorbed by round 6)
+        "audio_features": f"""
+WITH params AS (
+  SELECT m, 8000 + 250 * m AS rate, 1500 + 37 * m AS n,
+         40 + 3 * m AS p, 15000 + 500 * m AS a
+  FROM range(0, {_AV_N_AUDIO}) t(m)),
+samp AS (
+  SELECT m, i,
+         CAST(((i % p) * 2 * a) // p - a AS DOUBLE) / 32768.0 AS v
+  FROM params, range(0, 3000) s(i) WHERE i < n),
+lagged AS (
+  SELECT m, v, lag(v) OVER (PARTITION BY m ORDER BY i) AS pv FROM samp),
+zc AS (
+  SELECT m, count(*) FILTER (WHERE v * pv < 0) AS crossings,
+         sqrt(avg(v * v)) AS rms, max(abs(v)) AS peak
+  FROM lagged GROUP BY m)
+SELECT CAST(p.m AS BIGINT) AS media_id, CAST(p.rate AS INT) AS rate,
+       CAST(p.n AS BIGINT) AS n_samples,
+       ROUND(CAST(p.n AS DOUBLE) / p.rate, 6) AS duration_s,
+       ROUND(zc.rms, 6) AS rms,
+       ROUND(CAST(zc.crossings AS DOUBLE) / (p.n - 1), 6) AS zcr,
+       ROUND(zc.peak, 6) AS peak
+FROM params p JOIN zc ON p.m = zc.m""",
+        # Y4M frame sampling end-to-end: the sampling grid (ts < n_frames *
+        # 100 ms at 10 fps), the ts→frame mapping (ts // 100) and each
+        # sampled frame's mean luma, recomputed from the integer pixel
+        # formula the Spark side reads back out of REAL Y4M bytes
+        "video_frame_sample": f"""
+WITH params AS (
+  SELECT m, 24 + m AS w, 16 + (m % 5) AS h, 12 + m AS nf
+  FROM range(0, {_AV_N_VIDEO}) t(m)),
+frames AS (
+  SELECT m, w, h, ts, ts // 100 AS f
+  FROM params, range(0, 2400, 300) s(ts) WHERE ts < nf * 100),
+bright AS (
+  SELECT m, f, ts, w, h,
+         avg(CAST((17 * f + 5 * y + 3 * x + m) % 240 + 8 AS DOUBLE)) AS b
+  FROM frames, range(0, 24) ys(y), range(0, 40) xs(x)
+  WHERE y < h AND x < w
+  GROUP BY m, f, ts, w, h)
+SELECT CAST(m AS BIGINT) AS media_id, CAST(f AS INT) AS frame_idx,
+       CAST(ts AS BIGINT) AS ts_ms, CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height, ROUND(b, 6) AS brightness
+FROM bright""",
     }

@@ -7,11 +7,12 @@ UDF signatures) is real and tested here. Codecs: PNM (P1-P6), uncompressed
 0-4, stdlib zlib), and BASELINE JPEG (T.81 sequential DCT: huffman scan
 decode with byte-stuffing + restart intervals, dequant, float IDCT, box
 chroma upsampling, JFIF YCbCr→RGB) decode for REAL via the pure-python
-parsers below (no image library exists in this container); progressive
-JPEG, arithmetic coding, and audio/video still need an injected decoder
-(PIL/libvips/ffmpeg at deploy time) and raise ``NotImplementedError``
-until one is provided. ``fake_decode`` remains as the deterministic
-plumbing-test stand-in.
+parsers below (no image library exists in this container); WAV audio and
+Y4M uncompressed video decode for real in the sibling ``audiovideo``
+module. Progressive JPEG, arithmetic coding, and compressed audio/video
+(MP3/H.264/…) still need an injected decoder (PIL/libvips/ffmpeg at
+deploy time) and raise ``NotImplementedError`` until one is provided.
+``fake_decode`` remains as the deterministic plumbing-test stand-in.
 
 Scale notes: media rows are large and variable — keep
 ``spark.sql.files.maxPartitionBytes`` small for media tables, and bound
@@ -666,10 +667,78 @@ def extract_image_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_image(pixels: np.ndarray, width: int, height: int,
+                 method: str = "bilinear") -> np.ndarray:
+    """Resize decoded pixels to (height, width) with pure-numpy nearest or
+    bilinear sampling (align-corners=False / pixel-center convention, the
+    PIL/OpenCV default). Works for gray (h, w) and color (h, w, c)."""
+    px = np.asarray(pixels)
+    gray = px.ndim == 2
+    if gray:
+        px = px[:, :, None]
+    h, w = px.shape[:2]
+    if method == "nearest":
+        ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+        xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+        out = px[ys[:, None], xs[None, :]]
+    elif method == "bilinear":
+        fy = np.clip((np.arange(height) + 0.5) * h / height - 0.5, 0, h - 1)
+        fx = np.clip((np.arange(width) + 0.5) * w / width - 0.5, 0, w - 1)
+        y0 = np.floor(fy).astype(np.int64)
+        x0 = np.floor(fx).astype(np.int64)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        wy = (fy - y0)[:, None, None]
+        wx = (fx - x0)[None, :, None]
+        p = px.astype(np.float64)
+        out = ((1 - wy) * (1 - wx) * p[y0[:, None], x0[None, :]]
+               + (1 - wy) * wx * p[y0[:, None], x1[None, :]]
+               + wy * (1 - wx) * p[y1[:, None], x0[None, :]]
+               + wy * wx * p[y1[:, None], x1[None, :]])
+        if np.issubdtype(px.dtype, np.integer):
+            out = np.clip(np.round(out), 0, 255).astype(px.dtype)
+    else:
+        raise ValueError("method must be 'nearest' or 'bilinear'")
+    return out[:, :, 0] if gray else out
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  method: str = "bilinear") -> DataFrame:
+    """REAL image resize over a media table: decode → resize → re-encode
+    (PNG) in one iterator-form mapInPandas stage; output matches
+    MEDIA_SCHEMA with updated width/height/mime/payload. Non-image rows
+    pass through unchanged."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, mimes, payloads = [], [], [], []
+            for kind, mime, w0, h0, p in zip(pdf["kind"], pdf["mime"],
+                                             pdf["width"], pdf["height"],
+                                             pdf["payload"]):
+                if kind != "image" or p is None:
+                    ws.append(w0); hs.append(h0)
+                    mimes.append(mime); payloads.append(p)
+                    continue
+                rs = resize_image(decode_image(bytes(p)), width, height, method)
+                ws.append(width); hs.append(height)
+                mimes.append("image/png")
+                payloads.append(bytearray(encode_png(rs)))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "kind": pdf["kind"],
+                "mime": mimes, "width": ws, "height": hs,
+                "duration_ms": pdf["duration_ms"],
+                "payload": pd.Series(payloads, dtype=object),
+            })
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled timestamp
-    (the decode itself is the stubbed stage). Demonstrates the explode shape:
-    a 10-minute video at 1 fps → 600 rows, each a decode work item."""
+    as a pure relational explode (the decode stage is separate).
+    Demonstrates the shape: a 10-minute video at 1 fps → 600 rows, each a
+    decode work item. For REAL sampling over Y4M payloads (decoding only
+    the sampled frames) use ``audiovideo.sample_video_frames``."""
     n_frames = F.greatest(
         (F.col("duration_ms") / F.lit(every_ms)).cast("int"), F.lit(1)
     )
