@@ -174,6 +174,21 @@ def run_suite():
         F.sum(F.size("bpe_tokens"))).collect())
     results["bpe_encode"] = round(t, 3)
 
+    # 5e. media decode: REAL codecs (PNG images + WAV audio + Y4M video)
+    # through one Arrow-batched mapInPandas feature sweep — the multimodal
+    # leg of a training-data build. Table generation is untimed (cached);
+    # the timed stage is decode + feature extraction only.
+    from gensim_spark.operators import audiovideo as AV
+
+    media = AV.make_mixed_media(
+        spark, n_images=192, n_audio=192, n_video=48
+    ).repartition(CPUS).cache()
+    media.count()
+    t, _ = timed_min(lambda: AV.extract_media_features(media).agg(
+        F.sum(F.size("feature"))).collect())
+    results["media_features"] = round(t, 3)
+    media.unpersist()
+
     # 6. brute-force knn over embeddings
     from gensim_spark.operators import simsearch as S
 

@@ -517,3 +517,35 @@ def make_video_media(spark, n: int = 12) -> DataFrame:
         rows.append((m, "video", "video/x-yuv4mpeg", w, h,
                      int(nf * 100), bytearray(payload)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def make_mixed_media(spark, n_images: int = 64, n_audio: int = 64,
+                     n_video: int = 16, image_hw=(32, 32)) -> DataFrame:
+    """Mixed media table of REAL payloads (PNG images + WAV audio + Y4M
+    video) from the deterministic synths — bench/test input for
+    :func:`extract_media_features`."""
+    from .multimodal import MEDIA_SCHEMA, encode_png
+
+    rows, mid = [], 0
+    h, w = image_hw
+    for i in range(n_images):
+        px = ((np.arange(h * w * 3).reshape(h, w, 3) * (i + 1)) % 251
+              ).astype(np.uint8)
+        rows.append((mid, "image", "image/png", w, h, 0,
+                     bytearray(encode_png(px))))
+        mid += 1
+    for i in range(n_audio):
+        v, rate = synth_audio_int16(i % 32)
+        rows.append((mid, "audio", "audio/wav", 0, 0,
+                     int(v.size * 1000 // rate),
+                     bytearray(encode_wav(v, rate))))
+        mid += 1
+    for i in range(n_video):
+        m = i % 12
+        vw, vh, nf = synth_video_params(m)
+        payload = encode_y4m([synth_video_luma(m, f) for f in range(nf)],
+                             fps=(10, 1), colorspace="Cmono")
+        rows.append((mid, "video", "video/x-yuv4mpeg", vw, vh,
+                     int(nf * 100), bytearray(payload)))
+        mid += 1
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
