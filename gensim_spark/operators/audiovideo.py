@@ -276,10 +276,12 @@ def y4m_frame_rgb(payload: bytes, idx: int, info: Y4MInfo | None = None) -> np.n
         g = np.clip(np.round(yf), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=2)
     h, w = y.shape
-    cbf = np.kron(cb.astype(np.float64), np.ones((h // cb.shape[0], w // cb.shape[1])))
-    crf = np.kron(cr.astype(np.float64), np.ones((h // cr.shape[0], w // cr.shape[1])))
-    cbf = (cbf[:h, :w] - 128.0) * (255.0 / 224.0)
-    crf = (crf[:h, :w] - 128.0) * (255.0 / 224.0)
+    # index-mapped nearest upsampling (np.kron would come up one row/col
+    # short for odd luma dimensions: C420 chroma is (h//2, w//2))
+    ys = np.minimum(np.arange(h) * cb.shape[0] // h, cb.shape[0] - 1)
+    xs = np.minimum(np.arange(w) * cb.shape[1] // w, cb.shape[1] - 1)
+    cbf = (cb.astype(np.float64)[ys][:, xs] - 128.0) * (255.0 / 224.0)
+    crf = (cr.astype(np.float64)[ys][:, xs] - 128.0) * (255.0 / 224.0)
     rgb = np.stack([yf + 1.402 * crf,
                     yf - 0.344136 * cbf - 0.714136 * crf,
                     yf + 1.772 * cbf], axis=2)

@@ -176,6 +176,18 @@ def test_y4m_c420_shapes_and_flat_color():
     assert np.abs(rgb.astype(int) - flat.astype(int)).max() <= 3
 
 
+def test_y4m_c420_odd_dimensions():
+    # odd luma dims: chroma planes are floor-halved; RGB conversion must
+    # upsample back to the full (h, w) without falling a row/col short
+    flat = np.full((7, 9, 3), [60, 180, 30], dtype=np.uint8)
+    payload = AV.encode_y4m([flat], colorspace="C420")
+    y, cb, cr = AV.y4m_frame(payload, 0)
+    assert y.shape == (7, 9) and cb.shape == (3, 4)
+    rgb = AV.y4m_frame_rgb(payload, 0)
+    assert rgb.shape == (7, 9, 3)
+    assert np.abs(rgb.astype(int) - flat.astype(int)).max() <= 3
+
+
 def test_y4m_rejections_and_bounds():
     with pytest.raises(ValueError):
         AV.y4m_info(b"RIFFxxxxWAVE")
