@@ -259,6 +259,32 @@ def test_extract_media_features_mixed_real(spark):
     assert rows[3]["feature"] is None
 
 
+def test_make_mixed_media_dist_matches_driver_synth(spark):
+    # executor-side generation must be a pure function of media_id that
+    # reproduces the driver-side synths byte-for-byte
+    df = AV.make_mixed_media_dist(spark, n_images=3, n_audio=4, n_video=2,
+                                  partitions=3)
+    rows = {r["media_id"]: r for r in df.collect()}
+    assert len(rows) == 9
+    assert [rows[i]["kind"] for i in range(9)] == (
+        ["image"] * 3 + ["audio"] * 4 + ["video"] * 2)
+    # audio payload identity vs the driver encoder
+    for i in range(4):
+        v, rate = AV.synth_audio_int16(i % 32)
+        assert bytes(rows[3 + i]["payload"]) == AV.encode_wav(v, rate)
+    # video payload identity
+    w, h, nf = AV.synth_video_params(1)
+    want = AV.encode_y4m([AV.synth_video_luma(1, f) for f in range(nf)],
+                         fps=(10, 1), colorspace="Cmono")
+    assert bytes(rows[8]["payload"]) == want
+    assert (rows[8]["width"], rows[8]["height"]) == (w, h)
+    # every image payload decodes to its declared dims
+    import gensim_spark.operators.multimodal as mm
+    for i in range(3):
+        px = mm.decode_png(bytes(rows[i]["payload"]))
+        assert px.shape == (rows[i]["height"], rows[i]["width"], 3)
+
+
 # --- image resize ----------------------------------------------------------
 
 def test_resize_nearest_exact_block_upscale():
