@@ -242,6 +242,25 @@ def main() -> None:
         "parallel)",
         summarize(p), interesting(p)))
 
+    from gensim_spark.operators import audiovideo as AV
+
+    media = AV.make_mixed_media(spark, n_images=8, n_audio=8, n_video=4)
+    p = (AV.extract_media_features(media)
+         ._jdf.queryExecution().executedPlan().toString())
+    sections.append((
+        "Media feature extraction — REAL PNG/WAV/Y4M decode in ONE "
+        "Arrow-batched mapInPandas stage (zero exchanges; scales purely "
+        "with executors, bounded by arrow.maxRecordsPerBatch)",
+        summarize(p), interesting(p)))
+
+    p = (AV.sample_video_frames(media, every_ms=300)
+         ._jdf.queryExecution().executedPlan().toString())
+    sections.append((
+        "Video frame sampling — kind filter + one mapInPandas stage that "
+        "seek-decodes ONLY the sampled frames (Y4M fixed frame stride; "
+        "zero exchanges)",
+        summarize(p), interesting(p)))
+
     import shutil
     import tempfile
 
