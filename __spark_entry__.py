@@ -1427,6 +1427,25 @@ def _q_video_frame_sample(spark, sf_dir):
                       F.round("brightness", 6).alias("brightness"))
 
 
+_AV_N_SPEC = 6
+
+
+def _q_audio_spectrogram(spark, sf_dir):
+    """STFT power spectrogram verified end-to-end
+    (operators/audiovideo.py): Spark decodes REAL RIFF bytes and computes
+    framed Hann-windowed rFFT power (n_fft=64, hop=256); the DuckDB
+    oracle recomputes the integer sawtooth analytically and then the SAME
+    windowing + DFT as explicit trig sums (re² + im² per bin) — so frame
+    geometry, the window function, and the transform itself are all
+    cross-engine checked, not just an aggregate of them."""
+    from gensim_spark.operators import audiovideo as AV
+
+    media = AV.make_audio_media(spark, n=_AV_N_SPEC)
+    out = AV.audio_spectrogram_frames(media, n_fft=64, hop=256)
+    return out.select("media_id", "frame", "bin",
+                      F.round("power", 6).alias("power"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokens_count": _q_tokens_count,
@@ -1503,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "audio_features": _q_audio_features,
         "video_frame_sample": _q_video_frame_sample,
+        "audio_spectrogram": _q_audio_spectrogram,
     }
 
 
@@ -2995,4 +3015,34 @@ SELECT CAST(m AS BIGINT) AS media_id, CAST(f AS INT) AS frame_idx,
        CAST(ts AS BIGINT) AS ts_ms, CAST(w AS INT) AS width,
        CAST(h AS INT) AS height, ROUND(b, 6) AS brightness
 FROM bright""",
+        # STFT end-to-end: the oracle recomputes the decoded waveform
+        # analytically, then the SAME framing (hop 256), periodic Hann
+        # window, and 64-point DFT as explicit trig sums — power = re²+im²
+        # per (frame, bin). Any drift in the codec, the frame geometry,
+        # the window, or the transform breaks the hash.
+        "audio_spectrogram": f"""
+WITH params AS (
+  SELECT m, 1500 + 37 * m AS n, 40 + 3 * m AS p, 15000 + 500 * m AS a
+  FROM range(0, {_AV_N_SPEC}) t(m)),
+samp AS (
+  SELECT m, i,
+         CAST(((i % p) * 2 * a) // p - a AS DOUBLE) / 32768.0 AS v
+  FROM params, range(0, 3000) s(i) WHERE i < n),
+frames AS (
+  SELECT m, f FROM params, range(0, 12) fr(f)
+  WHERE f < 1 + (n - 64) // 256),
+terms AS (
+  SELECT fr.m, fr.f, s.i - fr.f * 256 AS j,
+         s.v * (0.5 - 0.5 * cos(2 * pi() * (s.i - fr.f * 256) / 64.0)) AS w
+  FROM frames fr JOIN samp s
+    ON s.m = fr.m AND s.i >= fr.f * 256 AND s.i < fr.f * 256 + 64),
+spec AS (
+  SELECT t.m, t.f, b.bin,
+         sum(t.w * cos(2 * pi() * b.bin * t.j / 64.0)) AS re,
+         sum(t.w * sin(2 * pi() * b.bin * t.j / 64.0)) AS im
+  FROM terms t, range(0, 33) b(bin)
+  GROUP BY t.m, t.f, b.bin)
+SELECT CAST(m AS BIGINT) AS media_id, CAST(f AS INT) AS frame,
+       CAST(bin AS INT) AS bin, ROUND(re * re + im * im, 6) AS power
+FROM spec""",
     }

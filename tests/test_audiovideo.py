@@ -140,6 +140,88 @@ def test_audio_features_edge_cases():
     assert flat[3] == pytest.approx(0.25)
 
 
+# --- spectrograms -----------------------------------------------------------
+
+def test_mel_scale_goldens():
+    # the textbook anchor: 1000 Hz ≈ 1000 mel on the HTK scale
+    assert AV.hz_to_mel(1000.0) == pytest.approx(1000.0, abs=0.1)
+    assert AV.hz_to_mel(0.0) == 0.0
+    for f in (55.0, 440.0, 3999.5):
+        assert AV.mel_to_hz(AV.hz_to_mel(f)) == pytest.approx(f, rel=1e-12)
+
+
+def test_stft_tone_concentrates_in_its_bin():
+    rate, n_fft = 8000, 256
+    k = 16  # tone exactly on bin 16 → 16 * 8000 / 256 = 500 Hz
+    i = np.arange(4096)
+    x = np.sin(2 * np.pi * k * i / n_fft)
+    pw = AV.stft_power(x, n_fft=n_fft, hop=128)
+    assert pw.shape == (1 + (4096 - 256) // 128, 129)
+    assert np.all(pw.argmax(axis=1) == k)
+    # windowed tone: nearly all energy within ±1 bin
+    frac = pw[:, k - 1:k + 2].sum(axis=1) / pw.sum(axis=1)
+    assert np.all(frac > 0.999)
+
+
+def test_stft_edges():
+    assert AV.stft_power(np.zeros(50), n_fft=64).shape == (0, 33)
+    assert np.all(AV.stft_power(np.zeros(500), n_fft=64, hop=32) == 0.0)
+
+
+def test_mel_filterbank_structure():
+    fb = AV.mel_filterbank(10, 256, 8000)
+    assert fb.shape == (10, 129)
+    assert np.all(fb >= 0)
+    # triangle centers strictly ascend in frequency
+    centers = fb.argmax(axis=1)
+    assert np.all(np.diff(centers) > 0)
+    # interior coverage: every frequency between the first and last center
+    # is seen by at least one filter
+    mid = fb[:, centers[0]:centers[-1] + 1].max(axis=0)
+    assert np.all(mid > 0)
+
+
+def test_log_mel_tone_lands_in_expected_band():
+    rate, n_fft, n_mels = 8000, 256, 12
+    i = np.arange(8000)
+    x = 0.4 * np.sin(2 * np.pi * 500.0 * i / rate)
+    lm = AV.log_mel_spectrogram(x, rate, n_fft=n_fft, hop=128, n_mels=n_mels)
+    fb = AV.mel_filterbank(n_mels, n_fft, rate)
+    expected_band = int(fb[:, int(500.0 * n_fft / rate)].argmax())
+    assert np.all(lm.argmax(axis=1) == expected_band)
+    # silence floors at log10(1e-10)
+    sil = AV.log_mel_spectrogram(np.zeros(2000), rate, n_fft=n_fft, hop=128)
+    assert np.all(sil == -10.0)
+
+
+def test_extract_log_mel_spark_matches_driver(spark):
+    media = AV.make_audio_media(spark, n=4)
+    rows = {r["media_id"]: r for r in extract_sorted(
+        AV.extract_log_mel(media, n_fft=128, hop=64, n_mels=8))}
+    for m in range(4):
+        v, rate = AV.synth_audio_int16(m)
+        want = AV.log_mel_spectrogram(
+            v.astype(np.float64)[:, None] / 32768.0, rate,
+            n_fft=128, hop=64, n_mels=8)
+        assert rows[m]["n_frames"] == want.shape[0]
+        got = np.array(rows[m]["mel_mean"], dtype=np.float32)
+        assert np.allclose(got, want.mean(axis=0), rtol=1e-5), m
+
+
+def test_audio_spectrogram_frames_matches_numpy(spark):
+    media = AV.make_audio_media(spark, n=3)
+    out = AV.audio_spectrogram_frames(media, n_fft=64, hop=256).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["media_id"], {})[(r["frame"], r["bin"])] = r["power"]
+    for m in range(3):
+        v, _ = AV.synth_audio_int16(m)
+        pw = AV.stft_power(v.astype(np.float64) / 32768.0, n_fft=64, hop=256)
+        assert len(by[m]) == pw.size
+        for (f, b), p in by[m].items():
+            assert p == pytest.approx(pw[f, b], rel=1e-9, abs=1e-12)
+
+
 # --- Y4M codec ------------------------------------------------------------
 
 def test_y4m_cmono_roundtrip_exact():
