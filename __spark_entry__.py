@@ -1427,6 +1427,27 @@ def _q_video_frame_sample(spark, sf_dir):
                       F.round("brightness", 6).alias("brightness"))
 
 
+_PHRASE = ("value", "table")  # a frequent adjacent pair in the testdata docs
+
+
+def _q_phrase_topk(spark, sf_dir):
+    """Exact-phrase top-k over positional postings
+    (operators/positional.py): positions recorded in the same single
+    build shuffle doc2bow pays, adjacency = a JVM array fold
+    (∩ᵢ shifted positions), scoring = Lucene PhraseQuery semantics (the
+    phrase is a pseudo-term: tf = occurrence count, idf = Σ member idfs,
+    saturation from the fitted Okapi stats). The DuckDB oracle rebuilds
+    positions with a 1-based list index over the SAME token lists and
+    re-runs match + scoring relationally."""
+    from gensim_spark.operators import positional as PX
+
+    idx = _index(spark, sf_dir)
+    out = PX.phrase_text_topk(spark, idx.docs, idx.vocab, idx.stats,
+                              list(_PHRASE), idx.doclen, k=TOPK_K)
+    return out.select("doc_id", "phrase_tf",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 _AV_N_SPEC = 6
 
 
@@ -1523,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "video_frame_sample": _q_video_frame_sample,
         "audio_spectrogram": _q_audio_spectrogram,
+        "phrase_topk": _q_phrase_topk,
     }
 
 
@@ -3045,4 +3067,39 @@ spec AS (
 SELECT CAST(m AS BIGINT) AS media_id, CAST(f AS INT) AS frame,
        CAST(bin AS INT) AS bin, ROUND(re * re + im * im, 6) AS power
 FROM spec""",
+        # exact-phrase top-k: positions via 1-based list indexing over the
+        # SAME tokenize, adjacency as a positional self-join, Lucene
+        # phrase scoring (idf_sum × okapi saturation over phrase_tf) with
+        # the prelude's ε-clamped idf table and Σcf/N avgdl
+        "phrase_topk": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+posx AS (SELECT doc_id, unnest(tokens) AS token,
+                generate_subscripts(tokens, 1) - 1 AS pos
+         FROM tok),
+p0 AS (SELECT doc_id, pos FROM posx WHERE token = '{_PHRASE[0]}'),
+p1 AS (SELECT doc_id, pos FROM posx WHERE token = '{_PHRASE[1]}'),
+occ AS (SELECT p0.doc_id, count(*) AS ptf
+        FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+        GROUP BY p0.doc_id),
+isum AS (SELECT sum(i.idf) AS s FROM idf i JOIN vocab_ids v USING (term_id)
+         WHERE v.token IN ('{_PHRASE[0]}', '{_PHRASE[1]}')),
+scored AS (
+  SELECT o.doc_id, o.ptf,
+         (SELECT s FROM isum) * (o.ptf * 2.5)
+           / (o.ptf + 1.5 * (0.25 + 0.75 * d.dl / (SELECT a FROM avgdl)))
+           AS score
+  FROM occ o JOIN doclen d USING (doc_id))
+SELECT doc_id, CAST(ptf AS INT) AS phrase_tf, ROUND(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank
+FROM scored
+QUALIFY rank <= {TOPK_K}
+ORDER BY rank""",
     }

@@ -189,6 +189,24 @@ def run_suite():
     results["media_features"] = round(t, 3)
     media.unpersist()
 
+    # 5f. positional index + exact-phrase query: positions ride the same
+    # single build shuffle; the query is k term-scoped legs (the term
+    # filter pushes below each leg's groupBy) + a JVM array-intersect fold
+    from gensim_spark.operators import positional as PX
+
+    t, _ = timed_min(lambda: PX.positional_postings(
+        idx.docs, idx.vocab).count())
+    results["positional_build"] = round(t, 3)
+    pos = PX.positional_postings(idx.docs, idx.vocab).cache()
+    pos.count()
+    pids = {r["token"]: r["term_id"] for r in idx.vocab.filter(
+        F.col("token").isin(["value", "table"])).collect()}
+    phrase_ids = [pids["value"], pids["table"]]
+    t, _ = timed_min(lambda: PX.phrase_topk(
+        pos, idx.stats, phrase_ids, idx.doclen, k=10).collect())
+    results["phrase_query"] = round(t, 3)
+    pos.unpersist()
+
     # 6. brute-force knn over embeddings
     from gensim_spark.operators import simsearch as S
 

@@ -1,0 +1,131 @@
+"""Positional postings + exact phrase queries over the inverted index.
+
+gensim's retrieval surface has no phrase operator; this extends the graft's
+north-star index (posting-list construction → intersection-style querying,
+SURVEY §2.5) with the canonical next capability of an inverted index:
+token positions recorded at build time, exact-adjacency phrase matching at
+query time, and Lucene-style phrase scoring — the phrase behaves as a
+pseudo-term whose tf is the phrase occurrence count and whose idf is the
+SUM of the member terms' idfs (org.apache.lucene.search.PhraseQuery /
+PhraseWeight semantics; scoring saturation reuses the fitted BM25Stats
+variant so a phrase and a term are comparable under one model).
+
+Plans (100 TB shape):
+- **build**: ONE groupBy((doc_id, term_id)) over the posexploded tokens —
+  the same single shuffle ``doc2bow_postings`` pays; positions ride along
+  as a sorted int array per posting row (postings get wider, the plan
+  does not change). Salting/bucketed-store layouts apply unchanged.
+- **query**: one scan leg per phrase term, each pruned to its term_id at
+  the source (predicate pushdown on the term-bucketed store), inner-joined
+  on doc_id — only docs containing ALL member terms survive, which is the
+  classic intersection-driven phrase plan. The adjacency check is a pure
+  JVM array fold: starts = ∩ᵢ (positionsᵢ − i) via
+  ``array_intersect``/``transform`` — zero Python UDFs, zero shuffles
+  beyond the k-way join on the intersection-sized frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bm25 import BM25Stats
+
+
+def positional_postings(docs: DataFrame, vocab: DataFrame,
+                        doc_col: str = "doc_id", tokens_col: str = "tokens",
+                        broadcast_vocab: bool = True) -> DataFrame:
+    """docs(doc_id, tokens) ⋈ vocab → (doc_id, term_id, positions, tf).
+
+    ``positions`` is the sorted int array of 0-based token offsets;
+    ``tf == size(positions)`` so the frame is a drop-in superset of
+    ``doc2bow_postings`` output (same single shuffle, same join)."""
+    rows = docs.select(doc_col, F.posexplode(tokens_col).alias("pos", "token"))
+    v = vocab.select("token", "term_id")
+    if broadcast_vocab:
+        v = F.broadcast(v)
+    return (rows.join(v, "token")
+            .groupBy(doc_col, "term_id")
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions"),
+                 F.count(F.lit(1)).alias("tf")))
+
+
+def phrase_occurrences(positional: DataFrame, phrase_term_ids,
+                       doc_col: str = "doc_id") -> DataFrame:
+    """Docs containing the EXACT phrase (adjacent, in order):
+    (doc_id, starts, phrase_tf) with phrase_tf ≥ 1.
+
+    starts = ∩ᵢ (positions of termᵢ shifted left by i) — a doc position s
+    survives iff term₀ is at s, term₁ at s+1, … Duplicate terms in the
+    phrase are legal (each occurrence becomes its own shifted leg)."""
+    ids = [int(t) for t in phrase_term_ids]
+    if not ids:
+        raise ValueError("empty phrase")
+    def shift_left(off: int):
+        # one-arg lambda, NOT `lambda p, i=i`: F.transform inspects arity
+        # and would pass the ARRAY INDEX as the second argument
+        return F.transform("positions", lambda p: p - F.lit(off))
+
+    legs = []
+    for i, tid in enumerate(ids):
+        shifted = F.col("positions") if i == 0 else shift_left(i)
+        legs.append(positional.filter(F.col("term_id") == tid)
+                    .select(F.col(doc_col), shifted.alias(f"_s{i}")))
+    j = legs[0]
+    for leg in legs[1:]:
+        j = j.join(leg, doc_col)
+    starts = F.col("_s0")
+    for i in range(1, len(ids)):
+        starts = F.array_intersect(starts, F.col(f"_s{i}"))
+    return (j.select(doc_col, starts.alias("starts"))
+            .withColumn("phrase_tf", F.size("starts"))
+            .filter(F.col("phrase_tf") > 0))
+
+
+def phrase_topk(positional: DataFrame, stats: BM25Stats, phrase_term_ids,
+                dl: DataFrame, k: int = 10,
+                doc_col: str = "doc_id") -> DataFrame:
+    """Top-k docs for an exact phrase, Lucene PhraseQuery scoring:
+    score = (Σᵢ idf(termᵢ)) · S(phrase_tf, dl) where S is the fitted
+    stats' saturation (same k1/b/avgdl/variant as term queries, so phrase
+    and term scores live on one scale). Returns
+    (doc_id, phrase_tf, score, rank) — TakeOrdered (orderBy + limit), not
+    a global window."""
+    ids = [int(t) for t in phrase_term_ids]
+    occ = phrase_occurrences(positional, ids, doc_col)
+    # phrase idf = sum over member OCCURRENCES (duplicates count twice,
+    # Lucene PhraseWeight). k values — an inputs-only collect.
+    idf_map = {r["term_id"]: r["idf"] for r in
+               stats.idfs.filter(F.col("term_id").isin(ids)).collect()}
+    idf_sum = float(sum(idf_map.get(t, 0.0) for t in ids))
+    tf = F.col("phrase_tf").cast("double")
+    dlc = F.col("dl").cast("double")
+    denom = tf + F.lit(stats.k1) * (F.lit(1.0 - stats.b)
+                                    + F.lit(stats.b) * dlc / F.lit(stats.avgdl))
+    num = (tf * F.lit(stats.k1 + 1.0) if stats.variant in ("okapi", "atire")
+           else tf)
+    scored = (occ.join(dl, doc_col)
+              .select(doc_col, "phrase_tf",
+                      (F.lit(idf_sum) * num / denom).alias("score")))
+    top = scored.orderBy(F.desc("score"), F.asc(doc_col)).limit(k)
+    from pyspark.sql import Window
+
+    wnd = Window.orderBy(F.desc("score"), F.asc(doc_col))
+    return (top.withColumn("rank", F.row_number().over(wnd))
+            .select(doc_col, "phrase_tf", "score", "rank"))
+
+
+def phrase_text_topk(spark, docs: DataFrame, vocab: DataFrame,
+                     stats: BM25Stats, phrase_tokens, dl: DataFrame,
+                     k: int = 10) -> DataFrame:
+    """Convenience: phrase given as token strings; OOV member → no match
+    (inner vocab probe, the dictionary.doc2bow drop semantics)."""
+    vmap = {r["token"]: r["term_id"] for r in
+            vocab.filter(F.col("token").isin(list(phrase_tokens)))
+            .select("token", "term_id").collect()}
+    if any(t not in vmap for t in phrase_tokens):
+        from .bow import doc2bow_postings  # noqa: F401  (schema parity)
+        return spark.createDataFrame(
+            [], "doc_id long, phrase_tf int, score double, rank int")
+    pos = positional_postings(docs, vocab)
+    return phrase_topk(pos, stats, [vmap[t] for t in phrase_tokens], dl, k=k)

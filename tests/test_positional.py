@@ -1,0 +1,102 @@
+"""Positional postings + exact phrase matching + Lucene-style phrase scoring."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gensim_spark.operators import bm25 as M
+from gensim_spark.operators import bow as B
+from gensim_spark.operators import positional as PX
+from gensim_spark.operators import vocab as V
+
+TEXTS = [
+    ["a", "b", "c", "a", "b"],   # d0: "a b" at 0 and 3; "a b c" at 0
+    ["b", "a", "b"],             # d1: "a b" at 1
+    ["c", "c", "a"],             # d2: no "a b"
+    ["a", "a", "a"],             # d3: "a a" at 0, 1
+]
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)],
+        "doc_id long, tokens array<string>")
+    vocab = V.build_vocab(docs).cache()
+    vmap = {r["token"]: r["term_id"] for r in vocab.collect()}
+    pos = PX.positional_postings(docs, vocab).cache()
+    return docs, vocab, vmap, pos
+
+
+def starts_of(pos, ids):
+    return {r["doc_id"]: sorted(r["starts"])
+            for r in PX.phrase_occurrences(pos, ids).collect()}
+
+
+def test_positional_postings_superset_of_doc2bow(spark, fixture):
+    docs, vocab, vmap, pos = fixture
+    rows = pos.collect()
+    assert all(sorted(r["positions"]) == list(r["positions"]) for r in rows)
+    assert all(r["tf"] == len(r["positions"]) for r in rows)
+    bow = {(r["doc_id"], r["term_id"]): r["tf"]
+           for r in B.doc2bow_postings(docs, vocab).collect()}
+    assert {(r["doc_id"], r["term_id"]): r["tf"] for r in rows} == bow
+
+
+def test_phrase_occurrence_goldens(fixture):
+    _, _, vmap, pos = fixture
+    a, b, c = vmap["a"], vmap["b"], vmap["c"]
+    assert starts_of(pos, [a, b]) == {0: [0, 3], 1: [1]}
+    assert starts_of(pos, [b, c]) == {0: [1]}
+    assert starts_of(pos, [c, a]) == {0: [2], 2: [1]}
+    assert starts_of(pos, [b, a]) == {1: [0]}
+
+
+def test_phrase_triple_and_duplicates(fixture):
+    _, _, vmap, pos = fixture
+    a, b, c = vmap["a"], vmap["b"], vmap["c"]
+    assert starts_of(pos, [a, b, c]) == {0: [0]}
+    assert starts_of(pos, [a, a]) == {3: [0, 1]}
+    assert starts_of(pos, [c, c]) == {2: [0]}
+    assert starts_of(pos, [b, b]) == {}
+
+
+def test_single_term_phrase_equals_postings(fixture):
+    _, _, vmap, pos = fixture
+    a = vmap["a"]
+    got = starts_of(pos, [a])
+    want = {r["doc_id"]: sorted(r["positions"])
+            for r in pos.filter(F.col("term_id") == a).collect()}
+    assert got == want
+
+
+def test_phrase_topk_scoring_lucene_semantics(spark, fixture):
+    docs, vocab, vmap, pos = fixture
+    a, b = vmap["a"], vmap["b"]
+    stats = M.fit_from_vocab(vocab, num_docs=len(TEXTS), variant="lucene")
+    dl = docs.select("doc_id", F.size("tokens").alias("dl"))
+    out = PX.phrase_topk(pos, stats, [a, b], dl, k=10).collect()
+    assert [r["doc_id"] for r in out] == [0, 1]
+    assert [r["rank"] for r in out] == [1, 2]
+    # hand-compute: lucene idf = ln(N+1) - ln(df+0.5); N=4, df_a=4 (a is in
+    # d0/d1/d2/d3), df_b=2
+    idf_sum = (math.log(5.0) - math.log(4.5)) + (math.log(5.0) - math.log(2.5))
+    avgdl = sum(len(t) for t in TEXTS) / len(TEXTS)
+    for r, (ptf, dlen) in zip(out, [(2, 5), (1, 3)]):
+        denom = ptf + 1.5 * (0.25 + 0.75 * dlen / avgdl)
+        assert r["phrase_tf"] == ptf
+        assert r["score"] == pytest.approx(idf_sum * ptf / denom, rel=1e-12)
+
+
+def test_phrase_text_topk_and_oov(spark, fixture):
+    docs, vocab, vmap, pos = fixture
+    stats = M.fit_from_vocab(vocab, num_docs=len(TEXTS))
+    dl = docs.select("doc_id", F.size("tokens").alias("dl"))
+    out = PX.phrase_text_topk(spark, docs, vocab, stats, ["a", "b"], dl, k=5)
+    # okapi on this tiny corpus: idf('a') is ε-clamped NEGATIVE (df==N)
+    # so idf_sum < 0 and the higher-saturation doc ranks LOWER — the
+    # documented gensim negative-idf quirk, phrase scoring inherits it
+    assert [r["doc_id"] for r in out.collect()] == [1, 0]
+    empty = PX.phrase_text_topk(spark, docs, vocab, stats,
+                                ["a", "zzz"], dl, k=5)
+    assert empty.count() == 0
