@@ -88,6 +88,37 @@ def test_phrase_topk_scoring_lucene_semantics(spark, fixture):
         assert r["score"] == pytest.approx(idf_sum * ptf / denom, rel=1e-12)
 
 
+def test_phrase_fuzz_vs_bruteforce(spark):
+    # 30 random corpora × random phrases vs a naive python scan
+    import random
+
+    rng = random.Random(1234)
+    alphabet = ["aa", "bb", "cc", "dd"]
+    for trial in range(30):
+        texts = [[rng.choice(alphabet) for _ in range(rng.randint(0, 12))]
+                 for _ in range(rng.randint(1, 8))]
+        texts = [t for t in texts if t] or [["aa"]]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, tokens array<string>")
+        vocab = V.build_vocab(docs)
+        vmap = {r["token"]: r["term_id"] for r in vocab.collect()}
+        klen = rng.randint(1, 3)
+        phrase = [rng.choice(alphabet) for _ in range(klen)]
+        if any(p not in vmap for p in phrase):
+            continue
+        pos = PX.positional_postings(docs, vocab)
+        got = {r["doc_id"]: sorted(r["starts"]) for r in
+               PX.phrase_occurrences(pos, [vmap[p] for p in phrase]).collect()}
+        want = {}
+        for did, toks in enumerate(texts):
+            s = [i for i in range(len(toks) - klen + 1)
+                 if toks[i:i + klen] == phrase]
+            if s:
+                want[did] = s
+        assert got == want, (trial, phrase, texts)
+
+
 def test_phrase_text_topk_and_oov(spark, fixture):
     docs, vocab, vmap, pos = fixture
     stats = M.fit_from_vocab(vocab, num_docs=len(TEXTS))

@@ -242,6 +242,20 @@ def main() -> None:
         "parallel)",
         summarize(p), interesting(p)))
 
+    from gensim_spark.operators import positional as PX
+
+    pos = PX.positional_postings(tok, idx.vocab)
+    head2 = [r["term_id"] for r in idx.vocab.orderBy(
+        idx.vocab.df.desc()).limit(2).collect()]
+    p = (PX.phrase_occurrences(pos, head2)
+         ._jdf.queryExecution().executedPlan().toString())
+    sections.append((
+        "Exact-phrase match over positional postings — per-term legs with "
+        "the term filter pushed BELOW each leg's groupBy (each leg "
+        "shuffles only its term's rows), adjacency as a JVM "
+        "array_intersect fold (no Python UDF)",
+        summarize(p), interesting(p)))
+
     from gensim_spark.operators import audiovideo as AV
 
     media = AV.make_mixed_media(spark, n_images=8, n_audio=8, n_video=4)
