@@ -22,6 +22,15 @@ Plans (100 TB shape):
   JVM array fold: starts = ∩ᵢ (positionsᵢ − i) via
   ``array_intersect``/``transform`` — zero Python UDFs, zero shuffles
   beyond the k-way join on the intersection-sized frames.
+- **storage**: the positional frame persists through the SAME
+  ``layout.write_postings_bucketed`` store as plain postings (the
+  positions column rides along; bucket partition pruning + term_id
+  row-group pushdown apply unchanged) — pass the pruned
+  ``read_postings_bucketed(..., term_ids=phrase_ids)`` frame straight
+  into :func:`phrase_occurrences` / :func:`phrase_topk`
+  (tests/test_positional.py::test_phrase_over_stored_bucketed_index).
+  In-session frames work too but re-derive the positional groupBy per
+  term leg (with the term filter pushed below it).
 """
 
 from __future__ import annotations

@@ -119,6 +119,29 @@ def test_phrase_fuzz_vs_bruteforce(spark):
         assert got == want, (trial, phrase, texts)
 
 
+def test_phrase_over_stored_bucketed_index(spark, fixture, tmp_path):
+    # the 100 TB shape: positional postings persisted through the SAME
+    # term-bucketed store as plain postings (positions column rides along),
+    # phrase query runs over the term-pruned scan — identical answers, and
+    # the plan shows bucket partition pruning + term_id pushdown
+    from gensim_spark.index import layout
+
+    docs, vocab, vmap, pos = fixture
+    store = str(tmp_path / "pos_store")
+    layout.write_postings_bucketed(pos, store, n_buckets=4)
+    a, b = vmap["a"], vmap["b"]
+    pruned = layout.read_postings_bucketed(spark, store, term_ids=[a, b],
+                                           n_buckets=4)
+    got = {r["doc_id"]: sorted(r["starts"])
+           for r in PX.phrase_occurrences(pruned, [a, b]).collect()}
+    want = {r["doc_id"]: sorted(r["starts"])
+            for r in PX.phrase_occurrences(pos, [a, b]).collect()}
+    assert got == want == {0: [0, 3], 1: [1]}
+    plan = (PX.phrase_occurrences(pruned, [a, b])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters" in plan and "term_id" in plan
+
+
 def test_phrase_text_topk_and_oov(spark, fixture):
     docs, vocab, vmap, pos = fixture
     stats = M.fit_from_vocab(vocab, num_docs=len(TEXTS))
