@@ -1448,6 +1448,29 @@ def _q_phrase_topk(spark, sf_dir):
                       F.round("score", 6).alias("score"), "rank")
 
 
+_NEAR = ("slow", "key")  # frequent co-occurring pair in the testdata docs
+_NEAR_SLOP = 2
+
+
+def _q_near_topk(spark, sf_dir):
+    """Two-term proximity top-k (operators/positional.py::near_topk,
+    SpanNear semantics): ordered 'slow NEAR/2 key' — anchors are 'slow'
+    positions with a 'key' within 3 tokens after, counted by a JVM
+    filter/exists array fold; scoring is the same pseudo-term model as
+    phrase_topk. The oracle re-runs the anchor count as an EXISTS
+    correlated on (doc, position) and the scoring relationally."""
+    from gensim_spark.operators import positional as PX
+
+    idx = _index(spark, sf_dir)
+    vmap = {r["token"]: r["term_id"] for r in idx.vocab.filter(
+        F.col("token").isin(list(_NEAR))).collect()}
+    pos = PX.positional_postings(idx.docs, idx.vocab)
+    out = PX.near_topk(pos, idx.stats, vmap[_NEAR[0]], vmap[_NEAR[1]],
+                       idx.doclen, slop=_NEAR_SLOP, ordered=True, k=TOPK_K)
+    return out.select("doc_id", "near_tf",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 _AV_N_SPEC = 6
 
 
@@ -1545,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": _q_video_frame_sample,
         "audio_spectrogram": _q_audio_spectrogram,
         "phrase_topk": _q_phrase_topk,
+        "near_topk": _q_near_topk,
     }
 
 
@@ -3097,6 +3121,40 @@ scored AS (
            AS score
   FROM occ o JOIN doclen d USING (doc_id))
 SELECT doc_id, CAST(ptf AS INT) AS phrase_tf, ROUND(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank
+FROM scored
+QUALIFY rank <= {TOPK_K}
+ORDER BY rank""",
+        # ordered NEAR/2: anchor count via correlated EXISTS over the same
+        # rebuilt positions, pseudo-term scoring identical to phrase_topk
+        "near_topk": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+posx AS (SELECT doc_id, unnest(tokens) AS token,
+                generate_subscripts(tokens, 1) - 1 AS pos
+         FROM tok),
+pa AS (SELECT doc_id, pos FROM posx WHERE token = '{_NEAR[0]}'),
+pb AS (SELECT doc_id, pos FROM posx WHERE token = '{_NEAR[1]}'),
+anch AS (SELECT a.doc_id, a.pos FROM pa a
+         WHERE EXISTS (SELECT 1 FROM pb b WHERE b.doc_id = a.doc_id
+                       AND b.pos - a.pos BETWEEN 1 AND {_NEAR_SLOP + 1})),
+occ AS (SELECT doc_id, count(*) AS ntf FROM anch GROUP BY doc_id),
+isum AS (SELECT sum(i.idf) AS s FROM idf i JOIN vocab_ids v USING (term_id)
+         WHERE v.token IN ('{_NEAR[0]}', '{_NEAR[1]}')),
+scored AS (
+  SELECT o.doc_id, o.ntf,
+         (SELECT s FROM isum) * (o.ntf * 2.5)
+           / (o.ntf + 1.5 * (0.25 + 0.75 * d.dl / (SELECT a FROM avgdl)))
+           AS score
+  FROM occ o JOIN doclen d USING (doc_id))
+SELECT doc_id, CAST(ntf AS INT) AS near_tf, ROUND(score, 6) AS score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
          AS rank
 FROM scored

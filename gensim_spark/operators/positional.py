@@ -91,6 +91,63 @@ def phrase_occurrences(positional: DataFrame, phrase_term_ids,
             .filter(F.col("phrase_tf") > 0))
 
 
+def near_occurrences(positional: DataFrame, term_a: int, term_b: int,
+                     slop: int = 1, ordered: bool = True,
+                     doc_col: str = "doc_id") -> DataFrame:
+    """Two-term proximity (SpanNear / ``"a NEAR/k b"``): docs where term_b
+    occurs within ``slop`` intervening tokens of term_a —
+    ordered: 0 < pos_b − pos_a ≤ slop + 1 (slop=0 ≡ exact adjacency);
+    unordered: 1 ≤ |pos_b − pos_a| ≤ slop + 1. Returns
+    (doc_id, near_tf) where near_tf counts the term_a anchor positions
+    with a qualifying partner — a pure JVM array fold (filter + exists),
+    no Python UDF, no extra shuffle."""
+    a = (positional.filter(F.col("term_id") == int(term_a))
+         .select(F.col(doc_col), F.col("positions").alias("_pa")))
+    b = (positional.filter(F.col("term_id") == int(term_b))
+         .select(F.col(doc_col), F.col("positions").alias("_pb")))
+    w = F.lit(int(slop) + 1)
+    if ordered:
+        def near(p):
+            return F.exists("_pb", lambda q: (q > p) & (q - p <= w))
+    else:
+        def near(p):
+            return F.exists("_pb",
+                            lambda q: (q != p) & (F.abs(q - p) <= w))
+    anchors = F.filter("_pa", lambda p: near(p))
+    return (a.join(b, doc_col)
+            .select(doc_col, F.size(anchors).alias("near_tf"))
+            .filter(F.col("near_tf") > 0))
+
+
+def near_topk(positional: DataFrame, stats: BM25Stats, term_a: int,
+              term_b: int, dl: DataFrame, slop: int = 1,
+              ordered: bool = True, k: int = 10,
+              doc_col: str = "doc_id") -> DataFrame:
+    """Top-k docs for a NEAR query — same pseudo-term scoring as
+    :func:`phrase_topk` (tf = near_tf, idf = idf_a + idf_b, the fitted
+    stats' saturation). (doc_id, near_tf, score, rank)."""
+    occ = near_occurrences(positional, term_a, term_b, slop, ordered, doc_col)
+    idf_map = {r["term_id"]: r["idf"] for r in stats.idfs.filter(
+        F.col("term_id").isin([int(term_a), int(term_b)])).collect()}
+    idf_sum = float(idf_map.get(int(term_a), 0.0)
+                    + idf_map.get(int(term_b), 0.0))
+    tf = F.col("near_tf").cast("double")
+    dlc = F.col("dl").cast("double")
+    denom = tf + F.lit(stats.k1) * (F.lit(1.0 - stats.b)
+                                    + F.lit(stats.b) * dlc / F.lit(stats.avgdl))
+    num = (tf * F.lit(stats.k1 + 1.0) if stats.variant in ("okapi", "atire")
+           else tf)
+    scored = (occ.join(dl, doc_col)
+              .select(doc_col, "near_tf",
+                      (F.lit(idf_sum) * num / denom).alias("score")))
+    top = scored.orderBy(F.desc("score"), F.asc(doc_col)).limit(k)
+    from pyspark.sql import Window
+
+    wnd = Window.orderBy(F.desc("score"), F.asc(doc_col))
+    return (top.withColumn("rank", F.row_number().over(wnd))
+            .select(doc_col, "near_tf", "score", "rank"))
+
+
 def phrase_topk(positional: DataFrame, stats: BM25Stats, phrase_term_ids,
                 dl: DataFrame, k: int = 10,
                 doc_col: str = "doc_id") -> DataFrame:

@@ -88,6 +88,62 @@ def test_phrase_topk_scoring_lucene_semantics(spark, fixture):
         assert r["score"] == pytest.approx(idf_sum * ptf / denom, rel=1e-12)
 
 
+def near_of(pos, a, b, slop, ordered=True):
+    return {r["doc_id"]: r["near_tf"] for r in
+            PX.near_occurrences(pos, a, b, slop=slop,
+                                ordered=ordered).collect()}
+
+
+def test_near_goldens(fixture):
+    _, _, vmap, pos = fixture
+    a, b, c = vmap["a"], vmap["b"], vmap["c"]
+    # d0 = [a b c a b]: a@{0,3}, b@{1,4}, c@{2}
+    # ordered a NEAR/0 b == exact adjacency anchors
+    assert near_of(pos, a, b, slop=0) == {0: 2, 1: 1}
+    # a NEAR/1 c ordered: a@0 → c@2 within 2 ✓; a@3 → no c after
+    assert near_of(pos, a, c, slop=1) == {0: 1}
+    # ordered c→a: c@2 → a@3 ✓ in d0; d2 = [c c a]: c@0 (a@2 within 2) and
+    # c@1 (a@2) → 2 anchors
+    assert near_of(pos, c, a, slop=1) == {0: 1, 2: 2}
+    # unordered: b NEAR/0 a picks up both adjacent pairs in d0 (b@1-a@0 is
+    # reverse order) and d1 = [b a b] both b anchors
+    assert near_of(pos, b, a, slop=0, ordered=False) == {0: 2, 1: 2}
+    # ordered b→a with slop 0: only d1's b@0 → a@1
+    assert near_of(pos, b, a, slop=0) == {1: 1}
+
+
+def test_near_fuzz_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(77)
+    alphabet = ["aa", "bb", "cc"]
+    for trial in range(20):
+        texts = [[rng.choice(alphabet) for _ in range(rng.randint(1, 10))]
+                 for _ in range(rng.randint(1, 6))]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, tokens array<string>")
+        vocab = V.build_vocab(docs)
+        vmap = {r["token"]: r["term_id"] for r in vocab.collect()}
+        ta, tb = rng.sample(alphabet, 2)
+        if ta not in vmap or tb not in vmap:
+            continue
+        slop = rng.randint(0, 3)
+        ordered = rng.random() < 0.5
+        pos = PX.positional_postings(docs, vocab)
+        got = near_of(pos, vmap[ta], vmap[tb], slop, ordered)
+        want = {}
+        for did, toks in enumerate(texts):
+            pa = [i for i, t in enumerate(toks) if t == ta]
+            pb = [i for i, t in enumerate(toks) if t == tb]
+            n = sum(1 for p in pa if any(
+                (0 < q - p <= slop + 1) if ordered
+                else (q != p and abs(q - p) <= slop + 1) for q in pb))
+            if n:
+                want[did] = n
+        assert got == want, (trial, ta, tb, slop, ordered, texts)
+
+
 def test_phrase_fuzz_vs_bruteforce(spark):
     # 30 random corpora × random phrases vs a naive python scan
     import random
