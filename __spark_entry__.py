@@ -1471,6 +1471,22 @@ def _q_near_topk(spark, sf_dir):
                       F.round("score", 6).alias("score"), "rank")
 
 
+_PREFIX = "s"  # expands to 6 terms in the testdata vocab (scan/slow/small/sort/spark/stream)
+
+
+def _q_prefix_topk(spark, sf_dir):
+    """Prefix query (operators/topk.py::prefix_topk): 's*' (6-term expansion)
+    relationally against the vocab (no driver collect), disjunctive BM25
+    under the 'bnn' query model, gensim tie/zero semantics (|score| rank,
+    zero drop). Oracle re-expands with LIKE and re-ranks."""
+    from gensim_spark.operators import topk as T
+
+    idx = _index(spark, sf_dir)
+    out = T.prefix_topk(idx.weighted, idx.vocab, _PREFIX, k=TOPK_K)
+    return out.select("query_id", "doc_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 _AV_N_SPEC = 6
 
 
@@ -1569,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectrogram": _q_audio_spectrogram,
         "phrase_topk": _q_phrase_topk,
         "near_topk": _q_near_topk,
+        "prefix_topk": _q_prefix_topk,
     }
 
 
@@ -3158,6 +3175,35 @@ SELECT doc_id, CAST(ntf AS INT) AS near_tf, ROUND(score, 6) AS score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
          AS rank
 FROM scored
+QUALIFY rank <= {TOPK_K}
+ORDER BY rank""",
+        # prefix query: LIKE-expansion over the vocab, disjunctive okapi
+        # scoring, gensim's |score| rank + zero drop
+        "prefix_topk": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+weights AS (
+  SELECT p.doc_id, p.term_id,
+         i.idf * (p.tf * 2.5 / (p.tf + 1.5 * (0.25 + 0.75 * d.dl
+                                              / (SELECT a FROM avgdl))))
+           AS weight
+  FROM postings p
+  JOIN doclen d USING (doc_id)
+  JOIN idf i USING (term_id)),
+qterms AS (SELECT term_id FROM vocab_ids WHERE token LIKE '{_PREFIX}%'),
+scores AS (SELECT w.doc_id, sum(w.weight) AS score
+           FROM weights w JOIN qterms USING (term_id)
+           GROUP BY w.doc_id)
+SELECT CAST(0 AS INT) AS query_id, doc_id, ROUND(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY abs(score) DESC, doc_id ASC) AS INT)
+         AS rank
+FROM scores WHERE score <> 0
 QUALIFY rank <= {TOPK_K}
 ORDER BY rank""",
     }

@@ -77,6 +77,21 @@ def search(weighted_postings: DataFrame, query_terms: DataFrame,
     return topk(score(weighted_postings, query_terms), k)
 
 
+def prefix_topk(weighted_postings: DataFrame, vocab: DataFrame,
+                prefix: str, k: int | None = 10,
+                query_id: int = 0) -> DataFrame:
+    """Prefix query (Lucene PrefixQuery ``pre*``): expand the prefix
+    against the vocab RELATIONALLY — the expansion stays a vocab-bounded
+    frame feeding :func:`score`'s broadcast, never a driver collect — and
+    rank the disjunction under the standard 'bnn' query model
+    (q_weight = 1 per expanded term, gensim's query default). Same
+    tie/zero semantics as every other top-k here."""
+    terms = (vocab.filter(F.col("token").startswith(prefix))
+             .select(F.lit(int(query_id)).alias("query_id"), "term_id",
+                     F.lit(1.0).alias("q_weight")))
+    return search(weighted_postings, terms, k)
+
+
 def similarity_by_id(weighted_postings: DataFrame, doc_id: int,
                      k: int = 10, exclude_self: bool = False) -> DataFrame:
     """``vector_by_id`` + query (docsim.py:584-652): use an indexed

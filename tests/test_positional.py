@@ -210,3 +210,29 @@ def test_phrase_text_topk_and_oov(spark, fixture):
     empty = PX.phrase_text_topk(spark, docs, vocab, stats,
                                 ["a", "zzz"], dl, k=5)
     assert empty.count() == 0
+
+
+def test_prefix_topk_expansion(spark):
+    from gensim_spark.operators import topk as T
+
+    texts = [["aa", "ab", "bb"], ["aa", "bb"], ["bb"]]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, tokens array<string>")
+    vocab = V.build_vocab(docs)
+    stats = M.fit_from_vocab(vocab, num_docs=3, variant="lucene")
+    postings = B.doc2bow_postings(docs, vocab)
+    weighted = M.weight_postings(postings, stats)
+    out = T.prefix_topk(weighted, vocab, "a", k=10).collect()
+    # expansion {aa, ab}: d2 has neither -> dropped; manual sums match
+    w = {(r["doc_id"], r["term_id"]): r["weight"] for r in weighted.collect()}
+    ids = {r["token"]: r["term_id"] for r in vocab.collect()}
+    expect = {0: w[(0, ids["aa"])] + w[(0, ids["ab"])],
+              1: w[(1, ids["aa"])]}
+    got = {r["doc_id"]: r["score"] for r in out}
+    assert set(got) == set(expect)
+    for d in expect:
+        assert got[d] == pytest.approx(expect[d], rel=1e-12)
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    order = sorted(expect, key=lambda d: (-abs(expect[d]), d))
+    assert [d for d, _ in sorted(ranks.items(), key=lambda x: x[1])] == order
