@@ -19,7 +19,8 @@ sys.path.insert(
 def run(spark, input_path: str, output: str, variant: str = "okapi",
         docs_per_shard: int = 32768, num_groups: int = 8,
         from_html: bool = False, resume: bool = True,
-        iceberg: bool = False) -> dict:
+        iceberg: bool = False, positional: bool = False,
+        positional_n_buckets: int = 64) -> dict:
     """The job body; returns build metrics. Importable so tests can drive
     it on the shared session without a subprocess."""
     from pyspark.sql import functions as F
@@ -69,13 +70,27 @@ def run(spark, input_path: str, output: str, variant: str = "okapi",
             num_groups=num_groups, resume=resume,
         )
         groups = manifest["groups"]
+    if positional:
+        # phrase/NEAR query support: positions through the SAME bucketed
+        # layout (positions column rides along; bucket pruning + term_id
+        # pushdown at query time), plus the doclen table the scorer joins
+        from gensim_spark.index.layout import write_postings_bucketed
+        from gensim_spark.operators.positional import positional_postings
+
+        write_postings_bucketed(
+            positional_postings(idx.docs, idx.vocab),
+            f"{output}/positional", n_buckets=positional_n_buckets)
+        idx.doclen.write.mode("overwrite").parquet(f"{output}/doclen")
     wall = time.perf_counter() - t0
     metrics = {
         "num_docs": idx.num_docs,
         "avgdl": idx.stats.avgdl,
+        "variant": variant,
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(idx.num_docs / wall, 1),
         "iceberg": bool(iceberg),
+        "positional": bool(positional),
+        "positional_n_buckets": positional_n_buckets if positional else None,
         "groups": groups,
     }
     with open(f"{output}/build_metrics.json", "w") as f:
@@ -97,6 +112,10 @@ def main() -> None:
     ap.add_argument("--iceberg", action="store_true",
                     help="store shards + vocab as Iceberg-semantics tables "
                          "(snapshot commits, time travel, manifest pruning)")
+    ap.add_argument("--positional", action="store_true",
+                    help="also write the positional bucketed store + "
+                         "doclen (enables query_index --phrase/--near)")
+    ap.add_argument("--positional-n-buckets", type=int, default=64)
     args = ap.parse_args()
 
     from gensim_spark.session import get_spark
@@ -105,7 +124,9 @@ def main() -> None:
     metrics = run(spark, args.input, args.output, variant=args.variant,
                   docs_per_shard=args.docs_per_shard,
                   num_groups=args.num_groups, from_html=args.from_html,
-                  resume=not args.no_resume, iceberg=args.iceberg)
+                  resume=not args.no_resume, iceberg=args.iceberg,
+                  positional=args.positional,
+                  positional_n_buckets=args.positional_n_buckets)
     print(json.dumps(metrics))
     spark.stop()
 

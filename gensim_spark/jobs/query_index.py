@@ -61,6 +61,58 @@ def run(spark, index_dir: str, queries: list[str], k: int = 10,
     return {"results": out, "wall_sec": round(wall, 3)}
 
 
+def run_phrase(spark, index_dir: str, phrase_text: str, k: int = 10,
+               slop: int | None = None, ordered: bool = True) -> dict:
+    """Phrase / NEAR query over the positional store written by
+    ``build_index --positional``: exact phrase (slop=None) via
+    ``positional.phrase_topk``, two-term proximity via ``near_topk``.
+    Scoring uses the index's fitted variant (build_metrics.json), so
+    phrase scores are comparable to term-query scores. OOV members or a
+    missing positional store answer [] / error out explicitly."""
+    from pyspark.sql import functions as F
+
+    from gensim_spark.functions import textref
+    from gensim_spark.index.layout import read_postings_bucketed
+    from gensim_spark.operators import bm25 as M
+    from gensim_spark.operators import positional as PX
+
+    with open(f"{index_dir}/build_metrics.json") as f:
+        meta = json.load(f)
+    if not meta.get("positional"):
+        raise SystemExit(
+            "index has no positional store — rebuild with "
+            "build_index --positional")
+    vocab = spark.read.parquet(f"{index_dir}/vocab")
+    doclen = spark.read.parquet(f"{index_dir}/doclen")
+    stats = M.fit_from_vocab(vocab, meta["num_docs"],
+                             variant=meta.get("variant", "okapi"))
+    toks = textref.simple_preprocess(phrase_text)
+    vmap = {r["token"]: r["term_id"] for r in
+            vocab.filter(F.col("token").isin(toks)).collect()}
+    t0 = time.perf_counter()
+    if any(t not in vmap for t in toks) or not toks:
+        return {"results": [], "wall_sec": 0.0,
+                "oov": [t for t in toks if t not in vmap]}
+    ids = [int(vmap[t]) for t in toks]
+    pos = read_postings_bucketed(
+        spark, f"{index_dir}/positional", term_ids=ids,
+        n_buckets=meta.get("positional_n_buckets") or 64)
+    if slop is None:
+        out = PX.phrase_topk(pos, stats, ids, doclen, k=k)
+        rows = [{"doc_id": r["doc_id"], "tf": r["phrase_tf"],
+                 "score": r["score"], "rank": r["rank"]}
+                for r in out.collect()]
+    else:
+        if len(ids) != 2:
+            raise SystemExit("--near takes exactly two terms")
+        out = PX.near_topk(pos, stats, ids[0], ids[1], doclen,
+                           slop=slop, ordered=ordered, k=k)
+        rows = [{"doc_id": r["doc_id"], "tf": r["near_tf"],
+                 "score": r["score"], "rank": r["rank"]}
+                for r in out.collect()]
+    return {"results": rows, "wall_sec": round(time.perf_counter() - t0, 3)}
+
+
 def run_served(index_dir: str, queries: list[str], k: int = 10,
                exclude_doc_ids=None) -> dict:
     """Serve the same answers with NO Spark session: pyarrow vocab lookup +
@@ -115,7 +167,30 @@ def main() -> None:
     ap.add_argument("--serve", action="store_true",
                     help="answer in-process (PackedIndexServer, no Spark "
                          "session) — plain-parquet stores only")
+    ap.add_argument("--phrase", action="store_true",
+                    help="treat the query text as an exact phrase over the "
+                         "positional store (build_index --positional)")
+    ap.add_argument("--slop", type=int, default=None,
+                    help="with --phrase and a two-word query: NEAR/slop "
+                         "proximity instead of exact adjacency")
+    ap.add_argument("--unordered", action="store_true",
+                    help="with --slop: match either order")
     args = ap.parse_args()
+
+    if args.phrase:
+        if args.serve or args.iceberg:
+            ap.error("--phrase runs the Spark positional plan "
+                     "(no --serve/--iceberg)")
+        if len(args.query) != 1:
+            ap.error("--phrase takes exactly one --query")
+        from gensim_spark.session import get_spark
+
+        spark = get_spark("gensim_spark_query")
+        print(json.dumps(run_phrase(spark, args.index, args.query[0],
+                                    k=args.k, slop=args.slop,
+                                    ordered=not args.unordered)))
+        spark.stop()
+        return
 
     if args.serve:
         if args.iceberg or args.snapshot_id is not None:

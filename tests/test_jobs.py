@@ -451,3 +451,41 @@ def test_query_index_serve_mode_matches_spark_path(spark, tmp_path):
     got_ex = query_index.run_served(out, qs, k=5, exclude_doc_ids=victims)
     assert got_ex["results"] == want_ex["results"]
     assert not {h["doc_id"] for h in got_ex["results"]["0"]} & set(victims)
+
+
+def test_build_index_positional_and_phrase_query(spark, tmp_path):
+    from gensim_spark.jobs import build_index, query_index
+
+    pages = str(tmp_path / "pages")
+    _pages_df(spark).write.parquet(pages)
+    out = str(tmp_path / "idx")
+    metrics = build_index.run(spark, pages, out, docs_per_shard=16,
+                              num_groups=2, positional=True,
+                              positional_n_buckets=4)
+    assert metrics["positional"] and metrics["positional_n_buckets"] == 4
+    assert os.path.exists(os.path.join(out, "positional"))
+    assert os.path.exists(os.path.join(out, "doclen"))
+
+    # doc i = words[(i+j)%7] for j=0..5 then "common"; "alpha beta" is
+    # adjacent iff alpha lands at j<=4: i%7 in {0,3,4,5,6} -> 28 of 40 docs
+    res = query_index.run_phrase(spark, out, "alpha beta", k=40)
+    assert len(res["results"]) == 28
+    assert all(r["tf"] == 1 for r in res["results"])
+    assert [r["rank"] for r in res["results"]] == list(range(1, 29))
+
+    # phrase across the generated/"common" boundary: "eta common" needs
+    # eta at j=5 -> i%7 == 1 -> 6 docs
+    res_b = query_index.run_phrase(spark, out, "eta common", k=40)
+    assert len(res_b["results"]) == 6
+
+    # exact "alpha gamma" never adjacent; NEAR/1 (one intervening token)
+    # needs gamma at alpha_pos+2 <= 5 -> 22 docs
+    assert query_index.run_phrase(spark, out, "alpha gamma",
+                                  k=40)["results"] == []
+    res2 = query_index.run_phrase(spark, out, "alpha gamma", k=40, slop=1)
+    assert len(res2["results"]) == 22
+    assert all(r["tf"] == 1 for r in res2["results"])
+
+    # OOV member answers [] with the missing token reported
+    res3 = query_index.run_phrase(spark, out, "alpha zzz", k=5)
+    assert res3["results"] == [] and res3["oov"] == ["zzz"]
