@@ -1487,6 +1487,31 @@ def _q_prefix_topk(spark, sf_dir):
                       F.round("score", 6).alias("score"), "rank")
 
 
+_BOOL = {"must": ("value",), "should": ("table", "key"),
+         "must_not": ("slow",)}
+
+
+def _q_bool_topk(spark, sf_dir):
+    """Boolean query (operators/topk.py::bool_topk, Lucene BooleanQuery):
+    must contain 'value', must not contain 'slow', scored over
+    must+should ('table', 'key') presence — the must gate is a
+    count-distinct semi-join, exclusion a broadcast anti-join. The oracle
+    re-runs clauses as HAVING + NOT EXISTS."""
+    from gensim_spark.operators import topk as T
+
+    idx = _index(spark, sf_dir)
+    vmap = {r["token"]: r["term_id"] for r in idx.vocab.filter(
+        F.col("token").isin([t for c in _BOOL.values() for t in c]))
+        .collect()}
+    out = T.bool_topk(idx.weighted,
+                      must=[vmap[t] for t in _BOOL["must"]],
+                      should=[vmap[t] for t in _BOOL["should"]],
+                      must_not=[vmap[t] for t in _BOOL["must_not"]],
+                      k=TOPK_K)
+    return out.select("query_id", "doc_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 _AV_N_SPEC = 6
 
 
@@ -1586,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": _q_phrase_topk,
         "near_topk": _q_near_topk,
         "prefix_topk": _q_prefix_topk,
+        "bool_topk": _q_bool_topk,
     }
 
 
@@ -3200,6 +3226,48 @@ qterms AS (SELECT term_id FROM vocab_ids WHERE token LIKE '{_PREFIX}%'),
 scores AS (SELECT w.doc_id, sum(w.weight) AS score
            FROM weights w JOIN qterms USING (term_id)
            GROUP BY w.doc_id)
+SELECT CAST(0 AS INT) AS query_id, doc_id, ROUND(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY abs(score) DESC, doc_id ASC) AS INT)
+         AS rank
+FROM scores WHERE score <> 0
+QUALIFY rank <= {TOPK_K}
+ORDER BY rank""",
+        # boolean query: must as HAVING over distinct must-term hits,
+        # must_not as NOT EXISTS, scored over must+should weights
+        "bool_topk": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+weights AS (
+  SELECT p.doc_id, p.term_id,
+         i.idf * (p.tf * 2.5 / (p.tf + 1.5 * (0.25 + 0.75 * d.dl
+                                              / (SELECT a FROM avgdl))))
+           AS weight
+  FROM postings p
+  JOIN doclen d USING (doc_id)
+  JOIN idf i USING (term_id)),
+mustt AS (SELECT term_id FROM vocab_ids
+          WHERE token IN ('{_BOOL["must"][0]}')),
+qterms AS (SELECT term_id FROM vocab_ids
+           WHERE token IN ('{_BOOL["must"][0]}', '{_BOOL["should"][0]}',
+                           '{_BOOL["should"][1]}')),
+nott AS (SELECT term_id FROM vocab_ids
+         WHERE token IN ('{_BOOL["must_not"][0]}')),
+gate AS (SELECT w.doc_id FROM weights w JOIN mustt USING (term_id)
+         GROUP BY w.doc_id
+         HAVING count(DISTINCT w.term_id) = (SELECT count(*) FROM mustt)),
+scores AS (
+  SELECT w.doc_id, sum(w.weight) AS score
+  FROM weights w JOIN qterms USING (term_id)
+  WHERE w.doc_id IN (SELECT doc_id FROM gate)
+    AND NOT EXISTS (SELECT 1 FROM weights x JOIN nott USING (term_id)
+                    WHERE x.doc_id = w.doc_id)
+  GROUP BY w.doc_id)
 SELECT CAST(0 AS INT) AS query_id, doc_id, ROUND(score, 6) AS score,
        CAST(row_number() OVER (ORDER BY abs(score) DESC, doc_id ASC) AS INT)
          AS rank

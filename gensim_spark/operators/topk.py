@@ -92,6 +92,43 @@ def prefix_topk(weighted_postings: DataFrame, vocab: DataFrame,
     return search(weighted_postings, terms, k)
 
 
+def bool_topk(weighted_postings: DataFrame, must=(), should=(),
+              must_not=(), k: int | None = 10,
+              query_id: int = 0) -> DataFrame:
+    """Boolean query (Lucene BooleanQuery): docs must contain ALL ``must``
+    terms and NONE of ``must_not``; score = the disjunctive accumulation
+    over ``must`` + ``should`` terms present ('bnn' query model, matching
+    Lucene's sum-of-matching-clauses). Plans: the must gate is a
+    semi-join against a count-distinct filter on the must terms' postings
+    (term-pruned scan), must_not a broadcast anti-join on the exclusion
+    terms' doc set — both intersection-sized, never corpus-sized."""
+    must = [int(t) for t in must]
+    should = [int(t) for t in should]
+    must_not = [int(t) for t in must_not]
+    if not must and not should:
+        raise ValueError("need at least one must/should term")
+    q_terms = sorted(set(must) | set(should))
+    spark = weighted_postings.sparkSession
+    q = spark.createDataFrame(
+        [(int(query_id), t, 1.0) for t in q_terms],
+        "query_id int, term_id long, q_weight double")
+    scored = score(weighted_postings, q)
+    if must:
+        gate = (weighted_postings
+                .filter(F.col("term_id").isin(must))
+                .groupBy("doc_id")
+                .agg(F.countDistinct("term_id").alias("_nm"))
+                .filter(F.col("_nm") == len(set(must)))
+                .select("doc_id"))
+        scored = scored.join(gate, "doc_id", "left_semi")
+    if must_not:
+        excl = (weighted_postings
+                .filter(F.col("term_id").isin(must_not))
+                .select("doc_id").distinct())
+        scored = scored.join(F.broadcast(excl), "doc_id", "left_anti")
+    return topk(scored, k)
+
+
 def similarity_by_id(weighted_postings: DataFrame, doc_id: int,
                      k: int = 10, exclude_self: bool = False) -> DataFrame:
     """``vector_by_id`` + query (docsim.py:584-652): use an indexed

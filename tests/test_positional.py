@@ -236,3 +236,35 @@ def test_prefix_topk_expansion(spark):
     ranks = {r["doc_id"]: r["rank"] for r in out}
     order = sorted(expect, key=lambda d: (-abs(expect[d]), d))
     assert [d for d, _ in sorted(ranks.items(), key=lambda x: x[1])] == order
+
+
+def test_bool_topk_semantics(spark):
+    from gensim_spark.operators import topk as T
+
+    texts = [["aa", "bb", "cc"],        # has must aa, should bb, NOT cc
+             ["aa", "bb"],              # must + should, clean
+             ["aa"],                    # must only
+             ["bb", "bb"],              # missing must
+             ["aa", "bb", "aa"]]        # must + should, clean, higher tf
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, tokens array<string>")
+    vocab = V.build_vocab(docs)
+    ids = {r["token"]: r["term_id"] for r in vocab.collect()}
+    stats = M.fit_from_vocab(vocab, num_docs=5, variant="lucene")
+    weighted = M.weight_postings(B.doc2bow_postings(docs, vocab), stats)
+    out = T.bool_topk(weighted, must=[ids["aa"]], should=[ids["bb"]],
+                      must_not=[ids["cc"]], k=10).collect()
+    got = {r["doc_id"]: r["score"] for r in out}
+    # d0 excluded (cc), d3 excluded (no aa); d1/d2/d4 survive
+    assert set(got) == {1, 2, 4}
+    w = {(r["doc_id"], r["term_id"]): r["weight"] for r in weighted.collect()}
+    for d in got:
+        expect = w[(d, ids["aa"])] + w.get((d, ids["bb"]), 0.0)
+        assert got[d] == pytest.approx(expect, rel=1e-12)
+    # two must terms: only docs with BOTH
+    both = T.bool_topk(weighted, must=[ids["aa"], ids["bb"]], k=10).collect()
+    assert {r["doc_id"] for r in both} == {0, 1, 4}
+    # empty clause set is an error
+    with pytest.raises(ValueError):
+        T.bool_topk(weighted)
