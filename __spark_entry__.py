@@ -1512,6 +1512,116 @@ def _q_bool_topk(spark, sf_dir):
                       F.round("score", 6).alias("score"), "rank")
 
 
+_WILDCARD = "s?a*"  # matches scan/small/spark in the testdata vocab
+
+
+def _wildcard_like() -> str:
+    """The SAME Lucene→LIKE translation the Spark operator applies,
+    feeding the DuckDB oracle — one translation, two engines."""
+    from gensim_spark.operators.topk import wildcard_pattern_to_like
+
+    return wildcard_pattern_to_like(_WILDCARD)
+
+
+def _q_wildcard_topk(spark, sf_dir):
+    """Wildcard query (operators/topk.py::wildcard_topk, Lucene
+    WildcardQuery): 's?a*' — Lucene wildcards map 1:1 to SQL LIKE
+    ('s_a%'), so the SAME pattern drives both engines; expansion is
+    relational against the vocab (3 terms here), ranking the standard
+    disjunctive 'bnn' model with gensim tie/zero semantics."""
+    from gensim_spark.operators import topk as T
+
+    idx = _index(spark, sf_dir)
+    out = T.wildcard_topk(idx.weighted, idx.vocab, _WILDCARD, k=TOPK_K)
+    return out.select("query_id", "doc_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
+_FUZZY_WORD, _FUZZY_DIST = "sort", 2  # expands to {part, sort}
+
+
+def _q_fuzzy_topk(spark, sf_dir):
+    """Fuzzy query (operators/topk.py::fuzzy_topk, Lucene FuzzyQuery
+    'sort~2'): FastSS deletion-variant candidate join + banded
+    Levenshtein verify expands the word against the vocab ({part, sort}
+    here), then the disjunctive scorer. The oracle re-derives the
+    expansion with DuckDB's independent levenshtein() — two different
+    edit-distance implementations must agree on the expansion set for
+    the hash to match."""
+    from gensim_spark.operators import topk as T
+
+    idx = _index(spark, sf_dir)
+    out = T.fuzzy_topk(idx.weighted, idx.vocab, _FUZZY_WORD,
+                       max_distance=_FUZZY_DIST, k=TOPK_K)
+    return out.select("query_id", "doc_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
+_MSM = {"should": ("table", "key", "value"), "msm": 2,
+        "boost_tok": "value", "boost": 2.0}
+
+
+def _q_bool_msm_topk(spark, sf_dir):
+    """minimum_should_match + boosts (operators/topk.py::bool_topk):
+    pure-should query over 3 terms requiring ≥2 distinct to match
+    (count-distinct gate, Lucene minimumNumberShouldMatch) with a 2×
+    boost on 'value' (BoostQuery → q_weight). Oracle: HAVING over
+    distinct should hits + a boosted weight sum."""
+    from gensim_spark.operators import topk as T
+
+    idx = _index(spark, sf_dir)
+    vmap = {r["token"]: r["term_id"] for r in idx.vocab.filter(
+        F.col("token").isin(list(_MSM["should"]))).collect()}
+    out = T.bool_topk(idx.weighted,
+                      should=[vmap[t] for t in _MSM["should"]],
+                      min_should_match=_MSM["msm"],
+                      boosts={vmap[_MSM["boost_tok"]]: _MSM["boost"]},
+                      k=TOPK_K)
+    return out.select("query_id", "doc_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
+_MPHRASE = (("value",), ("table", "key"))  # "value (table|key)"
+
+
+def _q_multi_phrase_topk(spark, sf_dir):
+    """MultiPhrase query (operators/positional.py::multi_phrase_topk,
+    Lucene MultiPhraseQuery): 'value (table|key)' — position 2 matches
+    either alternative; legs union their terms' positions before the
+    shifted array-intersect adjacency fold; idf = Σ over ALL member
+    terms (MultiPhraseWeight). Oracle rebuilds positions and re-runs
+    match + scoring with the alternatives as an IN-list leg."""
+    from gensim_spark.operators import positional as PX
+
+    idx = _index(spark, sf_dir)
+    toks = [t for alt in _MPHRASE for t in alt]
+    vmap = {r["token"]: r["term_id"] for r in idx.vocab.filter(
+        F.col("token").isin(toks)).collect()}
+    pos = PX.positional_postings(idx.docs, idx.vocab)
+    alts = [[vmap[t] for t in alt] for alt in _MPHRASE]
+    out = PX.multi_phrase_topk(pos, idx.stats, alts, idx.doclen, k=TOPK_K)
+    return out.select("doc_id", "phrase_tf",
+                      F.round("score", 6).alias("score"), "rank")
+
+
+_SNIP_Q = ("value", "table", "key")
+_SNIP_W = 6
+
+
+def _q_snippets_best(spark, sf_dir):
+    """Snippet extraction (operators/highlight.py::best_snippets, the
+    UnifiedHighlighter's best-passage core): per doc with ≥1 hit, the
+    width-6 hit-anchored window covering the most DISTINCT query terms
+    (ties → earliest), hits marked <b>…</b> — one zero-shuffle JVM
+    array fold per row, no explode. The oracle recomputes anchors,
+    window counts, the argmax, and the marked join in SQL."""
+    from gensim_spark.operators import highlight as H
+
+    idx = _index(spark, sf_dir)
+    out = H.best_snippets(idx.docs, list(_SNIP_Q), width=_SNIP_W, mark=True)
+    return out.select("doc_id", "start", "n_terms", "snippet")
+
+
 _AV_N_SPEC = 6
 
 
@@ -1612,6 +1722,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_topk": _q_near_topk,
         "prefix_topk": _q_prefix_topk,
         "bool_topk": _q_bool_topk,
+        "wildcard_topk": _q_wildcard_topk,
+        "fuzzy_topk": _q_fuzzy_topk,
+        "bool_msm_topk": _q_bool_msm_topk,
+        "multi_phrase_topk": _q_multi_phrase_topk,
+        "snippets_best": _q_snippets_best,
     }
 
 
@@ -3274,4 +3389,172 @@ SELECT CAST(0 AS INT) AS query_id, doc_id, ROUND(score, 6) AS score,
 FROM scores WHERE score <> 0
 QUALIFY rank <= {TOPK_K}
 ORDER BY rank""",
+        # wildcard query: the Lucene pattern translates 1:1 to LIKE
+        # ('s?a*' → 's_a%'), the SAME translation the Spark side uses —
+        # then the prefix oracle's expansion + scoring shape
+        "wildcard_topk": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+weights AS (
+  SELECT p.doc_id, p.term_id,
+         i.idf * (p.tf * 2.5 / (p.tf + 1.5 * (0.25 + 0.75 * d.dl
+                                              / (SELECT a FROM avgdl))))
+           AS weight
+  FROM postings p
+  JOIN doclen d USING (doc_id)
+  JOIN idf i USING (term_id)),
+qterms AS (SELECT term_id FROM vocab_ids
+           WHERE token LIKE '{_wildcard_like()}' ESCAPE '\\'),
+scores AS (SELECT w.doc_id, sum(w.weight) AS score
+           FROM weights w JOIN qterms USING (term_id)
+           GROUP BY w.doc_id)
+SELECT CAST(0 AS INT) AS query_id, doc_id, ROUND(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY abs(score) DESC, doc_id ASC) AS INT)
+         AS rank
+FROM scores WHERE score <> 0
+QUALIFY rank <= {TOPK_K}
+ORDER BY rank""",
+        # fuzzy query: DuckDB's OWN levenshtein() re-derives the
+        # expansion set the Spark side built via FastSS variants +
+        # banded verify — two independent edit-distance implementations
+        # must agree for the hash to match
+        "fuzzy_topk": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+weights AS (
+  SELECT p.doc_id, p.term_id,
+         i.idf * (p.tf * 2.5 / (p.tf + 1.5 * (0.25 + 0.75 * d.dl
+                                              / (SELECT a FROM avgdl))))
+           AS weight
+  FROM postings p
+  JOIN doclen d USING (doc_id)
+  JOIN idf i USING (term_id)),
+qterms AS (SELECT term_id FROM vocab_ids
+           WHERE levenshtein(token, '{_FUZZY_WORD}') <= {_FUZZY_DIST}),
+scores AS (SELECT w.doc_id, sum(w.weight) AS score
+           FROM weights w JOIN qterms USING (term_id)
+           GROUP BY w.doc_id)
+SELECT CAST(0 AS INT) AS query_id, doc_id, ROUND(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY abs(score) DESC, doc_id ASC) AS INT)
+         AS rank
+FROM scores WHERE score <> 0
+QUALIFY rank <= {TOPK_K}
+ORDER BY rank""",
+        # minimum_should_match as a HAVING over distinct should hits,
+        # boost as a CASE multiplier on the weight sum
+        "bool_msm_topk": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+weights AS (
+  SELECT p.doc_id, p.term_id,
+         i.idf * (p.tf * 2.5 / (p.tf + 1.5 * (0.25 + 0.75 * d.dl
+                                              / (SELECT a FROM avgdl))))
+           AS weight
+  FROM postings p
+  JOIN doclen d USING (doc_id)
+  JOIN idf i USING (term_id)),
+sh AS (SELECT term_id FROM vocab_ids
+       WHERE token IN ('{_MSM["should"][0]}', '{_MSM["should"][1]}',
+                       '{_MSM["should"][2]}')),
+boostt AS (SELECT term_id FROM vocab_ids
+           WHERE token = '{_MSM["boost_tok"]}'),
+gate AS (SELECT w.doc_id FROM weights w JOIN sh USING (term_id)
+         GROUP BY w.doc_id
+         HAVING count(DISTINCT w.term_id) >= {_MSM["msm"]}),
+scores AS (
+  SELECT w.doc_id,
+         sum(w.weight * CASE WHEN w.term_id IN (SELECT term_id FROM boostt)
+                             THEN {_MSM["boost"]} ELSE 1.0 END) AS score
+  FROM weights w JOIN sh USING (term_id)
+  WHERE w.doc_id IN (SELECT doc_id FROM gate)
+  GROUP BY w.doc_id)
+SELECT CAST(0 AS INT) AS query_id, doc_id, ROUND(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY abs(score) DESC, doc_id ASC) AS INT)
+         AS rank
+FROM scores WHERE score <> 0
+QUALIFY rank <= {TOPK_K}
+ORDER BY rank""",
+        # MultiPhrase 'value (table|key)': the alternative leg is an
+        # IN-list over the rebuilt positions; idf = Σ over ALL member
+        # terms (Lucene MultiPhraseWeight), okapi saturation as phrase
+        "multi_phrase_topk": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+posx AS (SELECT doc_id, unnest(tokens) AS token,
+                generate_subscripts(tokens, 1) - 1 AS pos
+         FROM tok),
+p0 AS (SELECT doc_id, pos FROM posx WHERE token = '{_MPHRASE[0][0]}'),
+p1 AS (SELECT DISTINCT doc_id, pos FROM posx
+       WHERE token IN ('{_MPHRASE[1][0]}', '{_MPHRASE[1][1]}')),
+occ AS (SELECT p0.doc_id, count(*) AS ptf
+        FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+        GROUP BY p0.doc_id),
+isum AS (SELECT sum(i.idf) AS s FROM idf i JOIN vocab_ids v USING (term_id)
+         WHERE v.token IN ('{_MPHRASE[0][0]}', '{_MPHRASE[1][0]}',
+                           '{_MPHRASE[1][1]}')),
+scored AS (
+  SELECT o.doc_id, o.ptf,
+         (SELECT s FROM isum) * (o.ptf * 2.5)
+           / (o.ptf + 1.5 * (0.25 + 0.75 * d.dl / (SELECT a FROM avgdl)))
+           AS score
+  FROM occ o JOIN doclen d USING (doc_id))
+SELECT doc_id, CAST(ptf AS INT) AS phrase_tf, ROUND(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank
+FROM scored
+QUALIFY rank <= {TOPK_K}
+ORDER BY rank""",
+        # best-passage snippets: hit anchors, correlated distinct-term
+        # window counts, per-doc argmax (n desc, start asc), marked
+        # token-slice join — the whole highlighter fold re-run in SQL
+        "snippets_best": f"""{_PRELUDE},
+posx AS (SELECT doc_id, unnest(tokens) AS token,
+                generate_subscripts(tokens, 1) - 1 AS pos
+         FROM tok),
+hits AS (SELECT doc_id, token, pos FROM posx
+         WHERE token IN ('{_SNIP_Q[0]}', '{_SNIP_Q[1]}', '{_SNIP_Q[2]}')),
+wins AS (SELECT a.doc_id, a.pos AS s,
+                (SELECT count(DISTINCT h.token) FROM hits h
+                 WHERE h.doc_id = a.doc_id AND h.pos >= a.pos
+                   AND h.pos < a.pos + {_SNIP_W}) AS n
+         FROM hits a),
+best AS (SELECT doc_id, s, n,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY n DESC, s ASC) AS rn
+         FROM wins QUALIFY rn = 1),
+snip AS (SELECT b.doc_id, b.s, b.n,
+                array_to_string(list_transform(
+                  t.tokens[b.s + 1 : b.s + {_SNIP_W}],
+                  x -> CASE WHEN x = '{_SNIP_Q[0]}' OR x = '{_SNIP_Q[1]}'
+                                 OR x = '{_SNIP_Q[2]}'
+                            THEN '<b>' || x || '</b>' ELSE x END), ' ')
+                  AS snippet
+         FROM best b JOIN tok t USING (doc_id))
+SELECT doc_id, CAST(s AS INT) AS start, CAST(n AS INT) AS n_terms, snippet
+FROM snip
+ORDER BY doc_id""",
     }

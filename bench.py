@@ -207,6 +207,29 @@ def run_suite():
     results["phrase_query"] = round(t, 3)
     pos.unpersist()
 
+    # 5c. multi-term rewrites (wildcard + fuzzy expansion → disjunctive
+    # top-k) and the highlighter join over a top-k result
+    from gensim_spark.operators import highlight as H
+    from gensim_spark.operators import topk as T
+
+    def rewrites():
+        a = T.wildcard_topk(idx.weighted, idx.vocab, "s?a*", k=10).collect()
+        b = T.fuzzy_topk(idx.weighted, idx.vocab, "sort",
+                         max_distance=2, k=10).collect()
+        return len(a) + len(b)
+
+    t, _ = timed_min(rewrites)
+    results["rewrite_query"] = round(t, 3)
+
+    snip_q = ["value", "table", "key"]
+    sq = {r["token"]: r["term_id"] for r in idx.vocab.filter(
+        F.col("token").isin(snip_q)).collect()}
+    qdf = T.query_terms_df(spark, {0: [sq[w] for w in snip_q if w in sq]})
+    t, _ = timed_min(lambda: H.highlight_topk(
+        idx.docs, T.search(idx.weighted, qdf, k=10), snip_q,
+        width=8).collect())
+    results["snippet_query"] = round(t, 3)
+
     # 6. brute-force knn over embeddings
     from gensim_spark.operators import simsearch as S
 

@@ -113,6 +113,68 @@ def run_phrase(spark, index_dir: str, phrase_text: str, k: int = 10,
     return {"results": rows, "wall_sec": round(time.perf_counter() - t0, 3)}
 
 
+def expand_query_terms(spark, index_dir: str, text: str,
+                       wildcard: bool = False, fuzzy_dist: int | None = None,
+                       max_expansions: int = 1024) -> dict[int, float]:
+    """Lucene's MultiTermQuery rewrite: a wildcard/fuzzy query expands
+    against the STORED vocab into a plain disjunctive term set, which then
+    runs through the exact same WAND / served machinery as any other
+    query — expansion is vocab-bounded, never corpus-bounded.
+    ``max_expansions`` is the rewrite cap (Lucene's maxExpansions): a
+    pattern like ``*`` matching the whole vocab errors out instead of
+    silently launching a vocab-sized disjunction."""
+    from pyspark.sql import functions as F
+
+    from gensim_spark.operators import topk as T
+
+    vocab = spark.read.parquet(f"{index_dir}/vocab")
+    if wildcard:
+        like = T.wildcard_pattern_to_like(text)
+        expansion = (vocab.filter(F.col("token").like(like))
+                     .select("term_id").limit(max_expansions + 1).collect())
+    elif fuzzy_dist is not None:
+        expansion = (T.fuzzy_expand_terms(vocab, text, fuzzy_dist)
+                     .select("term_id").limit(max_expansions + 1).collect())
+    else:
+        raise ValueError("need wildcard or fuzzy_dist")
+    if len(expansion) > max_expansions:
+        raise SystemExit(
+            f"expansion exceeds --max-expansions={max_expansions}; "
+            "narrow the pattern")
+    return {int(r["term_id"]): 1.0 for r in expansion}
+
+
+def run_expanded(spark, index_dir: str, text: str, k: int = 10,
+                 wildcard: bool = False, fuzzy_dist: int | None = None,
+                 max_expansions: int = 1024, serve: bool = False) -> dict:
+    """Wildcard / fuzzy top-k over the stored index: rewrite → the same
+    block-max WAND plan (or the in-process server with ``serve=True``) as
+    a plain multi-term query."""
+    terms = expand_query_terms(spark, index_dir, text, wildcard=wildcard,
+                               fuzzy_dist=fuzzy_dist,
+                               max_expansions=max_expansions)
+    t0 = time.perf_counter()
+    if not terms:
+        return {"results": {"0": []}, "wall_sec": 0.0, "n_expanded": 0}
+    if serve:
+        from gensim_spark.index.serving import PackedIndexServer
+
+        srv = PackedIndexServer(index_dir, preload=True)
+        rows = [{"doc_id": d, "score": s, "rank": r}
+                for _, d, s, r in srv.topk({0: terms}, k=k)]
+    else:
+        from gensim_spark.index.wand import wand_topk
+
+        rows = [{"doc_id": r["doc_id"], "score": r["score"],
+                 "rank": r["rank"]}
+                for r in sorted(wand_topk(spark, index_dir, {0: terms},
+                                          k=k).collect(),
+                                key=lambda r: r["rank"])]
+    return {"results": {"0": rows},
+            "wall_sec": round(time.perf_counter() - t0, 3),
+            "n_expanded": len(terms)}
+
+
 def run_served(index_dir: str, queries: list[str], k: int = 10,
                exclude_doc_ids=None) -> dict:
     """Serve the same answers with NO Spark session: pyarrow vocab lookup +
@@ -175,7 +237,32 @@ def main() -> None:
                          "proximity instead of exact adjacency")
     ap.add_argument("--unordered", action="store_true",
                     help="with --slop: match either order")
+    ap.add_argument("--wildcard", action="store_true",
+                    help="treat the query as a Lucene wildcard pattern "
+                         "(*/?) expanded against the stored vocab")
+    ap.add_argument("--fuzzy-dist", type=int, default=None,
+                    help="treat the query as a fuzzy term with this max "
+                         "Levenshtein distance (FuzzyQuery word~d)")
+    ap.add_argument("--max-expansions", type=int, default=1024,
+                    help="rewrite cap for --wildcard/--fuzzy-dist "
+                         "(Lucene maxExpansions)")
     args = ap.parse_args()
+
+    if args.wildcard or args.fuzzy_dist is not None:
+        if args.phrase or args.iceberg:
+            ap.error("--wildcard/--fuzzy-dist rewrite to a multi-term "
+                     "query (no --phrase/--iceberg)")
+        if len(args.query) != 1:
+            ap.error("--wildcard/--fuzzy-dist take exactly one --query")
+        from gensim_spark.session import get_spark
+
+        spark = get_spark("gensim_spark_query")
+        print(json.dumps(run_expanded(
+            spark, args.index, args.query[0], k=args.k,
+            wildcard=args.wildcard, fuzzy_dist=args.fuzzy_dist,
+            max_expansions=args.max_expansions, serve=args.serve)))
+        spark.stop()
+        return
 
     if args.phrase:
         if args.serve or args.iceberg:

@@ -91,6 +91,73 @@ def phrase_occurrences(positional: DataFrame, phrase_term_ids,
             .filter(F.col("phrase_tf") > 0))
 
 
+def multi_phrase_occurrences(positional: DataFrame, alternatives,
+                             doc_col: str = "doc_id") -> DataFrame:
+    """MultiPhrase match (Lucene MultiPhraseQuery): ``alternatives`` is a
+    list of term-id lists — position i of the phrase matches ANY of
+    ``alternatives[i]`` (e.g. ``[[a], [b, c]]`` ≙ "a (b|c)"). Returns
+    (doc_id, starts, phrase_tf), phrase_tf ≥ 1.
+
+    Each leg unions its alternative terms' position arrays per doc
+    (flatten + array_distinct after the same term-pruned scan a plain
+    phrase leg does — the scan prunes to the leg's term set, so each leg
+    stays intersection-shaped); adjacency is the identical shifted
+    array-intersect fold as :func:`phrase_occurrences`."""
+    alts = [[int(t) for t in a] for a in alternatives]
+    if not alts or any(not a for a in alts):
+        raise ValueError("each phrase position needs ≥1 alternative term")
+
+    legs = []
+    for i, tids in enumerate(alts):
+        leg = (positional.filter(F.col("term_id").isin(tids))
+               .groupBy(doc_col)
+               .agg(F.array_sort(F.array_distinct(
+                   F.flatten(F.collect_list("positions")))).alias("_m")))
+        shifted = (F.col("_m") if i == 0 else
+                   F.transform("_m", lambda p: p - F.lit(i)))
+        legs.append(leg.select(F.col(doc_col), shifted.alias(f"_s{i}")))
+    j = legs[0]
+    for leg in legs[1:]:
+        j = j.join(leg, doc_col)
+    starts = F.col("_s0")
+    for i in range(1, len(alts)):
+        starts = F.array_intersect(starts, F.col(f"_s{i}"))
+    return (j.select(doc_col, starts.alias("starts"))
+            .withColumn("phrase_tf", F.size("starts"))
+            .filter(F.col("phrase_tf") > 0))
+
+
+def multi_phrase_topk(positional: DataFrame, stats: BM25Stats, alternatives,
+                      dl: DataFrame, k: int = 10,
+                      doc_col: str = "doc_id") -> DataFrame:
+    """Top-k docs for a MultiPhrase query. Scoring follows Lucene
+    MultiPhraseWeight: the pseudo-term idf is the sum over ALL member
+    terms in all positions (each alternative contributes — Lucene's
+    idfExplain over the flattened term array), saturation from the fitted
+    BM25Stats as in :func:`phrase_topk`."""
+    alts = [[int(t) for t in a] for a in alternatives]
+    occ = multi_phrase_occurrences(positional, alts, doc_col)
+    flat = [t for a in alts for t in a]
+    idf_map = {r["term_id"]: r["idf"] for r in stats.idfs.filter(
+        F.col("term_id").isin(sorted(set(flat)))).collect()}
+    idf_sum = float(sum(idf_map.get(t, 0.0) for t in flat))
+    tf = F.col("phrase_tf").cast("double")
+    dlc = F.col("dl").cast("double")
+    denom = tf + F.lit(stats.k1) * (F.lit(1.0 - stats.b)
+                                    + F.lit(stats.b) * dlc / F.lit(stats.avgdl))
+    num = (tf * F.lit(stats.k1 + 1.0) if stats.variant in ("okapi", "atire")
+           else tf)
+    scored = (occ.join(dl, doc_col)
+              .select(doc_col, "phrase_tf",
+                      (F.lit(idf_sum) * num / denom).alias("score")))
+    top = scored.orderBy(F.desc("score"), F.asc(doc_col)).limit(k)
+    from pyspark.sql import Window
+
+    wnd = Window.orderBy(F.desc("score"), F.asc(doc_col))
+    return (top.withColumn("rank", F.row_number().over(wnd))
+            .select(doc_col, "phrase_tf", "score", "rank"))
+
+
 def near_occurrences(positional: DataFrame, term_a: int, term_b: int,
                      slop: int = 1, ordered: bool = True,
                      doc_col: str = "doc_id") -> DataFrame:

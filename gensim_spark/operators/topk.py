@@ -21,6 +21,7 @@ TakeOrderedAndProject (partial per-partition top-k, no global sort).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -92,35 +93,140 @@ def prefix_topk(weighted_postings: DataFrame, vocab: DataFrame,
     return search(weighted_postings, terms, k)
 
 
+def wildcard_pattern_to_like(pattern: str) -> str:
+    """Lucene wildcard syntax → SQL LIKE: ``*`` ≙ ``%`` (any run), ``?`` ≙
+    ``_`` (one char); literal ``%``/``_``/``\\`` in the pattern are
+    backslash-escaped (tokens may legally contain ``_``). Both Spark's
+    ``Column.like`` and DuckDB's ``LIKE ... ESCAPE '\\'`` honor the same
+    escape, so one translation serves both engines."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def wildcard_topk(weighted_postings: DataFrame, vocab: DataFrame,
+                  pattern: str, k: int | None = 10,
+                  query_id: int = 0) -> DataFrame:
+    """Wildcard query (Lucene WildcardQuery ``s?a*``): expand the pattern
+    against the vocab relationally — same vocab-bounded expansion plan as
+    :func:`prefix_topk` (a prefix is the special case ``pre*``) — and rank
+    the disjunction under the 'bnn' query model with gensim's tie/zero
+    semantics. Scale note: a leading ``*`` forces a full-vocab LIKE scan
+    (Lucene warns identically); the vocab frame is broadcast-sized either
+    way, and the postings join stays term-pruned to the expansion."""
+    like = wildcard_pattern_to_like(pattern)
+    terms = (vocab.filter(F.col("token").like(like))
+             .select(F.lit(int(query_id)).alias("query_id"), "term_id",
+                     F.lit(1.0).alias("q_weight")))
+    return search(weighted_postings, terms, k)
+
+
+def fuzzy_expand_terms(vocab: DataFrame, word: str, max_distance: int = 2,
+                       prefix_len: int = 0,
+                       token_col: str = "token") -> DataFrame:
+    """Expansion set of a fuzzy query (Lucene FuzzyQuery ``word~d``): vocab
+    terms within Levenshtein distance ``max_distance`` of ``word``,
+    optionally requiring the first ``prefix_len`` chars to match exactly
+    (Lucene's prefixLength). Unlike the reference's
+    ``LevenshteinSimilarityIndex`` (levenshtein.py:24-105) the word itself
+    IS included (distance 0) — Lucene matches the exact term too.
+
+    Plan: the query's deletion variants (driver-side, O(len^d) strings) are
+    inlined as literals; the vocab side explodes ITS variants Arrow-batched
+    and equi-joins — the FastSS guarantee (fastss.pyx:1-40) makes candidate
+    retrieval exact — then a banded edit-distance verify on the
+    candidate-sized frame. Never a pairwise vocab scan."""
+    from .fuzzy import _variants_udf, deletion_variants, edit_distance
+
+    from pyspark.sql.types import IntegerType
+
+    qvars = deletion_variants(word, max_distance)
+    cand = (vocab.select(token_col, "term_id")
+            .withColumn("_v", F.explode(_variants_udf(max_distance)(
+                F.col(token_col))))
+            .filter(F.col("_v").isin(qvars))
+            .select(token_col, "term_id").distinct())
+    if prefix_len > 0:
+        cand = cand.filter(
+            F.substring(F.col(token_col), 1, prefix_len) == word[:prefix_len])
+
+    @F.pandas_udf(IntegerType())
+    def dist_udf(t: pd.Series) -> pd.Series:
+        return pd.Series(
+            [edit_distance(word, x, band=max_distance) for x in t])
+
+    return (cand.withColumn("distance", dist_udf(token_col))
+            .filter(F.col("distance") <= max_distance))
+
+
+def fuzzy_topk(weighted_postings: DataFrame, vocab: DataFrame, word: str,
+               max_distance: int = 2, prefix_len: int = 0,
+               k: int | None = 10, query_id: int = 0) -> DataFrame:
+    """Fuzzy query (Lucene FuzzyQuery ``word~d``): Levenshtein expansion
+    against the vocab (FastSS candidate join + banded verify, see
+    :func:`fuzzy_expand_terms`), then the standard disjunctive 'bnn'
+    ranking — the same query model every other expanding query here uses,
+    so fuzzy/prefix/wildcard/term scores live on one scale."""
+    terms = (fuzzy_expand_terms(vocab, word, max_distance, prefix_len)
+             .select(F.lit(int(query_id)).alias("query_id"), "term_id",
+                     F.lit(1.0).alias("q_weight")))
+    return search(weighted_postings, terms, k)
+
+
 def bool_topk(weighted_postings: DataFrame, must=(), should=(),
               must_not=(), k: int | None = 10,
-              query_id: int = 0) -> DataFrame:
+              query_id: int = 0, min_should_match: int = 0,
+              boosts: dict | None = None) -> DataFrame:
     """Boolean query (Lucene BooleanQuery): docs must contain ALL ``must``
     terms and NONE of ``must_not``; score = the disjunctive accumulation
     over ``must`` + ``should`` terms present ('bnn' query model, matching
     Lucene's sum-of-matching-clauses). Plans: the must gate is a
     semi-join against a count-distinct filter on the must terms' postings
     (term-pruned scan), must_not a broadcast anti-join on the exclusion
-    terms' doc set — both intersection-sized, never corpus-sized."""
+    terms' doc set — both intersection-sized, never corpus-sized.
+
+    ``min_should_match`` (Lucene's minimumNumberShouldMatch): docs must
+    additionally contain ≥ that many DISTINCT ``should`` terms — same
+    count-distinct gate shape as ``must``, also intersection-sized.
+    ``boosts`` ({term_id: boost}) scales a term's contribution (Lucene
+    BoostQuery wrapping a clause): q_weight = boost instead of 1.0."""
     must = [int(t) for t in must]
     should = [int(t) for t in should]
     must_not = [int(t) for t in must_not]
     if not must and not should:
         raise ValueError("need at least one must/should term")
+    if min_should_match > len(set(should)):
+        raise ValueError("min_should_match exceeds distinct should terms")
+    boosts = {int(t): float(b) for t, b in (boosts or {}).items()}
     q_terms = sorted(set(must) | set(should))
     spark = weighted_postings.sparkSession
     q = spark.createDataFrame(
-        [(int(query_id), t, 1.0) for t in q_terms],
+        [(int(query_id), t, boosts.get(t, 1.0)) for t in q_terms],
         "query_id int, term_id long, q_weight double")
     scored = score(weighted_postings, q)
-    if must:
-        gate = (weighted_postings
-                .filter(F.col("term_id").isin(must))
+
+    def _count_gate(terms: list[int], need: int) -> DataFrame:
+        return (weighted_postings
+                .filter(F.col("term_id").isin(terms))
                 .groupBy("doc_id")
                 .agg(F.countDistinct("term_id").alias("_nm"))
-                .filter(F.col("_nm") == len(set(must)))
+                .filter(F.col("_nm") >= need)
                 .select("doc_id"))
-        scored = scored.join(gate, "doc_id", "left_semi")
+
+    if must:
+        scored = scored.join(_count_gate(must, len(set(must))),
+                             "doc_id", "left_semi")
+    if min_should_match > 0 and should:
+        scored = scored.join(_count_gate(should, min_should_match),
+                             "doc_id", "left_semi")
     if must_not:
         excl = (weighted_postings
                 .filter(F.col("term_id").isin(must_not))

@@ -489,3 +489,41 @@ def test_build_index_positional_and_phrase_query(spark, tmp_path):
     # OOV member answers [] with the missing token reported
     res3 = query_index.run_phrase(spark, out, "alpha zzz", k=5)
     assert res3["results"] == [] and res3["oov"] == ["zzz"]
+
+
+def test_query_index_wildcard_and_fuzzy_modes(spark, tmp_path):
+    """--wildcard / --fuzzy-dist rewrite to multi-term queries (Lucene
+    MultiTermQuery rewrite) and answer identically to the equivalent
+    explicit disjunction through the same WAND path — and identically
+    again through --serve; the rewrite cap errors instead of expanding."""
+    import pytest as _pytest
+
+    from gensim_spark.jobs import build_index, query_index
+
+    pages = str(tmp_path / "pages_wc")
+    _pages_df(spark).write.parquet(pages)
+    out = str(tmp_path / "idx_wc")
+    build_index.run(spark, pages, out, docs_per_shard=16, num_groups=2)
+
+    # '*eta' expands to {beta, zeta, eta} == the explicit disjunction
+    want = query_index.run(spark, out, ["beta zeta eta"], k=5)
+    got = query_index.run_expanded(spark, out, "*eta", k=5, wildcard=True)
+    assert got["n_expanded"] == 3
+    assert got["results"]["0"] == want["results"]["0"]
+
+    # fuzzy 'beta'~1 expands to the same three terms (zeta: sub, eta: del)
+    fz = query_index.run_expanded(spark, out, "beta", k=5, fuzzy_dist=1)
+    assert fz["n_expanded"] == 3
+    assert fz["results"]["0"] == want["results"]["0"]
+
+    # served rewrite answers identically with no Spark job
+    srv = query_index.run_expanded(spark, out, "*eta", k=5, wildcard=True,
+                                   serve=True)
+    assert srv["results"]["0"] == want["results"]["0"]
+
+    # no-match pattern answers an empty key; the rewrite cap trips
+    none = query_index.run_expanded(spark, out, "qq*", k=5, wildcard=True)
+    assert none["results"]["0"] == [] and none["n_expanded"] == 0
+    with _pytest.raises(SystemExit):
+        query_index.run_expanded(spark, out, "*", k=5, wildcard=True,
+                                 max_expansions=3)

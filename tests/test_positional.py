@@ -268,3 +268,162 @@ def test_bool_topk_semantics(spark):
     # empty clause set is an error
     with pytest.raises(ValueError):
         T.bool_topk(weighted)
+
+
+def test_multi_phrase_occurrences(fixture):
+    _, _, vmap, pos = fixture
+    a, b, c = vmap["a"], vmap["b"], vmap["c"]
+    def mstarts(alts):
+        return {r["doc_id"]: sorted(r["starts"])
+                for r in PX.multi_phrase_occurrences(pos, alts).collect()}
+    # "a (b|c)": d0 'a b c a b' -> 0, 3; d1 'b a b' -> 1; d2/d3 none
+    assert mstarts([[a], [b, c]]) == {0: [0, 3], 1: [1]}
+    # "(a|b) b": d0 -> 0, 3; d1 -> 1
+    assert mstarts([[a, b], [b]]) == {0: [0, 3], 1: [1]}
+    # single alternatives degenerate to the plain phrase
+    assert mstarts([[a], [b]]) == starts_of(pos, [a, b])
+    # every-position-any-term matches every bigram start
+    allt = [a, b, c]
+    got = mstarts([allt, allt])
+    assert got == {0: [0, 1, 2, 3], 1: [0, 1], 2: [0, 1], 3: [0, 1]}
+    with pytest.raises(ValueError):
+        PX.multi_phrase_occurrences(pos, [[a], []])
+
+
+def test_multi_phrase_topk_scoring(spark, fixture):
+    docs, vocab, vmap, pos = fixture
+    a, b, c = vmap["a"], vmap["b"], vmap["c"]
+    stats = M.fit_from_vocab(vocab, num_docs=len(TEXTS), variant="lucene")
+    dl = docs.select("doc_id", F.size("tokens").alias("dl"))
+    out = PX.multi_phrase_topk(pos, stats, [[a], [b, c]], dl, k=10).collect()
+    assert {r["doc_id"] for r in out} == {0, 1}
+    # Lucene MultiPhraseWeight: idf = sum over ALL member terms (a, b, c)
+    idf = {r["term_id"]: r["idf"] for r in stats.idfs.collect()}
+    idf_sum = idf[a] + idf[b] + idf[c]
+    dls = {r["doc_id"]: r["dl"] for r in dl.collect()}
+    tfs = {0: 2, 1: 1}
+    for r in out:
+        tf = tfs[r["doc_id"]]
+        sat = tf / (tf + stats.k1 * (1 - stats.b
+                                     + stats.b * dls[r["doc_id"]] / stats.avgdl))
+        assert r["score"] == pytest.approx(idf_sum * sat, rel=1e-9)
+        assert r["phrase_tf"] == tf
+
+
+def _mini_engine(spark, texts):
+    from gensim_spark.operators import topk as T  # noqa: F401
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, tokens array<string>")
+    vocab = V.build_vocab(docs)
+    ids = {r["token"]: r["term_id"] for r in vocab.collect()}
+    stats = M.fit_from_vocab(vocab, num_docs=len(texts), variant="lucene")
+    weighted = M.weight_postings(B.doc2bow_postings(docs, vocab), stats)
+    w = {(r["doc_id"], r["term_id"]): r["weight"] for r in weighted.collect()}
+    return docs, vocab, ids, weighted, w
+
+
+def test_wildcard_translation():
+    from gensim_spark.operators.topk import wildcard_pattern_to_like
+
+    assert wildcard_pattern_to_like("s*") == "s%"
+    assert wildcard_pattern_to_like("s?an") == "s_an"
+    assert wildcard_pattern_to_like("a_b*") == "a\\_b%"
+    assert wildcard_pattern_to_like("50%?") == "50\\%_"
+    assert wildcard_pattern_to_like("a\\b") == "a\\\\b"
+
+
+def test_wildcard_topk(spark):
+    from gensim_spark.operators import topk as T
+
+    texts = [["aa", "ab", "bb"], ["aa", "bb"], ["bb"]]
+    docs, vocab, ids, weighted, w = _mini_engine(spark, texts)
+    # 'a?' expands to {aa, ab} — identical to the prefix 'a' on this vocab
+    got = {r["doc_id"]: r["score"]
+           for r in T.wildcard_topk(weighted, vocab, "a?", k=10).collect()}
+    expect = {0: w[(0, ids["aa"])] + w[(0, ids["ab"])], 1: w[(1, ids["aa"])]}
+    assert set(got) == set(expect)
+    for d in expect:
+        assert got[d] == pytest.approx(expect[d], rel=1e-12)
+    # '?b' expands to {ab, bb}: every doc matches
+    got2 = {r["doc_id"]: r["score"]
+            for r in T.wildcard_topk(weighted, vocab, "?b", k=10).collect()}
+    exp2 = {0: w[(0, ids["ab"])] + w[(0, ids["bb"])],
+            1: w[(1, ids["bb"])], 2: w[(2, ids["bb"])]}
+    assert set(got2) == set(exp2)
+    for d in exp2:
+        assert got2[d] == pytest.approx(exp2[d], rel=1e-12)
+    # '*' prefix-free wildcard matches everything; 'zz*' nothing
+    assert T.wildcard_topk(weighted, vocab, "*b", k=10).count() == 3
+    assert T.wildcard_topk(weighted, vocab, "zz*", k=10).count() == 0
+
+
+def test_fuzzy_expansion(spark):
+    from gensim_spark.operators import topk as T
+
+    toks = ["cat", "bat", "hat", "cart", "dog", "cast", "catch"]
+    docs = spark.createDataFrame(
+        [(0, toks)], "doc_id long, tokens array<string>")
+    vocab = V.build_vocab(docs)
+    got1 = {r["token"]: r["distance"] for r in
+            T.fuzzy_expand_terms(vocab, "cat", max_distance=1).collect()}
+    assert got1 == {"cat": 0, "bat": 1, "hat": 1, "cart": 1, "cast": 1}
+    got2 = {r["token"]: r["distance"] for r in
+            T.fuzzy_expand_terms(vocab, "cat", max_distance=2).collect()}
+    assert got2 == {"cat": 0, "bat": 1, "hat": 1, "cart": 1, "cast": 1,
+                    "catch": 2}
+    # prefixLength pins the leading chars (Lucene's prefixLength)
+    got_p = {r["token"] for r in
+             T.fuzzy_expand_terms(vocab, "cat", 1, prefix_len=1).collect()}
+    assert got_p == {"cat", "cart", "cast"}
+
+
+def test_fuzzy_topk_manual_sums(spark):
+    from gensim_spark.operators import topk as T
+
+    texts = [["cat", "dog"], ["bat", "bat"], ["cart", "dog"], ["dog"]]
+    docs, vocab, ids, weighted, w = _mini_engine(spark, texts)
+    out = {r["doc_id"]: r["score"]
+           for r in T.fuzzy_topk(weighted, vocab, "cat",
+                                 max_distance=1, k=10).collect()}
+    # expansion {cat, bat, cart}; d3 (dog only) drops
+    expect = {0: w[(0, ids["cat"])], 1: w[(1, ids["bat"])],
+              2: w[(2, ids["cart"])]}
+    assert set(out) == set(expect)
+    for d in expect:
+        assert out[d] == pytest.approx(expect[d], rel=1e-12)
+
+
+def test_bool_min_should_match_and_boosts(spark):
+    from gensim_spark.operators import topk as T
+
+    texts = [["aa", "bb", "cc"],   # all three
+             ["aa", "bb"],         # two should
+             ["aa", "cc"],         # two should (other pair)
+             ["aa"],               # one should
+             ["bb", "cc"]]         # two should, no aa
+    docs, vocab, ids, weighted, w = _mini_engine(spark, texts)
+    sh = [ids["aa"], ids["bb"], ids["cc"]]
+    # pure should query, msm=2: docs with >=2 distinct should terms
+    out = {r["doc_id"] for r in T.bool_topk(
+        weighted, should=sh, min_should_match=2, k=10).collect()}
+    assert out == {0, 1, 2, 4}
+    out3 = {r["doc_id"] for r in T.bool_topk(
+        weighted, should=sh, min_should_match=3, k=10).collect()}
+    assert out3 == {0}
+    with pytest.raises(ValueError):
+        T.bool_topk(weighted, should=sh, min_should_match=4)
+    # boosts scale the clause contribution (BoostQuery)
+    boosted = {r["doc_id"]: r["score"] for r in T.bool_topk(
+        weighted, should=[ids["aa"], ids["bb"]],
+        boosts={ids["bb"]: 3.0}, k=10).collect()}
+    for d in boosted:
+        expect = (w.get((d, ids["aa"]), 0.0)
+                  + 3.0 * w.get((d, ids["bb"]), 0.0))
+        assert boosted[d] == pytest.approx(expect, rel=1e-12)
+    # msm composes with must/must_not: must aa, msm 1 of {bb, cc}
+    comp = {r["doc_id"] for r in T.bool_topk(
+        weighted, must=[ids["aa"]], should=[ids["bb"], ids["cc"]],
+        min_should_match=1, k=10).collect()}
+    assert comp == {0, 1, 2}
