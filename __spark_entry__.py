@@ -1622,6 +1622,87 @@ def _q_snippets_best(spark, sf_dir):
     return out.select("doc_id", "start", "n_terms", "snippet")
 
 
+_MLT = {"doc": 42, "mqt": 5, "min_df": 2}
+
+
+def _q_mlt_topk(spark, sf_dir):
+    """More-Like-This (operators/topk.py::more_like_this, Lucene
+    MoreLikeThisQuery): doc 42's top-5 terms by stored |weight| with a
+    df≥2 gate become a disjunctive query; the source doc is excluded
+    from the ranking. The oracle re-runs selection (ORDER BY
+    abs(weight) DESC, term_id LIMIT 5) and scoring in SQL."""
+    from gensim_spark.operators import topk as T
+
+    idx = _index(spark, sf_dir)
+    out = T.more_like_this(idx.weighted, idx.vocab, _MLT["doc"],
+                           max_query_terms=_MLT["mqt"],
+                           min_doc_freq=_MLT["min_df"], k=TOPK_K)
+    return out.select("query_id", "doc_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
+_SPANF = {"token": "value", "end": 10}
+
+
+def _q_span_first_topk(spark, sf_dir):
+    """Span-first query (operators/positional.py::span_first_topk,
+    Lucene SpanFirstQuery): 'value' within the first 10 token
+    positions; tf counts only qualifying occurrences via a JVM array
+    filter; pseudo-term scoring with the term's own idf. Oracle counts
+    positions < end over the rebuilt positional postings."""
+    from gensim_spark.operators import positional as PX
+
+    idx = _index(spark, sf_dir)
+    tid = idx.vocab.filter(
+        F.col("token") == _SPANF["token"]).collect()[0]["term_id"]
+    pos = PX.positional_postings(idx.docs, idx.vocab)
+    out = PX.span_first_topk(pos, idx.stats, tid, _SPANF["end"],
+                             idx.doclen, k=TOPK_K)
+    return out.select("doc_id", "first_tf",
+                      F.round("score", 6).alias("score"), "rank")
+
+
+_FACET_TOKEN = "value"
+
+
+def _q_facet_counts(spark, sf_dir):
+    """Facet counts (operators/facets.py::facet_counts, Lucene
+    FacetsCollector): per-source doc counts over the match set of the
+    term query 'value' — one semi-join + one hash agg, output bounded
+    by field cardinality. Oracle re-derives the match set from the
+    token lists and re-counts."""
+    from gensim_spark.operators import facets as FC
+    from gensim_spark.operators import topk as T
+
+    idx = _index(spark, sf_dir)
+    tid = idx.vocab.filter(
+        F.col("token") == _FACET_TOKEN).collect()[0]["term_id"]
+    q = spark.createDataFrame([(0, int(tid), 1.0)],
+                              "query_id int, term_id long, q_weight double")
+    matches = T.score(idx.weighted, q)
+    docs_meta = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return FC.facet_counts(docs_meta, matches, "source")
+
+
+def _q_facet_ranges(spark, sf_dir):
+    """Range facets (facets.py::facet_ranges): n_chars histogram
+    (width 100, 6 buckets, outer edges clamp) over the same 'value'
+    match set; empty buckets emitted with 0. Oracle recomputes the
+    bucket map and left-joins a generated axis."""
+    from gensim_spark.operators import facets as FC
+    from gensim_spark.operators import topk as T
+
+    idx = _index(spark, sf_dir)
+    tid = idx.vocab.filter(
+        F.col("token") == _FACET_TOKEN).collect()[0]["term_id"]
+    q = spark.createDataFrame([(0, int(tid), 1.0)],
+                              "query_id int, term_id long, q_weight double")
+    matches = T.score(idx.weighted, q)
+    docs_meta = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return FC.facet_ranges(docs_meta, matches, "n_chars",
+                           lo=0.0, width=100.0, n_buckets=6)
+
+
 _AV_N_SPEC = 6
 
 
@@ -1727,6 +1808,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_msm_topk": _q_bool_msm_topk,
         "multi_phrase_topk": _q_multi_phrase_topk,
         "snippets_best": _q_snippets_best,
+        "mlt_topk": _q_mlt_topk,
+        "span_first_topk": _q_span_first_topk,
+        "facet_counts": _q_facet_counts,
+        "facet_ranges": _q_facet_ranges,
     }
 
 
@@ -3557,4 +3642,96 @@ snip AS (SELECT b.doc_id, b.s, b.n,
 SELECT doc_id, CAST(s AS INT) AS start, CAST(n AS INT) AS n_terms, snippet
 FROM snip
 ORDER BY doc_id""",
+        # More-Like-This: selection = top-|weight| terms of the source
+        # doc under the df gate (ORDER BY abs(weight) DESC, term_id
+        # LIMIT mqt), then the disjunctive scorer with the source
+        # excluded — both stages re-run in SQL
+        "mlt_topk": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+weights AS (
+  SELECT p.doc_id, p.term_id,
+         i.idf * (p.tf * 2.5 / (p.tf + 1.5 * (0.25 + 0.75 * d.dl
+                                              / (SELECT a FROM avgdl))))
+           AS weight
+  FROM postings p
+  JOIN doclen d USING (doc_id)
+  JOIN idf i USING (term_id)),
+sel AS (SELECT w.term_id FROM weights w JOIN vocab_ids v USING (term_id)
+        WHERE w.doc_id = {_MLT["doc"]} AND v.df >= {_MLT["min_df"]}
+        ORDER BY abs(w.weight) DESC, w.term_id ASC LIMIT {_MLT["mqt"]}),
+scores AS (SELECT w.doc_id, sum(w.weight) AS score
+           FROM weights w JOIN sel USING (term_id)
+           WHERE w.doc_id <> {_MLT["doc"]}
+           GROUP BY w.doc_id)
+SELECT CAST(0 AS INT) AS query_id, doc_id, ROUND(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY abs(score) DESC, doc_id ASC) AS INT)
+         AS rank
+FROM scores WHERE score <> 0
+QUALIFY rank <= {TOPK_K}
+ORDER BY rank""",
+        # span-first: qualifying tf = positions < end over the rebuilt
+        # positional postings, single-term pseudo-term scoring
+        "span_first_topk": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+posx AS (SELECT doc_id, unnest(tokens) AS token,
+                generate_subscripts(tokens, 1) - 1 AS pos
+         FROM tok),
+occ AS (SELECT doc_id, count(*) AS ftf FROM posx
+        WHERE token = '{_SPANF["token"]}' AND pos < {_SPANF["end"]}
+        GROUP BY doc_id),
+iv AS (SELECT i.idf AS v FROM idf i JOIN vocab_ids vv USING (term_id)
+       WHERE vv.token = '{_SPANF["token"]}'),
+scored AS (
+  SELECT o.doc_id, o.ftf,
+         (SELECT v FROM iv) * (o.ftf * 2.5)
+           / (o.ftf + 1.5 * (0.25 + 0.75 * d.dl / (SELECT a FROM avgdl)))
+           AS score
+  FROM occ o JOIN doclen d USING (doc_id))
+SELECT doc_id, CAST(ftf AS INT) AS first_tf, ROUND(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank
+FROM scored
+QUALIFY rank <= {TOPK_K}
+ORDER BY rank""",
+        # facet counts: match set = docs containing the term, then one
+        # per-source count
+        "facet_counts": f"""{_PRELUDE},
+m AS (SELECT DISTINCT p.doc_id FROM postings p
+      JOIN vocab_ids v USING (term_id)
+      WHERE v.token = '{_FACET_TOKEN}')
+SELECT d.source AS value, count(*) AS count
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.source
+ORDER BY count DESC, value ASC""",
+        # range facets: clamped fixed-width buckets left-joined onto a
+        # generated axis so empty buckets keep their 0 row
+        "facet_ranges": f"""{_PRELUDE},
+m AS (SELECT DISTINCT p.doc_id FROM postings p
+      JOIN vocab_ids v USING (term_id)
+      WHERE v.token = '{_FACET_TOKEN}'),
+b AS (SELECT LEAST(5, GREATEST(0,
+             CAST(floor(d.n_chars / 100.0) AS INT))) AS bucket
+      FROM documents d JOIN m USING (doc_id)),
+c AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+axis AS (SELECT CAST(i AS INT) AS bucket,
+                CAST(i * 100.0 AS DOUBLE) AS lo,
+                CAST((i + 1) * 100.0 AS DOUBLE) AS hi
+         FROM range(0, 6) t(i))
+SELECT a.bucket, a.lo, a.hi, COALESCE(c.cnt, 0) AS count
+FROM axis a LEFT JOIN c USING (bucket)
+ORDER BY a.bucket""",
     }

@@ -215,6 +215,43 @@ def near_topk(positional: DataFrame, stats: BM25Stats, term_a: int,
             .select(doc_col, "near_tf", "score", "rank"))
 
 
+def span_first_topk(positional: DataFrame, stats: BM25Stats, term_id: int,
+                    end: int, dl: DataFrame, k: int = 10,
+                    doc_col: str = "doc_id") -> DataFrame:
+    """Span-first query (Lucene SpanFirstQuery): the term must occur
+    within the first ``end`` token positions (0-based: position < end) —
+    "mentions X in the opening" queries. tf counts only the qualifying
+    occurrences (a JVM array filter over the positional postings — the
+    scan prunes to the term's postings, the fold is per-row); scoring is
+    the same pseudo-term model as :func:`phrase_topk` with the term's own
+    idf. Returns (doc_id, first_tf, score, rank)."""
+    if end < 1:
+        raise ValueError("end must be ≥ 1")
+    e = F.lit(int(end))
+    occ = (positional.filter(F.col("term_id") == int(term_id))
+           .select(F.col(doc_col),
+                   F.size(F.filter("positions", lambda p: p < e))
+                   .alias("first_tf"))
+           .filter(F.col("first_tf") > 0))
+    idf_rows = stats.idfs.filter(F.col("term_id") == int(term_id)).collect()
+    idf = float(idf_rows[0]["idf"]) if idf_rows else 0.0
+    tf = F.col("first_tf").cast("double")
+    dlc = F.col("dl").cast("double")
+    denom = tf + F.lit(stats.k1) * (F.lit(1.0 - stats.b)
+                                    + F.lit(stats.b) * dlc / F.lit(stats.avgdl))
+    num = (tf * F.lit(stats.k1 + 1.0) if stats.variant in ("okapi", "atire")
+           else tf)
+    scored = (occ.join(dl, doc_col)
+              .select(doc_col, "first_tf",
+                      (F.lit(idf) * num / denom).alias("score")))
+    top = scored.orderBy(F.desc("score"), F.asc(doc_col)).limit(k)
+    from pyspark.sql import Window
+
+    wnd = Window.orderBy(F.desc("score"), F.asc(doc_col))
+    return (top.withColumn("rank", F.row_number().over(wnd))
+            .select(doc_col, "first_tf", "score", "rank"))
+
+
 def phrase_topk(positional: DataFrame, stats: BM25Stats, phrase_term_ids,
                 dl: DataFrame, k: int = 10,
                 doc_col: str = "doc_id") -> DataFrame:

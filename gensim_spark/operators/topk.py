@@ -235,6 +235,49 @@ def bool_topk(weighted_postings: DataFrame, must=(), should=(),
     return topk(scored, k)
 
 
+def mlt_select_terms(weighted_postings: DataFrame, vocab: DataFrame,
+                     doc_id: int, max_query_terms: int = 25,
+                     min_doc_freq: int = 1,
+                     max_doc_freq: int | None = None) -> DataFrame:
+    """Term selection of a More-Like-This query (Lucene MoreLikeThis):
+    the source doc's most informative terms — ranked by the index's own
+    stored |weight| (tf·idf saturation; abs because an ε-clamped Okapi
+    idf can be negative on head terms, and "informative" is magnitude) —
+    gated by document frequency (Lucene's minDocFreq/maxDocFreq: drop
+    too-rare noise and too-common stopwords), clipped to
+    ``max_query_terms``. The frame is doc-sized before the clip."""
+    terms = (weighted_postings.filter(F.col("doc_id") == int(doc_id))
+             .join(F.broadcast(vocab.select("term_id", "df")), "term_id"))
+    terms = terms.filter(F.col("df") >= int(min_doc_freq))
+    if max_doc_freq is not None:
+        terms = terms.filter(F.col("df") <= int(max_doc_freq))
+    return (terms
+            .orderBy(F.abs(F.col("weight")).desc(), F.asc("term_id"))
+            .limit(int(max_query_terms))
+            .select("term_id"))
+
+
+def more_like_this(weighted_postings: DataFrame, vocab: DataFrame,
+                   doc_id: int, max_query_terms: int = 25,
+                   min_doc_freq: int = 1, max_doc_freq: int | None = None,
+                   k: int | None = 10, query_id: int = 0) -> DataFrame:
+    """More-Like-This (Lucene MoreLikeThisQuery): select the source doc's
+    informative terms (:func:`mlt_select_terms`), run them as the standard
+    disjunctive 'bnn' query, exclude the source doc itself, re-rank. The
+    selection stays a broadcast-sized frame feeding :func:`score` — the
+    whole query never touches the driver. Differs from
+    :func:`similarity_by_id` (gensim's vector_by_id query, full vector as
+    weights) by the df gates + term clip + uniform query weights — the
+    MLT contract."""
+    sel = (mlt_select_terms(weighted_postings, vocab, doc_id,
+                            max_query_terms, min_doc_freq, max_doc_freq)
+           .select(F.lit(int(query_id)).alias("query_id"), "term_id",
+                   F.lit(1.0).alias("q_weight")))
+    scored = (score(weighted_postings, sel)
+              .filter(F.col("doc_id") != int(doc_id)))
+    return topk(scored, k)
+
+
 def similarity_by_id(weighted_postings: DataFrame, doc_id: int,
                      k: int = 10, exclude_self: bool = False) -> DataFrame:
     """``vector_by_id`` + query (docsim.py:584-652): use an indexed

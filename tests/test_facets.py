@@ -1,0 +1,52 @@
+"""Facet counts + range histograms over a match set (operators/facets.py)."""
+import pytest
+
+from gensim_spark.operators import facets as FC
+
+
+@pytest.fixture(scope="module")
+def meta(spark):
+    rows = [(0, "en", "a", 10), (1, "en", "b", 25), (2, "de", "a", 35),
+            (3, "fr", "b", 95), (4, "en", "a", 55), (5, "de", "c", 5)]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long")
+
+
+def _matches(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+def test_facet_counts(spark, meta):
+    m = _matches(spark, [0, 1, 2, 4])
+    got = [(r["value"], r["count"])
+           for r in FC.facet_counts(meta, m, "lang").collect()]
+    assert got == [("en", 3), ("de", 1)]
+    # duplicate match rows (multi-query frame) count a doc once
+    md = _matches(spark, [0, 0, 1, 1, 2])
+    got2 = [(r["value"], r["count"])
+            for r in FC.facet_counts(meta, md, "source").collect()]
+    assert got2 == [("a", 2), ("b", 1)]
+    # top clip + count-desc/value-asc tie order
+    got3 = [(r["value"], r["count"])
+            for r in FC.facet_counts(meta, _matches(spark, range(6)),
+                                     "source", top=2).collect()]
+    assert got3 == [("a", 3), ("b", 2)]
+
+
+def test_facet_ranges(spark, meta):
+    m = _matches(spark, range(6))
+    got = [(r["bucket"], r["lo"], r["hi"], r["count"])
+           for r in FC.facet_ranges(meta, m, "n_chars",
+                                    lo=0.0, width=30.0,
+                                    n_buckets=3).collect()]
+    # 10,25,5 -> b0; 35,55 -> b1; 95 clamps into b2
+    assert got == [(0, 0.0, 30.0, 3), (1, 30.0, 60.0, 2),
+                   (2, 60.0, 90.0, 1)]
+    # empty buckets emitted with 0
+    got2 = [(r["bucket"], r["count"])
+            for r in FC.facet_ranges(meta, _matches(spark, [0]), "n_chars",
+                                     lo=0.0, width=20.0,
+                                     n_buckets=4).collect()]
+    assert got2 == [(0, 1), (1, 0), (2, 0), (3, 0)]
+    with pytest.raises(ValueError):
+        FC.facet_ranges(meta, m, "n_chars", 0.0, 0.0, 3)

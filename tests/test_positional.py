@@ -427,3 +427,64 @@ def test_bool_min_should_match_and_boosts(spark):
         weighted, must=[ids["aa"]], should=[ids["bb"], ids["cc"]],
         min_should_match=1, k=10).collect()}
     assert comp == {0, 1, 2}
+
+
+def test_span_first_topk(spark, fixture):
+    docs, vocab, vmap, pos = fixture
+    a = vmap["a"]
+    stats = M.fit_from_vocab(vocab, num_docs=len(TEXTS), variant="lucene")
+    dl = docs.select("doc_id", F.size("tokens").alias("dl"))
+    # 'a' positions: d0 [0,3], d1 [1], d2 [2], d3 [0,1,2]
+    out = {r["doc_id"]: (r["first_tf"], r["score"]) for r in
+           PX.span_first_topk(pos, stats, a, end=2, dl=dl, k=10).collect()}
+    assert {d: tf for d, (tf, _) in out.items()} == {0: 1, 1: 1, 3: 2}
+    idf = {r["term_id"]: r["idf"] for r in stats.idfs.collect()}[a]
+    dls = {r["doc_id"]: r["dl"] for r in dl.collect()}
+    for d, (tf, score) in out.items():
+        sat = tf / (tf + stats.k1 * (1 - stats.b
+                                     + stats.b * dls[d] / stats.avgdl))
+        assert score == pytest.approx(idf * sat, rel=1e-9)
+    out1 = {r["doc_id"]: r["first_tf"] for r in
+            PX.span_first_topk(pos, stats, a, end=1, dl=dl, k=10).collect()}
+    assert out1 == {0: 1, 3: 1}
+    with pytest.raises(ValueError):
+        PX.span_first_topk(pos, stats, a, end=0, dl=dl)
+
+
+def test_more_like_this(spark):
+    from gensim_spark.operators import topk as T
+
+    texts = [["rare", "mid", "common", "common"],
+             ["rare", "other"],
+             ["mid", "common"],
+             ["other", "common"]]
+    docs, vocab, ids, weighted, w = _mini_engine(spark, texts)
+    dfs = {r["term_id"]: r["df"] for r in vocab.collect()}
+
+    def manual(src, mqt, min_df=1, max_df=None):
+        cand = [(t, abs(w[(src, ids[t])])) for t in set(texts[src])
+                if dfs[ids[t]] >= min_df
+                and (max_df is None or dfs[ids[t]] <= max_df)]
+        cand.sort(key=lambda x: (-x[1], ids[x[0]]))
+        sel = [ids[t] for t, _ in cand[:mqt]]
+        scores = {}
+        for d in range(len(texts)):
+            if d == src:
+                continue
+            s = sum(w[(d, t)] for t in sel if (d, t) in w)
+            if s != 0.0:
+                scores[d] = s
+        return sel, scores
+
+    for mqt, min_df, max_df in [(2, 1, None), (25, 1, None), (25, 1, 2),
+                                (25, 3, None)]:
+        sel, want = manual(0, mqt, min_df, max_df)
+        got_sel = {r["term_id"] for r in T.mlt_select_terms(
+            weighted, vocab, 0, mqt, min_df, max_df).collect()}
+        assert got_sel == set(sel)
+        got = {r["doc_id"]: r["score"] for r in T.more_like_this(
+            weighted, vocab, 0, mqt, min_df, max_df, k=10).collect()}
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d] == pytest.approx(want[d], rel=1e-12)
+        assert 0 not in got  # source doc excluded
