@@ -294,6 +294,44 @@ def main() -> None:
         summarize(p), interesting(p)))
     shutil.rmtree(ice_loc, ignore_errors=True)
 
+    from gensim_spark.operators import highlight as HL
+    from gensim_spark.operators import topk as T
+
+    snip_q = [r["token"] for r in idx.vocab.orderBy(
+        idx.vocab.df.desc()).limit(3).collect()]
+    p = (HL.best_snippets(tok, snip_q, width=8, mark=True)
+         ._jdf.queryExecution().executedPlan().toString())
+    sections.append((
+        "Snippet extraction / highlighting — hit-anchored best-window "
+        "argmax as ONE zero-exchange JVM array-fold projection per row "
+        "(indexed transform + filter + struct-ordered array_max; no "
+        "explode, no Python)",
+        summarize(p), interesting(p)))
+
+    # deployed rewrite shape (query_index.run_expanded): LIKE expansion
+    # over the STORED vocab (vocab-sized scan, ≤max_expansions ids
+    # collected — Lucene materializes rewritten queries the same way),
+    # then the ordinary pruned-store top-k over the expansion
+    vocab_dir = tempfile.mkdtemp(prefix="explain_vocab_") + "/vocab"
+    idx.vocab.write.mode("overwrite").parquet(vocab_dir)
+    vstored = spark.read.parquet(vocab_dir)
+    like = T.wildcard_pattern_to_like("s?a*")
+    exp = vstored.filter(vstored.token.like(like)).select("term_id")
+    p_exp = exp._jdf.queryExecution().executedPlan().toString()
+    exp_ids = [int(r["term_id"]) for r in exp.collect()]
+    pruned_wc = layout.read_postings_bucketed(
+        spark, "/tmp/explain_buckets", term_ids=exp_ids, n_buckets=8)
+    qwc = T.query_terms_df(spark, {0: exp_ids})
+    p = (T.search(pruned_wc.select("doc_id", "term_id", "weight"), qwc, k=10)
+         ._jdf.queryExecution().executedPlan().toString())
+    sections.append((
+        "Wildcard/fuzzy rewrite, deployed shape — (a) LIKE expansion = one "
+        "vocab-sized parquet scan (collect capped by max_expansions), "
+        "(b) the expansion runs as a plain disjunction over the "
+        "term-pruned bucketed store",
+        f"expansion: {summarize(p_exp)} | scoring: {summarize(p)}",
+        interesting(p_exp) + "\n" + interesting(p)))
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# Physical-plan evidence\n\n")
         f.write("Generated by `python tools/explain_plans.py` — the plans "
