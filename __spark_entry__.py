@@ -1703,6 +1703,52 @@ def _q_facet_ranges(spark, sf_dir):
                            lo=0.0, width=100.0, n_buckets=6)
 
 
+_COLLAPSE_Q = ("value", "table", "key")
+
+
+def _q_collapse_topk(spark, sf_dir):
+    """Field collapsing (operators/topk.py::collapse_topk, one result
+    per site): the query's best-scoring doc per source (ties doc_id
+    asc), survivors re-ranked with the standard |score|/zero-drop
+    semantics — a rank window per (query, source) over the match set.
+    The oracle re-runs both windows in SQL."""
+    from gensim_spark.operators import topk as T
+
+    idx = _index(spark, sf_dir)
+    vmap = {r["token"]: r["term_id"] for r in idx.vocab.filter(
+        F.col("token").isin(list(_COLLAPSE_Q))).collect()}
+    q = T.query_terms_df(spark, {0: [vmap[t] for t in _COLLAPSE_Q]})
+    docs_meta = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = T.collapse_topk(T.score(idx.weighted, q), docs_meta, "source",
+                          k=TOPK_K)
+    return out.select("query_id", "doc_id", "source",
+                      F.round("score", 6).alias("score"), "rank")
+
+
+_ROCCHIO = {"token": "value", "fb_docs": 5, "fb_terms": 3,
+            "alpha": 1.0, "beta": 0.75}
+
+
+def _q_rocchio_topk(spark, sf_dir):
+    """Pseudo-relevance feedback (operators/topk.py::rocchio_topk,
+    Rocchio with γ=0): pass 1 ranks 'value', the top-5 docs' centroid
+    contributes its 3 strongest new terms at β=0.75, pass 2 re-ranks
+    with the expanded weighted query — every stage relational, no
+    collect. The oracle replays both passes (centroid, term clip,
+    weighted rescore) in SQL."""
+    from gensim_spark.operators import topk as T
+
+    idx = _index(spark, sf_dir)
+    tid = idx.vocab.filter(
+        F.col("token") == _ROCCHIO["token"]).collect()[0]["term_id"]
+    q = T.query_terms_df(spark, {0: [int(tid)]})
+    out = T.rocchio_topk(idx.weighted, q, _ROCCHIO["fb_docs"],
+                         _ROCCHIO["fb_terms"], _ROCCHIO["alpha"],
+                         _ROCCHIO["beta"], k=TOPK_K)
+    return out.select("query_id", "doc_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 _AV_N_SPEC = 6
 
 
@@ -1812,6 +1858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first_topk": _q_span_first_topk,
         "facet_counts": _q_facet_counts,
         "facet_ranges": _q_facet_ranges,
+        "collapse_topk": _q_collapse_topk,
+        "rocchio_topk": _q_rocchio_topk,
     }
 
 
@@ -3734,4 +3782,86 @@ axis AS (SELECT CAST(i AS INT) AS bucket,
 SELECT a.bucket, a.lo, a.hi, COALESCE(c.cnt, 0) AS count
 FROM axis a LEFT JOIN c USING (bucket)
 ORDER BY a.bucket""",
+        # field collapsing: best doc per source (rank window partitioned
+        # by source over the match set), survivors re-ranked with the
+        # engine's |score|/zero-drop semantics
+        "collapse_topk": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+weights AS (
+  SELECT p.doc_id, p.term_id,
+         i.idf * (p.tf * 2.5 / (p.tf + 1.5 * (0.25 + 0.75 * d.dl
+                                              / (SELECT a FROM avgdl))))
+           AS weight
+  FROM postings p
+  JOIN doclen d USING (doc_id)
+  JOIN idf i USING (term_id)),
+qterms AS (SELECT term_id FROM vocab_ids
+           WHERE token IN ('{_COLLAPSE_Q[0]}', '{_COLLAPSE_Q[1]}',
+                           '{_COLLAPSE_Q[2]}')),
+scores1 AS (SELECT w.doc_id, sum(w.weight) AS score
+            FROM weights w JOIN qterms USING (term_id)
+            GROUP BY w.doc_id),
+best AS (SELECT s.doc_id, s.score, d.source,
+                row_number() OVER (PARTITION BY d.source
+                                   ORDER BY abs(s.score) DESC,
+                                            s.doc_id ASC) AS rn
+         FROM scores1 s JOIN documents d USING (doc_id)
+         QUALIFY rn = 1)
+SELECT CAST(0 AS INT) AS query_id, doc_id, source,
+       ROUND(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY abs(score) DESC, doc_id ASC) AS INT)
+         AS rank
+FROM best WHERE score <> 0
+QUALIFY rank <= {TOPK_K}
+ORDER BY rank""",
+        # Rocchio pseudo-relevance feedback, both passes replayed:
+        # pass-1 rank → top-5 centroid → 3 strongest new terms at β →
+        # weighted pass-2 rescore
+        "rocchio_topk": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+weights AS (
+  SELECT p.doc_id, p.term_id,
+         i.idf * (p.tf * 2.5 / (p.tf + 1.5 * (0.25 + 0.75 * d.dl
+                                              / (SELECT a FROM avgdl))))
+           AS weight
+  FROM postings p
+  JOIN doclen d USING (doc_id)
+  JOIN idf i USING (term_id)),
+q0 AS (SELECT term_id FROM vocab_ids WHERE token = '{_ROCCHIO["token"]}'),
+s1 AS (SELECT w.doc_id, sum(w.weight) AS score
+       FROM weights w JOIN q0 USING (term_id) GROUP BY w.doc_id),
+fb AS (SELECT doc_id FROM s1 WHERE score <> 0
+       QUALIFY row_number() OVER (ORDER BY abs(score) DESC, doc_id ASC)
+               <= {_ROCCHIO["fb_docs"]}),
+cent AS (SELECT w.term_id,
+                sum(w.weight) / {_ROCCHIO["fb_docs"]}.0 AS c
+         FROM weights w JOIN fb USING (doc_id) GROUP BY w.term_id),
+exp AS (SELECT term_id, {_ROCCHIO["beta"]} * c AS qw FROM cent
+        WHERE term_id NOT IN (SELECT term_id FROM q0)
+        QUALIFY row_number() OVER (ORDER BY abs(c) DESC, term_id ASC)
+                <= {_ROCCHIO["fb_terms"]}),
+qq AS (SELECT term_id, {_ROCCHIO["alpha"]} * 1.0 AS qw FROM q0
+       UNION ALL SELECT term_id, qw FROM exp),
+s2 AS (SELECT w.doc_id, sum(w.weight * q.qw) AS score
+       FROM weights w JOIN qq q USING (term_id) GROUP BY w.doc_id)
+SELECT CAST(0 AS INT) AS query_id, doc_id, ROUND(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY abs(score) DESC, doc_id ASC) AS INT)
+         AS rank
+FROM s2 WHERE score <> 0
+QUALIFY rank <= {TOPK_K}
+ORDER BY rank""",
     }

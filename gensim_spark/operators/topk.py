@@ -303,6 +303,78 @@ def similarity_by_id(weighted_postings: DataFrame, doc_id: int,
     return out
 
 
+def collapse_topk(scores: DataFrame, docs_meta: DataFrame, field: str,
+                  k: int | None = 10,
+                  doc_col: str = "doc_id") -> DataFrame:
+    """Field collapsing (Lucene CollapsingTopDocsCollector / web search's
+    one-result-per-site): keep only the BEST-scoring doc per ``field``
+    value (ties by doc_id asc — the engine's standard tie order), then
+    re-rank the survivors with the usual top-k semantics. Returns
+    (query_id, doc_id, <field>, score, rank).
+
+    Plan: match-set-sized meta join + one rank window partitioned by
+    (query_id, field) — cardinality-bounded output, corpus never
+    re-scanned."""
+    joined = scores.join(docs_meta.select(doc_col, field), doc_col)
+    w = Window.partitionBy("query_id", field).orderBy(
+        F.abs(F.col("score")).desc(), F.col(doc_col).asc())
+    best = (joined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+    out = topk(best.select("query_id", doc_col, "score"), k)
+    return (out.join(docs_meta.select(doc_col, field), doc_col)
+            .select("query_id", doc_col, field, "score", "rank"))
+
+
+def rocchio_expand(weighted_postings: DataFrame, query_terms: DataFrame,
+                   fb_docs: int = 5, fb_terms: int = 10,
+                   alpha: float = 1.0, beta: float = 0.75) -> DataFrame:
+    """Pseudo-relevance feedback, Rocchio form: run the query, take the
+    top ``fb_docs`` results as pseudo-relevant, add the ``fb_terms``
+    strongest terms of their centroid to the query. New query weights:
+    ``alpha``·q for original terms, ``beta``·(Σ weight / fb_docs) for
+    expansion terms (the classic Rocchio centroid update with γ=0 — no
+    non-relevant set in the pseudo setting). Returns an expanded
+    (query_id, term_id, q_weight) frame for :func:`search`.
+
+    Fully relational — the feedback set is a k-row frame, the centroid a
+    semi-join + hash-agg over those docs' postings, the term clip a
+    window; no collect anywhere. Single-query frames only (the rank
+    window is per query_id, so multi-query frames work too)."""
+    top_docs = topk(score(weighted_postings, query_terms), fb_docs) \
+        .select("query_id", "doc_id")
+    centroid = (weighted_postings
+                .join(F.broadcast(top_docs), "doc_id")
+                .groupBy("query_id", "term_id")
+                .agg((F.sum("weight") / float(fb_docs)).alias("_c")))
+    # expansion = strongest centroid terms NOT already in the query
+    cand = centroid.join(
+        F.broadcast(query_terms.select("query_id", "term_id")),
+        ["query_id", "term_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.abs(F.col("_c")).desc(), F.col("term_id").asc())
+    expansion = (cand.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= int(fb_terms))
+                 .select("query_id", "term_id",
+                         (F.lit(float(beta)) * F.col("_c"))
+                         .alias("q_weight")))
+    original = query_terms.select(
+        "query_id", "term_id",
+        (F.lit(float(alpha)) * F.col("q_weight")).alias("q_weight"))
+    return original.unionByName(expansion)
+
+
+def rocchio_topk(weighted_postings: DataFrame, query_terms: DataFrame,
+                 fb_docs: int = 5, fb_terms: int = 10,
+                 alpha: float = 1.0, beta: float = 0.75,
+                 k: int | None = 10) -> DataFrame:
+    """Two-pass pseudo-relevance-feedback search: expand via
+    :func:`rocchio_expand`, re-run the disjunctive scorer with the
+    expanded weighted query."""
+    expanded = rocchio_expand(weighted_postings, query_terms,
+                              fb_docs, fb_terms, alpha, beta)
+    return search(weighted_postings, expanded, k)
+
+
 def toptexts(scores: DataFrame, texts: DataFrame, n: int = 10) -> DataFrame:
     """utils.toptexts (gensim/utils.py:1553-1578): top-n result rows joined
     back to their document text."""

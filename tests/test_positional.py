@@ -488,3 +488,68 @@ def test_more_like_this(spark):
         for d in want:
             assert got[d] == pytest.approx(want[d], rel=1e-12)
         assert 0 not in got  # source doc excluded
+
+
+def test_collapse_topk(spark):
+    from gensim_spark.operators import topk as T
+
+    scores = spark.createDataFrame(
+        [(0, 0, 5.0), (0, 1, 4.0), (0, 2, 3.0), (0, 3, -6.0), (0, 4, 4.0)],
+        "query_id int, doc_id long, score double")
+    meta = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "b"), (4, "c")],
+        "doc_id long, site string")
+    out = T.collapse_topk(scores, meta, "site", k=10).orderBy("rank").collect()
+    # site a -> doc 0 (5.0); site b -> doc 3 (|-6| > 3); site c -> doc 4
+    assert [(r["doc_id"], r["site"], r["score"], r["rank"]) for r in out] == \
+        [(3, "b", -6.0, 1), (0, "a", 5.0, 2), (4, "c", 4.0, 3)]
+    # tie inside a site: doc_id asc wins
+    scores2 = spark.createDataFrame(
+        [(0, 1, 4.0), (0, 0, 4.0)], "query_id int, doc_id long, score double")
+    out2 = T.collapse_topk(scores2, meta, "site", k=10).collect()
+    assert [(r["doc_id"], r["rank"]) for r in out2] == [(0, 1)]
+    # k clips after collapsing
+    assert T.collapse_topk(scores, meta, "site", k=2).count() == 2
+
+
+def test_rocchio_feedback(spark):
+    from gensim_spark.operators import topk as T
+
+    texts = [["aa", "bb", "cc"], ["aa", "bb"], ["aa", "dd", "dd"],
+             ["bb", "cc", "dd"], ["ee", "ee"], ["aa", "cc"]]
+    docs, vocab, ids, weighted, w = _mini_engine(spark, texts)
+    qt = T.query_terms_df(spark, {0: [ids["aa"]]})
+    fb_docs, fb_terms, alpha, beta = 3, 2, 1.0, 0.75
+
+    # manual replica from the collected weights
+    s1 = {}
+    for (d, t), wt in w.items():
+        if t == ids["aa"]:
+            s1[d] = s1.get(d, 0.0) + wt
+    top = sorted((d for d in s1 if s1[d] != 0.0),
+                 key=lambda d: (-abs(s1[d]), d))[:fb_docs]
+    cent = {}
+    for (d, t), wt in w.items():
+        if d in top:
+            cent[t] = cent.get(t, 0.0) + wt / fb_docs
+    cand = sorted((t for t in cent if t != ids["aa"]),
+                  key=lambda t: (-abs(cent[t]), t))[:fb_terms]
+    qw = {ids["aa"]: alpha * 1.0}
+    for t in cand:
+        qw[t] = beta * cent[t]
+    want = {}
+    for (d, t), wt in w.items():
+        if t in qw:
+            want[d] = want.get(d, 0.0) + wt * qw[t]
+    want = {d: s for d, s in want.items() if s != 0.0}
+
+    exp = {(r["term_id"]): r["q_weight"] for r in T.rocchio_expand(
+        weighted, qt, fb_docs, fb_terms, alpha, beta).collect()}
+    assert set(exp) == set(qw)
+    for t in qw:
+        assert exp[t] == pytest.approx(qw[t], rel=1e-12)
+    got = {r["doc_id"]: r["score"] for r in T.rocchio_topk(
+        weighted, qt, fb_docs, fb_terms, alpha, beta, k=None).collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
