@@ -17,7 +17,8 @@ sys.path.insert(
 
 def run(spark, index_dir: str, queries: list[str], k: int = 10,
         iceberg: bool = False, snapshot_id: int | None = None,
-        exclude_doc_ids=None) -> dict:
+        exclude_doc_ids=None, pages_path: str | None = None,
+        highlight: int | None = None, facet: str | None = None) -> dict:
     """The job body; returns {"results": {qid: [{doc_id, score, rank}]},
     "wall_sec": s}. Importable so tests can drive it without a subprocess."""
     from pyspark.sql import functions as F
@@ -58,7 +59,14 @@ def run(spark, index_dir: str, queries: list[str], k: int = 10,
         out[str(r["query_id"])].append(
             {"doc_id": r["doc_id"], "score": r["score"], "rank": r["rank"]}
         )
-    return {"results": out, "wall_sec": round(wall, 3)}
+    res = {"results": out, "wall_sec": round(wall, 3)}
+    if pages_path is not None and (highlight is not None
+                                   or facet is not None):
+        facets = present_results(spark, pages_path, out, tokens,
+                                 highlight=highlight, facet=facet)
+        if facets is not None:
+            res["facets"] = facets
+    return res
 
 
 def run_phrase(spark, index_dir: str, phrase_text: str, k: int = 10,
@@ -111,6 +119,66 @@ def run_phrase(spark, index_dir: str, phrase_text: str, k: int = 10,
                  "score": r["score"], "rank": r["rank"]}
                 for r in out.collect()]
     return {"results": rows, "wall_sec": round(time.perf_counter() - t0, 3)}
+
+
+def present_results(spark, pages_path: str, results: dict,
+                    query_tokens: dict, highlight: int | None = None,
+                    facet: str | None = None) -> dict | None:
+    """Presentation stage over the source pages table (the engine's
+    stored-fields store): per-query best-passage snippets
+    (``highlight`` = window width) attached to the hit dicts IN PLACE,
+    and/or result-set facet counts (``facet`` = field name) returned as
+    a per-query dict (None when ``facet`` unset). The pages
+    table MUST carry the build's ``doc_id`` column — ids assigned at
+    build time via monotonically_increasing_id are not reproducible on
+    a re-read, so a deployment persists them (the curate/build jobs
+    do). All per-query work is pruned to the ≤k result docs by a
+    broadcast semi-join before any tokenize/array fold runs."""
+    from pyspark.sql import functions as F
+
+    from gensim_spark.operators import facets as FC
+    from gensim_spark.operators import highlight as H
+    from gensim_spark.plans import pipeline as P
+
+    pages = spark.read.parquet(pages_path)
+    if "doc_id" not in pages.columns:
+        raise SystemExit(
+            "--pages table has no doc_id column; persist build-time ids "
+            "(ids from monotonically_increasing_id do not survive a "
+            "re-read)")
+    all_ids = sorted({h["doc_id"] for hits in results.values()
+                      for h in hits})
+    if not all_ids:
+        return {qid: [] for qid in results} if facet is not None else None
+    sub = pages.filter(F.col("doc_id").isin(all_ids)).cache()
+    if highlight is not None:
+        tok = P.tokenize(sub.select("doc_id", "text"))
+        for qid, hits in results.items():
+            q = sorted(set(query_tokens.get(int(qid), [])))
+            ids = [h["doc_id"] for h in hits]
+            if not q or not ids:
+                continue
+            snips = {r["doc_id"]: r["snippet"] for r in H.best_snippets(
+                tok.filter(F.col("doc_id").isin(ids)), q,
+                width=highlight, mark=True).collect()}
+            for h in hits:
+                h["snippet"] = snips.get(h["doc_id"])
+    facets = None
+    if facet is not None:
+        if facet not in pages.columns:
+            raise SystemExit(f"--facet field {facet!r} not in pages table")
+        facets = {}
+        for qid, hits in results.items():
+            ids = [(h["doc_id"],) for h in hits]
+            if not ids:
+                facets[qid] = []
+                continue
+            m = spark.createDataFrame(ids, "doc_id long")
+            facets[qid] = [
+                {"value": r["value"], "count": r["count"]}
+                for r in FC.facet_counts(sub, m, facet).collect()]
+    sub.unpersist()
+    return facets
 
 
 def expand_query_terms(spark, index_dir: str, text: str,
@@ -246,7 +314,19 @@ def main() -> None:
     ap.add_argument("--max-expansions", type=int, default=1024,
                     help="rewrite cap for --wildcard/--fuzzy-dist "
                          "(Lucene maxExpansions)")
+    ap.add_argument("--pages", default=None,
+                    help="source pages parquet (stored-fields store) for "
+                         "--highlight/--facet; must carry doc_id")
+    ap.add_argument("--highlight", type=int, default=None,
+                    help="attach a best-passage snippet of this token "
+                         "width to every hit (requires --pages)")
+    ap.add_argument("--facet", default=None,
+                    help="attach per-query result facet counts over this "
+                         "pages column (requires --pages)")
     args = ap.parse_args()
+    if (args.highlight is not None or args.facet is not None) \
+            and not args.pages:
+        ap.error("--highlight/--facet require --pages")
 
     if args.wildcard or args.fuzzy_dist is not None:
         if args.phrase or args.iceberg:
@@ -292,7 +372,8 @@ def main() -> None:
     spark = get_spark("gensim_spark_query")
     out = run(spark, args.index, args.query, k=args.k,
               iceberg=args.iceberg, snapshot_id=args.snapshot_id,
-              exclude_doc_ids=args.exclude_doc_ids)
+              exclude_doc_ids=args.exclude_doc_ids, pages_path=args.pages,
+              highlight=args.highlight, facet=args.facet)
     print(json.dumps(out))
     spark.stop()
 

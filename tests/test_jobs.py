@@ -527,3 +527,40 @@ def test_query_index_wildcard_and_fuzzy_modes(spark, tmp_path):
     with _pytest.raises(SystemExit):
         query_index.run_expanded(spark, out, "*", k=5, wildcard=True,
                                  max_expansions=3)
+
+
+def test_query_index_highlight_and_facet(spark, tmp_path):
+    """--highlight/--facet: snippets and result facets from the source
+    pages table (the stored-fields store); pages must carry doc_id."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gensim_spark.jobs import build_index, query_index
+
+    pages_df = _pages_df(spark).withColumn(
+        "doc_id", F.monotonically_increasing_id())
+    pages = str(tmp_path / "pages_hl")
+    pages_df.write.parquet(pages)
+    out = str(tmp_path / "idx_hl")
+    build_index.run(spark, pages, out, docs_per_shard=16, num_groups=2)
+
+    res = query_index.run(spark, out, ["alpha beta", "zeta common"], k=5,
+                          pages_path=pages, highlight=4, facet="lang")
+    for qid, toks in (("0", {"alpha", "beta"}), ("1", {"zeta", "common"})):
+        hits = res["results"][qid]
+        assert len(hits) == 5
+        for h in hits:
+            assert "<b>" in h["snippet"]
+            marked = {w[3:-4] for w in h["snippet"].split()
+                      if w.startswith("<b>")}
+            assert marked <= toks and marked
+        # result facets: every doc is lang=en, counts sum to the hits
+        fc = res["facets"][qid]
+        assert fc == [{"value": "en", "count": 5}]
+
+    # pages without doc_id -> explicit error, not silent wrong ids
+    pages_noid = str(tmp_path / "pages_noid")
+    _pages_df(spark).write.parquet(pages_noid)
+    with _pytest.raises(SystemExit):
+        query_index.run(spark, out, ["alpha"], k=3, pages_path=pages_noid,
+                        highlight=4)
