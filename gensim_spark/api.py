@@ -1378,3 +1378,179 @@ class FrozenPhrases:
 
 
 Phraser = FrozenPhrases  # reference alias (phrases.py:793)
+
+
+class SearchEngine:
+    """One-object fulltext engine over a pages/documents DataFrame — the
+    graft's whole query surface behind a Lucene-IndexSearcher-shaped
+    facade. Build once (tokenize → Dictionary → fitted BM25 weights, the
+    pipeline's three-shuffle shape), then:
+
+    - ``search(text)`` — free-text disjunctive BM25 top-k; optional
+      ``collapse=field`` (one result per field value) and
+      ``highlight=width`` (marked best-passage snippet per hit)
+    - ``boolean(must/should/must_not, min_should_match, boosts)``
+    - ``wildcard('s?a*')`` / ``fuzzy('sort', 2)`` / ``prefix('s')`` —
+      vocab-bounded MultiTermQuery rewrites
+    - ``phrase('exact phrase')`` / ``phrase('a b', slop=2)`` — positional
+      (the positional store builds lazily on first use, same single
+      doc2bow shuffle)
+    - ``more_like_this(doc_id)`` / ``feedback(text)`` (Rocchio PRF)
+    - ``facets(text, field)`` / ``facet_ranges(text, field, ...)`` over
+      the full match set
+
+    Everything returns DataFrames and delegates to the operator modules
+    (which carry the plans, tests, and oracle entries); token→id lookups
+    collect only query-sized frames."""
+
+    def __init__(self, docs: DataFrame, text_col: str = "text",
+                 variant: str = "okapi", k1: float = 1.5, b: float = 0.75,
+                 epsilon: float = 0.25):
+        from gensim_spark.plans import pipeline as _P
+
+        self._meta = docs
+        if "tokens" in docs.columns:
+            tok = docs.select("doc_id", "tokens")
+        else:
+            tok = _P.tokenize(docs, text_col=text_col)
+        self.index = _P.build(tok, variant=variant, k1=k1, b=b,
+                              epsilon=epsilon)
+        self._spark = docs.sparkSession
+        self._positional = None
+
+    # -- internals --------------------------------------------------------
+    def _tokenize(self, text: str) -> list[str]:
+        from gensim_spark.functions import textref as _textref
+
+        return _textref.simple_preprocess(text)
+
+    def _tids(self, tokens) -> dict:
+        rows = self.index.vocab.filter(
+            F.col("token").isin(sorted(set(tokens)))).collect()
+        return {r["token"]: int(r["term_id"]) for r in rows}
+
+    def _pos(self):
+        if self._positional is None:
+            from gensim_spark.operators import positional as _px
+
+            self._positional = _px.positional_postings(
+                self.index.docs, self.index.vocab).cache()
+        return self._positional
+
+    def _empty_topk(self) -> DataFrame:
+        return self._spark.createDataFrame(
+            [], "query_id int, doc_id long, score double, rank int")
+
+    # -- queries ----------------------------------------------------------
+    def search(self, text: str, k: int | None = 10,
+               collapse: str | None = None,
+               highlight: int | None = None) -> DataFrame:
+        toks = self._tokenize(text)
+        tid = self._tids(toks)
+        ids = sorted({tid[t] for t in toks if t in tid})
+        if not ids:
+            return self._empty_topk()
+        q = _topk.query_terms_df(self._spark, {0: ids})
+        if collapse is not None:
+            out = _topk.collapse_topk(
+                _topk.score(self.index.weighted, q), self._meta, collapse, k)
+        else:
+            out = _topk.search(self.index.weighted, q, k)
+        if highlight is not None:
+            from gensim_spark.operators import highlight as _hl
+
+            out = _hl.highlight_topk(self.index.docs, out,
+                                     [t for t in toks if t in tid],
+                                     width=highlight)
+        return out
+
+    def boolean(self, must=(), should=(), must_not=(),
+                min_should_match: int = 0, boosts: dict | None = None,
+                k: int | None = 10) -> DataFrame:
+        tid = self._tids(list(must) + list(should) + list(must_not))
+        if any(t not in tid for t in must):
+            return self._empty_topk()  # an OOV must clause can never match
+        return _topk.bool_topk(
+            self.index.weighted,
+            must=[tid[t] for t in must],
+            should=[tid[t] for t in should if t in tid],
+            must_not=[tid[t] for t in must_not if t in tid],
+            min_should_match=min_should_match,
+            boosts={tid[t]: bv for t, bv in (boosts or {}).items()
+                    if t in tid},
+            k=k)
+
+    def prefix(self, pre: str, k: int | None = 10) -> DataFrame:
+        return _topk.prefix_topk(self.index.weighted, self.index.vocab,
+                                 pre, k)
+
+    def wildcard(self, pattern: str, k: int | None = 10) -> DataFrame:
+        return _topk.wildcard_topk(self.index.weighted, self.index.vocab,
+                                   pattern, k)
+
+    def fuzzy(self, word: str, max_distance: int = 2, prefix_len: int = 0,
+              k: int | None = 10) -> DataFrame:
+        return _topk.fuzzy_topk(self.index.weighted, self.index.vocab,
+                                word, max_distance, prefix_len, k)
+
+    def phrase(self, text: str, k: int = 10, slop: int | None = None,
+               ordered: bool = True) -> DataFrame:
+        from gensim_spark.operators import positional as _px
+
+        toks = self._tokenize(text)
+        tid = self._tids(toks)
+        if any(t not in tid for t in toks) or not toks:
+            return self._spark.createDataFrame(
+                [], "doc_id long, phrase_tf int, score double, rank int")
+        ids = [tid[t] for t in toks]
+        if slop is None:
+            return _px.phrase_topk(self._pos(), self.index.stats, ids,
+                                   self.index.doclen, k=k)
+        if len(ids) != 2:
+            raise ValueError("slop queries take exactly two terms")
+        return _px.near_topk(self._pos(), self.index.stats, ids[0], ids[1],
+                             self.index.doclen, slop=slop, ordered=ordered,
+                             k=k)
+
+    def more_like_this(self, doc_id: int, max_query_terms: int = 25,
+                       min_doc_freq: int = 1,
+                       max_doc_freq: int | None = None,
+                       k: int | None = 10) -> DataFrame:
+        return _topk.more_like_this(self.index.weighted, self.index.vocab,
+                                    doc_id, max_query_terms, min_doc_freq,
+                                    max_doc_freq, k)
+
+    def feedback(self, text: str, fb_docs: int = 5, fb_terms: int = 10,
+                 alpha: float = 1.0, beta: float = 0.75,
+                 k: int | None = 10) -> DataFrame:
+        toks = self._tokenize(text)
+        tid = self._tids(toks)
+        ids = sorted({tid[t] for t in toks if t in tid})
+        if not ids:
+            return self._empty_topk()
+        q = _topk.query_terms_df(self._spark, {0: ids})
+        return _topk.rocchio_topk(self.index.weighted, q, fb_docs,
+                                  fb_terms, alpha, beta, k)
+
+    def _match_set(self, text: str) -> DataFrame:
+        toks = self._tokenize(text)
+        tid = self._tids(toks)
+        ids = sorted({tid[t] for t in toks if t in tid})
+        if not ids:
+            return self._spark.createDataFrame([], "doc_id long")
+        q = _topk.query_terms_df(self._spark, {0: ids})
+        return _topk.score(self.index.weighted, q).select("doc_id")
+
+    def facets(self, text: str, field: str,
+               top: int | None = None) -> DataFrame:
+        from gensim_spark.operators import facets as _fc
+
+        return _fc.facet_counts(self._meta, self._match_set(text), field,
+                                top=top)
+
+    def facet_ranges(self, text: str, field: str, lo: float, width: float,
+                     n_buckets: int) -> DataFrame:
+        from gensim_spark.operators import facets as _fc
+
+        return _fc.facet_ranges(self._meta, self._match_set(text), field,
+                                lo, width, n_buckets)

@@ -1,0 +1,91 @@
+"""SearchEngine facade (api.py): every query type delegates identically to
+its operator; OOV semantics; lazy positional build."""
+import pytest
+from pyspark.sql import functions as F
+
+from gensim_spark.api import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    rows = [
+        (0, "alpha beta gamma alpha", "en", "siteA"),
+        (1, "beta gamma delta", "en", "siteA"),
+        (2, "alpha delta delta", "de", "siteB"),
+        (3, "gamma gamma beta alpha", "en", "siteB"),
+        (4, "epsilon zeta", "fr", "siteC"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    return SearchEngine(docs, variant="lucene"), docs
+
+
+def _rows(df):
+    return [(r["doc_id"], r["rank"], pytest.approx(r["score"], rel=1e-12))
+            for r in df.orderBy("rank").collect()]
+
+
+def test_search_matches_operator_path(spark, engine):
+    from gensim_spark.operators import topk as T
+
+    se, docs = engine
+    got = se.search("alpha beta", k=10)
+    tid = {r["token"]: r["term_id"] for r in se.index.vocab.collect()}
+    q = T.query_terms_df(spark, {0: [tid["alpha"], tid["beta"]]})
+    want = T.search(se.index.weighted, q, 10)
+    assert _rows(got) == _rows(want)
+    # all-OOV query answers an empty, correctly-schema'd frame
+    assert se.search("nosuch words", k=5).count() == 0
+
+
+def test_search_collapse_and_highlight(engine):
+    se, docs = engine
+    out = {r["doc_id"]: r for r in
+           se.search("alpha beta", k=10, collapse="source",
+                     highlight=3).collect()}
+    # one winner per source among matching docs (siteC has no match)
+    assert len(out) == 2
+    assert {r["source"] for r in out.values()} == {"siteA", "siteB"}
+    for r in out.values():
+        assert "<b>" in r["snippet"]
+
+
+def test_boolean_and_oov_must(engine):
+    se, _ = engine
+    got = {r["doc_id"] for r in
+           se.boolean(must=["alpha"], must_not=["delta"], k=10).collect()}
+    assert got == {0, 3}
+    assert se.boolean(must=["nosuch"], should=["alpha"], k=5).count() == 0
+    # OOV should-terms just drop
+    got2 = {r["doc_id"] for r in
+            se.boolean(should=["alpha", "nosuch"], k=10).collect()}
+    assert got2 == {0, 2, 3}
+
+
+def test_rewrites_and_phrase(engine):
+    se, _ = engine
+    assert {r["doc_id"] for r in se.prefix("alp", k=10).collect()} \
+        == {0, 2, 3}
+    assert {r["doc_id"] for r in se.wildcard("?eta", k=10).collect()} \
+        == {0, 1, 3, 4}  # beta|zeta
+    fz = {r["doc_id"] for r in se.fuzzy("beta", 1, k=10).collect()}
+    assert fz == {0, 1, 3, 4}  # beta, zeta
+    ph = se.phrase("alpha beta", k=10).collect()
+    assert [(r["doc_id"], r["phrase_tf"]) for r in ph] == [(0, 1)]
+    nr = se.phrase("alpha delta", slop=1, k=10).collect()
+    assert [(r["doc_id"], r["near_tf"]) for r in nr] == [(2, 1)]
+    assert se.phrase("alpha nosuch", k=5).count() == 0
+
+
+def test_mlt_feedback_facets(engine):
+    se, _ = engine
+    mlt = {r["doc_id"] for r in se.more_like_this(0, k=10).collect()}
+    assert 0 not in mlt and mlt  # source excluded, neighbors found
+    fb = se.feedback("alpha", fb_docs=2, fb_terms=2, k=10)
+    assert fb.count() > 0
+    fc = [(r["value"], r["count"]) for r in
+          se.facets("alpha", "lang").collect()]
+    assert fc == [("en", 2), ("de", 1)]
+    fr = [(r["bucket"], r["count"]) for r in
+          se.facet_ranges("alpha", "doc_id", 0.0, 2.0, 2).collect()]
+    assert fr == [(0, 1), (1, 2)]
