@@ -223,3 +223,141 @@ class PackedIndexServer:
         rows = self.topk(query_terms, k=k, **kw)
         return spark.createDataFrame(
             rows, "query_id int, doc_id long, score double, rank int")
+
+
+# --- served positional queries (phrase / NEAR) -------------------------------
+
+def np_idf(dfs: np.ndarray, num_docs: int, variant: str = "okapi",
+           epsilon: float = 0.25) -> np.ndarray:
+    """Numpy mirror of ``bm25.idf_table`` (same formulas incl. the Okapi
+    global-mean ε-clamp over ALL raw idfs) for Spark-free serving; parity
+    with the Spark column version is pinned by
+    tests/test_serving.py::test_np_idf_matches_spark."""
+    df = np.asarray(dfs, dtype=np.float64)
+    n = float(num_docs)
+    if variant == "okapi":
+        raw = np.log(n - df + 0.5) - np.log(df + 0.5)
+        return np.where(raw < 0, epsilon * raw.mean(), raw)
+    if variant == "lucene":
+        return np.log(n + 1.0) - np.log(df + 0.5)
+    if variant == "atire":
+        return np.log(n) - np.log(df)
+    raise ValueError(f"unknown BM25 variant {variant!r}")
+
+
+def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
+                       slop: int | None = None,
+                       ordered: bool = True) -> list[tuple[int, int, float, int]]:
+    """Exact-phrase / NEAR top-k with NO Spark session, over the positional
+    bucketed store written by ``build_index --positional``. Same answers as
+    the distributed ``positional.phrase_topk`` / ``near_topk`` plans
+    (identity pinned in tests/test_serving.py): pyarrow reads ONLY the
+    phrase terms' buckets (hive partition pruning) with a term_id filter
+    (row-group stats), adjacency is the same shifted-intersection /
+    windowed-anchor fold in numpy, scoring the same pseudo-term model fit
+    from the stored vocab (``np_idf`` + Σcf/N avgdl, the build's variant
+    from build_metrics.json). Returns [(doc_id, tf, score, rank)].
+
+    Scale note: the in-process cost is intersection-sized (the pruned
+    buckets' rows for the query terms), exactly what the distributed legs
+    shuffle — a node serving a shard slice applies ``merge_topk`` as with
+    term queries."""
+    import json as _json
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    with open(os.path.join(index_dir, "build_metrics.json")) as f:
+        meta = _json.load(f)
+    if not meta.get("positional"):
+        raise FileNotFoundError(
+            "index has no positional store — rebuild with "
+            "build_index --positional")
+    n_buckets = meta.get("positional_n_buckets") or 64
+    variant = meta.get("variant", "okapi")
+    num_docs = meta["num_docs"]
+
+    vocab = pads.dataset(os.path.join(index_dir, "vocab"),
+                         format="parquet").to_table(
+        columns=["token", "term_id", "df", "cf"])
+    vtok = vocab.column("token").to_pylist()
+    vterm = vocab.column("term_id").to_numpy()
+    vdf = vocab.column("df").to_numpy()
+    vcf = vocab.column("cf").to_numpy()
+    tid = dict(zip(vtok, (int(t) for t in vterm)))
+    if not tokens or any(t not in tid for t in tokens):
+        return []
+    ids = [tid[t] for t in tokens]
+    idf_all = np_idf(vdf, num_docs, variant)
+    idf_by_term = dict(zip((int(t) for t in vterm), idf_all))
+    avgdl = float(vcf.sum()) / num_docs
+
+    buckets = sorted({t % n_buckets for t in ids})
+    ds = pads.dataset(os.path.join(index_dir, "positional"),
+                      format="parquet", partitioning="hive")
+    tbl = ds.to_table(
+        columns=["doc_id", "term_id", "positions"],
+        filter=pc.field("bucket").isin(buckets)
+        & pc.field("term_id").isin(sorted(set(ids))))
+    by_term: dict[int, dict[int, np.ndarray]] = {int(t): {} for t in ids}
+    docs_np = tbl.column("doc_id").to_numpy()
+    terms_np = tbl.column("term_id").to_numpy()
+    pos_list = tbl.column("positions").to_pylist()
+    for d, t, p in zip(docs_np, terms_np, pos_list):
+        by_term[int(t)][int(d)] = np.asarray(p, dtype=np.int64)
+
+    cand = set(by_term[ids[0]])
+    for t in ids[1:]:
+        cand &= set(by_term[t])
+    hits: dict[int, int] = {}
+    if slop is None:
+        for d in cand:
+            starts = by_term[ids[0]][d]
+            for i, t in enumerate(ids[1:], start=1):
+                starts = np.intersect1d(starts, by_term[t][d] - i,
+                                        assume_unique=True)
+                if starts.size == 0:
+                    break
+            if starts.size:
+                hits[d] = int(starts.size)
+        idf_sum = float(sum(idf_by_term.get(t, 0.0) for t in ids))
+    else:
+        if len(ids) != 2:
+            raise ValueError("NEAR takes exactly two terms")
+        w = slop + 1
+        for d in cand:
+            pa, pb = by_term[ids[0]][d], by_term[ids[1]][d]
+            if ordered:
+                lo = np.searchsorted(pb, pa, side="right")
+                hi = np.searchsorted(pb, pa + w, side="right")
+            else:
+                lo = np.searchsorted(pb, pa - w, side="left")
+                hi = np.searchsorted(pb, pa + w, side="right")
+                # exclude the identical position (q != p)
+                hi = hi - (np.searchsorted(pb, pa, side="right")
+                           > np.searchsorted(pb, pa, side="left"))
+            n_anchor = int(np.count_nonzero(hi > lo))
+            if n_anchor:
+                hits[d] = n_anchor
+        idf_sum = float(idf_by_term.get(ids[0], 0.0)
+                        + idf_by_term.get(ids[1], 0.0))
+    if not hits:
+        return []
+
+    dl_ds = pads.dataset(os.path.join(index_dir, "doclen"),
+                         format="parquet")
+    dl_tbl = dl_ds.to_table(
+        columns=["doc_id", "dl"],
+        filter=pc.field("doc_id").isin(sorted(hits)))
+    dl_map = dict(zip(dl_tbl.column("doc_id").to_pylist(),
+                      dl_tbl.column("dl").to_pylist()))
+    k1, b = 1.5, 0.75  # the build's fit defaults (bm25.fit_from_vocab)
+    scored = []
+    for d, tf in hits.items():
+        dl = float(dl_map[d])
+        denom = tf + k1 * (1.0 - b + b * dl / avgdl)
+        num = tf * (k1 + 1.0) if variant in ("okapi", "atire") else float(tf)
+        scored.append((d, tf, idf_sum * num / denom))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    return [(d, tf, s, rank) for rank, (d, tf, s) in
+            enumerate(scored[:k], start=1)]

@@ -243,6 +243,25 @@ def run_expanded(spark, index_dir: str, text: str, k: int = 10,
             "n_expanded": len(terms)}
 
 
+def run_phrase_served(index_dir: str, phrase_text: str, k: int = 10,
+                      slop: int | None = None,
+                      ordered: bool = True) -> dict:
+    """Phrase / NEAR with NO Spark session: the same answers as
+    :func:`run_phrase` (identity pinned in tests) from
+    ``serving.phrase_topk_served`` — pyarrow bucket-pruned positional
+    reads + in-process adjacency + the stored-vocab-fitted scoring."""
+    from gensim_spark.functions import textref
+    from gensim_spark.index.serving import phrase_topk_served
+
+    toks = textref.simple_preprocess(phrase_text)
+    t0 = time.perf_counter()
+    rows = phrase_topk_served(index_dir, toks, k=k, slop=slop,
+                              ordered=ordered)
+    return {"results": [{"doc_id": d, "tf": tf, "score": s, "rank": r}
+                        for d, tf, s, r in rows],
+            "wall_sec": round(time.perf_counter() - t0, 4)}
+
+
 def run_served(index_dir: str, queries: list[str], k: int = 10,
                exclude_doc_ids=None) -> dict:
     """Serve the same answers with NO Spark session: pyarrow vocab lookup +
@@ -345,11 +364,16 @@ def main() -> None:
         return
 
     if args.phrase:
-        if args.serve or args.iceberg:
-            ap.error("--phrase runs the Spark positional plan "
-                     "(no --serve/--iceberg)")
+        if args.iceberg:
+            ap.error("--phrase reads the plain positional store "
+                     "(no --iceberg)")
         if len(args.query) != 1:
             ap.error("--phrase takes exactly one --query")
+        if args.serve:
+            print(json.dumps(run_phrase_served(
+                args.index, args.query[0], k=args.k, slop=args.slop,
+                ordered=not args.unordered)))
+            return
         from gensim_spark.session import get_spark
 
         spark = get_spark("gensim_spark_query")

@@ -208,3 +208,65 @@ def test_serving_shard_slices_merge_to_whole_store(spark, served_store):
     lone = serving.PackedIndexServer(out, preload=True,
                                      shards=[all_shards[0]])
     assert lone.num_runs < whole.num_runs
+
+
+def test_np_idf_matches_spark(spark):
+    """The serving path's numpy idf mirror equals bm25.idf_table for all
+    three variants incl. the Okapi global-mean eps-clamp."""
+    import random
+
+    import numpy as np
+
+    from gensim_spark.index.serving import np_idf
+    from gensim_spark.operators import bm25 as M
+
+    rng = random.Random(3)
+    n_docs = 50
+    dfs = [rng.randint(1, n_docs) for _ in range(40)]
+    df_frame = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(dfs)], "term_id long, df long")
+    for variant in ("okapi", "lucene", "atire"):
+        want = {r["term_id"]: r["idf"] for r in
+                M.idf_table(df_frame, n_docs, variant).collect()}
+        got = np_idf(np.array(dfs), n_docs, variant)
+        for i in range(len(dfs)):
+            assert got[i] == pytest.approx(want[i], rel=1e-12), variant
+
+
+def test_phrase_served_matches_spark_path(spark, tmp_path):
+    """--phrase --serve (no Spark session) answers identically to the
+    distributed positional plan for exact phrase and NEAR (both orders),
+    and [] on OOV."""
+    import datetime
+
+    from gensim_spark.jobs import build_index, query_index
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = []
+    for i in range(40):
+        toks = [words[(i + j) % 7] for j in range(6)] + ["common"]
+        rows.append((f"u{i}", datetime.datetime(2024, 1, 1), b"",
+                     " ".join(toks), "en"))
+    pages = str(tmp_path / "pages_ps")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string").write.parquet(pages)
+    out = str(tmp_path / "idx_ps")
+    build_index.run(spark, pages, out, docs_per_shard=16, num_groups=2,
+                    positional=True, positional_n_buckets=8)
+
+    for q, slop, unordered in [("alpha beta", None, False),
+                               ("beta common", None, False),
+                               ("alpha gamma", 1, False),
+                               ("gamma alpha", 2, True)]:
+        want = query_index.run_phrase(spark, out, q, k=10, slop=slop,
+                                      ordered=not unordered)
+        got = query_index.run_phrase_served(out, q, k=10, slop=slop,
+                                            ordered=not unordered)
+        assert len(got["results"]) == len(want["results"]) > 0, q
+        for g, w in zip(got["results"], want["results"]):
+            assert g["doc_id"] == w["doc_id"] and g["rank"] == w["rank"]
+            assert g["tf"] == w["tf"]
+            assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+
+    assert query_index.run_phrase_served(out, "alpha nosuch")["results"] == []
