@@ -205,6 +205,27 @@ def run_suite():
     t, _ = timed_min(lambda: PX.phrase_topk(
         pos, idx.stats, phrase_ids, idx.doclen, k=10).collect())
     results["phrase_query"] = round(t, 3)
+
+    # 5b'. served phrase: the same positional store answered in-process
+    # (serving.phrase_topk_served — store writes untimed, identity to the
+    # distributed plan pinned in tests)
+    import json as _json
+
+    from gensim_spark.jobs import query_index as QI
+
+    pidx_dir = tempfile.mkdtemp(prefix="bench_pidx_")
+    idx.vocab.write.mode("overwrite").parquet(f"{pidx_dir}/vocab")
+    idx.doclen.write.mode("overwrite").parquet(f"{pidx_dir}/doclen")
+    layout.write_postings_bucketed(pos, f"{pidx_dir}/positional",
+                                   n_buckets=64)
+    with open(f"{pidx_dir}/build_metrics.json", "w") as f:
+        _json.dump({"num_docs": idx.num_docs, "variant": "okapi",
+                    "positional": True, "positional_n_buckets": 64}, f)
+    QI.run_phrase_served(pidx_dir, "value table", k=10)  # warm
+    t, _ = timed_min(lambda: QI.run_phrase_served(
+        pidx_dir, "value table", k=10))
+    results["phrase_query_served"] = round(t, 4)
+    shutil.rmtree(pidx_dir, ignore_errors=True)
     pos.unpersist()
 
     # 5c. multi-term rewrites (wildcard + fuzzy expansion → disjunctive
