@@ -1749,6 +1749,50 @@ def _q_rocchio_topk(spark, sf_dir):
                       F.round("score", 6).alias("score"), "rank")
 
 
+def _sort_matches(spark, sf_dir):
+    from gensim_spark.operators import topk as T
+
+    idx = _index(spark, sf_dir)
+    tid = idx.vocab.filter(
+        F.col("token") == _FACET_TOKEN).collect()[0]["term_id"]
+    q = spark.createDataFrame([(0, int(tid), 1.0)],
+                              "query_id int, term_id long, q_weight double")
+    docs_meta = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return T.score(idx.weighted, q), docs_meta
+
+
+def _q_sort_topk(spark, sf_dir):
+    """Sort-by-field results (operators/topk.py::sort_topk, Lucene Sort):
+    the 'value' match set ranked by n_chars desc (ties doc_id asc)
+    instead of relevance — match-set-sized meta join + one rank
+    window."""
+    from gensim_spark.operators import topk as T
+
+    matches, docs_meta = _sort_matches(spark, sf_dir)
+    out = T.sort_topk(matches, docs_meta, "n_chars", k=TOPK_K)
+    return out.select("query_id", "doc_id", "n_chars",
+                      F.round("score", 6).alias("score"), "rank")
+
+
+def _q_sort_topk_page2(spark, sf_dir):
+    """searchAfter pagination: page 2 via the cursor = page 1's last
+    (n_chars, doc_id) — the cursor predicate prunes BEFORE the rank
+    window, so deep pages never pay deep-offset cost. The oracle ranks
+    rows 11..20 by OFFSET semantics instead: cursor-based and
+    offset-based pagination must agree exactly (the sort key
+    (n_chars desc, doc_id asc) is a strict total order), so the hash
+    match IS the cursor-correctness proof."""
+    from gensim_spark.operators import topk as T
+
+    matches, docs_meta = _sort_matches(spark, sf_dir)
+    last = (T.sort_topk(matches, docs_meta, "n_chars", k=TOPK_K)
+            .filter(F.col("rank") == TOPK_K).collect()[0])
+    out = T.sort_topk(matches, docs_meta, "n_chars", k=TOPK_K,
+                      after=(last["n_chars"], last["doc_id"]))
+    return out.select("query_id", "doc_id", "n_chars",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 _AV_N_SPEC = 6
 
 
@@ -1860,6 +1904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_ranges": _q_facet_ranges,
         "collapse_topk": _q_collapse_topk,
         "rocchio_topk": _q_rocchio_topk,
+        "sort_topk": _q_sort_topk,
+        "sort_topk_page2": _q_sort_topk_page2,
     }
 
 
@@ -3863,5 +3909,66 @@ SELECT CAST(0 AS INT) AS query_id, doc_id, ROUND(score, 6) AS score,
          AS rank
 FROM s2 WHERE score <> 0
 QUALIFY rank <= {TOPK_K}
+ORDER BY rank""",
+        # sort-by-field: the match set ranked by n_chars desc / doc asc
+        "sort_topk": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+weights AS (
+  SELECT p.doc_id, p.term_id,
+         i.idf * (p.tf * 2.5 / (p.tf + 1.5 * (0.25 + 0.75 * d.dl
+                                              / (SELECT a FROM avgdl))))
+           AS weight
+  FROM postings p
+  JOIN doclen d USING (doc_id)
+  JOIN idf i USING (term_id)),
+q0 AS (SELECT term_id FROM vocab_ids WHERE token = '{_FACET_TOKEN}'),
+s1 AS (SELECT w.doc_id, sum(w.weight) AS score
+       FROM weights w JOIN q0 USING (term_id) GROUP BY w.doc_id),
+j AS (SELECT s1.doc_id, s1.score, d.n_chars
+      FROM s1 JOIN documents d USING (doc_id))
+SELECT CAST(0 AS INT) AS query_id, doc_id, n_chars,
+       ROUND(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS INT)
+         AS rank
+FROM j
+QUALIFY rank <= {TOPK_K}
+ORDER BY rank""",
+        # searchAfter page 2 verified against OFFSET semantics: global
+        # rows 11..20 re-based to 1..10 must equal the cursor page
+        "sort_topk_page2": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+weights AS (
+  SELECT p.doc_id, p.term_id,
+         i.idf * (p.tf * 2.5 / (p.tf + 1.5 * (0.25 + 0.75 * d.dl
+                                              / (SELECT a FROM avgdl))))
+           AS weight
+  FROM postings p
+  JOIN doclen d USING (doc_id)
+  JOIN idf i USING (term_id)),
+q0 AS (SELECT term_id FROM vocab_ids WHERE token = '{_FACET_TOKEN}'),
+s1 AS (SELECT w.doc_id, sum(w.weight) AS score
+       FROM weights w JOIN q0 USING (term_id) GROUP BY w.doc_id),
+j AS (SELECT s1.doc_id, s1.score, d.n_chars,
+             row_number() OVER (ORDER BY d.n_chars DESC, s1.doc_id ASC)
+               AS gr
+      FROM s1 JOIN documents d USING (doc_id))
+SELECT CAST(0 AS INT) AS query_id, doc_id, n_chars,
+       ROUND(score, 6) AS score, CAST(gr - {TOPK_K} AS INT) AS rank
+FROM j
+WHERE gr > {TOPK_K} AND gr <= {2 * TOPK_K}
 ORDER BY rank""",
     }

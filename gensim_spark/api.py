@@ -1541,6 +1541,23 @@ class SearchEngine:
         q = _topk.query_terms_df(self._spark, {0: ids})
         return _topk.score(self.index.weighted, q).select("doc_id")
 
+    def sort(self, text: str, field: str, k: int | None = 10,
+             ascending: bool = False,
+             after: tuple | None = None) -> DataFrame:
+        """Sort-by-field results with searchAfter pagination
+        (``topk.sort_topk``): rank the match set by a metadata field;
+        ``after=(field_value, doc_id)`` continues from that cursor."""
+        toks = self._tokenize(text)
+        tid = self._tids(toks)
+        ids = sorted({tid[t] for t in toks if t in tid})
+        if not ids:
+            return self._spark.createDataFrame(
+                [], f"query_id int, doc_id long, {field} long, "
+                    "score double, rank int")
+        q = _topk.query_terms_df(self._spark, {0: ids})
+        return _topk.sort_topk(_topk.score(self.index.weighted, q),
+                               self._meta, field, k, ascending, after)
+
     def facets(self, text: str, field: str,
                top: int | None = None) -> DataFrame:
         from gensim_spark.operators import facets as _fc

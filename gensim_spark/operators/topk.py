@@ -375,6 +375,39 @@ def rocchio_topk(weighted_postings: DataFrame, query_terms: DataFrame,
     return search(weighted_postings, expanded, k)
 
 
+def sort_topk(scores: DataFrame, docs_meta: DataFrame, field: str,
+              k: int | None = 10, ascending: bool = False,
+              after: tuple | None = None,
+              doc_col: str = "doc_id") -> DataFrame:
+    """Sort-by-field results (Lucene ``Sort`` over a stored field, e.g.
+    newest-first): rank the MATCH SET by a metadata field instead of the
+    relevance score (ties by doc_id asc — the stable Lucene tiebreak).
+    ``after=(field_value, doc_id)`` is the searchAfter cursor: only rows
+    strictly after that sort position qualify, and ranks continue as the
+    page's 1..k — deep pagination without the deep-offset cost (the
+    cursor predicate prunes BEFORE the rank window, so page 1000 ranks
+    k rows, not 1000·k). Returns (query_id, doc_id, <field>, score,
+    rank).
+
+    Plan: match-set-sized meta join (+ the cursor filter) + one rank
+    window per query — the corpus is never re-scanned."""
+    j = scores.join(docs_meta.select(doc_col, field), doc_col)
+    fcol = F.col(field)
+    if after is not None:
+        val, did = after
+        strictly_after = ((fcol > F.lit(val)) if ascending
+                          else (fcol < F.lit(val)))
+        j = j.filter(strictly_after
+                     | ((fcol == F.lit(val))
+                        & (F.col(doc_col) > int(did))))
+    order = fcol.asc() if ascending else fcol.desc()
+    w = Window.partitionBy("query_id").orderBy(order, F.col(doc_col).asc())
+    out = j.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        out = out.filter(F.col("rank") <= k)
+    return out.select("query_id", doc_col, field, "score", "rank")
+
+
 def toptexts(scores: DataFrame, texts: DataFrame, n: int = 10) -> DataFrame:
     """utils.toptexts (gensim/utils.py:1553-1578): top-n result rows joined
     back to their document text."""

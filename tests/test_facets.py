@@ -50,3 +50,36 @@ def test_facet_ranges(spark, meta):
     assert got2 == [(0, 1), (1, 0), (2, 0), (3, 0)]
     with pytest.raises(ValueError):
         FC.facet_ranges(meta, m, "n_chars", 0.0, 0.0, 3)
+
+
+def test_sort_topk_and_search_after(spark, meta):
+    from gensim_spark.operators import topk as T
+
+    scores = spark.createDataFrame(
+        [(0, d, 1.0) for d in range(6)],
+        "query_id int, doc_id long, score double")
+    # n_chars: d0=10 d1=25 d2=35 d3=95 d4=55 d5=5
+    out = [(r["doc_id"], r["n_chars"], r["rank"]) for r in
+           T.sort_topk(scores, meta, "n_chars", k=3).orderBy("rank").collect()]
+    assert out == [(3, 95, 1), (4, 55, 2), (2, 35, 3)]
+    # searchAfter cursor = the last row of page 1 -> page 2 ranks 1..k
+    page2 = [(r["doc_id"], r["n_chars"], r["rank"]) for r in
+             T.sort_topk(scores, meta, "n_chars", k=3,
+                         after=(35, 2)).orderBy("rank").collect()]
+    assert page2 == [(1, 25, 1), (0, 10, 2), (5, 5, 3)]
+    # ascending + tie on the field value: doc_id asc breaks it
+    meta2 = meta.union(spark.createDataFrame([(6, "en", "a", 25)],
+                                             meta.schema))
+    scores2 = spark.createDataFrame(
+        [(0, d, 1.0) for d in range(7)],
+        "query_id int, doc_id long, score double")
+    asc = [(r["doc_id"], r["rank"]) for r in
+           T.sort_topk(scores2, meta2, "n_chars", k=4,
+                       ascending=True).orderBy("rank").collect()]
+    assert asc == [(5, 1), (0, 2), (1, 3), (6, 4)]
+    # cursor at a tied value: only doc_id > cursor doc survives the tie
+    after_tie = [(r["doc_id"], r["rank"]) for r in
+                 T.sort_topk(scores2, meta2, "n_chars", k=2,
+                             ascending=True,
+                             after=(25, 1)).orderBy("rank").collect()]
+    assert after_tie == [(6, 1), (2, 2)]

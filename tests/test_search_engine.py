@@ -89,3 +89,13 @@ def test_mlt_feedback_facets(engine):
     fr = [(r["bucket"], r["count"]) for r in
           se.facet_ranges("alpha", "doc_id", 0.0, 2.0, 2).collect()]
     assert fr == [(0, 1), (1, 2)]
+
+
+def test_sort_and_page(engine):
+    se, _ = engine
+    p1 = se.sort("alpha", "doc_id", k=2, ascending=True).orderBy(
+        "rank").collect()
+    assert [(r["doc_id"], r["rank"]) for r in p1] == [(0, 1), (2, 2)]
+    p2 = se.sort("alpha", "doc_id", k=2, ascending=True,
+                 after=(p1[-1]["doc_id"], p1[-1]["doc_id"])).collect()
+    assert [(r["doc_id"], r["rank"]) for r in p2] == [(3, 1)]
