@@ -536,10 +536,12 @@ def run_suite():
             "docs_per_sec_n": 2659.9, "docs_per_sec_4n": 8758.5,
             "efficiency": 0.823,
             "efficiency_by_window": [0.800, 0.872, 0.833, 0.806, 0.800,
-                                     0.888, 0.821],
-            "measured": "round 4, BASELINE.md: seven gate-passing "
+                                     0.888, 0.821, 0.844],
+            "measured": "round 4, BASELINE.md: eight gate-passing "
                         "interleaved min-of-6 windows (within-window eff "
-                        "0.800, 0.872, 0.833, 0.806, 0.800, 0.888, 0.821; "
+                        "0.800, 0.872, 0.833, 0.806, 0.800, 0.888, 0.821, "
+                        "0.844 - the eleventh/final window 165.90/49.13 s "
+                        "on the post-query-surface tree; "
                         "min over "
                         "all reps of the windows = 0.823 with the table's "
                         "legs); round "
