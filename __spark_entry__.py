@@ -1557,6 +1557,23 @@ def _q_fuzzy_topk(spark, sf_dir):
                       F.round("score", 6).alias("score"), "rank")
 
 
+_REGEXP = "s(can|ort|mall)"  # full-term match: {scan, sort, small}
+
+
+def _q_regexp_topk(spark, sf_dir):
+    """Regexp query (operators/topk.py::regexp_topk, Lucene
+    RegexpQuery): 's(can|ort|mall)' must match the WHOLE term —
+    patterns stay in the Java-regex ∩ RE2 portable subset so the SAME
+    pattern drives Spark's rlike and DuckDB's regexp_full_match; then
+    the standard disjunctive ranking."""
+    from gensim_spark.operators import topk as T
+
+    idx = _index(spark, sf_dir)
+    out = T.regexp_topk(idx.weighted, idx.vocab, _REGEXP, k=TOPK_K)
+    return out.select("query_id", "doc_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 _MSM = {"should": ("table", "key", "value"), "msm": 2,
         "boost_tok": "value", "boost": 2.0}
 
@@ -1906,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rocchio_topk": _q_rocchio_topk,
         "sort_topk": _q_sort_topk,
         "sort_topk_page2": _q_sort_topk_page2,
+        "regexp_topk": _q_regexp_topk,
     }
 
 
@@ -3970,5 +3988,35 @@ SELECT CAST(0 AS INT) AS query_id, doc_id, n_chars,
        ROUND(score, 6) AS score, CAST(gr - {TOPK_K} AS INT) AS rank
 FROM j
 WHERE gr > {TOPK_K} AND gr <= {2 * TOPK_K}
+ORDER BY rank""",
+        # regexp query: the SAME portable pattern via regexp_full_match
+        # (RE2) re-derives the expansion Spark's rlike produced
+        "regexp_topk": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+weights AS (
+  SELECT p.doc_id, p.term_id,
+         i.idf * (p.tf * 2.5 / (p.tf + 1.5 * (0.25 + 0.75 * d.dl
+                                              / (SELECT a FROM avgdl))))
+           AS weight
+  FROM postings p
+  JOIN doclen d USING (doc_id)
+  JOIN idf i USING (term_id)),
+qterms AS (SELECT term_id FROM vocab_ids
+           WHERE regexp_full_match(token, '{_REGEXP}')),
+scores AS (SELECT w.doc_id, sum(w.weight) AS score
+           FROM weights w JOIN qterms USING (term_id)
+           GROUP BY w.doc_id)
+SELECT CAST(0 AS INT) AS query_id, doc_id, ROUND(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY abs(score) DESC, doc_id ASC) AS INT)
+         AS rank
+FROM scores WHERE score <> 0
+QUALIFY rank <= {TOPK_K}
 ORDER BY rank""",
     }

@@ -1493,6 +1493,10 @@ class SearchEngine:
         return _topk.fuzzy_topk(self.index.weighted, self.index.vocab,
                                 word, max_distance, prefix_len, k)
 
+    def regexp(self, pattern: str, k: int | None = 10) -> DataFrame:
+        return _topk.regexp_topk(self.index.weighted, self.index.vocab,
+                                 pattern, k)
+
     def phrase(self, text: str, k: int = 10, slop: int | None = None,
                ordered: bool = True) -> DataFrame:
         from gensim_spark.operators import positional as _px

@@ -129,6 +129,24 @@ def wildcard_topk(weighted_postings: DataFrame, vocab: DataFrame,
     return search(weighted_postings, terms, k)
 
 
+def regexp_topk(weighted_postings: DataFrame, vocab: DataFrame,
+                pattern: str, k: int | None = 10,
+                query_id: int = 0) -> DataFrame:
+    """Regexp query (Lucene RegexpQuery): the pattern must match the
+    WHOLE term (Lucene's automaton semantics — not a substring search),
+    expansion relational against the vocab like every other rewrite
+    here. Portability contract (same as curation.pii_scrub): keep
+    patterns in the Java-regex ∩ RE2 common subset — classes,
+    alternation, quantifiers; no backreferences or lookaround — so the
+    SAME pattern runs on Spark (`rlike`) and any RE2 engine
+    (`regexp_full_match`)."""
+    anchored = f"^(?:{pattern})$"
+    terms = (vocab.filter(F.col("token").rlike(anchored))
+             .select(F.lit(int(query_id)).alias("query_id"), "term_id",
+                     F.lit(1.0).alias("q_weight")))
+    return search(weighted_postings, terms, k)
+
+
 def fuzzy_expand_terms(vocab: DataFrame, word: str, max_distance: int = 2,
                        prefix_len: int = 0,
                        token_col: str = "token") -> DataFrame:

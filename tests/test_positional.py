@@ -553,3 +553,22 @@ def test_rocchio_feedback(spark):
     assert set(got) == set(want)
     for d in want:
         assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_regexp_topk(spark):
+    from gensim_spark.operators import topk as T
+
+    texts = [["aa", "ab", "bb"], ["aa", "bb"], ["bb"], ["abc"]]
+    docs, vocab, ids, weighted, w = _mini_engine(spark, texts)
+    # whole-term match: 'a.' hits aa/ab but NOT abc (no substring search)
+    got = {r["doc_id"]: r["score"]
+           for r in T.regexp_topk(weighted, vocab, "a.", k=10).collect()}
+    expect = {0: w[(0, ids["aa"])] + w[(0, ids["ab"])], 1: w[(1, ids["aa"])]}
+    assert set(got) == set(expect)
+    for d in expect:
+        assert got[d] == pytest.approx(expect[d], rel=1e-12)
+    # alternation + quantifier (the portable subset)
+    got2 = {r["doc_id"] for r in
+            T.regexp_topk(weighted, vocab, "a+b*c?", k=10).collect()}
+    assert got2 == {0, 1, 3}
+    assert T.regexp_topk(weighted, vocab, "zz+", k=10).count() == 0
