@@ -528,6 +528,23 @@ def run_suite():
             "gen_write_sec_8c": 14.83,
             "measured": "round 4, BASELINE.md §media evidence",
         },
+        # measured via bench._positional_evidence(1_000_000) — in-run
+        # rank/tf/score identity asserted between the distributed
+        # positional plan and the served path; see BASELINE.md
+        "positional_reference": {
+            "docs": 1_000_000, "positional_rows": 37_949_200, "cores": 32,
+            "positional_build_sec": 17.72, "store_write_sec": 7.49,
+            "phrase_query_distributed_sec": 1.872,
+            "phrase_query_served_sec": 0.1043,
+            "near_query_distributed_sec": 1.723,
+            "near_query_served_sec": 0.1298,
+            "results_identical": True,
+            "measured": "round 4: head-term phrase ('small scan') over the "
+                        "1M-doc positional store; served path vectorized "
+                        "(int64 position-key set intersections across ALL "
+                        "docs - the per-candidate-doc python loop cost "
+                        "3.13 s, the vectorized fold 0.104 s, 30x)",
+        },
         # measured once per round with SPARK_GRAFT_SCALING=1 (interleaved
         # reps, min-of, fresh subprocess per run); see BASELINE.md §Measured
         "scaling_reference": {
@@ -717,6 +734,134 @@ def _wand_bench_inner(n_docs: int, cores: int = 0) -> dict:
         shutil.rmtree(shard_dir, ignore_errors=True)
         spark.stop()
     return out
+
+
+def _positional_evidence(n_docs: int = 1_000_000, cores: int = 0) -> dict:
+    """Positional/phrase path at size: build positional postings over
+    n_docs synthetic pages (60 tokens/doc, zipf vocab), persist the
+    bucketed positional store (+vocab/doclen/metrics — the build_index
+    --positional layout), then answer the SAME phrase and NEAR queries
+    through (a) the distributed pruned-store plan and (b) the in-process
+    served path, asserting rank/tf/score identity in-run. Reports the
+    1M-doc positional build, store write, and both query walls."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gensim_spark.index import layout
+    from gensim_spark.jobs import query_index as QI
+    from gensim_spark.operators import positional as PX
+    from gensim_spark.plans import pipeline as P
+    from gensim_spark.session import get_spark
+    from gensim_spark.sources.synth import generate_pages
+
+    cores = cores or CPUS
+    spark = get_spark(f"posev_{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=2 * cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = f"/tmp/gensim_spark_bench/html_v4_{n_docs}"
+    if not os.path.exists(corpus + "/_SUCCESS"):
+        generate_pages(spark, n_docs, tokens_per_doc=60, partitions=128) \
+            .select("doc_id", "url", "warc_ts", "html", "lang") \
+            .write.mode("overwrite").parquet(corpus)
+    pages = spark.read.parquet(corpus)
+    t0 = time.perf_counter()
+    idx = P.build_from_pages(pages, num_docs=n_docs)
+    idx.weighted.count()
+    t_index = time.perf_counter() - t0
+
+    # the fused-HTML build keeps no token frame; re-derive as the
+    # build_index --positional job does (same extraction + tokenize) and
+    # MATERIALIZE it once so each downstream number times its own stage,
+    # not a re-extraction
+    from gensim_spark.functions import textprep as TP
+
+    docs_tok = TP.tokenize_pages(
+        pages.withColumn("text", TP.extract_html_text_udf(F.col("html")))
+    ).select("doc_id", "tokens").persist()
+    t0 = time.perf_counter()
+    docs_tok.count()
+    t_extract = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pos = PX.positional_postings(docs_tok, idx.vocab).persist()
+    n_positional = pos.count()
+    t_posbuild = time.perf_counter() - t0
+
+    store = tempfile.mkdtemp(prefix="posev_store_")
+    t0 = time.perf_counter()
+    layout.write_postings_bucketed(pos, f"{store}/positional", n_buckets=64)
+    idx.vocab.write.mode("overwrite").parquet(f"{store}/vocab")
+    idx.doclen.write.mode("overwrite").parquet(f"{store}/doclen")
+    with open(f"{store}/build_metrics.json", "w") as f:
+        _json.dump({"num_docs": n_docs, "variant": "okapi",
+                    "positional": True, "positional_n_buckets": 64}, f)
+    t_store = time.perf_counter() - t0
+
+    # deterministic queries: a mid-frequency adjacent pair from doc 12345
+    probe = docs_tok.filter(
+        F.col("doc_id") == 12345).collect()[0]["tokens"]
+    phrase = list(probe[7:9])
+    phrase_txt = " ".join(phrase)
+
+    ids = [r["term_id"] for r in idx.vocab.filter(
+        F.col("token").isin(phrase)).orderBy("term_id").collect()]
+    tok_to_id = {r["token"]: r["term_id"] for r in idx.vocab.filter(
+        F.col("token").isin(phrase)).collect()}
+    ids = [tok_to_id[t] for t in phrase]
+
+    def dist_phrase():
+        pruned = layout.read_postings_bucketed(
+            spark, f"{store}/positional", term_ids=ids, n_buckets=64)
+        return PX.phrase_topk(pruned, idx.stats, ids, idx.doclen,
+                              k=10).collect()
+
+    def dist_near():
+        pruned = layout.read_postings_bucketed(
+            spark, f"{store}/positional", term_ids=ids, n_buckets=64)
+        return PX.near_topk(pruned, idx.stats, ids[0], ids[1], idx.doclen,
+                            slop=2, ordered=True, k=10).collect()
+
+    dist_phrase()  # warm
+    t_dp, rows_dp = timed_min(dist_phrase)
+    t_dn, rows_dn = timed_min(dist_near)
+
+    QI.run_phrase_served(store, phrase_txt, k=10)  # warm
+    t_sp, srv_p = timed_min(lambda: QI.run_phrase_served(
+        store, phrase_txt, k=10))
+    t_sn, srv_n = timed_min(lambda: QI.run_phrase_served(
+        store, phrase_txt, k=10, slop=2))
+
+    def check(dist_rows, srv, tf_col):
+        want = [(r["doc_id"], r[tf_col], r["rank"], round(r["score"], 9))
+                for r in dist_rows]
+        got = [(h["doc_id"], h["tf"], h["rank"], round(h["score"], 9))
+               for h in srv["results"]]
+        assert got == want, (got[:3], want[:3])
+        return len(got)
+
+    n_p = check(rows_dp, srv_p, "phrase_tf")
+    n_n = check(rows_dn, srv_n, "near_tf")
+
+    pos.unpersist()
+    docs_tok.unpersist()
+    shutil.rmtree(store, ignore_errors=True)
+    spark.stop()
+    return {
+        "docs": n_docs, "cores": cores,
+        "positional_rows": n_positional,
+        "index_build_sec": round(t_index, 2),
+        "extract_tokenize_sec": round(t_extract, 2),
+        "positional_build_sec": round(t_posbuild, 2),
+        "store_write_sec": round(t_store, 2),
+        "phrase": phrase,
+        "phrase_query_distributed_sec": round(t_dp, 3),
+        "phrase_query_served_sec": round(t_sp, 4),
+        "near_query_distributed_sec": round(t_dn, 3),
+        "near_query_served_sec": round(t_sn, 4),
+        "results_identical": True, "phrase_hits": n_p, "near_hits": n_n,
+    }
 
 
 def _cc_evidence(n_nodes: int = 2_000_000, cores: int = 0) -> dict:

@@ -77,8 +77,20 @@ def run(spark, input_path: str, output: str, variant: str = "okapi",
         from gensim_spark.index.layout import write_postings_bucketed
         from gensim_spark.operators.positional import positional_postings
 
+        docs_tok = idx.docs
+        if docs_tok is None:
+            # the fused --from-html build keeps no token frame (extract →
+            # tokenize → BoW is ONE mapInPandas stage); re-derive tokens
+            # with the same extraction + simple_preprocess semantics
+            # (byte-identical per url) for the positional store
+            from gensim_spark.functions.textprep import (
+                extract_html_text_udf, tokenize_pages)
+
+            extracted = pages.withColumn(
+                "text", extract_html_text_udf(F.col("html")))
+            docs_tok = tokenize_pages(extracted).select("doc_id", "tokens")
         write_postings_bucketed(
-            positional_postings(idx.docs, idx.vocab),
+            positional_postings(docs_tok, idx.vocab),
             f"{output}/positional", n_buckets=positional_n_buckets)
         idx.doclen.write.mode("overwrite").parquet(f"{output}/doclen")
     wall = time.perf_counter() - t0

@@ -564,3 +564,23 @@ def test_query_index_highlight_and_facet(spark, tmp_path):
     with _pytest.raises(SystemExit):
         query_index.run(spark, out, ["alpha"], k=3, pages_path=pages_noid,
                         highlight=4)
+
+
+def test_build_index_from_html_positional(spark, tmp_path):
+    """--from-html --positional: the fused HTML build keeps no token
+    frame, so the positional store must re-derive tokens with identical
+    extraction semantics (regression: idx.docs is None on that path)."""
+    from gensim_spark.jobs import build_index, query_index
+
+    pages = str(tmp_path / "pages_hp")
+    _pages_df(spark).write.parquet(pages)
+    out = str(tmp_path / "idx_hp")
+    m = build_index.run(spark, pages, out, docs_per_shard=16, num_groups=2,
+                        from_html=True, positional=True,
+                        positional_n_buckets=8)
+    assert m["positional"] and m["num_docs"] == 40
+    res = query_index.run_phrase(spark, out, "alpha beta", k=5)
+    assert len(res["results"]) == 5
+    srv = query_index.run_phrase_served(out, "alpha beta", k=5)
+    assert [(h["doc_id"], h["rank"]) for h in srv["results"]] == \
+        [(r["doc_id"], r["rank"]) for r in res["results"]]
