@@ -1810,6 +1810,27 @@ def _q_sort_topk_page2(spark, sf_dir):
                       F.round("score", 6).alias("score"), "rank")
 
 
+def _q_explain_scores(spark, sf_dir):
+    """Score explanation (operators/topk.py::explain_scores, Lucene
+    IndexSearcher.explain): the per-term contribution rows behind the
+    {value, table, key} query's top-3 docs — Σ contribution per doc IS
+    the ranked score (asserted in tests). The oracle re-derives the
+    top-3 docs and every (weight, q_weight, contribution) row in SQL."""
+    from gensim_spark.operators import topk as T
+
+    idx = _index(spark, sf_dir)
+    vmap = {r["token"]: r["term_id"] for r in idx.vocab.filter(
+        F.col("token").isin(list(_COLLAPSE_Q))).collect()}
+    q = T.query_terms_df(spark, {0: [vmap[t] for t in _COLLAPSE_Q]})
+    top3 = [r["doc_id"] for r in
+            T.search(idx.weighted, q, k=3).collect()]
+    out = T.explain_scores(idx.weighted, q, vocab=idx.vocab,
+                           doc_ids=top3)
+    return out.select("query_id", "doc_id", "term_id", "token",
+                      F.round("weight", 6).alias("weight"), "q_weight",
+                      F.round("contribution", 6).alias("contribution"))
+
+
 _AV_N_SPEC = 6
 
 
@@ -1924,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_topk": _q_sort_topk,
         "sort_topk_page2": _q_sort_topk_page2,
         "regexp_topk": _q_regexp_topk,
+        "explain_scores": _q_explain_scores,
     }
 
 
@@ -4019,4 +4041,40 @@ SELECT CAST(0 AS INT) AS query_id, doc_id, ROUND(score, 6) AS score,
 FROM scores WHERE score <> 0
 QUALIFY rank <= {TOPK_K}
 ORDER BY rank""",
+        # score explanation: re-derive the top-3 docs, then every
+        # per-term contribution row behind their scores
+        "explain_scores": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+weights AS (
+  SELECT p.doc_id, p.term_id,
+         i.idf * (p.tf * 2.5 / (p.tf + 1.5 * (0.25 + 0.75 * d.dl
+                                              / (SELECT a FROM avgdl))))
+           AS weight
+  FROM postings p
+  JOIN doclen d USING (doc_id)
+  JOIN idf i USING (term_id)),
+qterms AS (SELECT term_id FROM vocab_ids
+           WHERE token IN ('{_COLLAPSE_Q[0]}', '{_COLLAPSE_Q[1]}',
+                           '{_COLLAPSE_Q[2]}')),
+scores AS (SELECT w.doc_id, sum(w.weight) AS score
+           FROM weights w JOIN qterms USING (term_id)
+           GROUP BY w.doc_id),
+top3 AS (SELECT doc_id FROM scores WHERE score <> 0
+         QUALIFY row_number() OVER (ORDER BY abs(score) DESC, doc_id ASC)
+                 <= 3)
+SELECT CAST(0 AS INT) AS query_id, w.doc_id, w.term_id, v.token,
+       ROUND(w.weight, 6) AS weight, 1.0 AS q_weight,
+       ROUND(w.weight * 1.0, 6) AS contribution
+FROM weights w
+JOIN qterms USING (term_id)
+JOIN vocab_ids v USING (term_id)
+JOIN top3 USING (doc_id)
+ORDER BY w.doc_id, w.term_id""",
     }

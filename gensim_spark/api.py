@@ -1497,6 +1497,21 @@ class SearchEngine:
         return _topk.regexp_topk(self.index.weighted, self.index.vocab,
                                  pattern, k)
 
+    def explain(self, text: str, doc_ids=None) -> DataFrame:
+        """Per-term score breakdown for a query (Lucene explain):
+        Σ contribution per (query, doc) equals search()'s score."""
+        toks = self._tokenize(text)
+        tid = self._tids(toks)
+        ids = sorted({tid[t] for t in toks if t in tid})
+        if not ids:
+            return self._spark.createDataFrame(
+                [], "query_id int, doc_id long, term_id long, token string,"
+                    " weight double, q_weight double, contribution double")
+        q = _topk.query_terms_df(self._spark, {0: ids})
+        return _topk.explain_scores(self.index.weighted, q,
+                                    vocab=self.index.vocab,
+                                    doc_ids=doc_ids)
+
     def phrase(self, text: str, k: int = 10, slop: int | None = None,
                ordered: bool = True) -> DataFrame:
         from gensim_spark.operators import positional as _px

@@ -393,6 +393,31 @@ def rocchio_topk(weighted_postings: DataFrame, query_terms: DataFrame,
     return search(weighted_postings, expanded, k)
 
 
+def explain_scores(weighted_postings: DataFrame, query_terms: DataFrame,
+                   vocab: DataFrame | None = None,
+                   doc_ids=None) -> DataFrame:
+    """Score explanation (Lucene ``IndexSearcher.explain``): the per-term
+    breakdown behind a doc's score — (query_id, doc_id, term_id[, token],
+    weight, q_weight, contribution) where ``Σ contribution`` over a
+    (query, doc) is exactly :func:`score`'s result (the disjunctive sum,
+    asserted in tests). ``doc_ids`` restricts to the docs being debugged
+    (the common case: "why is THIS hit ranked there?") — the filter prunes
+    the postings scan before the join; ``vocab`` adds the token string."""
+    wp = weighted_postings
+    if doc_ids is not None:
+        wp = wp.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+    out = (wp.join(F.broadcast(query_terms), "term_id")
+           .select("query_id", "doc_id", "term_id", "weight", "q_weight",
+                   (F.col("weight") * F.col("q_weight"))
+                   .alias("contribution")))
+    if vocab is not None:
+        out = out.join(F.broadcast(vocab.select("term_id", "token")),
+                       "term_id")
+        out = out.select("query_id", "doc_id", "term_id", "token",
+                         "weight", "q_weight", "contribution")
+    return out
+
+
 def sort_topk(scores: DataFrame, docs_meta: DataFrame, field: str,
               k: int | None = 10, ascending: bool = False,
               after: tuple | None = None,

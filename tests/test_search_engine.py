@@ -99,3 +99,25 @@ def test_sort_and_page(engine):
     p2 = se.sort("alpha", "doc_id", k=2, ascending=True,
                  after=(p1[-1]["doc_id"], p1[-1]["doc_id"])).collect()
     assert [(r["doc_id"], r["rank"]) for r in p2] == [(3, 1)]
+
+
+def test_explain_sums_to_score(spark, engine):
+    from gensim_spark.operators import topk as T
+
+    se, _ = engine
+    hits = se.search("alpha beta", k=5).collect()
+    exp = se.explain("alpha beta",
+                     doc_ids=[h["doc_id"] for h in hits]).collect()
+    by_doc = {}
+    for r in exp:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0.0) \
+            + r["contribution"]
+        assert r["token"] in {"alpha", "beta"}
+        assert r["contribution"] == pytest.approx(
+            r["weight"] * r["q_weight"], rel=1e-12)
+    for h in hits:
+        assert by_doc[h["doc_id"]] == pytest.approx(h["score"], rel=1e-12)
+    # doc_ids prunes: only the requested docs appear
+    one = se.explain("alpha beta", doc_ids=[hits[0]["doc_id"]]).collect()
+    assert {r["doc_id"] for r in one} == {hits[0]["doc_id"]}
+    assert se.explain("nosuch").count() == 0
