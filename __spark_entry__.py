@@ -3849,6 +3849,7 @@ m AS (SELECT DISTINCT p.doc_id FROM postings p
       WHERE v.token = '{_FACET_TOKEN}')
 SELECT d.source AS value, count(*) AS count
 FROM documents d JOIN m USING (doc_id)
+WHERE d.source IS NOT NULL
 GROUP BY d.source
 ORDER BY count DESC, value ASC""",
         # range facets: clamped fixed-width buckets left-joined onto a
@@ -3934,7 +3935,8 @@ fb AS (SELECT doc_id FROM s1 WHERE score <> 0
        QUALIFY row_number() OVER (ORDER BY abs(score) DESC, doc_id ASC)
                <= {_ROCCHIO["fb_docs"]}),
 cent AS (SELECT w.term_id,
-                sum(w.weight) / {_ROCCHIO["fb_docs"]}.0 AS c
+                sum(w.weight)
+                  / (SELECT count(DISTINCT doc_id) FROM fb) AS c
          FROM weights w JOIN fb USING (doc_id) GROUP BY w.term_id),
 exp AS (SELECT term_id, {_ROCCHIO["beta"]} * c AS qw FROM cent
         WHERE term_id NOT IN (SELECT term_id FROM q0)

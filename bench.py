@@ -1,13 +1,17 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The FINAL stdout line is
+one compact JSON object (≤ 2 KB, driver-parseable):
 
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Extra keys: docs_per_sec (indexing throughput incl. tokenize→vocab→postings→
-BM25 weights), query_p95_ms (single-query BM25 top-10 latency), and — when
-SPARK_GRAFT_SCALING=1 — a two-parallelism scaling run on a deterministic
-synthetic corpus with the measured efficiency (BASELINE.md gate: ≥ 0.8).
+BM25 weights), query_p95_ms (single-query BM25 top-10 latency),
+serving_p95_ms (in-process query node), scaling_efficiency_2to8, and — when
+SPARK_GRAFT_SCALING=1 — a fresh two-parallelism scaling run on a
+deterministic synthetic corpus (BASELINE.md gate: ≥ 0.8). The FULL payload
+(per-rep arrays + *_reference evidence blobs) is printed on an earlier
+stdout line and written to BENCH_FULL.json.
 """
 
 from __future__ import annotations
@@ -1335,7 +1339,45 @@ def main():
             "docs_per_sec_4n": round(SCALE_DOCS / best[n4], 1),
             "efficiency": round(eff, 3),
         }
+
+    # The driver captures only the TAIL of stdout and parses the LAST line
+    # as the round's bench JSON (BENCH_r04 came back parsed:null because the
+    # full blob — per-rep arrays + *_reference evidence — outgrew that
+    # capture). So: full blob goes to an EARLIER stdout line and to
+    # BENCH_FULL.json next to this file; the final line is a compact summary
+    # (headline scalars + per-query minima only, ~1 KB).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f)
+    except OSError:
+        pass
     print(json.dumps(out))
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "docs_per_sec": out["docs_per_sec"],
+        "query_p95_ms": out["query_p95_ms"],
+        "batch32_amortized_ms_per_query":
+            out["batch32_amortized_ms_per_query"],
+        "serving_p95_ms": out["serving_p95_ms"],
+        "serving_batch32_ms_per_query": out["serving_batch32_ms_per_query"],
+        "bench_reps": out["bench_reps"],
+        "scaling_efficiency_2to8":
+            out["scaling_reference"]["efficiency"],
+        "evidence": "full per-rep arrays + *_reference blobs: earlier "
+                    "stdout line, BENCH_FULL.json, BASELINE.md",
+    }
+    if "scaling" in out:
+        compact["scaling"] = out["scaling"]
+    line = json.dumps(compact)
+    assert len(line) <= 2048, f"compact bench line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -276,6 +276,12 @@ def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
     n_buckets = meta.get("positional_n_buckets") or 64
     variant = meta.get("variant", "okapi")
     num_docs = meta["num_docs"]
+    # fit parameters recorded at build time (build_index.run); the
+    # fallbacks are bm25.fit_from_vocab's defaults for stores written
+    # before the metrics carried them
+    k1 = float(meta.get("k1", 1.5))
+    b = float(meta.get("b", 0.75))
+    epsilon = float(meta.get("epsilon", 0.25))
 
     vocab = pads.dataset(os.path.join(index_dir, "vocab"),
                          format="parquet").to_table(
@@ -288,7 +294,7 @@ def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
     if not tokens or any(t not in tid for t in tokens):
         return []
     ids = [tid[t] for t in tokens]
-    idf_all = np_idf(vdf, num_docs, variant)
+    idf_all = np_idf(vdf, num_docs, variant, epsilon)
     idf_by_term = dict(zip((int(t) for t in vterm), idf_all))
     avgdl = float(vcf.sum()) / num_docs
 
@@ -367,7 +373,6 @@ def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
         filter=pc.field("doc_id").isin(sorted(hits)))
     dl_map = dict(zip(dl_tbl.column("doc_id").to_pylist(),
                       dl_tbl.column("dl").to_pylist()))
-    k1, b = 1.5, 0.75  # the build's fit defaults (bm25.fit_from_vocab)
     scored = []
     for d, tf in hits.items():
         dl = float(dl_map[d])

@@ -98,6 +98,12 @@ def run(spark, input_path: str, output: str, variant: str = "okapi",
         "num_docs": idx.num_docs,
         "avgdl": idx.stats.avgdl,
         "variant": variant,
+        # the fit parameters the weighted postings were built with — the
+        # served scorers (serving.phrase_topk_served) read these back so
+        # they can never diverge from the distributed scores (ADVICE r4)
+        "k1": idx.stats.k1,
+        "b": idx.stats.b,
+        "epsilon": idx.stats.epsilon,
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(idx.num_docs / wall, 1),
         "iceberg": bool(iceberg),

@@ -22,14 +22,20 @@ from pyspark.sql import functions as F
 
 def facet_counts(docs_meta: DataFrame, matches: DataFrame, field: str,
                  top: int | None = None,
-                 doc_col: str = "doc_id") -> DataFrame:
+                 doc_col: str = "doc_id",
+                 keep_nulls: bool = False) -> DataFrame:
     """(value, count) over the match set, count desc / value asc; ``top``
     clips to the n most frequent values (the drill-down sidebar length).
     ``matches`` only needs a ``doc_col`` column — pass a score frame or a
     top-k result as-is; duplicate ids (multi-query frames) are collapsed
-    so a doc counts once."""
+    so a doc counts once. Docs with a NULL facet value are skipped, as
+    Lucene's FacetsCollector skips documents missing the facet field;
+    ``keep_nulls=True`` counts them as a NULL-valued sidebar row
+    instead."""
     ids = matches.select(doc_col).distinct()
     joined = docs_meta.join(ids, doc_col, "left_semi")
+    if not keep_nulls:
+        joined = joined.filter(F.col(field).isNotNull())
     out = (joined.groupBy(F.col(field).alias("value"))
            .agg(F.count(F.lit(1)).alias("count"))
            .orderBy(F.desc("count"), F.asc("value")))

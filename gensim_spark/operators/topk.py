@@ -95,12 +95,24 @@ def prefix_topk(weighted_postings: DataFrame, vocab: DataFrame,
 
 def wildcard_pattern_to_like(pattern: str) -> str:
     """Lucene wildcard syntax → SQL LIKE: ``*`` ≙ ``%`` (any run), ``?`` ≙
-    ``_`` (one char); literal ``%``/``_``/``\\`` in the pattern are
-    backslash-escaped (tokens may legally contain ``_``). Both Spark's
-    ``Column.like`` and DuckDB's ``LIKE ... ESCAPE '\\'`` honor the same
-    escape, so one translation serves both engines."""
+    ``_`` (one char), and Lucene's escape syntax ``\\*``/``\\?``/``\\\\``
+    makes the next character literal (WildcardQuery's backslash escape).
+    Literal ``%``/``_`` (whether bare in the pattern or produced by an
+    escape) are backslash-escaped for LIKE, since tokens may legally
+    contain ``_``. A trailing lone backslash is treated as a literal
+    backslash (Lucene's QueryParser rejects it; the term scanner here is
+    lenient). Both Spark's ``Column.like`` and DuckDB's
+    ``LIKE ... ESCAPE '\\'`` honor the same escape, so one translation
+    serves both engines."""
     out = []
-    for ch in pattern:
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            out.append("\\" + nxt if nxt in ("%", "_", "\\") else nxt)
+            i += 2
+            continue
         if ch == "*":
             out.append("%")
         elif ch == "?":
@@ -109,6 +121,7 @@ def wildcard_pattern_to_like(pattern: str) -> str:
             out.append("\\" + ch)
         else:
             out.append(ch)
+        i += 1
     return "".join(out)
 
 
@@ -208,8 +221,11 @@ def bool_topk(weighted_postings: DataFrame, must=(), should=(),
     over ``must`` + ``should`` terms present ('bnn' query model, matching
     Lucene's sum-of-matching-clauses). Plans: the must gate is a
     semi-join against a count-distinct filter on the must terms' postings
-    (term-pruned scan), must_not a broadcast anti-join on the exclusion
-    terms' doc set — both intersection-sized, never corpus-sized.
+    (term-pruned scan), must_not an anti-join on the exclusion terms' doc
+    set. The must_not doc set is df(term)-sized — a stopword-like
+    exclusion term yields a near-corpus-sized list — so broadcast is NOT
+    forced; AQE picks broadcast only when the runtime size is actually
+    small.
 
     ``min_should_match`` (Lucene's minimumNumberShouldMatch): docs must
     additionally contain ≥ that many DISTINCT ``should`` terms — same
@@ -249,7 +265,7 @@ def bool_topk(weighted_postings: DataFrame, must=(), should=(),
         excl = (weighted_postings
                 .filter(F.col("term_id").isin(must_not))
                 .select("doc_id").distinct())
-        scored = scored.join(F.broadcast(excl), "doc_id", "left_anti")
+        scored = scored.join(excl, "doc_id", "left_anti")
     return topk(scored, k)
 
 
@@ -349,9 +365,12 @@ def rocchio_expand(weighted_postings: DataFrame, query_terms: DataFrame,
     """Pseudo-relevance feedback, Rocchio form: run the query, take the
     top ``fb_docs`` results as pseudo-relevant, add the ``fb_terms``
     strongest terms of their centroid to the query. New query weights:
-    ``alpha``·q for original terms, ``beta``·(Σ weight / fb_docs) for
-    expansion terms (the classic Rocchio centroid update with γ=0 — no
-    non-relevant set in the pseudo setting). Returns an expanded
+    ``alpha``·q for original terms, ``beta``·(Σ weight / |feedback set|)
+    for expansion terms (the classic Rocchio centroid update with γ=0 —
+    no non-relevant set in the pseudo setting). The divisor is the ACTUAL
+    per-query feedback count — when the query matches fewer than
+    ``fb_docs`` docs the centroid still averages over the docs that
+    exist, as classic Rocchio does. Returns an expanded
     (query_id, term_id, q_weight) frame for :func:`search`.
 
     Fully relational — the feedback set is a k-row frame, the centroid a
@@ -360,10 +379,15 @@ def rocchio_expand(weighted_postings: DataFrame, query_terms: DataFrame,
     window is per query_id, so multi-query frames work too)."""
     top_docs = topk(score(weighted_postings, query_terms), fb_docs) \
         .select("query_id", "doc_id")
+    fb_counts = top_docs.groupBy("query_id").agg(
+        F.countDistinct("doc_id").alias("_nfb"))
     centroid = (weighted_postings
                 .join(F.broadcast(top_docs), "doc_id")
                 .groupBy("query_id", "term_id")
-                .agg((F.sum("weight") / float(fb_docs)).alias("_c")))
+                .agg(F.sum("weight").alias("_sw"))
+                .join(F.broadcast(fb_counts), "query_id")
+                .select("query_id", "term_id",
+                        (F.col("_sw") / F.col("_nfb")).alias("_c")))
     # expansion = strongest centroid terms NOT already in the query
     cand = centroid.join(
         F.broadcast(query_terms.select("query_id", "term_id")),

@@ -148,7 +148,11 @@ def index_from_counts(counts: DataFrame, num_docs: int,
         F.broadcast(vocab.select("token", "term_id")), "token"
     ).select("doc_id", "term_id", "tf", "dl")
     weighted = M.weight_postings(with_dl, stats, dl="inline")
-    dl = counts.select("doc_id", "dl").distinct()
+    # groupBy+first, not select+distinct: same single exchange, but the
+    # map-side partial agg collapses the postings-sized projection to ~one
+    # row per doc per task BEFORE the wire (VERDICT r4: distinct shuffles
+    # the full (doc,term)-sized frame to emit a doc-sized one)
+    dl = counts.groupBy("doc_id").agg(F.first("dl").alias("dl"))
     return IndexedCorpus(docs=docs, vocab=vocab, postings=postings,
                          doclen=dl, num_docs=num_docs, stats=stats,
                          weighted=weighted)

@@ -33,6 +33,22 @@ def test_facet_counts(spark, meta):
     assert got3 == [("a", 3), ("b", 2)]
 
 
+def test_facet_counts_null_field(spark):
+    """Docs missing the facet field are skipped by default (Lucene
+    FacetsCollector semantics; ADVICE r4); keep_nulls=True surfaces them
+    as a NULL sidebar row."""
+    rows = [(0, "a"), (1, None), (2, "a"), (3, None), (4, "b")]
+    meta = spark.createDataFrame(rows, "doc_id long, source string")
+    m = _matches(spark, range(5))
+    got = [(r["value"], r["count"])
+           for r in FC.facet_counts(meta, m, "source").collect()]
+    assert got == [("a", 2), ("b", 1)]
+    kept = [(r["value"], r["count"])
+            for r in FC.facet_counts(meta, m, "source",
+                                     keep_nulls=True).collect()]
+    assert (None, 2) in kept and ("a", 2) in kept and ("b", 1) in kept
+
+
 def test_facet_ranges(spark, meta):
     m = _matches(spark, range(6))
     got = [(r["bucket"], r["lo"], r["hi"], r["count"])

@@ -584,3 +584,27 @@ def test_build_index_from_html_positional(spark, tmp_path):
     srv = query_index.run_phrase_served(out, "alpha beta", k=5)
     assert [(h["doc_id"], h["rank"]) for h in srv["results"]] == \
         [(r["doc_id"], r["rank"]) for r in res["results"]]
+
+    # the build records its fit parameters and the served scorer reads
+    # them back (ADVICE r4: no hard-coded k1/b in serving) — rewriting
+    # the metrics with a different k1 must change the served scores
+    import json as _json
+
+    mpath = os.path.join(out, "build_metrics.json")
+    with open(mpath) as f:
+        meta = _json.load(f)
+    assert (meta["k1"], meta["b"], meta["epsilon"]) == (1.5, 0.75, 0.25)
+    # these uniform-length tf=1 docs make k1/b cancel (dl=avgdl → score =
+    # idf_sum), but epsilon scales the clamped negative idf directly —
+    # doubling it must double the (negative) phrase score
+    before = srv["results"][0]["score"]
+    assert before < 0  # head terms: ε-clamped idf, so ε is live here
+    try:
+        with open(mpath, "w") as f:
+            _json.dump({**meta, "epsilon": 0.5}, f)
+        after = query_index.run_phrase_served(
+            out, "alpha beta", k=5)["results"][0]["score"]
+        assert after == pytest.approx(2.0 * before, rel=1e-9)
+    finally:
+        with open(mpath, "w") as f:
+            _json.dump(meta, f)

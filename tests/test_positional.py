@@ -331,7 +331,15 @@ def test_wildcard_translation():
     assert wildcard_pattern_to_like("s?an") == "s_an"
     assert wildcard_pattern_to_like("a_b*") == "a\\_b%"
     assert wildcard_pattern_to_like("50%?") == "50\\%_"
-    assert wildcard_pattern_to_like("a\\b") == "a\\\\b"
+    # Lucene escape syntax (ADVICE r4): \* is a LITERAL asterisk, \? a
+    # literal question mark, \\ a literal backslash; escaped chars that are
+    # LIKE metacharacters get LIKE-escaped
+    assert wildcard_pattern_to_like("a\\*b") == "a*b"
+    assert wildcard_pattern_to_like("a\\?b") == "a?b"
+    assert wildcard_pattern_to_like("a\\\\b") == "a\\\\b"   # \\ → literal \
+    assert wildcard_pattern_to_like("a\\%b") == "a\\%b"     # escaped % stays
+    assert wildcard_pattern_to_like("a\\b") == "ab"         # \b → literal b
+    assert wildcard_pattern_to_like("a\\") == "a\\\\"       # lenient trailer
 
 
 def test_wildcard_topk(spark):
@@ -531,7 +539,7 @@ def test_rocchio_feedback(spark):
     cent = {}
     for (d, t), wt in w.items():
         if d in top:
-            cent[t] = cent.get(t, 0.0) + wt / fb_docs
+            cent[t] = cent.get(t, 0.0) + wt / len(top)
     cand = sorted((t for t in cent if t != ids["aa"]),
                   key=lambda t: (-abs(cent[t]), t))[:fb_terms]
     qw = {ids["aa"]: alpha * 1.0}
@@ -553,6 +561,22 @@ def test_rocchio_feedback(spark):
     assert set(got) == set(want)
     for d in want:
         assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+    # feedback set smaller than fb_docs: "dd" matches only docs 2 and 3, so
+    # the centroid must average over 2 docs, not the fb_docs=3 literal
+    # (classic Rocchio divides by |Dr|; ADVICE r4)
+    qt_dd = T.query_terms_df(spark, {0: [ids["dd"]]})
+    exp_dd = {r["term_id"]: r["q_weight"] for r in T.rocchio_expand(
+        weighted, qt_dd, fb_docs, fb_terms, alpha, beta).collect()}
+    cent_dd = {}
+    for (d, t), wt in w.items():
+        if d in (2, 3) and t != ids["dd"]:
+            cent_dd[t] = cent_dd.get(t, 0.0) + wt / 2
+    cand_dd = sorted(cent_dd, key=lambda t: (-abs(cent_dd[t]), t))[:fb_terms]
+    assert exp_dd[ids["dd"]] == pytest.approx(alpha * 1.0)
+    assert set(exp_dd) == {ids["dd"], *cand_dd}
+    for t in cand_dd:
+        assert exp_dd[t] == pytest.approx(beta * cent_dd[t], rel=1e-12)
 
 
 def test_regexp_topk(spark):
