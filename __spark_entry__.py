@@ -1471,6 +1471,35 @@ def _q_near_topk(spark, sf_dir):
                       F.round("score", 6).alias("score"), "rank")
 
 
+_SPAN = ("value", "table", "key")  # ordered 3-clause SpanNear members
+_SPAN_SLOP = 4
+
+
+def _q_near_multi_topk(spark, sf_dir):
+    """N-clause ordered SpanNear top-k
+    (operators/positional.py::span_near_topk, Lucene SpanNearQuery
+    inOrder=true / sloppy phrase '"value table key"~4'): a match is a
+    strictly increasing position chain over the clause terms whose
+    stretch (end − start + 1 − n) stays ≤ slop; existence is decided by
+    the greedy chain (each clause takes its smallest position after the
+    previous clause's end), near_tf counts qualifying clause-0 anchors.
+    The fold is nested JVM filter/array_min expressions per anchor — one
+    term-pruned scan leg per clause, no Python UDF. The oracle re-runs
+    the greedy chain as correlated min-subqueries over rebuilt positions
+    and the pseudo-term scoring relationally."""
+    from gensim_spark.operators import positional as PX
+
+    idx = _index(spark, sf_dir)
+    vmap = {r["token"]: r["term_id"] for r in idx.vocab.filter(
+        F.col("token").isin(list(_SPAN))).collect()}
+    pos = PX.positional_postings(idx.docs, idx.vocab)
+    out = PX.span_near_topk(pos, idx.stats, [vmap[t] for t in _SPAN],
+                            idx.doclen, slop=_SPAN_SLOP, ordered=True,
+                            k=TOPK_K)
+    return out.select("doc_id", "near_tf",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 _PREFIX = "s"  # expands to 6 terms in the testdata vocab (scan/slow/small/sort/spark/stream)
 
 
@@ -1929,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectrogram": _q_audio_spectrogram,
         "phrase_topk": _q_phrase_topk,
         "near_topk": _q_near_topk,
+        "near_multi_topk": _q_near_multi_topk,
         "prefix_topk": _q_prefix_topk,
         "bool_topk": _q_bool_topk,
         "wildcard_topk": _q_wildcard_topk,
@@ -3525,6 +3555,54 @@ anch AS (SELECT a.doc_id, a.pos FROM pa a
 occ AS (SELECT doc_id, count(*) AS ntf FROM anch GROUP BY doc_id),
 isum AS (SELECT sum(i.idf) AS s FROM idf i JOIN vocab_ids v USING (term_id)
          WHERE v.token IN ('{_NEAR[0]}', '{_NEAR[1]}')),
+scored AS (
+  SELECT o.doc_id, o.ntf,
+         (SELECT s FROM isum) * (o.ntf * 2.5)
+           / (o.ntf + 1.5 * (0.25 + 0.75 * d.dl / (SELECT a FROM avgdl)))
+           AS score
+  FROM occ o JOIN doclen d USING (doc_id))
+SELECT doc_id, CAST(ntf AS INT) AS near_tf, ROUND(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank
+FROM scored
+QUALIFY rank <= {TOPK_K}
+ORDER BY rank""",
+        # N-clause ordered SpanNear '"value table key"~4': the greedy
+        # chain (clause i+1 takes its smallest position after clause i's
+        # end) re-run as correlated min-subqueries over rebuilt
+        # positions; a clause-0 anchor qualifies iff the chain completes
+        # with stretch end − start ≤ slop + n − 1. Scoring identical to
+        # phrase_topk (idf over member occurrences × okapi saturation).
+        "near_multi_topk": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+posx AS (SELECT doc_id, unnest(tokens) AS token,
+                generate_subscripts(tokens, 1) - 1 AS pos
+         FROM tok),
+pa AS (SELECT doc_id, pos FROM posx WHERE token = '{_SPAN[0]}'),
+pb AS (SELECT doc_id, pos FROM posx WHERE token = '{_SPAN[1]}'),
+pc AS (SELECT doc_id, pos FROM posx WHERE token = '{_SPAN[2]}'),
+chain1 AS (
+  SELECT a.doc_id, a.pos,
+         (SELECT min(b.pos) FROM pb b
+          WHERE b.doc_id = a.doc_id AND b.pos > a.pos) AS e1
+  FROM pa a),
+chain2 AS (
+  SELECT doc_id, pos,
+         (SELECT min(c.pos) FROM pc c
+          WHERE c.doc_id = chain1.doc_id AND c.pos > chain1.e1) AS e2
+  FROM chain1 WHERE e1 IS NOT NULL),
+occ AS (SELECT doc_id, count(*) AS ntf FROM chain2
+        WHERE e2 IS NOT NULL AND e2 - pos <= {_SPAN_SLOP} + 2
+        GROUP BY doc_id),
+isum AS (SELECT sum(i.idf) AS s FROM idf i JOIN vocab_ids v USING (term_id)
+         WHERE v.token IN ('{_SPAN[0]}', '{_SPAN[1]}', '{_SPAN[2]}')),
 scored AS (
   SELECT o.doc_id, o.ntf,
          (SELECT s FROM isum) * (o.ntf * 2.5)

@@ -1525,11 +1525,15 @@ class SearchEngine:
         if slop is None:
             return _px.phrase_topk(self._pos(), self.index.stats, ids,
                                    self.index.doclen, k=k)
-        if len(ids) != 2:
-            raise ValueError("slop queries take exactly two terms")
-        return _px.near_topk(self._pos(), self.index.stats, ids[0], ids[1],
-                             self.index.doclen, slop=slop, ordered=ordered,
-                             k=k)
+        if len(ids) == 2:
+            return _px.near_topk(self._pos(), self.index.stats, ids[0],
+                                 ids[1], self.index.doclen, slop=slop,
+                                 ordered=ordered, k=k)
+        # 3+ clauses: N-clause SpanNear / sloppy phrase "a b c"~slop
+        # (same near_tf column as the two-term slop path)
+        return _px.span_near_topk(self._pos(), self.index.stats, ids,
+                                  self.index.doclen, slop=slop,
+                                  ordered=ordered, k=k)
 
     def more_like_this(self, doc_id: int, max_query_terms: int = 25,
                        min_doc_freq: int = 1,

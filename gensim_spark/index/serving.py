@@ -346,12 +346,41 @@ def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
         uniq, cnt = np.unique(docs, return_counts=True)
         hits = dict(zip(uniq.tolist(), cnt.tolist()))
         idf_sum = float(sum(idf_by_term.get(t, 0.0) for t in ids))
+    elif ordered:
+        # N-clause ordered SpanNear / sloppy phrase, greedy chain over
+        # int64 doc·L+pos keys across ALL docs at once (the same
+        # vectorization lesson as the exact path): clause i+1's end is
+        # the first key strictly after clause i's end (searchsorted on
+        # the clause's sorted keys), invalid when it falls in another
+        # doc; match iff end − start ≤ slop + n − 1. Greedy-min chains
+        # decide existence exactly (see span_near_occurrences).
+        n = len(ids)
+        stretch = slop + n - 1
+        d0, p0 = term_pairs[ids[0]]
+        cur = d0 * L + p0
+        alive = np.ones(cur.shape, dtype=bool)
+        for t in ids[1:]:
+            dt, pt = term_pairs[t]
+            kt = np.sort(dt * L + pt)
+            idx = np.searchsorted(kt, cur, side="right")
+            ok = idx < kt.size
+            nxt = kt[np.minimum(idx, kt.size - 1)]
+            ok &= (nxt // L) == d0
+            cur = np.where(ok, nxt, cur)
+            alive &= ok
+        match = alive & ((cur - d0 * L - p0) <= stretch)
+        if not match.any():
+            return []
+        uniq, cnt = np.unique(d0[match], return_counts=True)
+        hits = dict(zip(uniq.tolist(), cnt.tolist()))
+        idf_sum = float(sum(idf_by_term.get(t, 0.0) for t in ids))
     else:
         if len(ids) != 2:
-            raise ValueError("NEAR takes exactly two terms")
+            raise ValueError(
+                "unordered NEAR is two-term in the served path; use the "
+                "distributed span_near_occurrences plan for n >= 3")
         w = slop + 1
-        offs = range(1, w + 1) if ordered else \
-            [o for o in range(-w, w + 1) if o != 0]
+        offs = [o for o in range(-w, w + 1) if o != 0]
         ka = np.sort(keys(ids[0], 0))
         anchor_parts = [np.intersect1d(ka, keys(ids[1], -o),
                                        assume_unique=True) for o in offs]

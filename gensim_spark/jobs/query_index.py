@@ -73,10 +73,13 @@ def run_phrase(spark, index_dir: str, phrase_text: str, k: int = 10,
                slop: int | None = None, ordered: bool = True) -> dict:
     """Phrase / NEAR query over the positional store written by
     ``build_index --positional``: exact phrase (slop=None) via
-    ``positional.phrase_topk``, two-term proximity via ``near_topk``.
-    Scoring uses the index's fitted variant (build_metrics.json), so
-    phrase scores are comparable to term-query scores. OOV members or a
-    missing positional store answer [] / error out explicitly."""
+    ``positional.phrase_topk``, two-term proximity via ``near_topk``,
+    3+-term sloppy phrase / SpanNear (``"a b c"~slop``) via
+    ``span_near_topk`` (ordered greedy-chain fold, or the unordered
+    window cover with ``ordered=False``). Scoring uses the index's
+    fitted variant AND fit parameters (build_metrics.json), so phrase
+    scores are comparable to term-query scores. OOV members or a missing
+    positional store answer [] / error out explicitly."""
     from pyspark.sql import functions as F
 
     from gensim_spark.functions import textref
@@ -93,7 +96,10 @@ def run_phrase(spark, index_dir: str, phrase_text: str, k: int = 10,
     vocab = spark.read.parquet(f"{index_dir}/vocab")
     doclen = spark.read.parquet(f"{index_dir}/doclen")
     stats = M.fit_from_vocab(vocab, meta["num_docs"],
-                             variant=meta.get("variant", "okapi"))
+                             variant=meta.get("variant", "okapi"),
+                             k1=meta.get("k1", 1.5),
+                             b=meta.get("b", 0.75),
+                             epsilon=meta.get("epsilon", 0.25))
     toks = textref.simple_preprocess(phrase_text)
     vmap = {r["token"]: r["term_id"] for r in
             vocab.filter(F.col("token").isin(toks)).collect()}
@@ -110,11 +116,16 @@ def run_phrase(spark, index_dir: str, phrase_text: str, k: int = 10,
         rows = [{"doc_id": r["doc_id"], "tf": r["phrase_tf"],
                  "score": r["score"], "rank": r["rank"]}
                 for r in out.collect()]
-    else:
-        if len(ids) != 2:
-            raise SystemExit("--near takes exactly two terms")
+    elif len(ids) == 2:
         out = PX.near_topk(pos, stats, ids[0], ids[1], doclen,
                            slop=slop, ordered=ordered, k=k)
+        rows = [{"doc_id": r["doc_id"], "tf": r["near_tf"],
+                 "score": r["score"], "rank": r["rank"]}
+                for r in out.collect()]
+    else:
+        # N-clause SpanNear / sloppy phrase "a b c"~slop
+        out = PX.span_near_topk(pos, stats, ids, doclen,
+                                slop=slop, ordered=ordered, k=k)
         rows = [{"doc_id": r["doc_id"], "tf": r["near_tf"],
                  "score": r["score"], "rank": r["rank"]}
                 for r in out.collect()]
@@ -320,8 +331,9 @@ def main() -> None:
                     help="treat the query text as an exact phrase over the "
                          "positional store (build_index --positional)")
     ap.add_argument("--slop", type=int, default=None,
-                    help="with --phrase and a two-word query: NEAR/slop "
-                         "proximity instead of exact adjacency")
+                    help="with --phrase: proximity window instead of "
+                         "exact adjacency — two words get NEAR/slop, 3+ "
+                         "words the N-clause SpanNear (\"a b c\"~slop)")
     ap.add_argument("--unordered", action="store_true",
                     help="with --slop: match either order")
     ap.add_argument("--wildcard", action="store_true",

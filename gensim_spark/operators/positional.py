@@ -41,6 +41,42 @@ from pyspark.sql import functions as F
 from .bm25 import BM25Stats
 
 
+def _idf_sum(stats: BM25Stats, term_ids) -> float:
+    """Pseudo-term idf = Σ over member OCCURRENCES (duplicates count per
+    occurrence — Lucene PhraseWeight/SpanWeight idfExplain over the term
+    array). k values — an inputs-only collect."""
+    ids = [int(t) for t in term_ids]
+    idf_map = {r["term_id"]: r["idf"] for r in
+               stats.idfs.filter(F.col("term_id").isin(sorted(set(ids))))
+               .collect()}
+    return float(sum(idf_map.get(t, 0.0) for t in ids))
+
+
+def _rank_pseudo_term(occ: DataFrame, tf_col: str, stats: BM25Stats,
+                      idf_sum: float, dl: DataFrame, k: int,
+                      doc_col: str = "doc_id") -> DataFrame:
+    """Shared pseudo-term scoring + rank for the positional query family:
+    score = idf_sum · S(tf, dl) with S the fitted stats' saturation (same
+    k1/b/avgdl/variant as term queries, so span and term scores live on
+    one scale). TakeOrdered (orderBy + limit), then rank over the k-row
+    clip — never a global window."""
+    tf = F.col(tf_col).cast("double")
+    dlc = F.col("dl").cast("double")
+    denom = tf + F.lit(stats.k1) * (F.lit(1.0 - stats.b)
+                                    + F.lit(stats.b) * dlc / F.lit(stats.avgdl))
+    num = (tf * F.lit(stats.k1 + 1.0) if stats.variant in ("okapi", "atire")
+           else tf)
+    scored = (occ.join(dl, doc_col)
+              .select(doc_col, tf_col,
+                      (F.lit(idf_sum) * num / denom).alias("score")))
+    top = scored.orderBy(F.desc("score"), F.asc(doc_col)).limit(k)
+    from pyspark.sql import Window
+
+    wnd = Window.orderBy(F.desc("score"), F.asc(doc_col))
+    return (top.withColumn("rank", F.row_number().over(wnd))
+            .select(doc_col, tf_col, "score", "rank"))
+
+
 def positional_postings(docs: DataFrame, vocab: DataFrame,
                         doc_col: str = "doc_id", tokens_col: str = "tokens",
                         broadcast_vocab: bool = True) -> DataFrame:
@@ -138,24 +174,8 @@ def multi_phrase_topk(positional: DataFrame, stats: BM25Stats, alternatives,
     alts = [[int(t) for t in a] for a in alternatives]
     occ = multi_phrase_occurrences(positional, alts, doc_col)
     flat = [t for a in alts for t in a]
-    idf_map = {r["term_id"]: r["idf"] for r in stats.idfs.filter(
-        F.col("term_id").isin(sorted(set(flat)))).collect()}
-    idf_sum = float(sum(idf_map.get(t, 0.0) for t in flat))
-    tf = F.col("phrase_tf").cast("double")
-    dlc = F.col("dl").cast("double")
-    denom = tf + F.lit(stats.k1) * (F.lit(1.0 - stats.b)
-                                    + F.lit(stats.b) * dlc / F.lit(stats.avgdl))
-    num = (tf * F.lit(stats.k1 + 1.0) if stats.variant in ("okapi", "atire")
-           else tf)
-    scored = (occ.join(dl, doc_col)
-              .select(doc_col, "phrase_tf",
-                      (F.lit(idf_sum) * num / denom).alias("score")))
-    top = scored.orderBy(F.desc("score"), F.asc(doc_col)).limit(k)
-    from pyspark.sql import Window
-
-    wnd = Window.orderBy(F.desc("score"), F.asc(doc_col))
-    return (top.withColumn("rank", F.row_number().over(wnd))
-            .select(doc_col, "phrase_tf", "score", "rank"))
+    return _rank_pseudo_term(occ, "phrase_tf", stats, _idf_sum(stats, flat),
+                             dl, k, doc_col)
 
 
 def near_occurrences(positional: DataFrame, term_a: int, term_b: int,
@@ -194,25 +214,118 @@ def near_topk(positional: DataFrame, stats: BM25Stats, term_a: int,
     :func:`phrase_topk` (tf = near_tf, idf = idf_a + idf_b, the fitted
     stats' saturation). (doc_id, near_tf, score, rank)."""
     occ = near_occurrences(positional, term_a, term_b, slop, ordered, doc_col)
-    idf_map = {r["term_id"]: r["idf"] for r in stats.idfs.filter(
-        F.col("term_id").isin([int(term_a), int(term_b)])).collect()}
-    idf_sum = float(idf_map.get(int(term_a), 0.0)
-                    + idf_map.get(int(term_b), 0.0))
-    tf = F.col("near_tf").cast("double")
-    dlc = F.col("dl").cast("double")
-    denom = tf + F.lit(stats.k1) * (F.lit(1.0 - stats.b)
-                                    + F.lit(stats.b) * dlc / F.lit(stats.avgdl))
-    num = (tf * F.lit(stats.k1 + 1.0) if stats.variant in ("okapi", "atire")
-           else tf)
-    scored = (occ.join(dl, doc_col)
-              .select(doc_col, "near_tf",
-                      (F.lit(idf_sum) * num / denom).alias("score")))
-    top = scored.orderBy(F.desc("score"), F.asc(doc_col)).limit(k)
-    from pyspark.sql import Window
+    idf_sum = _idf_sum(stats, [term_a, term_b])
+    return _rank_pseudo_term(occ, "near_tf", stats, idf_sum, dl, k, doc_col)
 
-    wnd = Window.orderBy(F.desc("score"), F.asc(doc_col))
-    return (top.withColumn("rank", F.row_number().over(wnd))
-            .select(doc_col, "near_tf", "score", "rank"))
+
+def span_near_occurrences(positional: DataFrame, term_ids, slop: int = 0,
+                          ordered: bool = True,
+                          doc_col: str = "doc_id") -> DataFrame:
+    """N-clause SpanNear (Lucene SpanNearQuery with unit-length term
+    clauses): docs where all member terms occur within a window. Returns
+    (doc_id, near_tf), near_tf ≥ 1.
+
+    **ordered** (SpanNearQuery inOrder=true): a match is a strictly
+    increasing position chain p₀ < p₁ < … < pₙ₋₁ — clause i at pᵢ — with
+    total stretch pₙ₋₁ − p₀ + 1 − n ≤ slop (the span's width minus the
+    clauses' summed unit lengths, Lucene's slop accounting). near_tf
+    counts the clause-0 anchor positions that begin a qualifying chain.
+    Existence is decided by the GREEDY chain (each clause takes its
+    smallest position after the previous clause's): picking the minimal
+    valid successor minimizes the final end, so greedy succeeds iff any
+    witness chain exists. The fold is pure JVM array expressions — one
+    term-pruned scan leg per clause joined on doc_id, then nested
+    ``filter``/``array_min`` per anchor; no Python UDF, no shuffle beyond
+    the k-way intersection-sized join. n=2 reduces exactly to
+    :func:`near_occurrences` ordered semantics (pinned in tests).
+
+    **unordered** (inOrder=false): n=2 delegates to
+    :func:`near_occurrences`; for n ≥ 3 a match anchor is a position s
+    (over the union of clause positions) whose window [s, s + slop + n)
+    contains every clause — with duplicate clauses requiring that many
+    DISTINCT positions of their term in the window (Lucene's
+    non-overlapping-spans rule for unit spans). near_tf counts the
+    qualifying window-start anchors."""
+    ids = [int(t) for t in term_ids]
+    if len(ids) < 2:
+        raise ValueError("SpanNear needs >= 2 clauses")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    if not ordered and len(ids) == 2:
+        return near_occurrences(positional, ids[0], ids[1], slop,
+                                ordered=False, doc_col=doc_col)
+    n = len(ids)
+
+    if ordered:
+        legs = []
+        for i, tid in enumerate(ids):
+            legs.append(positional.filter(F.col("term_id") == tid)
+                        .select(F.col(doc_col),
+                                F.col("positions").alias(f"_p{i}")))
+        j = legs[0]
+        for leg in legs[1:]:
+            j = j.join(leg, doc_col)
+        stretch = F.lit(int(slop) + n - 1)  # max allowed end − start
+
+        # factory closures, NOT default-arg lambdas: a two-param lambda
+        # would make F.filter pass the ARRAY INDEX as the second argument
+        def _after(e):
+            return lambda q: q > e
+
+        def _chain_ok(p):
+            e = p
+            for i in range(1, n):
+                e = F.array_min(F.filter(F.col(f"_p{i}"), _after(e)))
+            # null end (a clause ran dry after e) propagates to null,
+            # which F.filter treats as no-match
+            return (e - p) <= stretch
+
+        anchors = F.filter(F.col("_p0"), _chain_ok)
+    else:
+        from collections import Counter
+
+        mult = Counter(ids)
+        terms = sorted(mult)
+        legs = []
+        for jx, tid in enumerate(terms):
+            legs.append(positional.filter(F.col("term_id") == tid)
+                        .select(F.col(doc_col),
+                                F.col("positions").alias(f"_p{jx}")))
+        j = legs[0]
+        for leg in legs[1:]:
+            j = j.join(leg, doc_col)
+        union = F.array_sort(F.array_distinct(F.concat(
+            *[F.col(f"_p{jx}") for jx in range(len(terms))])))
+        win = F.lit(int(slop) + n)  # window width in token positions
+
+        def _in_window(s):
+            return lambda q: (q >= s) & ((q - s) < win)
+
+        def _covered(s):
+            c = None
+            for jx, tid in enumerate(terms):
+                cnt = F.size(F.filter(F.col(f"_p{jx}"), _in_window(s)))
+                cj = cnt >= F.lit(mult[tid])
+                c = cj if c is None else (c & cj)
+            return c
+
+        anchors = F.filter(union, _covered)
+
+    return (j.select(doc_col, F.size(anchors).alias("near_tf"))
+            .filter(F.col("near_tf") > 0))
+
+
+def span_near_topk(positional: DataFrame, stats: BM25Stats, term_ids,
+                   dl: DataFrame, slop: int = 0, ordered: bool = True,
+                   k: int = 10, doc_col: str = "doc_id") -> DataFrame:
+    """Top-k docs for an N-clause SpanNear query — same pseudo-term
+    scoring as :func:`phrase_topk` (tf = near_tf, idf = Σ member idfs
+    over occurrences, the fitted stats' saturation).
+    (doc_id, near_tf, score, rank)."""
+    occ = span_near_occurrences(positional, term_ids, slop=slop,
+                                ordered=ordered, doc_col=doc_col)
+    return _rank_pseudo_term(occ, "near_tf", stats,
+                             _idf_sum(stats, term_ids), dl, k, doc_col)
 
 
 def span_first_topk(positional: DataFrame, stats: BM25Stats, term_id: int,
@@ -233,56 +346,38 @@ def span_first_topk(positional: DataFrame, stats: BM25Stats, term_id: int,
                    F.size(F.filter("positions", lambda p: p < e))
                    .alias("first_tf"))
            .filter(F.col("first_tf") > 0))
-    idf_rows = stats.idfs.filter(F.col("term_id") == int(term_id)).collect()
-    idf = float(idf_rows[0]["idf"]) if idf_rows else 0.0
-    tf = F.col("first_tf").cast("double")
-    dlc = F.col("dl").cast("double")
-    denom = tf + F.lit(stats.k1) * (F.lit(1.0 - stats.b)
-                                    + F.lit(stats.b) * dlc / F.lit(stats.avgdl))
-    num = (tf * F.lit(stats.k1 + 1.0) if stats.variant in ("okapi", "atire")
-           else tf)
-    scored = (occ.join(dl, doc_col)
-              .select(doc_col, "first_tf",
-                      (F.lit(idf) * num / denom).alias("score")))
-    top = scored.orderBy(F.desc("score"), F.asc(doc_col)).limit(k)
-    from pyspark.sql import Window
-
-    wnd = Window.orderBy(F.desc("score"), F.asc(doc_col))
-    return (top.withColumn("rank", F.row_number().over(wnd))
-            .select(doc_col, "first_tf", "score", "rank"))
+    return _rank_pseudo_term(occ, "first_tf", stats,
+                             _idf_sum(stats, [term_id]), dl, k, doc_col)
 
 
 def phrase_topk(positional: DataFrame, stats: BM25Stats, phrase_term_ids,
                 dl: DataFrame, k: int = 10,
-                doc_col: str = "doc_id") -> DataFrame:
-    """Top-k docs for an exact phrase, Lucene PhraseQuery scoring:
+                doc_col: str = "doc_id", slop: int = 0) -> DataFrame:
+    """Top-k docs for a phrase, Lucene PhraseQuery scoring:
     score = (Σᵢ idf(termᵢ)) · S(phrase_tf, dl) where S is the fitted
     stats' saturation (same k1/b/avgdl/variant as term queries, so phrase
     and term scores live on one scale). Returns
     (doc_id, phrase_tf, score, rank) — TakeOrdered (orderBy + limit), not
-    a global window."""
-    ids = [int(t) for t in phrase_term_ids]
-    occ = phrase_occurrences(positional, ids, doc_col)
-    # phrase idf = sum over member OCCURRENCES (duplicates count twice,
-    # Lucene PhraseWeight). k values — an inputs-only collect.
-    idf_map = {r["term_id"]: r["idf"] for r in
-               stats.idfs.filter(F.col("term_id").isin(ids)).collect()}
-    idf_sum = float(sum(idf_map.get(t, 0.0) for t in ids))
-    tf = F.col("phrase_tf").cast("double")
-    dlc = F.col("dl").cast("double")
-    denom = tf + F.lit(stats.k1) * (F.lit(1.0 - stats.b)
-                                    + F.lit(stats.b) * dlc / F.lit(stats.avgdl))
-    num = (tf * F.lit(stats.k1 + 1.0) if stats.variant in ("okapi", "atire")
-           else tf)
-    scored = (occ.join(dl, doc_col)
-              .select(doc_col, "phrase_tf",
-                      (F.lit(idf_sum) * num / denom).alias("score")))
-    top = scored.orderBy(F.desc("score"), F.asc(doc_col)).limit(k)
-    from pyspark.sql import Window
+    a global window.
 
-    wnd = Window.orderBy(F.desc("score"), F.asc(doc_col))
-    return (top.withColumn("rank", F.row_number().over(wnd))
-            .select(doc_col, "phrase_tf", "score", "rank"))
+    ``slop > 0`` is the sloppy phrase ``"a b c"~slop``: matching routes
+    through :func:`span_near_occurrences` with an ORDERED clause list
+    (Lucene SpanNearQuery semantics — a match is a strictly-increasing
+    chain of the member terms whose total span stretch, end − start + 1
+    − n, is ≤ slop; phrase_tf counts the qualifying anchor positions).
+    Note: this is in-order slop — Lucene PhraseQuery's edit-distance
+    matcher additionally lets terms REORDER once slop affords the
+    transposition; compose two ordered span queries if both orders are
+    wanted."""
+    ids = [int(t) for t in phrase_term_ids]
+    if slop:
+        occ = (span_near_occurrences(positional, ids, slop=slop,
+                                     ordered=True, doc_col=doc_col)
+               .withColumnRenamed("near_tf", "phrase_tf"))
+    else:
+        occ = phrase_occurrences(positional, ids, doc_col)
+    return _rank_pseudo_term(occ, "phrase_tf", stats, _idf_sum(stats, ids),
+                             dl, k, doc_col)
 
 
 def phrase_text_topk(spark, docs: DataFrame, vocab: DataFrame,

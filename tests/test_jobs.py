@@ -608,3 +608,61 @@ def test_build_index_from_html_positional(spark, tmp_path):
     finally:
         with open(mpath, "w") as f:
             _json.dump(meta, f)
+
+
+def test_query_index_span_near_multi(spark, tmp_path):
+    """3+-term sloppy phrase '"a b c"~slop' end-to-end: the distributed
+    span_near_topk path via --phrase --slop, and the served greedy-chain
+    fold answering identically (doc/tf/score/rank) with no Spark job."""
+    import pytest as _pytest
+
+    from gensim_spark.jobs import build_index, query_index
+
+    pages = str(tmp_path / "pages_sn")
+    _pages_df(spark).write.parquet(pages)
+    out = str(tmp_path / "idx_sn")
+    build_index.run(spark, pages, out, docs_per_shard=16, num_groups=2,
+                    positional=True, positional_n_buckets=4)
+
+    # doc i = words[(i+j)%7] j=0..5 + "common": "alpha gamma epsilon"
+    # sits at positions p, p+2, p+4 (stretch 4+1-3 = 2) iff alpha lands
+    # at j<=1 -> i%7 in {0, 6} -> 11 of 40 docs (6 + 5); never within
+    # slop 1
+    res0 = query_index.run_phrase(spark, out, "alpha gamma epsilon", k=40,
+                                  slop=1)
+    assert res0["results"] == []
+    res = query_index.run_phrase(spark, out, "alpha gamma epsilon", k=40,
+                                 slop=2)
+    assert len(res["results"]) == 11
+    assert all(r["tf"] == 1 for r in res["results"])
+
+    srv = query_index.run_phrase_served(out, "alpha gamma epsilon", k=40,
+                                        slop=2)
+    assert [(h["doc_id"], h["tf"], h["rank"]) for h in srv["results"]] == \
+        [(r["doc_id"], r["tf"], r["rank"]) for r in res["results"]]
+    for h, r in zip(srv["results"], res["results"]):
+        assert h["score"] == _pytest.approx(r["score"], rel=1e-9)
+    assert query_index.run_phrase_served(
+        out, "alpha gamma epsilon", k=40, slop=1)["results"] == []
+
+    # 4 clauses, wider slop: words are distinct within a doc so the
+    # chain is unique; "alpha beta gamma delta"~3 allows stretch <= 3
+    # over positions p..p+3 (exact run) -> alpha at j<=2: i%7 in
+    # {0, 5, 6} -> 16 docs (6 + 5 + 5); served identical
+    res4 = query_index.run_phrase(spark, out, "alpha beta gamma delta",
+                                  k=40, slop=3)
+    srv4 = query_index.run_phrase_served(out, "alpha beta gamma delta",
+                                         k=40, slop=3)
+    assert len(res4["results"]) == 16
+    assert [(h["doc_id"], h["rank"]) for h in srv4["results"]] == \
+        [(r["doc_id"], r["rank"]) for r in res4["results"]]
+
+    # unordered n>=3 runs distributed (window cover); the served path
+    # declines explicitly rather than answering wrong
+    resu = query_index.run_phrase(spark, out, "gamma alpha epsilon", k=40,
+                                  slop=2, ordered=False)
+    assert {r["doc_id"] for r in resu["results"]} == \
+        {r["doc_id"] for r in res["results"]}
+    with _pytest.raises(ValueError):
+        query_index.run_phrase_served(out, "gamma alpha epsilon", k=5,
+                                      slop=2, ordered=False)

@@ -144,6 +144,133 @@ def test_near_fuzz_vs_bruteforce(spark):
         assert got == want, (trial, ta, tb, slop, ordered, texts)
 
 
+def span_of(pos, ids, slop, ordered=True):
+    return {r["doc_id"]: r["near_tf"]
+            for r in PX.span_near_occurrences(pos, ids, slop=slop,
+                                              ordered=ordered).collect()}
+
+
+def _brute_span_ordered(toks, clause, slop):
+    """Naive scan: anchors p0 with a strictly increasing greedy chain whose
+    stretch (end − start + 1 − n) stays ≤ slop."""
+    n = len(clause)
+    P = [[i for i, t in enumerate(toks) if t == c] for c in clause]
+    cnt = 0
+    for p0 in P[0]:
+        e, ok = p0, True
+        for i in range(1, n):
+            nxt = [q for q in P[i] if q > e]
+            if not nxt:
+                ok = False
+                break
+            e = min(nxt)
+        if ok and e - p0 <= slop + n - 1:
+            cnt += 1
+    return cnt
+
+
+def _brute_span_unordered(toks, clause, slop):
+    from collections import Counter
+
+    n, mult = len(clause), Counter(clause)
+    P = {t: [i for i, tk in enumerate(toks) if tk == t] for t in mult}
+    union = sorted({q for ps in P.values() for q in ps})
+    win = slop + n
+    return sum(1 for s in union
+               if all(len([q for q in P[t] if s <= q < s + win]) >= m
+                      for t, m in mult.items()))
+
+
+def test_span_near_goldens(fixture):
+    _, _, vmap, pos = fixture
+    a, b, c = vmap["a"], vmap["b"], vmap["c"]
+    # d0 = [a b c a b]: "a b c"~0 == exact triple at 0 (stretch 0)
+    assert span_of(pos, [a, b, c], slop=0) == {0: 1}
+    # "a c b"~1: a@0 → c@2 → b@4, stretch 4+1-3 = 2 > 1: no match
+    assert span_of(pos, [a, c, b], slop=1) == {}
+    # "a c b"~2: the chain above fits; anchor a@3 has no c after
+    assert span_of(pos, [a, c, b], slop=2) == {0: 1}
+    # duplicate clause: "a a a"~0 only d3 = [a a a]
+    assert span_of(pos, [a, a, a], slop=0) == {3: 1}
+    # unordered n=3 window cover: {a,b,c} within width 3 — d0 windows
+    # starting at 0 ([a b c]), 1 ([b c a]) and 2 ([c a b]) qualify;
+    # a@3's window [3,6) = [a b] has no c
+    assert span_of(pos, [a, b, c], slop=0, ordered=False) == {0: 3}
+    # unordered n=2 delegates to near_occurrences (anchor-partner
+    # semantics): every a in d3 = [a a a] has a distinct partner within 2
+    assert span_of(pos, [a, a], slop=1, ordered=False) == \
+        near_of(pos, a, a, slop=1, ordered=False) == {3: 3}
+    # unordered n≥3 with duplicate clauses needs that many DISTINCT
+    # positions in the window: {a,a,b} width 4 — only d0's window at 0
+    # ([a b c a]) holds two a's and a b
+    assert span_of(pos, [a, a, b], slop=1, ordered=False) == {0: 1}
+
+
+def test_span_near_two_term_parity(fixture):
+    """n=2 ordered SpanNear must reduce exactly to near_occurrences."""
+    _, _, vmap, pos = fixture
+    a, b = vmap["a"], vmap["b"]
+    for slop in (0, 1, 3):
+        assert span_of(pos, [a, b], slop=slop) == near_of(pos, a, b, slop)
+        # unordered n=2 delegates outright
+        assert span_of(pos, [a, b], slop=slop, ordered=False) == \
+            near_of(pos, a, b, slop, ordered=False)
+
+
+def test_span_near_fuzz_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(4242)
+    alphabet = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [[rng.choice(alphabet) for _ in range(rng.randint(3, 30))]
+             for _ in range(50)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, tokens array<string>")
+    vocab = V.build_vocab(docs)
+    vmap = {r["token"]: r["term_id"] for r in vocab.collect()}
+    pos = PX.positional_postings(docs, vocab).cache()
+    cases = [(["aa", "bb", "cc"], 0, True), (["aa", "bb", "cc"], 2, True),
+             (["aa", "bb", "cc", "dd"], 3, True), (["aa", "aa", "bb"], 1, True),
+             (["ee", "cc"], 2, True), (["aa", "bb", "cc"], 2, False),
+             (["aa", "bb", "cc", "dd"], 4, False), (["aa", "aa", "cc"], 2, False)]
+    for clause, slop, ordered in cases:
+        got = span_of(pos, [vmap[c] for c in clause], slop, ordered)
+        brute = _brute_span_ordered if ordered else _brute_span_unordered
+        want = {i: brute(t, clause, slop) for i, t in enumerate(texts)}
+        want = {i: c for i, c in want.items() if c > 0}
+        assert got == want, (clause, slop, ordered)
+
+
+def test_span_near_topk_and_sloppy_phrase(spark, fixture):
+    docs, vocab, vmap, pos = fixture
+    a, c, b = vmap["a"], vmap["c"], vmap["b"]
+    stats = M.fit_from_vocab(vocab, num_docs=len(TEXTS), variant="lucene")
+    dl = docs.select("doc_id", F.size("tokens").alias("dl"))
+    out = PX.span_near_topk(pos, stats, [a, c, b], dl, slop=2, k=10).collect()
+    assert [(r["doc_id"], r["near_tf"], r["rank"]) for r in out] == [(0, 1, 1)]
+    # score = (idf_a + idf_c + idf_b) · saturation(tf=1, dl=5)
+    idfs = {r["term_id"]: r["idf"] for r in stats.idfs.collect()}
+    isum = idfs[a] + idfs[c] + idfs[b]
+    denom = 1.0 + stats.k1 * (1.0 - stats.b + stats.b * 5.0 / stats.avgdl)
+    assert out[0]["score"] == pytest.approx(isum * 1.0 / denom, rel=1e-12)
+    # phrase_topk(slop=) routes through the ordered span fold
+    via_phrase = PX.phrase_topk(pos, stats, [a, c, b], dl, k=10,
+                                slop=2).collect()
+    assert [(r["doc_id"], r["phrase_tf"], r["score"]) for r in via_phrase] \
+        == [(r["doc_id"], r["near_tf"], r["score"]) for r in out]
+    # slop=0 ordered span == exact phrase occurrence counts
+    for ids in ([a, b], [a, b, c], [a, a]):
+        exact = {r["doc_id"]: r["phrase_tf"]
+                 for r in PX.phrase_occurrences(pos, ids).collect()}
+        assert span_of(pos, ids, slop=0) == exact
+    # argument validation
+    with pytest.raises(ValueError):
+        PX.span_near_occurrences(pos, [a], slop=1)
+    with pytest.raises(ValueError):
+        PX.span_near_occurrences(pos, [a, b], slop=-1)
+
+
 def test_phrase_fuzz_vs_bruteforce(spark):
     # 30 random corpora × random phrases vs a naive python scan
     import random

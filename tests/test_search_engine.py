@@ -74,6 +74,11 @@ def test_rewrites_and_phrase(engine):
     assert [(r["doc_id"], r["phrase_tf"]) for r in ph] == [(0, 1)]
     nr = se.phrase("alpha delta", slop=1, k=10).collect()
     assert [(r["doc_id"], r["near_tf"]) for r in nr] == [(2, 1)]
+    # 3-clause sloppy phrase routes through span_near_topk: doc 0 =
+    # [alpha beta gamma alpha] — chain a@0 → g@2 → a@3, stretch 1
+    sn = se.phrase("alpha gamma alpha", slop=1, k=10).collect()
+    assert [(r["doc_id"], r["near_tf"]) for r in sn] == [(0, 1)]
+    assert se.phrase("alpha gamma alpha", slop=0, k=10).count() == 0
     assert se.phrase("alpha nosuch", k=5).count() == 0
 
 
