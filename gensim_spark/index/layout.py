@@ -195,17 +195,12 @@ def read_packed_shards(spark: SparkSession, out_dir: str) -> DataFrame:
 
 # --- term-bucketed plain postings (relational path) --------------------------
 
-def write_postings_bucketed(weighted: DataFrame, out_dir: str,
-                            n_buckets: int = 64,
-                            salt_threshold: int = 1_000_000,
-                            dfs: DataFrame | None = None,
-                            salts: int = 16) -> None:
-    """Plain postings partitioned by ``bucket = term_id % n_buckets`` with
-    explicit head-term salting: terms with df ≥ salt_threshold additionally
-    split on ``salt = doc_id % salts`` so no single write partition (and no
-    single parquet file) is df-sized. Query-side pruning: a term's postings
-    live only in its bucket directory (+ min/max term_id row-group stats).
-    """
+def _bucket_salt(weighted: DataFrame, n_buckets: int,
+                 salt_threshold: int, dfs: DataFrame | None,
+                 salts: int) -> DataFrame:
+    """Shared write prep for the term-bucketed store: bucket = term_id %
+    n_buckets, plus head-term salting (terms with df ≥ salt_threshold split
+    on doc_id % salts so no write partition is df-sized)."""
     df = weighted.withColumn(
         "bucket", F.pmod(F.col("term_id"), F.lit(n_buckets))
     )
@@ -218,10 +213,91 @@ def write_postings_bucketed(weighted: DataFrame, out_dir: str,
         df = df.withColumn("salt", salt).drop("_head")
     else:
         df = df.withColumn("salt", F.lit(0))
+    return df
+
+
+def write_postings_bucketed(weighted: DataFrame, out_dir: str,
+                            n_buckets: int = 64,
+                            salt_threshold: int = 1_000_000,
+                            dfs: DataFrame | None = None,
+                            salts: int = 16) -> None:
+    """Plain postings partitioned by ``bucket = term_id % n_buckets`` with
+    explicit head-term salting: terms with df ≥ salt_threshold additionally
+    split on ``salt = doc_id % salts`` so no single write partition (and no
+    single parquet file) is df-sized. Query-side pruning: a term's postings
+    live only in its bucket directory (+ min/max term_id row-group stats).
+    """
     (
-        df.repartition("bucket", "salt")
+        _bucket_salt(weighted, n_buckets, salt_threshold, dfs, salts)
+        .repartition("bucket", "salt")
         .sortWithinPartitions("term_id", "doc_id")
         .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+
+
+def max_doc_id_bucketed(out_dir: str) -> int | None:
+    """Footer-stats max(doc_id) over a bucketed store — parquet row-group
+    statistics only, no Spark job and no data pages read. None for an
+    empty store. (The append boundary guard at 10^9-doc scale must not
+    scan a postings column to learn one scalar.)"""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(out_dir, format="parquet", partitioning="hive")
+    mx = None
+    for frag in ds.get_fragments():
+        frag.ensure_complete_metadata()
+        for rg in frag.row_groups:
+            st = (rg.statistics or {}).get("doc_id")
+            if st is None or st.get("max") is None:
+                # stats missing (foreign writer): fall back to one
+                # column scan of this fragment
+                t = frag.to_table(columns=["doc_id"])
+                import pyarrow.compute as pc
+
+                v = pc.max(t.column("doc_id")).as_py()
+            else:
+                v = st["max"]
+            if v is not None and (mx is None or v > mx):
+                mx = v
+    return mx
+
+
+def append_postings_bucketed(new_rows: DataFrame, out_dir: str,
+                             n_buckets: int = 64,
+                             salt_threshold: int = 1_000_000,
+                             dfs: DataFrame | None = None,
+                             salts: int = 16) -> None:
+    """``add_documents`` for the term-bucketed plain store (positional or
+    weighted): append the new documents' rows into the SAME
+    bucket-partition layout instead of rebuilding. Readers are unchanged —
+    bucket pruning and term_id pushdown see the appended files exactly
+    like the originals (each bucket directory simply gains files), and the
+    served reader derives its key-packing bound from the data at query
+    time, so longer appended docs are safe.
+
+    Boundary guard (the reference's new-docs-enter-the-tail invariant,
+    docsim.py:367-416, same contract as
+    :func:`append_packed_shards_iceberg`): new doc_ids must lie strictly
+    above the store's current max doc_id, else old and new rows for one
+    doc could both exist. The check reads parquet footer statistics only
+    (:func:`max_doc_id_bucketed`) — no data scan. ``n_buckets`` must match
+    the build (bucket dirs are the layout)."""
+    mn = new_rows.agg(F.min("doc_id").alias("mn")).collect()[0]["mn"]
+    if mn is None:
+        return
+    mx = max_doc_id_bucketed(out_dir)
+    if mx is not None and int(mn) <= int(mx):
+        raise ValueError(
+            f"append_postings_bucketed needs doc_ids > {mx} (store max); "
+            f"got {mn}. Interleaved ids need the streaming incremental "
+            "store + compact().")
+    (
+        _bucket_salt(new_rows, n_buckets, salt_threshold, dfs, salts)
+        .repartition("bucket", "salt")
+        .sortWithinPartitions("term_id", "doc_id")
+        .write.mode("append")
         .partitionBy("bucket")
         .parquet(out_dir)
     )

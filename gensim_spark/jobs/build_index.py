@@ -116,6 +116,87 @@ def run(spark, input_path: str, output: str, variant: str = "okapi",
     return metrics
 
 
+def add_documents(spark, input_path: str, index_dir: str,
+                  from_html: bool = False) -> dict:
+    """Grow a ``--positional`` index in place: append the new pages'
+    positional postings and doclen rows instead of rebuilding the store
+    (VERDICT r4 #3 — ``add_documents`` on a phrase-enabled index forced a
+    full positional rebuild). Mirrors the packed-store
+    ``append_packed_shards_iceberg`` contract:
+
+    - **Frozen model** (the reference's ``Similarity.add_documents``
+      semantics — the Dictionary and the fitted weights don't refit on
+      append, docsim.py:367-416): appended docs are indexed against the
+      build-time vocab; their tokens outside it are ignored, and scoring
+      keeps the build-time num_docs/df/avgdl, so existing docs' phrase
+      and NEAR scores are bit-identical before and after the append.
+      Refreshing the statistics is a rebuild, by design.
+    - **Boundary guard**: new doc_ids must lie strictly above the store's
+      current max (footer-stats check, no data scan); the input must
+      carry an explicit ``doc_id`` column — auto-assigned ids would
+      collide with the existing range.
+    - The served path (``serving.phrase_topk_served``) needs no change:
+      the hive dataset picks up the appended files, and the key-packing
+      bound is derived from the data per query.
+
+    Returns {"docs": n_appended, "wall_sec": ...} and records the append
+    in build_metrics.json (num_docs stays the frozen scoring N;
+    num_docs_total tracks the grown corpus)."""
+    from pyspark.sql import functions as F
+
+    from gensim_spark.index.layout import append_postings_bucketed
+    from gensim_spark.operators.positional import positional_postings
+
+    t0 = time.perf_counter()
+    with open(f"{index_dir}/build_metrics.json") as f:
+        meta = json.load(f)
+    if not meta.get("positional"):
+        raise SystemExit("add_documents grows the positional store — this "
+                         "index was built without --positional")
+    if meta.get("iceberg"):
+        raise SystemExit("iceberg indexes grow through "
+                         "Similarity.add_documents / the streaming store; "
+                         "add_documents here serves the plain --positional "
+                         "layout")
+    pages = spark.read.parquet(input_path)
+    if "doc_id" not in pages.columns:
+        raise SystemExit("append input needs an explicit doc_id column "
+                         "(above the index's current max) — auto-assigned "
+                         "ids would collide with the existing range")
+    if from_html:
+        from gensim_spark.functions.textprep import (
+            extract_html_text_udf, tokenize_pages)
+
+        extracted = pages.withColumn(
+            "text", extract_html_text_udf(F.col("html")))
+        docs_tok = tokenize_pages(extracted).select("doc_id", "tokens")
+    else:
+        from gensim_spark.plans import pipeline as P
+
+        docs_tok = P.tokenize(pages.select("doc_id", "text"))
+    docs_tok = docs_tok.persist()
+    vocab = spark.read.parquet(f"{index_dir}/vocab")
+    append_postings_bucketed(
+        positional_postings(docs_tok, vocab), f"{index_dir}/positional",
+        n_buckets=meta.get("positional_n_buckets") or 64)
+    # doclen parity with the one-shot build: dl = FULL token count (incl.
+    # out-of-vocab tokens), one row per doc with >= 1 token
+    doclen_new = (docs_tok.filter(F.size("tokens") > 0)
+                  .select("doc_id",
+                          F.size("tokens").cast("long").alias("dl")))
+    doclen_new.write.mode("append").parquet(f"{index_dir}/doclen")
+    n_new = docs_tok.count()
+    docs_tok.unpersist()
+    rec = {"input": input_path, "docs": int(n_new),
+           "wall_sec": round(time.perf_counter() - t0, 2)}
+    meta.setdefault("appends", []).append(rec)
+    meta["num_docs_total"] = meta.get(
+        "num_docs_total", meta["num_docs"]) + int(n_new)
+    with open(f"{index_dir}/build_metrics.json", "w") as f:
+        json.dump(meta, f, indent=1)
+    return rec
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="pages parquet dir")
@@ -134,17 +215,25 @@ def main() -> None:
                     help="also write the positional bucketed store + "
                          "doclen (enables query_index --phrase/--near)")
     ap.add_argument("--positional-n-buckets", type=int, default=64)
+    ap.add_argument("--append", action="store_true",
+                    help="grow an existing --positional index with the "
+                         "input pages (frozen vocab/stats; doc_id column "
+                         "required, ids above the index's current max)")
     args = ap.parse_args()
 
     from gensim_spark.session import get_spark
 
     spark = get_spark("gensim_spark_build")
-    metrics = run(spark, args.input, args.output, variant=args.variant,
-                  docs_per_shard=args.docs_per_shard,
-                  num_groups=args.num_groups, from_html=args.from_html,
-                  resume=not args.no_resume, iceberg=args.iceberg,
-                  positional=args.positional,
-                  positional_n_buckets=args.positional_n_buckets)
+    if args.append:
+        metrics = add_documents(spark, args.input, args.output,
+                                from_html=args.from_html)
+    else:
+        metrics = run(spark, args.input, args.output, variant=args.variant,
+                      docs_per_shard=args.docs_per_shard,
+                      num_groups=args.num_groups, from_html=args.from_html,
+                      resume=not args.no_resume, iceberg=args.iceberg,
+                      positional=args.positional,
+                      positional_n_buckets=args.positional_n_buckets)
     print(json.dumps(metrics))
     spark.stop()
 

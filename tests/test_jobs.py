@@ -610,6 +610,92 @@ def test_build_index_from_html_positional(spark, tmp_path):
             _json.dump(meta, f)
 
 
+def test_add_documents_positional_append(spark, tmp_path):
+    """build_index.add_documents grows a --positional index in place
+    (VERDICT r4 #3): appended docs answer phrase/NEAR/SpanNear queries
+    with occurrences identical to a one-shot build over the full corpus,
+    existing docs keep bit-identical scores (frozen vocab/stats - the
+    reference's add_documents contract), the served path sees the grown
+    store with no extra work, and the boundary guard refuses interleaved
+    ids."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gensim_spark.jobs import build_index, query_index
+
+    base = _pages_df(spark).withColumn(
+        "doc_id", F.regexp_extract("url", r"p(\d+)$", 1).cast("long"))
+    p_all = str(tmp_path / "pages_all")
+    p_old = str(tmp_path / "pages_old")
+    p_new = str(tmp_path / "pages_new")
+    base.write.parquet(p_all)
+    base.filter("doc_id < 28").write.parquet(p_old)
+    base.filter("doc_id >= 28").write.parquet(p_new)
+
+    full = str(tmp_path / "idx_full")
+    inc = str(tmp_path / "idx_inc")
+    build_index.run(spark, p_all, full, docs_per_shard=16, num_groups=2,
+                    positional=True, positional_n_buckets=4)
+    build_index.run(spark, p_old, inc, docs_per_shard=16, num_groups=2,
+                    positional=True, positional_n_buckets=4)
+
+    # frozen-score baseline: phrase results on the 28-doc index
+    before = {r["doc_id"]: r["score"] for r in query_index.run_phrase(
+        spark, inc, "alpha beta", k=100)["results"]}
+
+    rec = build_index.add_documents(spark, p_new, inc)
+    assert rec["docs"] == 12
+
+    for q, kw in [("alpha beta", {}), ("alpha gamma", {"slop": 1}),
+                  ("alpha gamma epsilon", {"slop": 2})]:
+        got = query_index.run_phrase(spark, inc, q, k=100, **kw)["results"]
+        want = query_index.run_phrase(spark, full, q, k=100, **kw)["results"]
+        # occurrence identity vs the one-shot build (scores use the
+        # frozen 28-doc stats, the one-shot the 40-doc stats)
+        assert {(r["doc_id"], r["tf"]) for r in got} == \
+            {(r["doc_id"], r["tf"]) for r in want}
+        assert any(r["doc_id"] >= 28 for r in got)  # appended docs hit
+        # served answers the grown store identically, scores included
+        srv = query_index.run_phrase_served(inc, q, k=100, **kw)["results"]
+        assert [(h["doc_id"], h["tf"], h["rank"]) for h in srv] == \
+            [(r["doc_id"], r["tf"], r["rank"]) for r in got]
+        for h, r in zip(srv, got):
+            assert h["score"] == _pytest.approx(r["score"], rel=1e-9)
+
+    # existing docs: scores bit-identical before/after the append
+    after = {r["doc_id"]: r["score"] for r in query_index.run_phrase(
+        spark, inc, "alpha beta", k=100)["results"] if r["doc_id"] < 28}
+    assert after == before
+
+    # doclen parity with the one-shot build (dl = full token count)
+    got_dl = sorted((r["doc_id"], r["dl"]) for r in
+                    spark.read.parquet(f"{inc}/doclen").collect())
+    want_dl = sorted((r["doc_id"], r["dl"]) for r in
+                     spark.read.parquet(f"{full}/doclen").collect())
+    assert got_dl == want_dl
+
+    # metrics: scoring N frozen, total tracked, append recorded
+    import json as _json
+
+    with open(f"{inc}/build_metrics.json") as f:
+        meta = _json.load(f)
+    assert meta["num_docs"] == 28 and meta["num_docs_total"] == 40
+    assert meta["appends"][0]["docs"] == 12
+
+    # guards: interleaved ids refuse; missing doc_id refuses;
+    # non-positional index refuses
+    with _pytest.raises(ValueError):
+        build_index.add_documents(spark, p_new, inc)  # ids <= store max
+    p_noid = str(tmp_path / "pages_noid")
+    _pages_df(spark).write.parquet(p_noid)
+    with _pytest.raises(SystemExit):
+        build_index.add_documents(spark, p_noid, inc)
+    plain = str(tmp_path / "idx_plain")
+    build_index.run(spark, p_old, plain, docs_per_shard=16, num_groups=2)
+    with _pytest.raises(SystemExit):
+        build_index.add_documents(spark, p_new, plain)
+
+
 def test_query_index_span_near_multi(spark, tmp_path):
     """3+-term sloppy phrase '"a b c"~slop' end-to-end: the distributed
     span_near_topk path via --phrase --slop, and the served greedy-chain
