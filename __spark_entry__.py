@@ -1516,6 +1516,46 @@ def _q_prefix_topk(spark, sf_dir):
                       F.round("score", 6).alias("score"), "rank")
 
 
+_BM25F_Q = ("value", "table")   # multi-field query terms
+_BM25F_TITLE_LEN = 8            # title field = first 8 tokens of the doc
+_BM25F_BOOST_TITLE = 2.0
+
+
+def _q_bm25f_topk(spark, sf_dir):
+    """Multi-field BM25F-lite scoring (operators/topk.py::bm25f_topk,
+    Lucene ``title:q^2 OR body:q``): a deterministic 'title' field (the
+    doc's first 8 tokens) and the full-text 'body' each get their OWN
+    index — field-specific vocab, df/idf, avgdl, length norm, Lucene's
+    per-field statistics — and the boosted per-field okapi scores sum
+    before one rank window. The oracle recomputes BOTH fields' complete
+    BM25 pipelines (vocab → df/cf → ε-clamped idf → weights → per-field
+    disjunctive sum) and the weighted fusion relationally."""
+    from gensim_spark.operators import topk as T
+    from gensim_spark.plans import pipeline as P
+
+    body = _index(spark, sf_dir)
+    key = (id(spark), sf_dir, "bm25f_title")
+    if key not in _INDEX_MEMO:
+        title_tok = _tokenized(spark, sf_dir).select(
+            "doc_id", F.slice("tokens", 1, _BM25F_TITLE_LEN).alias("tokens"))
+        _INDEX_MEMO[key] = P.build(title_tok, variant="okapi")
+    title = _INDEX_MEMO[key]
+
+    fw, fq = {}, {}
+    for name, idx in (("title", title), ("body", body)):
+        tid = {r["token"]: int(r["term_id"]) for r in idx.vocab.filter(
+            F.col("token").isin(list(_BM25F_Q))).collect()}
+        ids = sorted({tid[t] for t in _BM25F_Q if t in tid})
+        if not ids:
+            continue
+        fw[name] = idx.weighted
+        fq[name] = T.query_terms_df(spark, {0: ids})
+    out = T.bm25f_topk(fw, fq, {"title": _BM25F_BOOST_TITLE, "body": 1.0},
+                       k=TOPK_K)
+    return out.select("query_id", "doc_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 _BOOL = {"must": ("value",), "should": ("table", "key"),
          "must_not": ("slow",)}
 
@@ -1959,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": _q_phrase_topk,
         "near_topk": _q_near_topk,
         "near_multi_topk": _q_near_multi_topk,
+        "bm25f_topk": _q_bm25f_topk,
         "prefix_topk": _q_prefix_topk,
         "bool_topk": _q_bool_topk,
         "wildcard_topk": _q_wildcard_topk,
@@ -3613,6 +3654,70 @@ SELECT doc_id, CAST(ntf AS INT) AS near_tf, ROUND(score, 6) AS score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
          AS rank
 FROM scored
+QUALIFY rank <= {TOPK_K}
+ORDER BY rank""",
+        # multi-field BM25F-lite: the oracle rebuilds BOTH field indexes
+        # (body = the prelude's; title = first-8-tokens with its own
+        # vocab/df/idf/avgdl/doclen), scores each field's okapi
+        # disjunction separately, and fuses 2·title + body before the
+        # rank window — any drift in either field's statistics or the
+        # boost composition breaks the hash
+        "bm25f_topk": f"""{_PRELUDE},
+b_idf_raw AS (SELECT term_id,
+              ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+              FROM vocab_ids),
+b_idf AS (SELECT term_id,
+          CASE WHEN ridf < 0
+               THEN 0.25 * (SELECT avg(ridf) FROM b_idf_raw) ELSE ridf
+          END AS idf FROM b_idf_raw),
+b_avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+b_q AS (SELECT term_id FROM vocab_ids
+        WHERE token IN ('{_BM25F_Q[0]}', '{_BM25F_Q[1]}')),
+b_scores AS (
+  SELECT p.doc_id,
+         sum(i.idf * (p.tf * 2.5
+             / (p.tf + 1.5 * (0.25 + 0.75 * d.dl
+                              / (SELECT a FROM b_avgdl))))) AS score
+  FROM postings p
+  JOIN doclen d USING (doc_id)
+  JOIN b_idf i USING (term_id)
+  JOIN b_q USING (term_id)
+  GROUP BY p.doc_id),
+t_tlong AS (SELECT doc_id, unnest(tokens[1:{_BM25F_TITLE_LEN}]) AS token
+            FROM tok),
+t_vocab AS (SELECT token, count(*) AS cf, count(DISTINCT doc_id) AS df
+            FROM t_tlong GROUP BY token),
+t_postings AS (SELECT doc_id, token, count(*) AS tf
+               FROM t_tlong GROUP BY doc_id, token),
+t_doclen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             FROM t_tlong GROUP BY doc_id),
+t_idf_raw AS (SELECT token,
+              ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+              FROM t_vocab),
+t_idf AS (SELECT token,
+          CASE WHEN ridf < 0
+               THEN 0.25 * (SELECT avg(ridf) FROM t_idf_raw) ELSE ridf
+          END AS idf FROM t_idf_raw),
+t_avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM t_vocab),
+t_scores AS (
+  SELECT p.doc_id,
+         sum(i.idf * (p.tf * 2.5
+             / (p.tf + 1.5 * (0.25 + 0.75 * d.dl
+                              / (SELECT a FROM t_avgdl))))) AS score
+  FROM t_postings p
+  JOIN t_doclen d USING (doc_id)
+  JOIN t_idf i USING (token)
+  WHERE p.token IN ('{_BM25F_Q[0]}', '{_BM25F_Q[1]}')
+  GROUP BY p.doc_id),
+fused AS (
+  SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id,
+         COALESCE(b.score, 0) + {_BM25F_BOOST_TITLE} * COALESCE(t.score, 0)
+           AS score
+  FROM b_scores b FULL JOIN t_scores t ON b.doc_id = t.doc_id)
+SELECT CAST(0 AS INT) AS query_id, doc_id, ROUND(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY abs(score) DESC, doc_id ASC) AS INT)
+         AS rank
+FROM fused WHERE score <> 0
 QUALIFY rank <= {TOPK_K}
 ORDER BY rank""",
         # prefix query: LIKE-expansion over the vocab, disjunctive okapi

@@ -1417,6 +1417,9 @@ class SearchEngine:
                               epsilon=epsilon)
         self._spark = docs.sparkSession
         self._positional = None
+        self._fit = {"variant": variant, "k1": k1, "b": b,
+                     "epsilon": epsilon}
+        self._field_idx: dict = {}
 
     # -- internals --------------------------------------------------------
     def _tokenize(self, text: str) -> list[str]:
@@ -1441,11 +1444,49 @@ class SearchEngine:
         return self._spark.createDataFrame(
             [], "query_id int, doc_id long, score double, rank int")
 
+    def _field_index(self, col: str):
+        """Lazy per-field sub-index (field-specific vocab, df/idf, length
+        norm — Lucene's per-field statistics) over a text column of the
+        source frame, fitted with the engine's variant/k1/b/epsilon."""
+        if col not in self._field_idx:
+            from gensim_spark.plans import pipeline as _P
+
+            if col not in self._meta.columns:
+                raise ValueError(f"no field {col!r} in the source frame")
+            tok = _P.tokenize(self._meta.select("doc_id", col),
+                              text_col=col)
+            self._field_idx[col] = _P.build(tok, **self._fit)
+        return self._field_idx[col]
+
     # -- queries ----------------------------------------------------------
     def search(self, text: str, k: int | None = 10,
                collapse: str | None = None,
-               highlight: int | None = None) -> DataFrame:
+               highlight: int | None = None,
+               fields: dict | None = None) -> DataFrame:
+        """Free-text BM25 top-k. ``fields={"title": 2.0, "body": 1.0}``
+        switches to multi-field scoring (topk.bm25f_scores — BM25F-lite,
+        Lucene ``title:q^2 OR body:q``): each named text column gets its
+        own lazily-built sub-index and the boosted per-field scores sum
+        before the one rank window; collapse composes on the fused
+        scores, highlight marks passages in the engine's main text
+        column."""
         toks = self._tokenize(text)
+        if fields is not None:
+            scores = self._bm25f(toks, fields)
+            if scores is None:
+                return self._empty_topk()
+            tid = self._tids(toks)
+            if collapse is not None:
+                out = _topk.collapse_topk(scores, self._meta, collapse, k)
+            else:
+                out = _topk.topk(scores, k)
+            if highlight is not None:
+                from gensim_spark.operators import highlight as _hl
+
+                out = _hl.highlight_topk(self.index.docs, out,
+                                         [t for t in toks if t in tid],
+                                         width=highlight)
+            return out
         tid = self._tids(toks)
         ids = sorted({tid[t] for t in toks if t in tid})
         if not ids:
@@ -1463,6 +1504,27 @@ class SearchEngine:
                                      [t for t in toks if t in tid],
                                      width=highlight)
         return out
+
+    def _bm25f(self, toks: list, fields: dict):
+        """Resolve the query against each field's own vocab and fuse
+        boosted per-field scores (topk.bm25f_scores). None if the query
+        is OOV in every requested field."""
+        field_weighted, field_queries = {}, {}
+        for col in fields:
+            fidx = self._field_index(col)
+            rows = fidx.vocab.filter(
+                F.col("token").isin(sorted(set(toks)))).collect()
+            tid = {r["token"]: int(r["term_id"]) for r in rows}
+            ids = sorted({tid[t] for t in toks if t in tid})
+            if not ids:
+                continue
+            field_weighted[col] = fidx.weighted
+            field_queries[col] = _topk.query_terms_df(self._spark,
+                                                      {0: ids})
+        if not field_weighted:
+            return None
+        return _topk.bm25f_scores(field_weighted, field_queries,
+                                  {c: fields[c] for c in field_weighted})
 
     def boolean(self, must=(), should=(), must_not=(),
                 min_should_match: int = 0, boosts: dict | None = None,

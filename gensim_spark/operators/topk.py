@@ -78,6 +78,50 @@ def search(weighted_postings: DataFrame, query_terms: DataFrame,
     return topk(score(weighted_postings, query_terms), k)
 
 
+def bm25f_scores(field_weighted: dict, field_queries: dict,
+                 boosts: dict) -> DataFrame:
+    """Multi-field scoring, BM25F-lite (Lucene's per-field BooleanQuery
+    composition — ``title:q^2 OR body:q`` — NOT canonical BM25F):
+    score(q, d) = Σ_field boost_f · BM25_f(q, d), each field scored
+    against its OWN index (field-specific vocabulary, df/idf, and length
+    normalization — exactly Lucene's per-field statistics). Canonical
+    BM25F folds per-field tf into one saturation; this composition
+    saturates per field first, the standard practical variant when fields
+    are separate indexes. Plan: one :func:`score` leg per field (broadcast
+    query join + partial-agg sum), boost applied as a projection, legs
+    unioned and fused by one (query, doc)-keyed hash agg — no extra
+    shuffle beyond the per-field aggs, and the union is
+    intersection-sized (docs matching ≥ 1 query term in that field).
+
+    ``field_weighted``: {field: weighted postings}; ``field_queries``:
+    {field: (query_id, term_id, q_weight) frame resolved against THAT
+    field's vocab}; ``boosts``: {field: multiplier} (missing → 1.0).
+    Returns (query_id, doc_id, score) — feed :func:`topk` to rank."""
+    parts = []
+    for name, weighted in field_weighted.items():
+        q = field_queries.get(name)
+        if q is None:
+            continue
+        boost = float(boosts.get(name, 1.0))
+        parts.append(score(weighted, q).select(
+            "query_id", "doc_id",
+            (F.col("score") * F.lit(boost)).alias("score")))
+    if not parts:
+        raise ValueError("bm25f needs at least one field with query terms")
+    fused = parts[0]
+    for p in parts[1:]:
+        fused = fused.unionByName(p)
+    return (fused.groupBy("query_id", "doc_id")
+            .agg(F.sum("score").alias("score")))
+
+
+def bm25f_topk(field_weighted: dict, field_queries: dict, boosts: dict,
+               k: int | None = 10) -> DataFrame:
+    """Top-k over :func:`bm25f_scores` with the standard tie/zero
+    semantics (|score| rank, zero drop, doc_id-asc ties)."""
+    return topk(bm25f_scores(field_weighted, field_queries, boosts), k)
+
+
 def prefix_topk(weighted_postings: DataFrame, vocab: DataFrame,
                 prefix: str, k: int | None = 10,
                 query_id: int = 0) -> DataFrame:

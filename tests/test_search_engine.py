@@ -82,6 +82,64 @@ def test_rewrites_and_phrase(engine):
     assert se.phrase("alpha nosuch", k=5).count() == 0
 
 
+def test_bm25f_multi_field(spark):
+    """search(fields=) — BM25F-lite: each field scored against its own
+    sub-index (field-specific df/avgdl), boosted scores sum before the
+    rank window; recomposed per-field scores pin the fusion exactly."""
+    from gensim_spark.operators import topk as T
+
+    rows = [
+        (0, "spark engine", "spark runs fast on big clusters"),
+        (1, "cluster guide", "the spark engine shuffles wide data"),
+        (2, "cooking book", "engine oil is not food at all"),
+        (3, "misc notes", "nothing relevant in here today"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, title string, body string")
+    se = SearchEngine(docs, text_col="body", variant="lucene")
+    out = se.search("spark engine", k=10,
+                    fields={"title": 2.0, "body": 1.0})
+    got = {r["doc_id"]: (r["score"], r["rank"]) for r in out.collect()}
+    assert set(got) == {0, 1, 2}  # doc 3 matches neither field
+
+    # recompose: fused == 2·title_score + body_score, per-field indexes
+    def field_scores(col):
+        idx = se._field_index(col)
+        tid = {r["token"]: r["term_id"] for r in idx.vocab.filter(
+            F.col("token").isin(["spark", "engine"])).collect()}
+        q = T.query_terms_df(spark, {0: sorted(tid.values())})
+        return {r["doc_id"]: r["score"]
+                for r in T.score(idx.weighted, q).collect()}
+
+    ts, bs = field_scores("title"), field_scores("body")
+    for d, (s, _) in got.items():
+        assert s == pytest.approx(2.0 * ts.get(d, 0.0) + bs.get(d, 0.0),
+                                  rel=1e-12)
+    # title boost dominates: doc 0 ("spark engine" title) outranks doc 1
+    assert got[0][1] < got[1][1]
+    # per-field statistics really differ from the main index (df over
+    # titles, not bodies)
+    tdf = {r["token"]: r["df"] for r in
+           se._field_index("title").vocab.collect()}
+    bdf = {r["token"]: r["df"] for r in se.index.vocab.collect()}
+    assert tdf["spark"] == 1 and bdf["spark"] == 2
+    # OOV-in-one-field: query matching only bodies still answers
+    only_body = se.search("shuffles", k=10,
+                          fields={"title": 2.0, "body": 1.0})
+    assert [r["doc_id"] for r in only_body.collect()] == [1]
+    # all-OOV answers the empty frame; unknown field raises
+    assert se.search("nosuch", k=5,
+                     fields={"title": 2.0, "body": 1.0}).count() == 0
+    with pytest.raises(ValueError):
+        se.search("spark", fields={"headline": 1.0})
+    # collapse composes on the fused scores
+    docs2 = docs.withColumn("site", (F.col("doc_id") % 2).cast("string"))
+    se2 = SearchEngine(docs2, text_col="body", variant="lucene")
+    col = se2.search("spark engine", k=10, collapse="site",
+                     fields={"title": 2.0, "body": 1.0})
+    assert col.count() == 2  # one winner per site among matches
+
+
 def test_mlt_feedback_facets(engine):
     se, _ = engine
     mlt = {r["doc_id"] for r in se.more_like_this(0, k=10).collect()}
