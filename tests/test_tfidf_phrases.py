@@ -414,6 +414,76 @@ def test_live_reference_tfidf_parity(spark, common_texts, smartirs, pivot):
         assert got[key] == pytest.approx(want[key], abs=1e-12), key
 
 
+def test_live_reference_smartirs_full_grid(spark, common_texts):
+    """LIVE-reference parity over the ENTIRE SMART-IRS grid — all 96
+    b/n/a/l/d/L × n/f/t/p × n/c/u/b combinations against the reference's
+    own tfidfmodel.py on the same bows (VERDICT r4 #7: the dispatch
+    covered the grid but only 7 combos were formula-tested). One corpus,
+    one postings frame, 96 fitted models: every surviving (doc, term)
+    weight equal to 1e-12 and the same eps-dropped positions.
+
+    Pivot handling mirrors the reference's constructor resolution
+    (tfidfmodel.py:391-406): 'n'/'c' stay unpivoted; 'u' auto-derives
+    pivot = num_nnz/num_docs from the corpus (we read the resolved
+    ``model.pivot`` back); 'b' needs the dictionary's term char lengths —
+    the reference crashes on corpus-only init there, so both sides get
+    the dictionary-derived char pivot Σ cf·(len+1)/num_docs explicitly
+    plus the term_lens map (apply-time old_norm, tfidfmodel.py:523)."""
+    from gensim_spark.operators import bow as B
+    from gensim_spark.operators import tfidf as TF
+    from gensim_spark.operators import vocab as V
+
+    ref = _load_reference_tfidf()
+    docs = docs_df(spark, common_texts)
+    vocab = V.build_vocab(docs).cache()
+    postings = B.doc2bow_postings(docs, vocab).cache()
+    bows = {}
+    for r in postings.collect():
+        bows.setdefault(r["doc_id"], []).append(
+            (int(r["term_id"]), int(r["tf"])))
+    corpus = [sorted(bows[d]) for d in sorted(bows)]
+    num_docs = len(corpus)
+
+    dfs = vocab.select("term_id", "df")
+    lens_rows = [(int(r["term_id"]), len(r["token"]))
+                 for r in vocab.collect()]
+    term_lens = spark.createDataFrame(lens_rows,
+                                      "term_id long, term_len int")
+    lens_map = dict(lens_rows)
+    cfs = {}
+    for bow in corpus:
+        for t, f in bow:
+            cfs[t] = cfs.get(t, 0) + f
+    char_pivot = sum(cfs[t] * (lens_map[t] + 1.0) for t in cfs) / num_docs
+
+    checked = 0
+    for w_tf in "bnaldL":
+        for w_df in "nftp":
+            for w_n in "ncub":
+                s = w_tf + w_df + w_n
+                if w_n == "b":
+                    model = ref.TfidfModel(corpus=corpus, smartirs=s,
+                                           pivot=char_pivot)
+                    model.term_lens = lens_map
+                    pivot, lens_arg = char_pivot, term_lens
+                else:
+                    model = ref.TfidfModel(corpus=corpus, smartirs=s)
+                    pivot, lens_arg = model.pivot, None
+                want = {(d, t): w
+                        for d, bow_d in zip(sorted(bows), corpus)
+                        for t, w in model[bow_d]}
+                got = {(r["doc_id"], r["term_id"]): r["weight"]
+                       for r in TF.tfidf_postings(
+                           postings, dfs, num_docs, smartirs=s,
+                           pivot=pivot, term_lens=lens_arg).collect()}
+                assert set(got) == set(want), s
+                for key in want:
+                    assert got[key] == pytest.approx(want[key],
+                                                     abs=1e-12), (s, key)
+                checked += 1
+    assert checked == 96
+
+
 @pytest.mark.parametrize("normalize", [True, False])
 def test_live_reference_logentropy_parity(spark, common_texts, normalize):
     """LIVE LogEntropyModel parity (logentropy_model.py run standalone)."""
