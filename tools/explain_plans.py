@@ -256,6 +256,33 @@ def main() -> None:
         "array_intersect fold (no Python UDF)",
         summarize(p), interesting(p)))
 
+    head3 = [r["term_id"] for r in idx.vocab.orderBy(
+        idx.vocab.df.desc()).limit(3).collect()]
+    p = (PX.span_near_occurrences(pos, head3, slop=2, ordered=True)
+         ._jdf.queryExecution().executedPlan().toString())
+    sections.append((
+        "N-clause SpanNear (sloppy phrase \"a b c\"~2) — one term-pruned "
+        "leg per clause joined on doc_id, the greedy strictly-increasing "
+        "chain as nested JVM filter/array_min folds per anchor (no Python "
+        "UDF, no shuffle beyond the intersection-sized joins)",
+        summarize(p), interesting(p)))
+
+    from gensim_spark.plans import pipeline as PL
+
+    title_idx = PL.build(tok.select(
+        "doc_id", F.slice("tokens", 1, 8).alias("tokens")))
+    fq = {n: T.query_terms_df(spark, {0: head2})
+          for n in ("title", "body")}
+    p = (T.bm25f_topk({"title": title_idx.weighted, "body": idx.weighted},
+                      fq, {"title": 2.0, "body": 1.0}, k=10)
+         ._jdf.queryExecution().executedPlan().toString())
+    sections.append((
+        "BM25F multi-field top-k — one broadcast-query score leg per "
+        "field (map-side partial agg), boost as a projection, union + ONE "
+        "(query,doc) hash agg before the rank window (the union is "
+        "intersection-sized, never corpus-sized)",
+        summarize(p), interesting(p)))
+
     from gensim_spark.operators import audiovideo as AV
 
     media = AV.make_mixed_media(spark, n_images=8, n_audio=8, n_video=4)
