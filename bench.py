@@ -210,6 +210,15 @@ def run_suite():
         pos, idx.stats, phrase_ids, idx.doclen, k=10).collect())
     results["phrase_query"] = round(t, 3)
 
+    # 5f'. N-clause SpanNear (sloppy phrase "value table key"~4): ordered
+    # greedy-chain fold, one term-pruned leg per clause
+    sids = {r["token"]: r["term_id"] for r in idx.vocab.filter(
+        F.col("token").isin(["value", "table", "key"])).collect()}
+    span_ids = [sids["value"], sids["table"], sids["key"]]
+    t, _ = timed_min(lambda: PX.span_near_topk(
+        pos, idx.stats, span_ids, idx.doclen, slop=4, k=10).collect())
+    results["span_query"] = round(t, 3)
+
     # 5b'. served phrase: the same positional store answered in-process
     # (serving.phrase_topk_served — store writes untimed, identity to the
     # distributed plan pinned in tests)
@@ -229,6 +238,9 @@ def run_suite():
     t, _ = timed_min(lambda: QI.run_phrase_served(
         pidx_dir, "value table", k=10))
     results["phrase_query_served"] = round(t, 4)
+    t, _ = timed_min(lambda: QI.run_phrase_served(
+        pidx_dir, "value table key", k=10, slop=4))
+    results["span_query_served"] = round(t, 4)
     shutil.rmtree(pidx_dir, ignore_errors=True)
     pos.unpersist()
 
@@ -245,6 +257,23 @@ def run_suite():
 
     t, _ = timed_min(rewrites)
     results["rewrite_query"] = round(t, 3)
+
+    # 5c'. BM25F multi-field: title = first 8 tokens as its own sub-index
+    # (built untimed once — index build cost is the index_build row), the
+    # timed part is the fused two-field query
+    title_idx = P.build(idx.docs.select(
+        "doc_id", F.slice("tokens", 1, 8).alias("tokens")), cache=True)
+    title_idx.weighted.cache().count()
+    f_q = {}
+    for nm, ix in (("title", title_idx), ("body", idx)):
+        tq = {r["token"]: r["term_id"] for r in ix.vocab.filter(
+            F.col("token").isin(["value", "table"])).collect()}
+        f_q[nm] = T.query_terms_df(spark, {0: sorted(tq.values())})
+    t, _ = timed_min(lambda: T.bm25f_topk(
+        {"title": title_idx.weighted, "body": idx.weighted}, f_q,
+        {"title": 2.0, "body": 1.0}, k=10).collect())
+    results["bm25f_query"] = round(t, 3)
+    title_idx.weighted.unpersist()
 
     snip_q = ["value", "table", "key"]
     sq = {r["token"]: r["term_id"] for r in idx.vocab.filter(
