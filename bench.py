@@ -582,24 +582,24 @@ def run_suite():
         # reps, min-of, fresh subprocess per run); see BASELINE.md §Measured
         "scaling_reference": {
             "docs": 400000, "cores_n": 2, "cores_4n": 8,
-            "t_n_sec": 150.38, "t_4n_sec": 45.67,
-            "docs_per_sec_n": 2659.9, "docs_per_sec_4n": 8758.5,
-            "efficiency": 0.823,
+            "t_n_sec": 173.01, "t_4n_sec": 50.50,
+            "docs_per_sec_n": 2312.0, "docs_per_sec_4n": 7920.8,
+            "efficiency": 0.856,
             "efficiency_by_window": [0.800, 0.872, 0.833, 0.806, 0.800,
-                                     0.888, 0.821, 0.844],
-            "measured": "round 4, BASELINE.md: eight gate-passing "
-                        "interleaved min-of-6 windows (within-window eff "
-                        "0.800, 0.872, 0.833, 0.806, 0.800, 0.888, 0.821, "
-                        "0.844 - the eleventh/final window 165.90/49.13 s "
-                        "on the post-query-surface tree; "
-                        "min over "
-                        "all reps of the windows = 0.823 with the table's "
-                        "legs); round "
-                        "3 measured 0.851 at 179.2/52.6; raw-CPU 2-to-8 "
-                        "ceiling 0.88-0.93; a 45-min storm window pinned "
-                        "the 8-core leg at ~124 s across 6 straight reps "
-                        "- min-of-reps inside one bad window cannot "
-                        "rescue that, re-run windows can)",
+                                     0.888, 0.821, 0.844, 0.797, 0.856],
+            "measured": "round 5, BASELINE.md: ten round-4/5 interleaved "
+                        "min-of-reps windows, nine gate-passing; the "
+                        "table's legs are the round-5 close-out window "
+                        "(173.01/50.50 s min-of-4, eff 0.856) on the "
+                        "finished tree. The one sub-gate window (0.797, "
+                        "166.03/52.07 - its 2-core leg was the round's "
+                        "FASTEST while its 8-core legs ran 52-57 s vs "
+                        "45.7-50.5 elsewhere, i.e. steal on the 8-core "
+                        "side) re-ran clean per the noise protocol: "
+                        "min-of-reps inside one bad window cannot rescue "
+                        "it, re-run windows can. Round-4 best window "
+                        "150.38/45.67 (0.823 conservative cross-rep); "
+                        "raw-CPU 2-to-8 ceiling 0.88-0.93",
         },
     }
     return out
