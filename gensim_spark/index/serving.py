@@ -248,10 +248,11 @@ def np_idf(dfs: np.ndarray, num_docs: int, variant: str = "okapi",
 def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
                        slop: int | None = None,
                        ordered: bool = True) -> list[tuple[int, int, float, int]]:
-    """Exact-phrase / NEAR top-k with NO Spark session, over the positional
-    bucketed store written by ``build_index --positional``. Same answers as
-    the distributed ``positional.phrase_topk`` / ``near_topk`` plans
-    (identity pinned in tests/test_serving.py): pyarrow reads ONLY the
+    """Exact-phrase / NEAR / N-clause SpanNear top-k with NO Spark session,
+    over the positional bucketed store written by ``build_index
+    --positional``. Same answers as the distributed
+    ``positional.phrase_topk`` / ``near_topk`` / ``span_near_topk`` plans
+    (identity pinned in tests): pyarrow reads ONLY the
     phrase terms' buckets (hive partition pruning) with a term_id filter
     (row-group stats), adjacency is the same shifted-intersection /
     windowed-anchor fold in numpy, scoring the same pseudo-term model fit
@@ -325,7 +326,12 @@ def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
     # [0, L) — set intersections then run over ALL docs at once instead
     # of a per-candidate-doc python loop (the difference between 3 s and
     # 60 ms on a 1M-doc head-term phrase)
-    span = (len(ids) if slop is None else slop + 1) + 2
+    # margin covers every shift/window the match modes use: exact phrase
+    # shifts by up to len(ids); slop modes window up to slop + n wide
+    # (the unordered n-clause cover) — 2·span ≥ win + 1 keeps a window
+    # anchored at any in-doc position from leaking into the next doc's
+    # key range
+    span = (len(ids) if slop is None else slop + len(ids)) + 2
     max_pos = max(int(p.max()) for _, p in term_pairs.values())
     off = span
     L = max_pos + 2 * span
@@ -374,11 +380,7 @@ def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
         uniq, cnt = np.unique(d0[match], return_counts=True)
         hits = dict(zip(uniq.tolist(), cnt.tolist()))
         idf_sum = float(sum(idf_by_term.get(t, 0.0) for t in ids))
-    else:
-        if len(ids) != 2:
-            raise ValueError(
-                "unordered NEAR is two-term in the served path; use the "
-                "distributed span_near_occurrences plan for n >= 3")
+    elif len(ids) == 2:
         w = slop + 1
         offs = [o for o in range(-w, w + 1) if o != 0]
         ka = np.sort(keys(ids[0], 0))
@@ -392,6 +394,35 @@ def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
         hits = dict(zip(uniq.tolist(), cnt.tolist()))
         idf_sum = float(idf_by_term.get(ids[0], 0.0)
                         + idf_by_term.get(ids[1], 0.0))
+    else:
+        # unordered n-clause window cover (span_near_occurrences
+        # inOrder=false semantics): an anchor is a position s over the
+        # union of clause positions whose window [s, s + slop + n)
+        # contains every clause — duplicate clauses need that many
+        # DISTINCT positions of their term in the window. Per-clause
+        # counts are two searchsorted sweeps over the clause's sorted
+        # doc·L+pos keys; the L margin guarantees a window never reads
+        # into the next doc's key range.
+        from collections import Counter
+
+        mult = Counter(ids)
+        terms = sorted(mult)
+        win = slop + len(ids)
+        ksort = {t: np.sort(term_pairs[t][0] * L + term_pairs[t][1])
+                 for t in terms}
+        union = np.unique(np.concatenate([ksort[t] for t in terms]))
+        ok = np.ones(union.shape, dtype=bool)
+        for t in terms:
+            kt = ksort[t]
+            lo = np.searchsorted(kt, union, side="left")
+            hi = np.searchsorted(kt, union + win, side="left")
+            ok &= (hi - lo) >= mult[t]
+        anchors = union[ok]
+        if anchors.size == 0:
+            return []
+        uniq, cnt = np.unique(anchors // L, return_counts=True)
+        hits = dict(zip(uniq.tolist(), cnt.tolist()))
+        idf_sum = float(sum(idf_by_term.get(t, 0.0) for t in ids))
     if not hits:
         return []
 

@@ -743,12 +743,15 @@ def test_query_index_span_near_multi(spark, tmp_path):
     assert [(h["doc_id"], h["rank"]) for h in srv4["results"]] == \
         [(r["doc_id"], r["rank"]) for r in res4["results"]]
 
-    # unordered n>=3 runs distributed (window cover); the served path
-    # declines explicitly rather than answering wrong
+    # unordered n>=3 (window cover): distributed and served answer
+    # identically, clause order irrelevant
     resu = query_index.run_phrase(spark, out, "gamma alpha epsilon", k=40,
                                   slop=2, ordered=False)
     assert {r["doc_id"] for r in resu["results"]} == \
         {r["doc_id"] for r in res["results"]}
-    with _pytest.raises(ValueError):
-        query_index.run_phrase_served(out, "gamma alpha epsilon", k=5,
-                                      slop=2, ordered=False)
+    srvu = query_index.run_phrase_served(out, "gamma alpha epsilon", k=40,
+                                         slop=2, ordered=False)
+    assert [(h["doc_id"], h["tf"], h["rank"]) for h in srvu["results"]] == \
+        [(r["doc_id"], r["tf"], r["rank"]) for r in resu["results"]]
+    for h, r in zip(srvu["results"], resu["results"]):
+        assert h["score"] == _pytest.approx(r["score"], rel=1e-9)

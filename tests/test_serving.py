@@ -270,3 +270,46 @@ def test_phrase_served_matches_spark_path(spark, tmp_path):
             assert g["score"] == pytest.approx(w["score"], rel=1e-9)
 
     assert query_index.run_phrase_served(out, "alpha nosuch")["results"] == []
+
+
+def test_span_served_fuzz_vs_distributed(spark, tmp_path):
+    """N-clause SpanNear served == distributed on a random corpus: ordered
+    greedy chain (incl. duplicate clauses) and the unordered window cover
+    for n >= 3 — full (doc, tf, rank, score) identity per case."""
+    import datetime
+    import random
+
+    from gensim_spark.jobs import build_index, query_index
+
+    rng = random.Random(777)
+    alphabet = ["aa", "bb", "cc", "dd", "ee"]
+    rows = []
+    for i in range(60):
+        toks = [rng.choice(alphabet) for _ in range(rng.randint(3, 25))]
+        rows.append((f"u{i}", datetime.datetime(2024, 1, 1), b"",
+                     " ".join(toks), "en"))
+    pages = str(tmp_path / "pages_sf")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string").write.parquet(pages)
+    out = str(tmp_path / "idx_sf")
+    build_index.run(spark, pages, out, docs_per_shard=16, num_groups=2,
+                    positional=True, positional_n_buckets=8)
+
+    cases = [("aa bb cc", 0, True), ("aa bb cc", 2, True),
+             ("aa bb cc dd", 3, True), ("aa aa bb", 1, True),
+             ("aa bb cc", 2, False), ("aa bb cc dd", 4, False),
+             ("aa aa cc", 2, False), ("ee dd cc bb aa", 6, False)]
+    nonempty = 0
+    for q, slop, ordered in cases:
+        want = query_index.run_phrase(spark, out, q, k=60, slop=slop,
+                                      ordered=ordered)["results"]
+        got = query_index.run_phrase_served(out, q, k=60, slop=slop,
+                                            ordered=ordered)["results"]
+        assert [(g["doc_id"], g["tf"], g["rank"]) for g in got] == \
+            [(w["doc_id"], w["tf"], w["rank"]) for w in want], (q, slop,
+                                                                ordered)
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+        nonempty += bool(want)
+    assert nonempty >= 6  # the sweep actually exercised matches
