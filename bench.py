@@ -571,12 +571,22 @@ def run_suite():
             "phrase_query_served_sec": 0.1043,
             "near_query_distributed_sec": 1.723,
             "near_query_served_sec": 0.1298,
+            "span_query_distributed_sec": 2.192,
+            "span_query_served_sec": 0.3107,
+            "span_unordered_served_sec": 0.5056,
             "results_identical": True,
             "measured": "round 4: head-term phrase ('small scan') over the "
                         "1M-doc positional store; served path vectorized "
                         "(int64 position-key set intersections across ALL "
                         "docs - the per-candidate-doc python loop cost "
-                        "3.13 s, the vectorized fold 0.104 s, 30x)",
+                        "3.13 s, the vectorized fold 0.104 s, 30x). "
+                        "Round 5 added the 3-clause SpanNear ('small scan "
+                        "salt'~2) over the same store: served greedy chain "
+                        "0.311 s ordered / 0.506 s unordered window cover, "
+                        "distributed 2.19 s, top-10 identity asserted "
+                        "in-run (that rerun's BUILD walls ran under "
+                        "visible steal - the build numbers above remain "
+                        "the clean-window reference)",
         },
         # measured once per round with SPARK_GRAFT_SCALING=1 (interleaved
         # reps, min-of, fresh subprocess per run); see BASELINE.md §Measured
@@ -832,11 +842,14 @@ def _positional_evidence(n_docs: int = 1_000_000, cores: int = 0) -> dict:
                     "positional": True, "positional_n_buckets": 64}, f)
     t_store = time.perf_counter() - t0
 
-    # deterministic queries: a mid-frequency adjacent pair from doc 12345
+    # deterministic queries: a mid-frequency adjacent pair (and triple,
+    # for the N-clause span path) from doc 12345
     probe = docs_tok.filter(
         F.col("doc_id") == 12345).collect()[0]["tokens"]
     phrase = list(probe[7:9])
     phrase_txt = " ".join(phrase)
+    span3 = list(probe[7:10])
+    span3_txt = " ".join(span3)
 
     ids = [r["term_id"] for r in idx.vocab.filter(
         F.col("token").isin(phrase)).orderBy("term_id").collect()]
@@ -856,15 +869,30 @@ def _positional_evidence(n_docs: int = 1_000_000, cores: int = 0) -> dict:
         return PX.near_topk(pruned, idx.stats, ids[0], ids[1], idx.doclen,
                             slop=2, ordered=True, k=10).collect()
 
+    sp_map = {r["token"]: r["term_id"] for r in idx.vocab.filter(
+        F.col("token").isin(span3)).collect()}
+    span_ids = [sp_map[t] for t in span3]
+
+    def dist_span():
+        pruned = layout.read_postings_bucketed(
+            spark, f"{store}/positional", term_ids=span_ids, n_buckets=64)
+        return PX.span_near_topk(pruned, idx.stats, span_ids, idx.doclen,
+                                 slop=2, ordered=True, k=10).collect()
+
     dist_phrase()  # warm
     t_dp, rows_dp = timed_min(dist_phrase)
     t_dn, rows_dn = timed_min(dist_near)
+    t_ds, rows_ds = timed_min(dist_span)
 
     QI.run_phrase_served(store, phrase_txt, k=10)  # warm
     t_sp, srv_p = timed_min(lambda: QI.run_phrase_served(
         store, phrase_txt, k=10))
     t_sn, srv_n = timed_min(lambda: QI.run_phrase_served(
         store, phrase_txt, k=10, slop=2))
+    t_ss, srv_s = timed_min(lambda: QI.run_phrase_served(
+        store, span3_txt, k=10, slop=2))
+    t_su, _srv_u = timed_min(lambda: QI.run_phrase_served(
+        store, span3_txt, k=10, slop=2, ordered=False))
 
     def check(dist_rows, srv, tf_col):
         want = [(r["doc_id"], r[tf_col], r["rank"], round(r["score"], 9))
@@ -876,6 +904,7 @@ def _positional_evidence(n_docs: int = 1_000_000, cores: int = 0) -> dict:
 
     n_p = check(rows_dp, srv_p, "phrase_tf")
     n_n = check(rows_dn, srv_n, "near_tf")
+    n_s = check(rows_ds, srv_s, "near_tf")
 
     pos.unpersist()
     docs_tok.unpersist()
@@ -893,7 +922,12 @@ def _positional_evidence(n_docs: int = 1_000_000, cores: int = 0) -> dict:
         "phrase_query_served_sec": round(t_sp, 4),
         "near_query_distributed_sec": round(t_dn, 3),
         "near_query_served_sec": round(t_sn, 4),
+        "span3": span3,
+        "span_query_distributed_sec": round(t_ds, 3),
+        "span_query_served_sec": round(t_ss, 4),
+        "span_unordered_served_sec": round(t_su, 4),
         "results_identical": True, "phrase_hits": n_p, "near_hits": n_n,
+        "span_hits": n_s,
     }
 
 
