@@ -1500,6 +1500,34 @@ def _q_near_multi_topk(spark, sf_dir):
                       F.round("score", 6).alias("score"), "rank")
 
 
+_SPAN_OR = (("value",), ("table", "key"), ("row", "part"))
+_SPAN_OR_SLOP = 3
+
+
+def _q_span_or_topk(spark, sf_dir):
+    """Ordered SpanNear with OR-clauses
+    (operators/positional.py::span_near_occurrences OR-clause form,
+    Lucene ``spanNear([value, spanOr(table, key), spanOr(row, part)], 3,
+    true)`` — the sloppy MultiPhrase): each clause's position set is the
+    union of its alternatives (one clause-term-pruned groupBy per
+    multi-term clause), then the same greedy strictly-increasing chain
+    fold; idf sums over ALL member terms (MultiPhraseWeight). The oracle
+    re-runs the chain as correlated min-subqueries with per-clause IN
+    lists and the pseudo-term scoring relationally."""
+    from gensim_spark.operators import positional as PX
+
+    idx = _index(spark, sf_dir)
+    flat = [t for c in _SPAN_OR for t in c]
+    vmap = {r["token"]: r["term_id"] for r in idx.vocab.filter(
+        F.col("token").isin(flat)).collect()}
+    clauses = [[vmap[t] for t in c] for c in _SPAN_OR]
+    pos = PX.positional_postings(idx.docs, idx.vocab)
+    out = PX.span_near_topk(pos, idx.stats, clauses, idx.doclen,
+                            slop=_SPAN_OR_SLOP, ordered=True, k=TOPK_K)
+    return out.select("doc_id", "near_tf",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 _PREFIX = "s"  # expands to 6 terms in the testdata vocab (scan/slow/small/sort/spark/stream)
 
 
@@ -2000,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_topk": _q_near_topk,
         "near_multi_topk": _q_near_multi_topk,
         "bm25f_topk": _q_bm25f_topk,
+        "span_or_topk": _q_span_or_topk,
         "prefix_topk": _q_prefix_topk,
         "bool_topk": _q_bool_topk,
         "wildcard_topk": _q_wildcard_topk,
@@ -3644,6 +3673,57 @@ occ AS (SELECT doc_id, count(*) AS ntf FROM chain2
         GROUP BY doc_id),
 isum AS (SELECT sum(i.idf) AS s FROM idf i JOIN vocab_ids v USING (term_id)
          WHERE v.token IN ('{_SPAN[0]}', '{_SPAN[1]}', '{_SPAN[2]}')),
+scored AS (
+  SELECT o.doc_id, o.ntf,
+         (SELECT s FROM isum) * (o.ntf * 2.5)
+           / (o.ntf + 1.5 * (0.25 + 0.75 * d.dl / (SELECT a FROM avgdl)))
+           AS score
+  FROM occ o JOIN doclen d USING (doc_id))
+SELECT doc_id, CAST(ntf AS INT) AS near_tf, ROUND(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank
+FROM scored
+QUALIFY rank <= {TOPK_K}
+ORDER BY rank""",
+        # ordered SpanNear with OR-clauses 'value (table|key) (row|part)'
+        # within slop 3: the greedy chain with per-clause IN lists as
+        # correlated min-subqueries; idf sums over ALL member terms
+        # (MultiPhraseWeight), scoring as phrase_topk
+        "span_or_topk": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+posx AS (SELECT doc_id, unnest(tokens) AS token,
+                generate_subscripts(tokens, 1) - 1 AS pos
+         FROM tok),
+p0 AS (SELECT doc_id, pos FROM posx
+       WHERE token IN ('{_SPAN_OR[0][0]}')),
+p1 AS (SELECT doc_id, pos FROM posx
+       WHERE token IN ('{_SPAN_OR[1][0]}', '{_SPAN_OR[1][1]}')),
+p2 AS (SELECT doc_id, pos FROM posx
+       WHERE token IN ('{_SPAN_OR[2][0]}', '{_SPAN_OR[2][1]}')),
+chain1 AS (
+  SELECT a.doc_id, a.pos,
+         (SELECT min(b.pos) FROM p1 b
+          WHERE b.doc_id = a.doc_id AND b.pos > a.pos) AS e1
+  FROM p0 a),
+chain2 AS (
+  SELECT doc_id, pos,
+         (SELECT min(c.pos) FROM p2 c
+          WHERE c.doc_id = chain1.doc_id AND c.pos > chain1.e1) AS e2
+  FROM chain1 WHERE e1 IS NOT NULL),
+occ AS (SELECT doc_id, count(*) AS ntf FROM chain2
+        WHERE e2 IS NOT NULL AND e2 - pos <= {_SPAN_OR_SLOP} + 2
+        GROUP BY doc_id),
+isum AS (SELECT sum(i.idf) AS s FROM idf i JOIN vocab_ids v USING (term_id)
+         WHERE v.token IN ('{_SPAN_OR[0][0]}', '{_SPAN_OR[1][0]}',
+                           '{_SPAN_OR[1][1]}', '{_SPAN_OR[2][0]}',
+                           '{_SPAN_OR[2][1]}')),
 scored AS (
   SELECT o.doc_id, o.ntf,
          (SELECT s FROM isum) * (o.ntf * 2.5)

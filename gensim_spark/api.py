@@ -1597,6 +1597,26 @@ class SearchEngine:
                                   self.index.doclen, slop=slop,
                                   ordered=ordered, k=k)
 
+    def multi_phrase(self, alternatives, k: int = 10,
+                     slop: int = 0) -> DataFrame:
+        """Lucene MultiPhraseQuery ``"a (b|c)"``: ``alternatives`` is a
+        list of word lists — position i matches ANY of its words.
+        ``slop > 0`` is the sloppy form, routed through the ordered
+        OR-clause SpanNear (``spanNear([spanOr(...), ...], slop)``).
+        OOV alternative words drop (they have no postings — Lucene
+        parity); a position whose words are ALL OOV can never match and
+        answers the empty frame."""
+        from gensim_spark.operators import positional as _px
+
+        alts = [list(a) for a in alternatives]
+        tid = self._tids(sorted({w for a in alts for w in a}))
+        ids = [[tid[w] for w in a if w in tid] for a in alts]
+        if not ids or any(not a for a in ids):
+            return self._spark.createDataFrame(
+                [], "doc_id long, phrase_tf int, score double, rank int")
+        return _px.multi_phrase_topk(self._pos(), self.index.stats, ids,
+                                     self.index.doclen, k=k, slop=slop)
+
     def more_like_this(self, doc_id: int, max_query_terms: int = 25,
                        min_doc_freq: int = 1,
                        max_doc_freq: int | None = None,

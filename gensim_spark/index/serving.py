@@ -292,25 +292,35 @@ def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
     vdf = vocab.column("df").to_numpy()
     vcf = vocab.column("cf").to_numpy()
     tid = dict(zip(vtok, (int(t) for t in vterm)))
-    if not tokens or any(t not in tid for t in tokens):
+    # a clause is a token (str) or a list of alternative tokens — the
+    # served MultiPhrase / spanOr form; any OOV member answers []
+    tok_clauses = [[t] if isinstance(t, str) else list(t) for t in tokens]
+    if not tok_clauses or any(not c for c in tok_clauses) or \
+            any(t not in tid for c in tok_clauses for t in c):
         return []
-    ids = [tid[t] for t in tokens]
+    clauses = [sorted({tid[t] for t in c}) for c in tok_clauses]
+    ids = [c[0] for c in clauses]           # unit-clause view (n = len)
+    flat_ids = [t for c in clauses for t in c]
+    multi = any(len(c) > 1 for c in clauses)
+    if multi and slop is not None and not ordered:
+        raise ValueError("unordered SpanNear takes unit-term clauses; "
+                         "OR-clauses are ordered-only")
     idf_all = np_idf(vdf, num_docs, variant, epsilon)
     idf_by_term = dict(zip((int(t) for t in vterm), idf_all))
     avgdl = float(vcf.sum()) / num_docs
 
-    buckets = sorted({t % n_buckets for t in ids})
+    buckets = sorted({t % n_buckets for t in flat_ids})
     ds = pads.dataset(os.path.join(index_dir, "positional"),
                       format="parquet", partitioning="hive")
     tbl = ds.to_table(
         columns=["doc_id", "term_id", "positions"],
         filter=pc.field("bucket").isin(buckets)
-        & pc.field("term_id").isin(sorted(set(ids))))
+        & pc.field("term_id").isin(sorted(set(flat_ids))))
     # flatten (doc, position) pairs per term WITHOUT a python row loop:
     # list_flatten + repeat-by-length keeps everything columnar — head
     # terms with millions of positions stay numpy-speed
     term_pairs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for t in sorted(set(ids)):
+    for t in sorted(set(flat_ids)):
         sub = tbl.filter(pc.equal(tbl.column("term_id"), t))
         plist = sub.column("positions").combine_chunks()
         flat = pc.list_flatten(plist).to_numpy().astype(np.int64)
@@ -318,8 +328,19 @@ def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
         docs = np.repeat(sub.column("doc_id").to_numpy().astype(np.int64),
                          lens)
         term_pairs[int(t)] = (docs, flat)
-    if any(term_pairs[t][0].size == 0 for t in set(ids)):
+    # an OR-clause matches if ANY member has postings; a clause with no
+    # postings at all can never match
+    if any(all(term_pairs[t][0].size == 0 for t in c) for c in clauses):
         return []
+
+    def clause_pairs(ci: int) -> tuple[np.ndarray, np.ndarray]:
+        """(docs, positions) of clause ci = union over its alternatives
+        (disjoint within a doc — one token per position)."""
+        c = clauses[ci]
+        if len(c) == 1:
+            return term_pairs[c[0]]
+        return (np.concatenate([term_pairs[t][0] for t in c]),
+                np.concatenate([term_pairs[t][1] for t in c]))
 
     # one int64 key per (doc, shifted-position): key = doc·L + pos + OFF,
     # with OFF/L sized so every shift in [-len(phrase), +slop+1] stays in
@@ -332,26 +353,29 @@ def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
     # anchored at any in-doc position from leaking into the next doc's
     # key range
     span = (len(ids) if slop is None else slop + len(ids)) + 2
-    max_pos = max(int(p.max()) for _, p in term_pairs.values())
+    max_pos = max(int(p.max()) for _, p in term_pairs.values() if p.size)
     off = span
     L = max_pos + 2 * span
 
-    def keys(term: int, shift: int) -> np.ndarray:
-        d, p = term_pairs[term]
+    def keys(ci: int, shift: int) -> np.ndarray:
+        d, p = clause_pairs(ci)
         return d * L + (p + shift + off)
 
     hits: dict[int, int] = {}
     if slop is None:
-        starts = np.sort(keys(ids[0], 0))
-        for i, t in enumerate(ids[1:], start=1):
-            starts = np.intersect1d(starts, keys(t, -i),
+        # exact phrase; with OR-clauses this is the served MultiPhrase
+        # ("a (b|c)") — per-clause union keys keep the same disjointness
+        # (one token per position), so assume_unique still holds
+        starts = np.sort(keys(0, 0))
+        for i in range(1, len(clauses)):
+            starts = np.intersect1d(starts, np.sort(keys(i, -i)),
                                     assume_unique=True)
             if starts.size == 0:
                 return []
         docs = starts // L
         uniq, cnt = np.unique(docs, return_counts=True)
         hits = dict(zip(uniq.tolist(), cnt.tolist()))
-        idf_sum = float(sum(idf_by_term.get(t, 0.0) for t in ids))
+        idf_sum = float(sum(idf_by_term.get(t, 0.0) for t in flat_ids))
     elif ordered:
         # N-clause ordered SpanNear / sloppy phrase, greedy chain over
         # int64 doc·L+pos keys across ALL docs at once (the same
@@ -360,13 +384,13 @@ def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
         # the clause's sorted keys), invalid when it falls in another
         # doc; match iff end − start ≤ slop + n − 1. Greedy-min chains
         # decide existence exactly (see span_near_occurrences).
-        n = len(ids)
+        n = len(clauses)
         stretch = slop + n - 1
-        d0, p0 = term_pairs[ids[0]]
+        d0, p0 = clause_pairs(0)
         cur = d0 * L + p0
         alive = np.ones(cur.shape, dtype=bool)
-        for t in ids[1:]:
-            dt, pt = term_pairs[t]
+        for ci in range(1, n):
+            dt, pt = clause_pairs(ci)
             kt = np.sort(dt * L + pt)
             idx = np.searchsorted(kt, cur, side="right")
             ok = idx < kt.size
@@ -379,12 +403,12 @@ def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
             return []
         uniq, cnt = np.unique(d0[match], return_counts=True)
         hits = dict(zip(uniq.tolist(), cnt.tolist()))
-        idf_sum = float(sum(idf_by_term.get(t, 0.0) for t in ids))
+        idf_sum = float(sum(idf_by_term.get(t, 0.0) for t in flat_ids))
     elif len(ids) == 2:
         w = slop + 1
         offs = [o for o in range(-w, w + 1) if o != 0]
-        ka = np.sort(keys(ids[0], 0))
-        anchor_parts = [np.intersect1d(ka, keys(ids[1], -o),
+        ka = np.sort(keys(0, 0))
+        anchor_parts = [np.intersect1d(ka, keys(1, -o),
                                        assume_unique=True) for o in offs]
         anchors = np.unique(np.concatenate(anchor_parts)) \
             if anchor_parts else np.empty(0, dtype=np.int64)

@@ -165,14 +165,23 @@ def multi_phrase_occurrences(positional: DataFrame, alternatives,
 
 def multi_phrase_topk(positional: DataFrame, stats: BM25Stats, alternatives,
                       dl: DataFrame, k: int = 10,
-                      doc_col: str = "doc_id") -> DataFrame:
+                      doc_col: str = "doc_id", slop: int = 0) -> DataFrame:
     """Top-k docs for a MultiPhrase query. Scoring follows Lucene
     MultiPhraseWeight: the pseudo-term idf is the sum over ALL member
     terms in all positions (each alternative contributes — Lucene's
     idfExplain over the flattened term array), saturation from the fitted
-    BM25Stats as in :func:`phrase_topk`."""
+    BM25Stats as in :func:`phrase_topk`.
+
+    ``slop > 0`` is the sloppy MultiPhrase — routed through
+    :func:`span_near_occurrences` with the alternative sets as ordered
+    OR-clauses (Lucene ``spanNear([spanOr(...), ...], slop)``)."""
     alts = [[int(t) for t in a] for a in alternatives]
-    occ = multi_phrase_occurrences(positional, alts, doc_col)
+    if slop:
+        occ = (span_near_occurrences(positional, alts, slop=slop,
+                                     ordered=True, doc_col=doc_col)
+               .withColumnRenamed("near_tf", "phrase_tf"))
+    else:
+        occ = multi_phrase_occurrences(positional, alts, doc_col)
     flat = [t for a in alts for t in a]
     return _rank_pseudo_term(occ, "phrase_tf", stats, _idf_sum(stats, flat),
                              dl, k, doc_col)
@@ -218,6 +227,12 @@ def near_topk(positional: DataFrame, stats: BM25Stats, term_a: int,
     return _rank_pseudo_term(occ, "near_tf", stats, idf_sum, dl, k, doc_col)
 
 
+def _is_iterable(x) -> bool:
+    """True for list/tuple/set clause alternatives (NOT for plain ints /
+    numpy ints)."""
+    return isinstance(x, (list, tuple, set, frozenset))
+
+
 def span_near_occurrences(positional: DataFrame, term_ids, slop: int = 0,
                           ordered: bool = True,
                           doc_col: str = "doc_id") -> DataFrame:
@@ -245,23 +260,51 @@ def span_near_occurrences(positional: DataFrame, term_ids, slop: int = 0,
     contains every clause — with duplicate clauses requiring that many
     DISTINCT positions of their term in the window (Lucene's
     non-overlapping-spans rule for unit spans). near_tf counts the
-    qualifying window-start anchors."""
-    ids = [int(t) for t in term_ids]
-    if len(ids) < 2:
+    qualifying window-start anchors.
+
+    **OR-clauses** (ordered only): a clause may be an iterable of term
+    ids — Lucene ``spanNear([spanOr(a, b), c], slop)`` with unit-length
+    alternatives, the sloppy counterpart of MultiPhraseQuery. The
+    clause's position set is the union of its members' (one extra
+    clause-term-pruned groupBy per multi-term clause; single-term
+    clauses stay agg-free); the greedy-chain argument is unchanged since
+    union legs are just larger sorted arrays. Unordered mode keeps
+    unit-term clauses (the multiplicity rule has no canonical Lucene
+    meaning across alternative sets) and raises otherwise."""
+    clauses = [sorted({int(x) for x in t}) if _is_iterable(t) else [int(t)]
+               for t in term_ids]
+    if len(clauses) < 2:
         raise ValueError("SpanNear needs >= 2 clauses")
+    if any(not c for c in clauses):
+        raise ValueError("empty OR-clause")
     if slop < 0:
         raise ValueError("slop must be >= 0")
+    multi = any(len(c) > 1 for c in clauses)
+    if not ordered and multi:
+        raise ValueError("unordered SpanNear takes unit-term clauses; "
+                         "OR-clauses are ordered-only")
+    ids = [c[0] for c in clauses]
     if not ordered and len(ids) == 2:
         return near_occurrences(positional, ids[0], ids[1], slop,
                                 ordered=False, doc_col=doc_col)
-    n = len(ids)
+    n = len(clauses)
 
     if ordered:
         legs = []
-        for i, tid in enumerate(ids):
-            legs.append(positional.filter(F.col("term_id") == tid)
-                        .select(F.col(doc_col),
-                                F.col("positions").alias(f"_p{i}")))
+        for i, cl in enumerate(clauses):
+            if len(cl) == 1:
+                leg = (positional.filter(F.col("term_id") == cl[0])
+                       .select(F.col(doc_col),
+                               F.col("positions").alias(f"_p{i}")))
+            else:
+                # union of the alternatives' positions (disjoint within a
+                # doc — one token per position — so sort alone suffices)
+                leg = (positional.filter(F.col("term_id").isin(cl))
+                       .groupBy(doc_col)
+                       .agg(F.array_sort(
+                           F.flatten(F.collect_list("positions")))
+                           .alias(f"_p{i}")))
+            legs.append(leg)
         j = legs[0]
         for leg in legs[1:]:
             j = j.join(leg, doc_col)
@@ -320,12 +363,15 @@ def span_near_topk(positional: DataFrame, stats: BM25Stats, term_ids,
                    k: int = 10, doc_col: str = "doc_id") -> DataFrame:
     """Top-k docs for an N-clause SpanNear query — same pseudo-term
     scoring as :func:`phrase_topk` (tf = near_tf, idf = Σ member idfs
-    over occurrences, the fitted stats' saturation).
+    over occurrences — OR-clause alternatives all contribute, the
+    MultiPhraseWeight rule — the fitted stats' saturation).
     (doc_id, near_tf, score, rank)."""
     occ = span_near_occurrences(positional, term_ids, slop=slop,
                                 ordered=ordered, doc_col=doc_col)
+    flat = [x for t in term_ids
+            for x in (t if _is_iterable(t) else [t])]
     return _rank_pseudo_term(occ, "near_tf", stats,
-                             _idf_sum(stats, term_ids), dl, k, doc_col)
+                             _idf_sum(stats, flat), dl, k, doc_col)
 
 
 def span_first_topk(positional: DataFrame, stats: BM25Stats, term_id: int,

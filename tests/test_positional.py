@@ -242,6 +242,83 @@ def test_span_near_fuzz_vs_bruteforce(spark):
         assert got == want, (clause, slop, ordered)
 
 
+def test_span_near_or_clauses(spark, fixture):
+    """OR-clauses (spanNear over spanOr alternatives): clause position
+    sets union their members; goldens + slop=0 ≡ exact MultiPhrase +
+    fuzz vs a naive union-chain scan."""
+    docs, vocab, vmap, pos = fixture
+    a, b, c = vmap["a"], vmap["b"], vmap["c"]
+    # d0=[a b c a b]: a then (b|c) adjacent at 0 and 3; d1=[b a b] at 1
+    assert span_of(pos, [[a], [b, c]], slop=0) == {0: 2, 1: 1}
+    # wider slop: a then (b|c) within stretch 2 — d2=[c c a] has no b/c
+    # after a; d0 both anchors already matched at stretch 1
+    assert span_of(pos, [[a], [b, c]], slop=1) == {0: 2, 1: 1}
+    # (a|c) then (a|c): d0 c@2→a@3 ✓ a@3→? none(>3 in {2}∪{0,3})✗ →1;
+    # d2 [c c a]: c@0→c@1, c@1→a@2 ✓✓, a@2 ✗ → 2; d3 [a a a]: 2
+    assert span_of(pos, [[a, c], [a, c]], slop=0) == {0: 1, 2: 2, 3: 2}
+    # slop=0 OR-chain ≡ exact MultiPhrase occurrence counts
+    for alts in ([[a], [b, c]], [[b, a], [b]], [[a, c], [a, c]]):
+        exact = {r["doc_id"]: r["phrase_tf"] for r in
+                 PX.multi_phrase_occurrences(pos, alts).collect()}
+        assert span_of(pos, alts, slop=0) == exact, alts
+    # multi_phrase_topk(slop=) routes through the span fold
+    stats = M.fit_from_vocab(vocab, num_docs=len(TEXTS), variant="lucene")
+    dl = docs.select("doc_id", F.size("tokens").alias("dl"))
+    via_mp = PX.multi_phrase_topk(pos, stats, [[a], [b, c]], dl, k=10,
+                                  slop=1).collect()
+    via_span = PX.span_near_topk(pos, stats, [[a], [b, c]], dl, slop=1,
+                                 k=10).collect()
+    assert [(r["doc_id"], r["phrase_tf"], r["score"]) for r in via_mp] == \
+        [(r["doc_id"], r["near_tf"], r["score"]) for r in via_span]
+    # validation: OR-clauses are ordered-only; empty clause refuses
+    with pytest.raises(ValueError):
+        PX.span_near_occurrences(pos, [[a, b], [c]], slop=1, ordered=False)
+    with pytest.raises(ValueError):
+        PX.span_near_occurrences(pos, [[a], []], slop=1)
+
+
+def _brute_span_or(toks, clauses, slop):
+    """Naive union-chain scan for OR-clause ordered SpanNear."""
+    P = [[i for i, t in enumerate(toks) if t in set(c)] for c in clauses]
+    n, cnt = len(clauses), 0
+    for p0 in P[0]:
+        e, ok = p0, True
+        for i in range(1, n):
+            nxt = [q for q in P[i] if q > e]
+            if not nxt:
+                ok = False
+                break
+            e = min(nxt)
+        if ok and e - p0 <= slop + n - 1:
+            cnt += 1
+    return cnt
+
+
+def test_span_near_or_fuzz_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(31337)
+    alphabet = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [[rng.choice(alphabet) for _ in range(rng.randint(3, 30))]
+             for _ in range(40)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, tokens array<string>")
+    vocab = V.build_vocab(docs)
+    vmap = {r["token"]: r["term_id"] for r in vocab.collect()}
+    pos = PX.positional_postings(docs, vocab).cache()
+    cases = [([["aa"], ["bb", "cc"]], 0), ([["aa"], ["bb", "cc"]], 2),
+             ([["aa", "bb"], ["cc"], ["dd", "ee"]], 2),
+             ([["aa", "bb"], ["aa", "bb"]], 1),
+             ([["ee"], ["aa", "bb", "cc", "dd"]], 3)]
+    for clauses, slop in cases:
+        got = span_of(pos, [[vmap[w] for w in c] for c in clauses], slop)
+        want = {i: _brute_span_or(t, clauses, slop)
+                for i, t in enumerate(texts)}
+        want = {i: c for i, c in want.items() if c > 0}
+        assert got == want, (clauses, slop)
+
+
 def test_span_near_topk_and_sloppy_phrase(spark, fixture):
     docs, vocab, vmap, pos = fixture
     a, c, b = vmap["a"], vmap["c"], vmap["b"]

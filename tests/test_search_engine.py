@@ -80,6 +80,21 @@ def test_rewrites_and_phrase(engine):
     assert [(r["doc_id"], r["near_tf"]) for r in sn] == [(0, 1)]
     assert se.phrase("alpha gamma alpha", slop=0, k=10).count() == 0
     assert se.phrase("alpha nosuch", k=5).count() == 0
+    # MultiPhrase "alpha (beta|delta)": d0 alpha@0-beta@1, d2
+    # alpha@0-delta@1; slop routes through the OR-clause SpanNear
+    mp = se.multi_phrase([["alpha"], ["beta", "delta"]], k=10).collect()
+    assert {(r["doc_id"], r["phrase_tf"]) for r in mp} == {(0, 1), (2, 1)}
+    # d0: gamma@2→alpha@3 (stretch 1); d3 = [gamma gamma beta alpha]:
+    # gamma@0→beta@2 (stretch 2) AND gamma@1→beta@2 (stretch 1) → tf 2
+    mp2 = se.multi_phrase([["gamma"], ["alpha", "beta"]], k=10,
+                          slop=1).collect()
+    assert {(r["doc_id"], r["phrase_tf"]) for r in mp2} == {(0, 1), (3, 2)}
+    # OOV alternatives drop; an all-OOV position answers empty
+    mp3 = se.multi_phrase([["alpha"], ["beta", "nosuch"]], k=10).collect()
+    assert [(r["doc_id"], r["phrase_tf"]) for r in mp3] == \
+        [(r["doc_id"], r["phrase_tf"]) for r in
+         se.multi_phrase([["alpha"], ["beta"]], k=10).collect()]
+    assert se.multi_phrase([["alpha"], ["nosuch"]], k=10).count() == 0
 
 
 def test_bm25f_multi_field(spark):

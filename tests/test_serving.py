@@ -313,3 +313,50 @@ def test_span_served_fuzz_vs_distributed(spark, tmp_path):
             assert g["score"] == pytest.approx(w["score"], rel=1e-9)
         nonempty += bool(want)
     assert nonempty >= 6  # the sweep actually exercised matches
+
+    # OR-clauses through the raw served API (a clause = list of
+    # alternative tokens) vs the distributed operator over the SAME
+    # stored positional index: sloppy spanNear(spanOr...) and the exact
+    # served MultiPhrase (slop=None)
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from gensim_spark.index.layout import read_postings_bucketed
+    from gensim_spark.index.serving import phrase_topk_served
+    from gensim_spark.operators import bm25 as M
+    from gensim_spark.operators import positional as PX
+
+    with open(f"{out}/build_metrics.json") as fh:
+        meta = _json.load(fh)
+    vocab = spark.read.parquet(f"{out}/vocab")
+    doclen = spark.read.parquet(f"{out}/doclen")
+    stats = M.fit_from_vocab(vocab, meta["num_docs"],
+                             variant=meta["variant"], k1=meta["k1"],
+                             b=meta["b"], epsilon=meta["epsilon"])
+    vmap = {r["token"]: r["term_id"] for r in vocab.collect()}
+    or_cases = [([["aa"], ["bb", "cc"]], 1),
+                ([["aa", "bb"], ["cc"], ["dd", "ee"]], 2),
+                ([["aa", "bb"], ["aa", "bb"]], 0)]
+    or_hits = 0
+    for clauses, slop in or_cases:
+        ids = [[vmap[w] for w in c] for c in clauses]
+        flat = sorted({t for c in ids for t in c})
+        pruned = read_postings_bucketed(spark, f"{out}/positional",
+                                        term_ids=flat, n_buckets=8)
+        want = PX.span_near_topk(pruned, stats, ids, doclen, slop=slop,
+                                 ordered=True, k=60).collect()
+        got = phrase_topk_served(out, clauses, k=60, slop=slop)
+        assert [(d, tf, r) for d, tf, s, r in got] == \
+            [(w["doc_id"], w["near_tf"], w["rank"]) for w in want], \
+            (clauses, slop)
+        for (_, _, s, _), w in zip(got, want):
+            assert s == pytest.approx(w["score"], rel=1e-9)
+        # exact MultiPhrase served == distributed multi_phrase_topk
+        want_mp = PX.multi_phrase_topk(pruned, stats, ids, doclen,
+                                       k=60).collect()
+        got_mp = phrase_topk_served(out, clauses, k=60)
+        assert [(d, tf, r) for d, tf, s, r in got_mp] == \
+            [(w["doc_id"], w["phrase_tf"], w["rank"]) for w in want_mp]
+        or_hits += bool(want)
+    assert or_hits >= 2
