@@ -1528,6 +1528,37 @@ def _q_span_or_topk(spark, sf_dir):
                       F.round("score", 6).alias("score"), "rank")
 
 
+_SPAN_NOT_INC = (("value",), ("table", "key"))
+_SPAN_NOT_EX = ("slow",)
+_SPAN_NOT = {"slop": 2, "pre": 1, "post": 1}
+
+
+def _q_span_not_topk(spark, sf_dir):
+    """SpanNot (operators/positional.py::span_not_topk, Lucene
+    SpanNotQuery(include, exclude, pre, post)): matches of the ordered
+    include span 'value (table|key)'~2 with no 'slow' within 1 position
+    before the span's start or 1 after its end. The exclusion is a
+    LEFT-joined term-pruned leg + an exists probe over the greedy
+    chain's [start − pre, end + post] window (greedy end is the correct
+    witness — larger chains only widen the window); scoring uses the
+    include members' idf only (the exclusion gates, it never weighs).
+    The oracle re-runs chain + NOT EXISTS window probe relationally."""
+    from gensim_spark.operators import positional as PX
+
+    idx = _index(spark, sf_dir)
+    flat = [t for c in _SPAN_NOT_INC for t in c] + list(_SPAN_NOT_EX)
+    vmap = {r["token"]: r["term_id"] for r in idx.vocab.filter(
+        F.col("token").isin(flat)).collect()}
+    clauses = [[vmap[t] for t in c] for c in _SPAN_NOT_INC]
+    pos = PX.positional_postings(idx.docs, idx.vocab)
+    out = PX.span_not_topk(pos, idx.stats, clauses,
+                           [vmap[t] for t in _SPAN_NOT_EX], idx.doclen,
+                           slop=_SPAN_NOT["slop"], pre=_SPAN_NOT["pre"],
+                           post=_SPAN_NOT["post"], k=TOPK_K)
+    return out.select("doc_id", "near_tf",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 _PREFIX = "s"  # expands to 6 terms in the testdata vocab (scan/slow/small/sort/spark/stream)
 
 
@@ -2029,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_multi_topk": _q_near_multi_topk,
         "bm25f_topk": _q_bm25f_topk,
         "span_or_topk": _q_span_or_topk,
+        "span_not_topk": _q_span_not_topk,
         "prefix_topk": _q_prefix_topk,
         "bool_topk": _q_bool_topk,
         "wildcard_topk": _q_wildcard_topk,
@@ -3724,6 +3756,54 @@ isum AS (SELECT sum(i.idf) AS s FROM idf i JOIN vocab_ids v USING (term_id)
          WHERE v.token IN ('{_SPAN_OR[0][0]}', '{_SPAN_OR[1][0]}',
                            '{_SPAN_OR[1][1]}', '{_SPAN_OR[2][0]}',
                            '{_SPAN_OR[2][1]}')),
+scored AS (
+  SELECT o.doc_id, o.ntf,
+         (SELECT s FROM isum) * (o.ntf * 2.5)
+           / (o.ntf + 1.5 * (0.25 + 0.75 * d.dl / (SELECT a FROM avgdl)))
+           AS score
+  FROM occ o JOIN doclen d USING (doc_id))
+SELECT doc_id, CAST(ntf AS INT) AS near_tf, ROUND(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank
+FROM scored
+QUALIFY rank <= {TOPK_K}
+ORDER BY rank""",
+        # SpanNot 'value (table|key)'~2 NOT 'slow' (pre=1, post=1): the
+        # greedy chain + a NOT EXISTS probe over [start − pre, end +
+        # post]; include-only idf, scoring as phrase_topk
+        "span_not_topk": f"""{_PRELUDE},
+idf_raw AS (SELECT term_id,
+            ln((SELECT n FROM nd) - df + 0.5) - ln(df + 0.5) AS ridf
+            FROM vocab_ids),
+idf AS (SELECT term_id,
+        CASE WHEN ridf < 0
+             THEN 0.25 * (SELECT avg(ridf) FROM idf_raw) ELSE ridf END AS idf
+        FROM idf_raw),
+avgdl AS (SELECT sum(cf)::DOUBLE / (SELECT n FROM nd) AS a FROM vocab_ids),
+posx AS (SELECT doc_id, unnest(tokens) AS token,
+                generate_subscripts(tokens, 1) - 1 AS pos
+         FROM tok),
+p0 AS (SELECT doc_id, pos FROM posx
+       WHERE token IN ('{_SPAN_NOT_INC[0][0]}')),
+p1 AS (SELECT doc_id, pos FROM posx
+       WHERE token IN ('{_SPAN_NOT_INC[1][0]}', '{_SPAN_NOT_INC[1][1]}')),
+ex AS (SELECT doc_id, pos FROM posx
+       WHERE token IN ('{_SPAN_NOT_EX[0]}')),
+chain1 AS (
+  SELECT a.doc_id, a.pos,
+         (SELECT min(b.pos) FROM p1 b
+          WHERE b.doc_id = a.doc_id AND b.pos > a.pos) AS e1
+  FROM p0 a),
+occ AS (SELECT doc_id, count(*) AS ntf FROM chain1
+        WHERE e1 IS NOT NULL AND e1 - pos <= {_SPAN_NOT["slop"]} + 1
+          AND NOT EXISTS (SELECT 1 FROM ex
+                          WHERE ex.doc_id = chain1.doc_id
+                          AND ex.pos BETWEEN chain1.pos - {_SPAN_NOT["pre"]}
+                                         AND chain1.e1 + {_SPAN_NOT["post"]})
+        GROUP BY doc_id),
+isum AS (SELECT sum(i.idf) AS s FROM idf i JOIN vocab_ids v USING (term_id)
+         WHERE v.token IN ('{_SPAN_NOT_INC[0][0]}', '{_SPAN_NOT_INC[1][0]}',
+                           '{_SPAN_NOT_INC[1][1]}')),
 scored AS (
   SELECT o.doc_id, o.ntf,
          (SELECT s FROM isum) * (o.ntf * 2.5)

@@ -1617,6 +1617,32 @@ class SearchEngine:
         return _px.multi_phrase_topk(self._pos(), self.index.stats, ids,
                                      self.index.doclen, k=k, slop=slop)
 
+    def span_not(self, include, exclude, k: int = 10, slop: int = 0,
+                 pre: int = 0, post: int = 0) -> DataFrame:
+        """Lucene SpanNotQuery: matches of the ordered ``include`` span
+        (a word, or a list of words / alternative-word lists as in
+        :meth:`multi_phrase`) with no ``exclude`` word within ``pre``
+        positions before its start or ``post`` after its end. OOV
+        include members drop like :meth:`multi_phrase`; OOV exclude
+        words drop silently (they can never block)."""
+        from gensim_spark.operators import positional as _px
+
+        inc = [include] if isinstance(include, str) else list(include)
+        alts = [[a] if isinstance(a, str) else list(a) for a in inc]
+        exc = [exclude] if isinstance(exclude, str) else list(exclude)
+        tid = self._tids(sorted({w for a in alts for w in a} | set(exc)))
+        ids = [[tid[w] for w in a if w in tid] for a in alts]
+        if not ids or any(not a for a in ids):
+            return self._spark.createDataFrame(
+                [], "doc_id long, near_tf int, score double, rank int")
+        ex_ids = [tid[w] for w in exc if w in tid]
+        if not ex_ids:
+            # nothing can block — plain span (or single-term pseudo-span)
+            ex_ids = [-1]  # no postings ever match a negative id
+        return _px.span_not_topk(self._pos(), self.index.stats, ids,
+                                 ex_ids, self.index.doclen, slop=slop,
+                                 pre=pre, post=post, k=k)
+
     def more_like_this(self, doc_id: int, max_query_terms: int = 25,
                        min_doc_freq: int = 1,
                        max_doc_freq: int | None = None,

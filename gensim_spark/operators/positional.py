@@ -358,6 +358,93 @@ def span_near_occurrences(positional: DataFrame, term_ids, slop: int = 0,
             .filter(F.col("near_tf") > 0))
 
 
+def span_not_occurrences(positional: DataFrame, term_ids, exclude_terms,
+                         slop: int = 0, pre: int = 0, post: int = 0,
+                         doc_col: str = "doc_id") -> DataFrame:
+    """SpanNot (Lucene SpanNotQuery(include, exclude, pre, post)): matches
+    of the ORDERED include span — the same greedy chain as
+    :func:`span_near_occurrences`, clauses may be OR-lists — that have NO
+    excluded-term occurrence within ``pre`` positions before the span's
+    start or ``post`` after its end (pre=post=0 ≙ no overlap, Lucene's
+    2-arg form). Returns (doc_id, near_tf), near_tf = qualifying anchors.
+
+    The exclusion is one more term-pruned leg LEFT-joined on doc_id
+    (docs with no excluded term keep all their spans — a left join, not
+    an inner) and an ``exists`` probe per anchor over the greedy chain's
+    [start − pre, end + post] window; the greedy (minimal) end is the
+    correct witness because Lucene's SpanNot rejects a candidate include
+    span as a whole — and with unit-length clauses every backtracked
+    chain from the same anchor only has a LARGER end, never a smaller
+    exclusion window."""
+    clauses = [sorted({int(x) for x in t}) if _is_iterable(t) else [int(t)]
+               for t in term_ids]
+    if not clauses or any(not c for c in clauses):
+        raise ValueError("include span needs non-empty clauses")
+    if slop < 0 or pre < 0 or post < 0:
+        raise ValueError("slop/pre/post must be >= 0")
+    excl = sorted({int(t) for t in (
+        exclude_terms if _is_iterable(exclude_terms) else [exclude_terms])})
+    if not excl:
+        raise ValueError("exclude needs >= 1 term")
+    n = len(clauses)
+
+    legs = []
+    for i, cl in enumerate(clauses):
+        if len(cl) == 1:
+            leg = (positional.filter(F.col("term_id") == cl[0])
+                   .select(F.col(doc_col),
+                           F.col("positions").alias(f"_p{i}")))
+        else:
+            leg = (positional.filter(F.col("term_id").isin(cl))
+                   .groupBy(doc_col)
+                   .agg(F.array_sort(
+                       F.flatten(F.collect_list("positions")))
+                       .alias(f"_p{i}")))
+        legs.append(leg)
+    j = legs[0]
+    for leg in legs[1:]:
+        j = j.join(leg, doc_col)
+    ex_leg = (positional.filter(F.col("term_id").isin(excl))
+              .groupBy(doc_col)
+              .agg(F.array_sort(F.flatten(F.collect_list("positions")))
+                   .alias("_px")))
+    j = j.join(ex_leg, doc_col, "left").withColumn(
+        "_px", F.coalesce(F.col("_px"), F.array().cast("array<int>")))
+    stretch = F.lit(int(slop) + n - 1)
+
+    def _after(e):
+        return lambda q: q > e
+
+    def _anchor_ok(p):
+        e = p
+        for i in range(1, n):
+            e = F.array_min(F.filter(F.col(f"_p{i}"), _after(e)))
+        lo, hi = p - F.lit(int(pre)), e + F.lit(int(post))
+        blocked = F.exists("_px", lambda q: (q >= lo) & (q <= hi))
+        return ((e - p) <= stretch) & ~blocked
+
+    anchors = F.filter(F.col("_p0"), _anchor_ok)
+    return (j.select(doc_col, F.size(anchors).alias("near_tf"))
+            .filter(F.col("near_tf") > 0))
+
+
+def span_not_topk(positional: DataFrame, stats: BM25Stats, term_ids,
+                  exclude_terms, dl: DataFrame, slop: int = 0,
+                  pre: int = 0, post: int = 0, k: int = 10,
+                  doc_col: str = "doc_id") -> DataFrame:
+    """Top-k for SpanNot — pseudo-term scoring over the surviving
+    anchors; idf = Σ INCLUDE member idfs (Lucene SpanNotQuery scores from
+    the include span only; the exclusion gates matches, it never
+    contributes weight). (doc_id, near_tf, score, rank)."""
+    occ = span_not_occurrences(positional, term_ids, exclude_terms,
+                               slop=slop, pre=pre, post=post,
+                               doc_col=doc_col)
+    flat = [x for t in term_ids
+            for x in (t if _is_iterable(t) else [t])]
+    return _rank_pseudo_term(occ, "near_tf", stats,
+                             _idf_sum(stats, flat), dl, k, doc_col)
+
+
 def span_near_topk(positional: DataFrame, stats: BM25Stats, term_ids,
                    dl: DataFrame, slop: int = 0, ordered: bool = True,
                    k: int = 10, doc_col: str = "doc_id") -> DataFrame:

@@ -319,6 +319,82 @@ def test_span_near_or_fuzz_vs_bruteforce(spark):
         assert got == want, (clauses, slop)
 
 
+def test_span_not_goldens_and_fuzz(spark, fixture):
+    """SpanNot (include span minus excluded-term windows): goldens on the
+    fixture + brute-force fuzz on random corpora."""
+    docs, vocab, vmap, pos = fixture
+    a, b, c = vmap["a"], vmap["b"], vmap["c"]
+
+    def notof(ids, ex, slop=0, pre=0, post=0):
+        return {r["doc_id"]: r["near_tf"]
+                for r in PX.span_not_occurrences(pos, ids, ex, slop=slop,
+                                                 pre=pre,
+                                                 post=post).collect()}
+
+    # single-term include "a NOT c"±1: d0 a@0 ok / a@3 blocked by c@2;
+    # d1 a@1 (no c); d2 a@2 blocked by c@1; d3 all three a's
+    assert notof([a], [c], pre=1, post=1) == {0: 1, 1: 1, 3: 3}
+    # ordered span include [a b]~0, exclude c in [start, end+1]:
+    # d0 a@0-b@1 blocked (c@2), a@3-b@4 clean; d1 a@1-b@2 clean
+    assert notof([a, b], [c], slop=0, post=1) == {0: 1, 1: 1}
+    # no exclusion occurrences at all -> pure span counts
+    assert notof([a, b], [vmap["d"]] if "d" in vmap else [9999]) == \
+        {r["doc_id"]: r["near_tf"] for r in PX.span_near_occurrences(
+            pos, [a, b], slop=0).collect()}
+    # validation
+    with pytest.raises(ValueError):
+        PX.span_not_occurrences(pos, [a, b], [])
+    with pytest.raises(ValueError):
+        PX.span_not_occurrences(pos, [a], [b], pre=-1)
+
+    # fuzz vs brute force
+    import random
+
+    rng = random.Random(991)
+    alphabet = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [[rng.choice(alphabet) for _ in range(rng.randint(3, 25))]
+             for _ in range(40)]
+    fdocs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, tokens array<string>")
+    fvocab = V.build_vocab(fdocs)
+    fmap = {r["token"]: r["term_id"] for r in fvocab.collect()}
+    fpos = PX.positional_postings(fdocs, fvocab).cache()
+
+    def brute(toks, clauses, ex, slop, pre, post):
+        P = [[i for i, t in enumerate(toks) if t in set(cl)]
+             for cl in clauses]
+        E = [i for i, t in enumerate(toks) if t in set(ex)]
+        cnt = 0
+        for p0 in P[0]:
+            e, ok = p0, True
+            for i in range(1, len(clauses)):
+                nxt = [q for q in P[i] if q > e]
+                if not nxt:
+                    ok = False
+                    break
+                e = min(nxt)
+            if ok and e - p0 <= slop + len(clauses) - 1 and \
+                    not any(p0 - pre <= q <= e + post for q in E):
+                cnt += 1
+        return cnt
+
+    cases = [([["aa"]], ["bb"], 0, 1, 1),
+             ([["aa"], ["bb"]], ["cc"], 1, 0, 0),
+             ([["aa"], ["bb", "cc"]], ["dd"], 2, 1, 2),
+             ([["aa"], ["bb"], ["cc"]], ["ee"], 3, 0, 1)]
+    for clauses, ex, slop, pre, post in cases:
+        ids = [[fmap[w] for w in cl] for cl in clauses]
+        got = {r["doc_id"]: r["near_tf"]
+               for r in PX.span_not_occurrences(
+                   fpos, ids, [fmap[w] for w in ex], slop=slop, pre=pre,
+                   post=post).collect()}
+        want = {i: brute(t, clauses, ex, slop, pre, post)
+                for i, t in enumerate(texts)}
+        want = {i: n for i, n in want.items() if n > 0}
+        assert got == want, (clauses, ex, slop, pre, post)
+
+
 def test_span_near_topk_and_sloppy_phrase(spark, fixture):
     docs, vocab, vmap, pos = fixture
     a, c, b = vmap["a"], vmap["c"], vmap["b"]

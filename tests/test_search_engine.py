@@ -95,6 +95,17 @@ def test_rewrites_and_phrase(engine):
         [(r["doc_id"], r["phrase_tf"]) for r in
          se.multi_phrase([["alpha"], ["beta"]], k=10).collect()]
     assert se.multi_phrase([["alpha"], ["nosuch"]], k=10).count() == 0
+    # SpanNot: alpha with no beta within +-1 — d0 alpha@0 blocked by
+    # beta@1 but alpha@3 clean; d2 alpha@0 clean; d3 alpha@3 blocked
+    nt = se.span_not("alpha", "beta", pre=1, post=1, k=10).collect()
+    assert {(r["doc_id"], r["near_tf"]) for r in nt} == {(0, 1), (2, 1)}
+    # ordered include span [alpha delta] with no gamma around: only d2
+    nt2 = se.span_not(["alpha", "delta"], "gamma", k=10).collect()
+    assert [(r["doc_id"], r["near_tf"]) for r in nt2] == [(2, 1)]
+    # OOV exclude can never block -> plain span counts
+    nt3 = se.span_not(["alpha", "delta"], "nosuch", k=10).collect()
+    assert [(r["doc_id"], r["near_tf"]) for r in nt3] == \
+        [(r["doc_id"], r["near_tf"]) for r in nt2]
 
 
 def test_bm25f_multi_field(spark):
