@@ -69,17 +69,49 @@ def run(spark, index_dir: str, queries: list[str], k: int = 10,
     return res
 
 
+def _parse_phrase_clauses(phrase_text: str) -> list[list[str]]:
+    """``'value (table|key)'`` → ``[['value'], ['table', 'key']]``:
+    parenthesized ``(a|b)`` groups are alternative sets (MultiPhrase /
+    spanOr clauses), bare words are unit clauses — a bare word that
+    tokenizes to several keeps them as separate unit clauses, same as
+    the plain-phrase path."""
+    import re
+
+    from gensim_spark.functions import textref
+
+    clause_toks: list[list[str]] = []
+    for grp, bare in re.findall(r"\(([^)]*)\)|(\S+)", phrase_text):
+        if grp:
+            clause_toks.append([w for part in grp.split("|")
+                                for w in textref.simple_preprocess(part)])
+        else:
+            clause_toks.extend([[t] for t in
+                                textref.simple_preprocess(bare)])
+    return clause_toks
+
+
 def run_phrase(spark, index_dir: str, phrase_text: str, k: int = 10,
-               slop: int | None = None, ordered: bool = True) -> dict:
-    """Phrase / NEAR query over the positional store written by
-    ``build_index --positional``: exact phrase (slop=None) via
+               slop: int | None = None, ordered: bool = True,
+               exclude: str | None = None, exclude_pre: int = 0,
+               exclude_post: int = 0) -> dict:
+    """Phrase / NEAR / SpanNear query over the positional store written
+    by ``build_index --positional``: exact phrase (slop=None) via
     ``positional.phrase_topk``, two-term proximity via ``near_topk``,
     3+-term sloppy phrase / SpanNear (``"a b c"~slop``) via
     ``span_near_topk`` (ordered greedy-chain fold, or the unordered
-    window cover with ``ordered=False``). Scoring uses the index's
-    fitted variant AND fit parameters (build_metrics.json), so phrase
-    scores are comparable to term-query scores. OOV members or a missing
-    positional store answer [] / error out explicitly."""
+    window cover with ``ordered=False``).
+
+    Parenthesized alternatives — ``'value (table|key)'`` — are
+    MultiPhrase / spanOr clauses: exact adjacency routes through
+    ``multi_phrase_topk``, slop through the ordered OR-clause span
+    (unordered OR-clauses error out, matching the operator).
+    ``exclude='word ...'`` is SpanNotQuery: include-span matches with no
+    excluded word within ``exclude_pre`` before the start or
+    ``exclude_post`` after the end (distributed plan only). Scoring uses
+    the index's fitted variant AND fit parameters (build_metrics.json),
+    so phrase scores are comparable to term-query scores. OOV members or
+    a missing positional store answer [] / error out explicitly (OOV
+    EXCLUDE words drop silently — they can never block)."""
     from pyspark.sql import functions as F
 
     from gensim_spark.functions import textref
@@ -100,35 +132,54 @@ def run_phrase(spark, index_dir: str, phrase_text: str, k: int = 10,
                              k1=meta.get("k1", 1.5),
                              b=meta.get("b", 0.75),
                              epsilon=meta.get("epsilon", 0.25))
-    toks = textref.simple_preprocess(phrase_text)
+    clause_toks = _parse_phrase_clauses(phrase_text)
+    ex_toks = textref.simple_preprocess(exclude) if exclude else []
+    flat = sorted({t for c in clause_toks for t in c} | set(ex_toks))
     vmap = {r["token"]: r["term_id"] for r in
-            vocab.filter(F.col("token").isin(toks)).collect()}
+            vocab.filter(F.col("token").isin(flat)).collect()}
     t0 = time.perf_counter()
-    if any(t not in vmap for t in toks) or not toks:
-        return {"results": [], "wall_sec": 0.0,
-                "oov": [t for t in toks if t not in vmap]}
-    ids = [int(vmap[t]) for t in toks]
+    oov = [t for c in clause_toks for t in c if t not in vmap]
+    if not clause_toks or oov:
+        return {"results": [], "wall_sec": 0.0, "oov": oov}
+    clauses = [[int(vmap[t]) for t in c] for c in clause_toks]
+    multi = any(len(c) > 1 for c in clauses)
+    ids = [c[0] for c in clauses]
+    ex_ids = [int(vmap[t]) for t in ex_toks if t in vmap]
+    scan_ids = sorted({t for c in clauses for t in c} | set(ex_ids))
     pos = read_postings_bucketed(
-        spark, f"{index_dir}/positional", term_ids=ids,
+        spark, f"{index_dir}/positional", term_ids=scan_ids,
         n_buckets=meta.get("positional_n_buckets") or 64)
-    if slop is None:
-        out = PX.phrase_topk(pos, stats, ids, doclen, k=k)
-        rows = [{"doc_id": r["doc_id"], "tf": r["phrase_tf"],
+
+    def out_rows(out, tf_col):
+        return [{"doc_id": r["doc_id"], "tf": r[tf_col],
                  "score": r["score"], "rank": r["rank"]}
                 for r in out.collect()]
-    elif len(ids) == 2:
+
+    if ex_ids:
+        # SpanNot: ordered include chain (slop or exact via slop=0)
+        if not ordered and (multi or len(clauses) > 2):
+            raise SystemExit("--exclude-term needs an ordered include "
+                             "span")
+        out = PX.span_not_topk(pos, stats, clauses, ex_ids, doclen,
+                               slop=slop or 0, pre=exclude_pre,
+                               post=exclude_post, k=k)
+        rows = out_rows(out, "near_tf")
+    elif slop is None:
+        if multi:
+            out = PX.multi_phrase_topk(pos, stats, clauses, doclen, k=k)
+        else:
+            out = PX.phrase_topk(pos, stats, ids, doclen, k=k)
+        rows = out_rows(out, "phrase_tf")
+    elif not multi and len(ids) == 2:
         out = PX.near_topk(pos, stats, ids[0], ids[1], doclen,
                            slop=slop, ordered=ordered, k=k)
-        rows = [{"doc_id": r["doc_id"], "tf": r["near_tf"],
-                 "score": r["score"], "rank": r["rank"]}
-                for r in out.collect()]
+        rows = out_rows(out, "near_tf")
     else:
-        # N-clause SpanNear / sloppy phrase "a b c"~slop
-        out = PX.span_near_topk(pos, stats, ids, doclen,
-                                slop=slop, ordered=ordered, k=k)
-        rows = [{"doc_id": r["doc_id"], "tf": r["near_tf"],
-                 "score": r["score"], "rank": r["rank"]}
-                for r in out.collect()]
+        # N-clause SpanNear / sloppy phrase "a b c"~slop (OR-clauses
+        # are ordered-only — the operator validates)
+        out = PX.span_near_topk(pos, stats, clauses if multi else ids,
+                                doclen, slop=slop, ordered=ordered, k=k)
+        rows = out_rows(out, "near_tf")
     return {"results": rows, "wall_sec": round(time.perf_counter() - t0, 3)}
 
 
@@ -257,14 +308,16 @@ def run_expanded(spark, index_dir: str, text: str, k: int = 10,
 def run_phrase_served(index_dir: str, phrase_text: str, k: int = 10,
                       slop: int | None = None,
                       ordered: bool = True) -> dict:
-    """Phrase / NEAR with NO Spark session: the same answers as
-    :func:`run_phrase` (identity pinned in tests) from
+    """Phrase / NEAR / SpanNear with NO Spark session: the same answers
+    as :func:`run_phrase` (identity pinned in tests) from
     ``serving.phrase_topk_served`` — pyarrow bucket-pruned positional
-    reads + in-process adjacency + the stored-vocab-fitted scoring."""
-    from gensim_spark.functions import textref
+    reads + in-process adjacency + the stored-vocab-fitted scoring.
+    Parenthesized ``(a|b)`` alternatives are served MultiPhrase / spanOr
+    clauses (exact and ordered-slop modes)."""
     from gensim_spark.index.serving import phrase_topk_served
 
-    toks = textref.simple_preprocess(phrase_text)
+    clause_toks = _parse_phrase_clauses(phrase_text)
+    toks = [c[0] if len(c) == 1 else c for c in clause_toks]
     t0 = time.perf_counter()
     rows = phrase_topk_served(index_dir, toks, k=k, slop=slop,
                               ordered=ordered)
@@ -336,6 +389,12 @@ def main() -> None:
                          "words the N-clause SpanNear (\"a b c\"~slop)")
     ap.add_argument("--unordered", action="store_true",
                     help="with --slop: match either order")
+    ap.add_argument("--exclude-term", default=None,
+                    help="with --phrase: SpanNotQuery — drop include-span "
+                         "matches with this word (space-separated words) "
+                         "within --exclude-pre/--exclude-post of the span")
+    ap.add_argument("--exclude-pre", type=int, default=0)
+    ap.add_argument("--exclude-post", type=int, default=0)
     ap.add_argument("--wildcard", action="store_true",
                     help="treat the query as a Lucene wildcard pattern "
                          "(*/?) expanded against the stored vocab")
@@ -382,6 +441,9 @@ def main() -> None:
         if len(args.query) != 1:
             ap.error("--phrase takes exactly one --query")
         if args.serve:
+            if args.exclude_term:
+                ap.error("--exclude-term (SpanNot) is a distributed "
+                         "plan — drop --serve")
             print(json.dumps(run_phrase_served(
                 args.index, args.query[0], k=args.k, slop=args.slop,
                 ordered=not args.unordered)))
@@ -391,7 +453,10 @@ def main() -> None:
         spark = get_spark("gensim_spark_query")
         print(json.dumps(run_phrase(spark, args.index, args.query[0],
                                     k=args.k, slop=args.slop,
-                                    ordered=not args.unordered)))
+                                    ordered=not args.unordered,
+                                    exclude=args.exclude_term,
+                                    exclude_pre=args.exclude_pre,
+                                    exclude_post=args.exclude_post)))
         spark.stop()
         return
 

@@ -610,6 +610,52 @@ def test_build_index_from_html_positional(spark, tmp_path):
             _json.dump(meta, f)
 
 
+def test_query_index_or_clauses_and_exclude(spark, tmp_path):
+    """CLI-level OR clauses and SpanNot: 'alpha (beta|gamma)' parses to a
+    MultiPhrase (distributed == served), --exclude-term drops spans with
+    the excluded word in the pre/post window."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gensim_spark.jobs import build_index, query_index
+
+    pages = str(tmp_path / "pages_oc")
+    _pages_df(spark).withColumn(
+        "doc_id", F.regexp_extract("url", r"p(\d+)$", 1).cast("long")
+    ).write.parquet(pages)
+    out = str(tmp_path / "idx_oc")
+    build_index.run(spark, pages, out, docs_per_shard=16, num_groups=2,
+                    positional=True, positional_n_buckets=4)
+
+    # gamma is never adjacent to alpha, so the OR adds nothing to the
+    # MATCH SET (scores differ — gamma's idf joins the pseudo-term)
+    base = query_index.run_phrase(spark, out, "alpha beta", k=40)
+    orq = query_index.run_phrase(spark, out, "alpha (beta|gamma)", k=40)
+    assert {(r["doc_id"], r["tf"]) for r in orq["results"]} == \
+        {(r["doc_id"], r["tf"]) for r in base["results"]}
+    srv = query_index.run_phrase_served(out, "alpha (beta|gamma)", k=40)
+    assert [(h["doc_id"], h["tf"], h["rank"]) for h in srv["results"]] == \
+        [(r["doc_id"], r["tf"], r["rank"]) for r in orq["results"]]
+    for h, r in zip(srv["results"], orq["results"]):
+        assert h["score"] == _pytest.approx(r["score"], rel=1e-9)
+
+    # SpanNot: "alpha beta" NOT gamma within [start, end+1] — doc i has
+    # gamma at (2-i)%7, inside the window for i%7 in {0,4,5,6} and
+    # absent (j=6) for i%7==3 -> only i%7==3 survives: 6 of 40 docs
+    ex = query_index.run_phrase(spark, out, "alpha beta", k=40,
+                                exclude="gamma", exclude_post=1)
+    assert sorted(r["doc_id"] for r in ex["results"]) == \
+        [i for i in range(40) if i % 7 == 3]
+    assert all(r["tf"] == 1 for r in ex["results"])
+    # OOV exclude can never block — identical to the plain span
+    ex2 = query_index.run_phrase(spark, out, "alpha (beta|gamma)", k=40,
+                                 slop=1, exclude="nosuchword")
+    sl1 = query_index.run_phrase(spark, out, "alpha (beta|gamma)", k=40,
+                                 slop=1)
+    assert {(r["doc_id"], r["tf"]) for r in ex2["results"]} == \
+        {(r["doc_id"], r["tf"]) for r in sl1["results"]}
+
+
 def test_add_documents_positional_append(spark, tmp_path):
     """build_index.add_documents grows a --positional index in place
     (VERDICT r4 #3): appended docs answer phrase/NEAR/SpanNear queries
