@@ -267,6 +267,16 @@ def main() -> None:
         "UDF, no shuffle beyond the intersection-sized joins)",
         summarize(p), interesting(p)))
 
+    p = (PX.span_not_occurrences(pos, [head3[0], head3[1:3]], head3[2],
+                                 slop=2, pre=1, post=1)
+         ._jdf.queryExecution().executedPlan().toString())
+    sections.append((
+        "SpanNot (include span minus excluded-term windows) — the same "
+        "chain legs plus ONE LEFT-joined exclusion leg and a JVM exists "
+        "probe per anchor over [start − pre, end + post] (docs without "
+        "the excluded term keep all spans via the left join)",
+        summarize(p), interesting(p)))
+
     from gensim_spark.plans import pipeline as PL
 
     title_idx = PL.build(tok.select(
