@@ -1419,6 +1419,7 @@ class SearchEngine:
         self._positional = None
         self._fit = {"variant": variant, "k1": k1, "b": b,
                      "epsilon": epsilon}
+        self._text_col = text_col
         self._field_idx: dict = {}
 
     # -- internals --------------------------------------------------------
@@ -1447,7 +1448,12 @@ class SearchEngine:
     def _field_index(self, col: str):
         """Lazy per-field sub-index (field-specific vocab, df/idf, length
         norm — Lucene's per-field statistics) over a text column of the
-        source frame, fitted with the engine's variant/k1/b/epsilon."""
+        source frame, fitted with the engine's variant/k1/b/epsilon. The
+        engine's own text field reuses the main index (same field, same
+        statistics — and a precomputed ``tokens`` column keeps driving
+        it) instead of rebuilding a byte-equivalent duplicate."""
+        if col == self._text_col:
+            return self.index
         if col not in self._field_idx:
             from gensim_spark.plans import pipeline as _P
 
@@ -1475,7 +1481,6 @@ class SearchEngine:
             scores = self._bm25f(toks, fields)
             if scores is None:
                 return self._empty_topk()
-            tid = self._tids(toks)
             if collapse is not None:
                 out = _topk.collapse_topk(scores, self._meta, collapse, k)
             else:
@@ -1483,6 +1488,9 @@ class SearchEngine:
             if highlight is not None:
                 from gensim_spark.operators import highlight as _hl
 
+                # vocab lookup only when snippets are actually wanted —
+                # the fused scoring itself never needs the main index
+                tid = self._tids(toks)
                 out = _hl.highlight_topk(self.index.docs, out,
                                          [t for t in toks if t in tid],
                                          width=highlight)

@@ -305,6 +305,10 @@ def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
     if multi and slop is not None and not ordered:
         raise ValueError("unordered SpanNear takes unit-term clauses; "
                          "OR-clauses are ordered-only")
+    if slop is not None and len(clauses) < 2:
+        # parity with the distributed span_near_occurrences validation —
+        # a one-clause slop query is not a span
+        raise ValueError("SpanNear needs >= 2 clauses")
     idf_all = np_idf(vdf, num_docs, variant, epsilon)
     idf_by_term = dict(zip((int(t) for t in vterm), idf_all))
     avgdl = float(vcf.sum()) / num_docs

@@ -175,6 +175,23 @@ def add_documents(spark, input_path: str, index_dir: str,
 
         docs_tok = P.tokenize(pages.select("doc_id", "text"))
     docs_tok = docs_tok.persist()
+    # boundary guard on the INPUT docs (not the vocab-joined postings —
+    # an all-OOV doc with a colliding id would otherwise slip past the
+    # postings-level check and append a duplicate doclen row), against
+    # BOTH stores' footer-stats maxima (doclen covers docs whose tokens
+    # are all out-of-vocab and so never reached the positional store)
+    from gensim_spark.index.layout import max_doc_id_bucketed
+
+    mn = docs_tok.agg(F.min("doc_id").alias("mn")).collect()[0]["mn"]
+    if mn is not None:
+        maxes = [m for m in (max_doc_id_bucketed(f"{index_dir}/positional"),
+                             max_doc_id_bucketed(f"{index_dir}/doclen"))
+                 if m is not None]
+        if maxes and int(mn) <= max(maxes):
+            raise ValueError(
+                f"add_documents needs doc_ids > {max(maxes)} (index max); "
+                f"got {mn}. Interleaved ids need a rebuild or the "
+                "streaming incremental store.")
     vocab = spark.read.parquet(f"{index_dir}/vocab")
     append_postings_bucketed(
         positional_postings(docs_tok, vocab), f"{index_dir}/positional",

@@ -139,7 +139,10 @@ def run_phrase(spark, index_dir: str, phrase_text: str, k: int = 10,
             vocab.filter(F.col("token").isin(flat)).collect()}
     t0 = time.perf_counter()
     oov = [t for c in clause_toks for t in c if t not in vmap]
-    if not clause_toks or oov:
+    # an alternative group whose members all tokenized away — e.g.
+    # '(a|b)' with sub-2-char words — can never match; answer [] like an
+    # OOV member (the served path does the same) instead of crashing
+    if not clause_toks or oov or any(not c for c in clause_toks):
         return {"results": [], "wall_sec": 0.0, "oov": oov}
     clauses = [[int(vmap[t]) for t in c] for c in clause_toks]
     multi = any(len(c) > 1 for c in clauses)
@@ -156,10 +159,12 @@ def run_phrase(spark, index_dir: str, phrase_text: str, k: int = 10,
                 for r in out.collect()]
 
     if ex_ids:
-        # SpanNot: ordered include chain (slop or exact via slop=0)
-        if not ordered and (multi or len(clauses) > 2):
+        # SpanNot: ordered include chain (slop or exact via slop=0) —
+        # refuse EVERY unordered combination rather than silently
+        # running the ordered chain against an --unordered request
+        if not ordered:
             raise SystemExit("--exclude-term needs an ordered include "
-                             "span")
+                             "span (drop --unordered)")
         out = PX.span_not_topk(pos, stats, clauses, ex_ids, doclen,
                                slop=slop or 0, pre=exclude_pre,
                                post=exclude_post, k=k)

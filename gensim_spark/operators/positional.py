@@ -233,6 +233,61 @@ def _is_iterable(x) -> bool:
     return isinstance(x, (list, tuple, set, frozenset))
 
 
+def _norm_clauses(term_ids) -> list[list[int]]:
+    """Normalize a clause list: ints become unit clauses, iterables
+    become sorted deduped alternative sets; empty clauses refuse."""
+    clauses = [sorted({int(x) for x in t}) if _is_iterable(t) else [int(t)]
+               for t in term_ids]
+    if any(not c for c in clauses):
+        raise ValueError("empty OR-clause")
+    return clauses
+
+
+def _clause_legs(positional: DataFrame, clauses, doc_col: str) -> DataFrame:
+    """One term-pruned leg per clause — ``_p{i}`` = the clause's sorted
+    position array (union of its alternatives' positions for OR-clauses;
+    disjoint within a doc since one token sits per position, so sort
+    alone suffices) — inner-joined on doc_col. Shared by the SpanNear
+    and SpanNot folds so the leg pruning can never diverge between
+    them."""
+    legs = []
+    for i, cl in enumerate(clauses):
+        if len(cl) == 1:
+            leg = (positional.filter(F.col("term_id") == cl[0])
+                   .select(F.col(doc_col),
+                           F.col("positions").alias(f"_p{i}")))
+        else:
+            leg = (positional.filter(F.col("term_id").isin(cl))
+                   .groupBy(doc_col)
+                   .agg(F.array_sort(
+                       F.flatten(F.collect_list("positions")))
+                       .alias(f"_p{i}")))
+        legs.append(leg)
+    j = legs[0]
+    for leg in legs[1:]:
+        j = j.join(leg, doc_col)
+    return j
+
+
+def _after(e):
+    # factory closure, NOT a default-arg lambda: a two-param lambda
+    # would make F.filter pass the ARRAY INDEX as the second argument
+    return lambda q: q > e
+
+
+def _greedy_chain_end(p, n: int):
+    """Greedy strictly-increasing chain end from anchor ``p``: clause i
+    takes its smallest ``_p{i}`` position after the previous clause's
+    end. A null end (a clause ran dry) propagates to null, which
+    F.filter treats as no-match. Picking the minimal valid successor
+    minimizes the final end, so greedy succeeds iff any witness chain
+    exists."""
+    e = p
+    for i in range(1, n):
+        e = F.array_min(F.filter(F.col(f"_p{i}"), _after(e)))
+    return e
+
+
 def span_near_occurrences(positional: DataFrame, term_ids, slop: int = 0,
                           ordered: bool = True,
                           doc_col: str = "doc_id") -> DataFrame:
@@ -271,12 +326,9 @@ def span_near_occurrences(positional: DataFrame, term_ids, slop: int = 0,
     union legs are just larger sorted arrays. Unordered mode keeps
     unit-term clauses (the multiplicity rule has no canonical Lucene
     meaning across alternative sets) and raises otherwise."""
-    clauses = [sorted({int(x) for x in t}) if _is_iterable(t) else [int(t)]
-               for t in term_ids]
+    clauses = _norm_clauses(term_ids)
     if len(clauses) < 2:
         raise ValueError("SpanNear needs >= 2 clauses")
-    if any(not c for c in clauses):
-        raise ValueError("empty OR-clause")
     if slop < 0:
         raise ValueError("slop must be >= 0")
     multi = any(len(c) > 1 for c in clauses)
@@ -290,38 +342,11 @@ def span_near_occurrences(positional: DataFrame, term_ids, slop: int = 0,
     n = len(clauses)
 
     if ordered:
-        legs = []
-        for i, cl in enumerate(clauses):
-            if len(cl) == 1:
-                leg = (positional.filter(F.col("term_id") == cl[0])
-                       .select(F.col(doc_col),
-                               F.col("positions").alias(f"_p{i}")))
-            else:
-                # union of the alternatives' positions (disjoint within a
-                # doc — one token per position — so sort alone suffices)
-                leg = (positional.filter(F.col("term_id").isin(cl))
-                       .groupBy(doc_col)
-                       .agg(F.array_sort(
-                           F.flatten(F.collect_list("positions")))
-                           .alias(f"_p{i}")))
-            legs.append(leg)
-        j = legs[0]
-        for leg in legs[1:]:
-            j = j.join(leg, doc_col)
+        j = _clause_legs(positional, clauses, doc_col)
         stretch = F.lit(int(slop) + n - 1)  # max allowed end − start
 
-        # factory closures, NOT default-arg lambdas: a two-param lambda
-        # would make F.filter pass the ARRAY INDEX as the second argument
-        def _after(e):
-            return lambda q: q > e
-
         def _chain_ok(p):
-            e = p
-            for i in range(1, n):
-                e = F.array_min(F.filter(F.col(f"_p{i}"), _after(e)))
-            # null end (a clause ran dry after e) propagates to null,
-            # which F.filter treats as no-match
-            return (e - p) <= stretch
+            return (_greedy_chain_end(p, n) - p) <= stretch
 
         anchors = F.filter(F.col("_p0"), _chain_ok)
     else:
@@ -376,9 +401,8 @@ def span_not_occurrences(positional: DataFrame, term_ids, exclude_terms,
     span as a whole — and with unit-length clauses every backtracked
     chain from the same anchor only has a LARGER end, never a smaller
     exclusion window."""
-    clauses = [sorted({int(x) for x in t}) if _is_iterable(t) else [int(t)]
-               for t in term_ids]
-    if not clauses or any(not c for c in clauses):
+    clauses = _norm_clauses(term_ids)
+    if not clauses:
         raise ValueError("include span needs non-empty clauses")
     if slop < 0 or pre < 0 or post < 0:
         raise ValueError("slop/pre/post must be >= 0")
@@ -388,22 +412,7 @@ def span_not_occurrences(positional: DataFrame, term_ids, exclude_terms,
         raise ValueError("exclude needs >= 1 term")
     n = len(clauses)
 
-    legs = []
-    for i, cl in enumerate(clauses):
-        if len(cl) == 1:
-            leg = (positional.filter(F.col("term_id") == cl[0])
-                   .select(F.col(doc_col),
-                           F.col("positions").alias(f"_p{i}")))
-        else:
-            leg = (positional.filter(F.col("term_id").isin(cl))
-                   .groupBy(doc_col)
-                   .agg(F.array_sort(
-                       F.flatten(F.collect_list("positions")))
-                       .alias(f"_p{i}")))
-        legs.append(leg)
-    j = legs[0]
-    for leg in legs[1:]:
-        j = j.join(leg, doc_col)
+    j = _clause_legs(positional, clauses, doc_col)
     ex_leg = (positional.filter(F.col("term_id").isin(excl))
               .groupBy(doc_col)
               .agg(F.array_sort(F.flatten(F.collect_list("positions")))
@@ -412,13 +421,8 @@ def span_not_occurrences(positional: DataFrame, term_ids, exclude_terms,
         "_px", F.coalesce(F.col("_px"), F.array().cast("array<int>")))
     stretch = F.lit(int(slop) + n - 1)
 
-    def _after(e):
-        return lambda q: q > e
-
     def _anchor_ok(p):
-        e = p
-        for i in range(1, n):
-            e = F.array_min(F.filter(F.col(f"_p{i}"), _after(e)))
+        e = _greedy_chain_end(p, n)
         lo, hi = p - F.lit(int(pre)), e + F.lit(int(post))
         blocked = F.exists("_px", lambda q: (q >= lo) & (q <= hi))
         return ((e - p) <= stretch) & ~blocked

@@ -654,6 +654,18 @@ def test_query_index_or_clauses_and_exclude(spark, tmp_path):
                                  slop=1)
     assert {(r["doc_id"], r["tf"]) for r in ex2["results"]} == \
         {(r["doc_id"], r["tf"]) for r in sl1["results"]}
+    # --unordered + exclusion refuses outright (SpanNot's include chain
+    # is ordered; silently running ordered would contradict the flag)
+    with _pytest.raises(SystemExit):
+        query_index.run_phrase(spark, out, "alpha beta", k=5, slop=2,
+                               ordered=False, exclude="gamma")
+    # a group whose alternatives all tokenize away answers [] (not a
+    # crash), same as the served path
+    empty_grp = query_index.run_phrase(spark, out, "alpha (a|b)", k=5)
+    assert empty_grp["results"] == []
+    # single-clause slop: distributed and served BOTH refuse
+    with _pytest.raises(ValueError):
+        query_index.run_phrase_served(out, "alpha", k=5, slop=2)
 
 
 def test_add_documents_positional_append(spark, tmp_path):
@@ -732,6 +744,14 @@ def test_add_documents_positional_append(spark, tmp_path):
     # non-positional index refuses
     with _pytest.raises(ValueError):
         build_index.add_documents(spark, p_new, inc)  # ids <= store max
+    # an ALL-OOV batch with colliding ids must refuse too (the guard
+    # checks the INPUT docs, not the vocab-joined postings — otherwise
+    # it would append a duplicate doclen row for doc 5)
+    p_oov = str(tmp_path / "pages_oov")
+    spark.createDataFrame([(5, "zzzzz qqqqq wwwww")],
+                          "doc_id long, text string").write.parquet(p_oov)
+    with _pytest.raises(ValueError):
+        build_index.add_documents(spark, p_oov, inc)
     p_noid = str(tmp_path / "pages_noid")
     _pages_df(spark).write.parquet(p_noid)
     with _pytest.raises(SystemExit):
