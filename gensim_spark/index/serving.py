@@ -227,6 +227,71 @@ class PackedIndexServer:
 
 # --- served positional queries (phrase / NEAR) -------------------------------
 
+def bm25f_topk_served(field_dirs: dict, tokens: list[str],
+                      boosts: dict | None = None, k: int = 10,
+                      servers: dict | None = None,
+                      ) -> list[tuple[int, float, int]]:
+    """Multi-field BM25F-lite with NO Spark session: the same fused rows
+    as ``topk.bm25f_topk`` over the f32-stored weights (identity pinned
+    in tests). ``field_dirs`` maps field name → a packed index dir
+    (``build_index`` output, one per field); each field's query terms
+    resolve against ITS vocab and score EXHAUSTIVELY — every posting of
+    the query terms decoded and summed per doc (one ``np.bincount`` over
+    the concatenated runs; exact, no WAND pruning, because fused top-k
+    needs true per-field scores, not per-field top-k). Fusion =
+    Σ_field boost_f · score_f, ranked |score| desc / zero-drop / doc-asc
+    (the standard contract). ``servers``: optional preloaded
+    ``PackedIndexServer`` per field for warm serving. Returns
+    [(doc_id, score, rank)].
+
+    Scale note: the per-field cost is the query terms' posting mass —
+    the same rows the distributed fusion's score legs shuffle; a
+    stopword-heavy query pays the same union either way."""
+    from gensim_spark.index import packing
+
+    boosts = boosts or {}
+    fused: dict[int, float] = {}
+    toks = sorted(set(tokens))
+    if not toks:
+        return []
+    for fname, d in field_dirs.items():
+        import pyarrow.dataset as pads
+
+        vt = pads.dataset(os.path.join(d, "vocab"),
+                          format="parquet").to_table(
+            columns=["token", "term_id"],
+            filter=pads.field("token").isin(toks))
+        tid = dict(zip(vt.column("token").to_pylist(),
+                       vt.column("term_id").to_pylist()))
+        ids = sorted({int(tid[t]) for t in tokens if t in tid})
+        if not ids:
+            continue  # field matches nothing — contributes 0
+        srv = (servers or {}).get(fname) or PackedIndexServer(
+            d, preload=False)
+        runs = (srv._read_runs(ids) if srv._tbl is None
+                else {t: srv._runs_for_term(t) for t in ids})
+        doc_parts, w_parts = [], []
+        for t in ids:
+            for _sid, run in runs.get(t, ()):
+                docs = (run.docs if run.docs is not None
+                        else packing.decode_varint_deltas(run.doc_blob))
+                doc_parts.append(docs)
+                w_parts.append(run.weights)  # q_weight = 1 ('bnn')
+        if not doc_parts:
+            continue
+        alld = np.concatenate(doc_parts)
+        allw = np.concatenate(w_parts)
+        uniq, inv = np.unique(alld, return_inverse=True)
+        sums = np.bincount(inv, weights=allw)
+        boost = float(boosts.get(fname, 1.0))
+        for doc, s in zip(uniq.tolist(), sums.tolist()):
+            fused[doc] = fused.get(doc, 0.0) + boost * s
+    cand = [(doc, s) for doc, s in fused.items() if s != 0.0]
+    cand.sort(key=lambda p: (-abs(p[1]), p[0]))
+    return [(doc, float(s), rank)
+            for rank, (doc, s) in enumerate(cand[:k], start=1)]
+
+
 def np_idf(dfs: np.ndarray, num_docs: int, variant: str = "okapi",
            epsilon: float = 0.25) -> np.ndarray:
     """Numpy mirror of ``bm25.idf_table`` (same formulas incl. the Okapi

@@ -272,6 +272,66 @@ def test_phrase_served_matches_spark_path(spark, tmp_path):
     assert query_index.run_phrase_served(out, "alpha nosuch")["results"] == []
 
 
+def test_bm25f_served_matches_distributed(spark, tmp_path):
+    """Served multi-field fusion == topk.bm25f_topk over the f32-stored
+    weights: two packed stores (title/body fields over the same docs),
+    exhaustive per-field scoring, boosted sum, standard rank contract."""
+    import datetime
+
+    from gensim_spark.index import serving
+    from gensim_spark.jobs import build_index
+    from gensim_spark.operators import topk as T
+    from gensim_spark.plans import pipeline as P
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = []
+    for i in range(40):
+        toks = [words[(i + j) % 7] for j in range(6)] + ["common"]
+        rows.append((i, f"u{i}", datetime.datetime(2024, 1, 1), b"",
+                     " ".join(toks), "en"))
+    schema = ("doc_id long, url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    body = str(tmp_path / "pages_fb")
+    title = str(tmp_path / "pages_ft")
+    bdf = spark.createDataFrame(rows, schema)
+    bdf.write.parquet(body)
+    # title field = the doc's first three words
+    bdf.withColumn("text", F.concat_ws(
+        " ", F.slice(F.split("text", " "), 1, 3))).write.parquet(title)
+    out_b = str(tmp_path / "idx_fb")
+    out_t = str(tmp_path / "idx_ft")
+    build_index.run(spark, body, out_b, docs_per_shard=16, num_groups=2)
+    build_index.run(spark, title, out_t, docs_per_shard=16, num_groups=2)
+
+    boosts = {"title": 2.0, "body": 1.0}
+    for qtoks in (["alpha", "beta"],      # both fields match
+                  ["eta", "common"],      # 'common' is body-only
+                  ["epsilon"]):
+        got = serving.bm25f_topk_served(
+            {"title": out_t, "body": out_b}, qtoks, boosts, k=10)
+        fw, fq = {}, {}
+        for name, pth in (("title", title), ("body", body)):
+            idx = P.build(P.tokenize(
+                spark.read.parquet(pth).select("doc_id", "text")))
+            tid = {r["token"]: r["term_id"] for r in idx.vocab.filter(
+                F.col("token").isin(qtoks)).collect()}
+            ids = sorted({int(tid[t]) for t in qtoks if t in tid})
+            if not ids:
+                continue
+            fw[name] = idx.weighted.withColumn(
+                "weight", F.col("weight").cast("float").cast("double"))
+            fq[name] = T.query_terms_df(spark, {0: ids})
+        want = T.bm25f_topk(fw, fq, boosts, k=10).collect()
+        assert [(g[0], g[2]) for g in got] == \
+            [(w["doc_id"], w["rank"]) for w in want], qtoks
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w["score"], rel=1e-9), qtoks
+        assert got, qtoks
+    # all-OOV answers []
+    assert serving.bm25f_topk_served(
+        {"title": out_t, "body": out_b}, ["nosuch"], boosts, k=5) == []
+
+
 def test_span_served_fuzz_vs_distributed(spark, tmp_path):
     """N-clause SpanNear served == distributed on a random corpus: ordered
     greedy chain (incl. duplicate clauses) and the unordered window cover
