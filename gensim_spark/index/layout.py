@@ -193,6 +193,78 @@ def read_packed_shards(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "data"))
 
 
+def packed_max_shard(out_dir: str) -> int:
+    """Max committed shard id from the hive directory names — a dirname
+    scan, no data read."""
+    import glob
+
+    ids = [int(os.path.basename(p).split("=", 1)[1])
+           for p in glob.glob(os.path.join(out_dir, "data", "group=*",
+                                           "shard_id=*"))]
+    return max(ids) if ids else -1
+
+
+def append_packed_shards(weighted_new: DataFrame, out_dir: str) -> dict:
+    """``Similarity.add_documents`` for the PLAIN manifest store: pack the
+    new documents into fresh shards and commit them as one extra group
+    (integer group id past the build's, so partition-type inference stays
+    uniform; the WAND/serving readers just see more (shard, term) runs —
+    shards are doc-disjoint, so per-shard top-k merging is unchanged).
+
+    Same invariant as :func:`append_packed_shards_iceberg` (the
+    reference's new-docs-enter-the-tail-shard rule, docsim.py:367-416):
+    new doc_ids must start at the next shard boundary. Exactly-once: a
+    crashed append leaves an uncommitted group dir that the next append
+    wipes and rewrites (manifest commit is last)."""
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    dps = int(manifest["params"]["docs_per_shard"])
+    if not all(g.get("committed") for g in manifest["groups"].values()):
+        raise ValueError("append needs a fully committed store — finish "
+                         "the interrupted build first (resume=True)")
+    max_shard = packed_max_shard(out_dir)
+    boundary = (max_shard + 1) * dps
+    mn = weighted_new.agg(F.min("doc_id").alias("mn")).collect()[0]["mn"]
+    if mn is None:
+        return manifest
+    if int(mn) < boundary:
+        raise ValueError(
+            f"append_packed_shards needs doc_ids >= {boundary} (next "
+            f"shard boundary; max committed shard {max_shard}); got {mn}.")
+    g = max(int(k) for k in manifest["groups"]) + 1 \
+        if manifest["groups"] else 0
+    group_dir = os.path.join(out_dir, "data", f"group={g}")
+    if os.path.exists(group_dir):
+        import shutil
+
+        shutil.rmtree(group_dir)
+    t0 = time.perf_counter()
+    spark = weighted_new.sparkSession
+    base = weighted_new.withColumn(
+        "shard_id", F.expr(f"doc_id div {dps}"))
+    docs_acc = spark.sparkContext.accumulator(0)
+    packed = (base.repartition("shard_id")
+              .sortWithinPartitions("shard_id", "term_id", "doc_id")
+              .mapInPandas(_pack_partition_fn(docs_acc),
+                           schema=PACKED_SCHEMA))
+    packed.write.mode("overwrite").partitionBy("shard_id").parquet(group_dir)
+    agg = (spark.read.schema(PACKED_SCHEMA).parquet(group_dir)
+           .select("term_id", "n")
+           .agg(F.countDistinct("term_id").alias("terms"),
+                F.sum("n").alias("postings")).collect()[0])
+    manifest["groups"][str(g)] = {
+        "committed": True, "append": True,
+        "docs": docs_acc.value, "terms": int(agg["terms"]),
+        "postings": int(agg["postings"] or 0),
+        "wall_sec": round(time.perf_counter() - t0, 2),
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
 # --- term-bucketed plain postings (relational path) --------------------------
 
 def _bucket_salt(weighted: DataFrame, n_buckets: int,

@@ -119,9 +119,10 @@ def run(spark, input_path: str, output: str, variant: str = "okapi",
 def add_documents(spark, input_path: str, index_dir: str,
                   from_html: bool = False) -> dict:
     """Grow a ``--positional`` index in place: append the new pages'
-    positional postings and doclen rows instead of rebuilding the store
-    (VERDICT r4 #3 — ``add_documents`` on a phrase-enabled index forced a
-    full positional rebuild). Mirrors the packed-store
+    positional postings, doclen rows, AND packed term-store shards
+    instead of rebuilding (VERDICT r4 #3 — ``add_documents`` on a
+    phrase-enabled index forced a full rebuild). Phrase/NEAR/span AND
+    term/WAND/served queries all see the appended docs. Mirrors the
     ``append_packed_shards_iceberg`` contract:
 
     - **Frozen model** (the reference's ``Similarity.add_documents``
@@ -175,14 +176,20 @@ def add_documents(spark, input_path: str, index_dir: str,
 
         docs_tok = P.tokenize(pages.select("doc_id", "text"))
     docs_tok = docs_tok.persist()
-    # boundary guard on the INPUT docs (not the vocab-joined postings —
+    # boundary guards on the INPUT docs (not the vocab-joined postings —
     # an all-OOV doc with a colliding id would otherwise slip past the
-    # postings-level check and append a duplicate doclen row), against
-    # BOTH stores' footer-stats maxima (doclen covers docs whose tokens
-    # are all out-of-vocab and so never reached the positional store)
-    from gensim_spark.index.layout import max_doc_id_bucketed
+    # postings-level check and append a duplicate doclen row), ALL
+    # evaluated before any write: positional/doclen footer-stats maxima,
+    # plus the packed store's next-shard boundary (strictest — the WAND
+    # reader needs appended docs in fresh shards)
+    import os as _os
+
+    from gensim_spark.index.layout import (append_packed_shards,
+                                           max_doc_id_bucketed,
+                                           packed_max_shard)
 
     mn = docs_tok.agg(F.min("doc_id").alias("mn")).collect()[0]["mn"]
+    has_packed = _os.path.exists(f"{index_dir}/manifest.json")
     if mn is not None:
         maxes = [m for m in (max_doc_id_bucketed(f"{index_dir}/positional"),
                              max_doc_id_bucketed(f"{index_dir}/doclen"))
@@ -192,6 +199,14 @@ def add_documents(spark, input_path: str, index_dir: str,
                 f"add_documents needs doc_ids > {max(maxes)} (index max); "
                 f"got {mn}. Interleaved ids need a rebuild or the "
                 "streaming incremental store.")
+        if has_packed:
+            with open(f"{index_dir}/manifest.json") as f:
+                dps = int(json.load(f)["params"]["docs_per_shard"])
+            boundary = (packed_max_shard(index_dir) + 1) * dps
+            if int(mn) < boundary:
+                raise ValueError(
+                    f"add_documents needs doc_ids >= {boundary} (the "
+                    f"packed store's next shard boundary); got {mn}.")
     vocab = spark.read.parquet(f"{index_dir}/vocab")
     append_postings_bucketed(
         positional_postings(docs_tok, vocab), f"{index_dir}/positional",
@@ -202,6 +217,30 @@ def add_documents(spark, input_path: str, index_dir: str,
                   .select("doc_id",
                           F.size("tokens").cast("long").alias("dl")))
     doclen_new.write.mode("append").parquet(f"{index_dir}/doclen")
+    if has_packed:
+        # grow the TERM-QUERY store too (WAND / served): weight the new
+        # docs against the frozen vocab/stats and pack them as fresh
+        # shards — without this, phrase queries would see appended docs
+        # but term queries would not
+        from gensim_spark.functions.textprep import bow_counts_udf
+        from gensim_spark.operators import bm25 as M
+
+        stats = M.fit_from_vocab(vocab, meta["num_docs"],
+                                 variant=meta.get("variant", "okapi"),
+                                 k1=meta.get("k1", 1.5),
+                                 b=meta.get("b", 0.75),
+                                 epsilon=meta.get("epsilon", 0.25))
+        counts = docs_tok.select(
+            "doc_id",
+            F.size("tokens").cast("long").alias("dl"),
+            F.explode(bow_counts_udf("tokens")).alias("e"),
+        ).select("doc_id", F.col("e.token").alias("token"),
+                 F.col("e.tf").alias("tf"), "dl")
+        with_dl = counts.join(
+            F.broadcast(vocab.select("token", "term_id")), "token"
+        ).select("doc_id", "term_id", "tf", "dl")
+        weighted_new = M.weight_postings(with_dl, stats, dl="inline")
+        append_packed_shards(weighted_new, index_dir)
     n_new = docs_tok.count()
     docs_tok.unpersist()
     rec = {"input": input_path, "docs": int(n_new),

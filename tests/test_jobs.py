@@ -687,8 +687,10 @@ def test_add_documents_positional_append(spark, tmp_path):
     p_old = str(tmp_path / "pages_old")
     p_new = str(tmp_path / "pages_new")
     base.write.parquet(p_all)
-    base.filter("doc_id < 28").write.parquet(p_old)
-    base.filter("doc_id >= 28").write.parquet(p_new)
+    # split at a shard boundary (docs_per_shard=16): the packed-store
+    # append needs new ids to start at the next fresh shard
+    base.filter("doc_id < 32").write.parquet(p_old)
+    base.filter("doc_id >= 32").write.parquet(p_new)
 
     full = str(tmp_path / "idx_full")
     inc = str(tmp_path / "idx_inc")
@@ -697,22 +699,24 @@ def test_add_documents_positional_append(spark, tmp_path):
     build_index.run(spark, p_old, inc, docs_per_shard=16, num_groups=2,
                     positional=True, positional_n_buckets=4)
 
-    # frozen-score baseline: phrase results on the 28-doc index
+    # frozen-score baselines on the 32-doc index: phrase AND term query
     before = {r["doc_id"]: r["score"] for r in query_index.run_phrase(
         spark, inc, "alpha beta", k=100)["results"]}
+    before_term = {r["doc_id"]: r["score"] for r in query_index.run(
+        spark, inc, ["alpha"], k=100)["results"]["0"]}
 
     rec = build_index.add_documents(spark, p_new, inc)
-    assert rec["docs"] == 12
+    assert rec["docs"] == 8
 
     for q, kw in [("alpha beta", {}), ("alpha gamma", {"slop": 1}),
                   ("alpha gamma epsilon", {"slop": 2})]:
         got = query_index.run_phrase(spark, inc, q, k=100, **kw)["results"]
         want = query_index.run_phrase(spark, full, q, k=100, **kw)["results"]
         # occurrence identity vs the one-shot build (scores use the
-        # frozen 28-doc stats, the one-shot the 40-doc stats)
+        # frozen 32-doc stats, the one-shot the 40-doc stats)
         assert {(r["doc_id"], r["tf"]) for r in got} == \
             {(r["doc_id"], r["tf"]) for r in want}
-        assert any(r["doc_id"] >= 28 for r in got)  # appended docs hit
+        assert any(r["doc_id"] >= 32 for r in got)  # appended docs hit
         # served answers the grown store identically, scores included
         srv = query_index.run_phrase_served(inc, q, k=100, **kw)["results"]
         assert [(h["doc_id"], h["tf"], h["rank"]) for h in srv] == \
@@ -720,9 +724,21 @@ def test_add_documents_positional_append(spark, tmp_path):
         for h, r in zip(srv, got):
             assert h["score"] == _pytest.approx(r["score"], rel=1e-9)
 
+    # the PACKED store grew too: term queries see appended docs (WAND),
+    # the served path answers identically, and existing docs keep their
+    # frozen scores
+    term = query_index.run(spark, inc, ["alpha"], k=100)["results"]["0"]
+    assert any(r["doc_id"] >= 32 for r in term)
+    srv_term = query_index.run_served(inc, ["alpha"], k=100)["results"]["0"]
+    assert [(h["doc_id"], h["rank"]) for h in srv_term] == \
+        [(r["doc_id"], r["rank"]) for r in term]
+    after_term = {r["doc_id"]: r["score"] for r in term
+                  if r["doc_id"] < 32}
+    assert after_term == before_term
+
     # existing docs: scores bit-identical before/after the append
     after = {r["doc_id"]: r["score"] for r in query_index.run_phrase(
-        spark, inc, "alpha beta", k=100)["results"] if r["doc_id"] < 28}
+        spark, inc, "alpha beta", k=100)["results"] if r["doc_id"] < 32}
     assert after == before
 
     # doclen parity with the one-shot build (dl = full token count)
@@ -737,8 +753,14 @@ def test_add_documents_positional_append(spark, tmp_path):
 
     with open(f"{inc}/build_metrics.json") as f:
         meta = _json.load(f)
-    assert meta["num_docs"] == 28 and meta["num_docs_total"] == 40
-    assert meta["appends"][0]["docs"] == 12
+    assert meta["num_docs"] == 32 and meta["num_docs_total"] == 40
+    assert meta["appends"][0]["docs"] == 8
+    # packed manifest gained one committed append group
+    with open(f"{inc}/manifest.json") as f:
+        man = _json.load(f)
+    ap_groups = [g for g in man["groups"].values() if g.get("append")]
+    assert len(ap_groups) == 1 and ap_groups[0]["committed"]
+    assert ap_groups[0]["docs"] == 8
 
     # guards: interleaved ids refuse; missing doc_id refuses;
     # non-positional index refuses
