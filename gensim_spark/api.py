@@ -1616,7 +1616,11 @@ class SearchEngine:
         answers the empty frame."""
         from gensim_spark.operators import positional as _px
 
-        alts = [list(a) for a in alternatives]
+        # alternatives tokenize through the same pipeline as phrase() —
+        # un-normalized input (case, punctuation) must not silently
+        # become an OOV drop
+        alts = [[w for x in a for w in self._tokenize(x)]
+                for a in alternatives]
         tid = self._tids(sorted({w for a in alts for w in a}))
         ids = [[tid[w] for w in a if w in tid] for a in alts]
         if not ids or any(not a for a in ids):
@@ -1635,9 +1639,18 @@ class SearchEngine:
         words drop silently (they can never block)."""
         from gensim_spark.operators import positional as _px
 
-        inc = [include] if isinstance(include, str) else list(include)
-        alts = [[a] if isinstance(a, str) else list(a) for a in inc]
-        exc = [exclude] if isinstance(exclude, str) else list(exclude)
+        # strings TOKENIZE (a multi-word include string becomes unit
+        # clauses, a multi-word exclude string its word set) — treating
+        # "not near" as one token would be OOV and silently drop the
+        # exclusion
+        if isinstance(include, str):
+            inc = [[t] for t in self._tokenize(include)]
+        else:
+            inc = [[a] if isinstance(a, str) else list(a)
+                   for a in include]
+        alts = [[w for x in a for w in self._tokenize(x)] for a in inc]
+        exc = (self._tokenize(exclude) if isinstance(exclude, str)
+               else [w for x in exclude for w in self._tokenize(x)])
         tid = self._tids(sorted({w for a in alts for w in a} | set(exc)))
         ids = [[tid[w] for w in a if w in tid] for a in alts]
         if not ids or any(not a for a in ids):

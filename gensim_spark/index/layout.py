@@ -194,8 +194,8 @@ def read_packed_shards(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def packed_max_shard(out_dir: str) -> int:
-    """Max committed shard id from the hive directory names — a dirname
-    scan, no data read."""
+    """Max shard id from the hive directory names (ALL group dirs,
+    committed or not) — a dirname scan, no data read."""
     import glob
 
     ids = [int(os.path.basename(p).split("=", 1)[1])
@@ -204,7 +204,26 @@ def packed_max_shard(out_dir: str) -> int:
     return max(ids) if ids else -1
 
 
-def append_packed_shards(weighted_new: DataFrame, out_dir: str) -> dict:
+def packed_committed_max_shard(out_dir: str) -> int:
+    """Max shard id counting ONLY manifest-committed groups — the right
+    boundary source for append pre-checks, since an orphan dir from a
+    crashed append would otherwise inflate the boundary and make the
+    documented retry-the-same-batch path impossible."""
+    import glob
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    ids = [
+        int(os.path.basename(p).split("=", 1)[1])
+        for k, v in manifest["groups"].items() if v.get("committed")
+        for p in glob.glob(os.path.join(out_dir, "data", f"group={k}",
+                                        "shard_id=*"))
+    ]
+    return max(ids) if ids else -1
+
+
+def append_packed_shards(weighted_new: DataFrame, out_dir: str,
+                         min_doc_id: int | None = None) -> dict:
     """``Similarity.add_documents`` for the PLAIN manifest store: pack the
     new documents into fresh shards and commit them as one extra group
     (integer group id past the build's, so partition-type inference stays
@@ -213,32 +232,60 @@ def append_packed_shards(weighted_new: DataFrame, out_dir: str) -> dict:
 
     Same invariant as :func:`append_packed_shards_iceberg` (the
     reference's new-docs-enter-the-tail-shard rule, docsim.py:367-416):
-    new doc_ids must start at the next shard boundary. Exactly-once: a
-    crashed append leaves an uncommitted group dir that the next append
-    wipes and rewrites (manifest commit is last)."""
+    new doc_ids must start at the NEXT SHARD BOUNDARY —
+    ``(max_shard + 1) · docs_per_shard`` — not merely above the index
+    max. This is the reader's contract, not pedantry: the WAND shard
+    kernel holds exactly one packed run per (shard, term)
+    (wand.py::_shard_topk_factory), so a second run for a tail shard
+    would silently shadow the first. Exactly-once: a crashed append
+    leaves an uncommitted group dir; the next append wipes every
+    data/group=* dir not committed in the manifest BEFORE computing the
+    boundary, so retrying the same batch succeeds (manifest commit is
+    last). ``min_doc_id``: pass the batch's precomputed min to skip the
+    extra pass over the weighted lineage."""
     manifest_path = os.path.join(out_dir, "manifest.json")
     with open(manifest_path) as f:
         manifest = json.load(f)
     dps = int(manifest["params"]["docs_per_shard"])
-    if not all(g.get("committed") for g in manifest["groups"].values()):
-        raise ValueError("append needs a fully committed store — finish "
-                         "the interrupted build first (resume=True)")
-    max_shard = packed_max_shard(out_dir)
+    num_groups = int(manifest["params"]["num_groups"])
+    # an interrupted BUILD records nothing for its unfinished groups (the
+    # committed flag is only ever written True), so completeness = every
+    # build group key present-and-committed
+    missing = [g for g in range(num_groups)
+               if not manifest["groups"].get(str(g), {}).get("committed")]
+    if missing:
+        raise ValueError(
+            f"append needs a fully committed store — build groups "
+            f"{missing} are uncommitted; finish the interrupted build "
+            "first (resume=True)")
+    # wipe orphan group dirs (a crashed append's partial write — with the
+    # build proven complete above, any dir outside the manifest is one);
+    # until this runs, readers would see the orphan's rows
+    import glob as _glob
+    import shutil as _shutil
+
+    committed_keys = {k for k, v in manifest["groups"].items()
+                      if v.get("committed")}
+    for p in _glob.glob(os.path.join(out_dir, "data", "group=*")):
+        if os.path.basename(p).split("=", 1)[1] not in committed_keys:
+            _shutil.rmtree(p)
+    max_shard = packed_committed_max_shard(out_dir)
     boundary = (max_shard + 1) * dps
-    mn = weighted_new.agg(F.min("doc_id").alias("mn")).collect()[0]["mn"]
+    mn = (min_doc_id if min_doc_id is not None else
+          weighted_new.agg(F.min("doc_id").alias("mn")).collect()[0]["mn"])
     if mn is None:
         return manifest
     if int(mn) < boundary:
         raise ValueError(
             f"append_packed_shards needs doc_ids >= {boundary} (next "
-            f"shard boundary; max committed shard {max_shard}); got {mn}.")
+            f"shard boundary; max committed shard {max_shard}; the WAND "
+            f"reader holds one run per (shard, term), so new docs cannot "
+            f"extend a committed tail shard); got {mn}.")
     g = max(int(k) for k in manifest["groups"]) + 1 \
         if manifest["groups"] else 0
     group_dir = os.path.join(out_dir, "data", f"group={g}")
     if os.path.exists(group_dir):
-        import shutil
-
-        shutil.rmtree(group_dir)
+        _shutil.rmtree(group_dir)
     t0 = time.perf_counter()
     spark = weighted_new.sparkSession
     base = weighted_new.withColumn(

@@ -247,8 +247,6 @@ def bm25f_topk_served(field_dirs: dict, tokens: list[str],
     Scale note: the per-field cost is the query terms' posting mass —
     the same rows the distributed fusion's score legs shuffle; a
     stopword-heavy query pays the same union either way."""
-    from gensim_spark.index import packing
-
     boosts = boosts or {}
     fused: dict[int, float] = {}
     toks = sorted(set(tokens))
@@ -273,9 +271,9 @@ def bm25f_topk_served(field_dirs: dict, tokens: list[str],
         doc_parts, w_parts = [], []
         for t in ids:
             for _sid, run in runs.get(t, ()):
-                docs = (run.docs if run.docs is not None
-                        else packing.decode_varint_deltas(run.doc_blob))
-                doc_parts.append(docs)
+                # all_docs() caches the decoded array on the run — warm
+                # servers pay the varint decode once, not per query
+                doc_parts.append(run.all_docs())
                 w_parts.append(run.weights)  # q_weight = 1 ('bnn')
         if not doc_parts:
             continue

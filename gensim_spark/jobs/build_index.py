@@ -186,8 +186,19 @@ def add_documents(spark, input_path: str, index_dir: str,
 
     from gensim_spark.index.layout import (append_packed_shards,
                                            max_doc_id_bucketed,
-                                           packed_max_shard)
+                                           packed_committed_max_shard)
 
+    # a pending marker from a crashed earlier append means the three
+    # stores may disagree (positional written, doclen/packed not) —
+    # refuse loudly instead of guessing; the marker names the batch
+    if meta.get("pending_append"):
+        pa = meta["pending_append"]
+        raise ValueError(
+            f"index has a half-applied append (input={pa['input']!r}, "
+            f"min_doc_id={pa['min_doc_id']}): a previous add_documents "
+            "crashed mid-write and the positional/doclen/packed stores "
+            "may disagree for that id range. Rebuild the index (or "
+            "restore it from before that append) before appending again.")
     mn = docs_tok.agg(F.min("doc_id").alias("mn")).collect()[0]["mn"]
     has_packed = _os.path.exists(f"{index_dir}/manifest.json")
     if mn is not None:
@@ -202,11 +213,23 @@ def add_documents(spark, input_path: str, index_dir: str,
         if has_packed:
             with open(f"{index_dir}/manifest.json") as f:
                 dps = int(json.load(f)["params"]["docs_per_shard"])
-            boundary = (packed_max_shard(index_dir) + 1) * dps
+            boundary = (packed_committed_max_shard(index_dir) + 1) * dps
             if int(mn) < boundary:
                 raise ValueError(
-                    f"add_documents needs doc_ids >= {boundary} (the "
-                    f"packed store's next shard boundary); got {mn}.")
+                    f"add_documents needs doc_ids >= {boundary}: the "
+                    f"packed term store's next shard boundary (shards "
+                    f"hold {dps} ids; the WAND reader keeps one run per "
+                    f"(shard, term), so appended docs cannot extend a "
+                    f"committed tail shard). Re-id the batch to start at "
+                    f"{boundary}, or rebuild; got {mn}.")
+    # mark the append in-flight BEFORE any write: the three stores cannot
+    # be appended atomically, so a crash mid-way must be detectable (the
+    # marker clears when the append record commits below)
+    if mn is not None:
+        meta["pending_append"] = {"input": input_path,
+                                  "min_doc_id": int(mn)}
+        with open(f"{index_dir}/build_metrics.json", "w") as f:
+            json.dump(meta, f, indent=1)
     vocab = spark.read.parquet(f"{index_dir}/vocab")
     append_postings_bucketed(
         positional_postings(docs_tok, vocab), f"{index_dir}/positional",
@@ -240,11 +263,14 @@ def add_documents(spark, input_path: str, index_dir: str,
             F.broadcast(vocab.select("token", "term_id")), "token"
         ).select("doc_id", "term_id", "tf", "dl")
         weighted_new = M.weight_postings(with_dl, stats, dl="inline")
-        append_packed_shards(weighted_new, index_dir)
+        # mn is already validated against the shard boundary above — skip
+        # append_packed_shards' own pass over the weighted lineage
+        append_packed_shards(weighted_new, index_dir, min_doc_id=mn)
     n_new = docs_tok.count()
     docs_tok.unpersist()
     rec = {"input": input_path, "docs": int(n_new),
            "wall_sec": round(time.perf_counter() - t0, 2)}
+    meta.pop("pending_append", None)  # all stores written: commit
     meta.setdefault("appends", []).append(rec)
     meta["num_docs_total"] = meta.get(
         "num_docs_total", meta["num_docs"]) + int(n_new)

@@ -80,8 +80,12 @@ def _parse_phrase_clauses(phrase_text: str) -> list[list[str]]:
     from gensim_spark.functions import textref
 
     clause_toks: list[list[str]] = []
-    for grp, bare in re.findall(r"\(([^)]*)\)|(\S+)", phrase_text):
-        if grp:
+    for m in re.finditer(r"\(([^)]*)\)|(\S+)", phrase_text):
+        grp, bare = m.group(1), m.group(2)
+        if grp is not None:
+            # '()' and '( )' both parse as an EMPTY clause (matched group,
+            # no surviving alternatives) — truthiness would silently drop
+            # the zero-length spelling and run a different query
             clause_toks.append([w for part in grp.split("|")
                                 for w in textref.simple_preprocess(part)])
         else:

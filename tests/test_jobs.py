@@ -660,9 +660,13 @@ def test_query_index_or_clauses_and_exclude(spark, tmp_path):
         query_index.run_phrase(spark, out, "alpha beta", k=5, slop=2,
                                ordered=False, exclude="gamma")
     # a group whose alternatives all tokenize away answers [] (not a
-    # crash), same as the served path
+    # crash), same as the served path — and '()' / '( )' behave alike
     empty_grp = query_index.run_phrase(spark, out, "alpha (a|b)", k=5)
     assert empty_grp["results"] == []
+    assert query_index.run_phrase(spark, out, "alpha ()", k=5)["results"] \
+        == []
+    assert query_index.run_phrase(spark, out, "alpha ( )", k=5)["results"] \
+        == []
     # single-clause slop: distributed and served BOTH refuse
     with _pytest.raises(ValueError):
         query_index.run_phrase_served(out, "alpha", k=5, slop=2)
@@ -782,6 +786,74 @@ def test_add_documents_positional_append(spark, tmp_path):
     build_index.run(spark, p_old, plain, docs_per_shard=16, num_groups=2)
     with _pytest.raises(SystemExit):
         build_index.add_documents(spark, p_new, plain)
+
+
+def test_add_documents_crash_recovery_guards(spark, tmp_path):
+    """Append crash-safety (review r5b): an orphan group dir from a
+    crashed append is wiped and the retry succeeds; a pending-append
+    marker (crash between store writes) refuses loudly; an incomplete
+    BUILD (missing manifest group) refuses the append."""
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gensim_spark.jobs import build_index
+
+    base = _pages_df(spark).withColumn(
+        "doc_id", F.regexp_extract("url", r"p(\d+)$", 1).cast("long"))
+    p_old = str(tmp_path / "pages_cr_old")
+    p_new = str(tmp_path / "pages_cr_new")
+    base.filter("doc_id < 32").write.parquet(p_old)
+    base.filter("doc_id >= 32").write.parquet(p_new)
+    out = str(tmp_path / "idx_cr")
+    build_index.run(spark, p_old, out, docs_per_shard=16, num_groups=2,
+                    positional=True, positional_n_buckets=4)
+
+    # (a) orphan group dir (crashed append's partial write): wiped, and
+    # the retried append lands as the next committed group
+    orphan = os.path.join(out, "data", "group=2", "shard_id=2")
+    os.makedirs(orphan)
+    rec = build_index.add_documents(spark, p_new, out)
+    assert rec["docs"] == 8
+    with open(f"{out}/manifest.json") as f:
+        man = _json.load(f)
+    assert man["groups"]["2"]["append"] and man["groups"]["2"]["committed"]
+
+    # (b) pending marker: a crash BETWEEN store writes leaves it set —
+    # the next append must refuse with the batch named
+    mpath = f"{out}/build_metrics.json"
+    with open(mpath) as f:
+        meta = _json.load(f)
+    try:
+        with open(mpath, "w") as f:
+            _json.dump({**meta, "pending_append":
+                        {"input": "p_new", "min_doc_id": 32}}, f)
+        with _pytest.raises(ValueError, match="half-applied"):
+            build_index.add_documents(spark, p_new, out)
+    finally:
+        with open(mpath, "w") as f:
+            _json.dump(meta, f)
+
+    # (c) incomplete build: drop a build group from the manifest — the
+    # packed append must refuse rather than hijack the missing group id
+    from gensim_spark.index.layout import append_packed_shards
+
+    man_path = f"{out}/manifest.json"
+    with open(man_path) as f:
+        man = _json.load(f)
+    broken = {**man, "groups": {k: v for k, v in man["groups"].items()
+                                if k != "1"}}
+    try:
+        with open(man_path, "w") as f:
+            _json.dump(broken, f)
+        wdummy = spark.createDataFrame(
+            [(1000, 0, 1.0)], "doc_id long, term_id long, weight double")
+        with _pytest.raises(ValueError, match="uncommitted"):
+            append_packed_shards(wdummy, out)
+    finally:
+        with open(man_path, "w") as f:
+            _json.dump(man, f)
 
 
 def test_query_index_span_near_multi(spark, tmp_path):

@@ -106,6 +106,15 @@ def test_rewrites_and_phrase(engine):
     nt3 = se.span_not(["alpha", "delta"], "nosuch", k=10).collect()
     assert [(r["doc_id"], r["near_tf"]) for r in nt3] == \
         [(r["doc_id"], r["near_tf"]) for r in nt2]
+    # STRINGS tokenize (review r5b): a multi-word include string equals
+    # the word-list form, a multi-word exclude string is its word SET
+    nt4 = se.span_not("alpha delta", "gamma", k=10).collect()
+    assert [(r["doc_id"], r["near_tf"]) for r in nt4] == \
+        [(r["doc_id"], r["near_tf"]) for r in nt2]
+    # exclude "beta gamma": d2 alpha@0 has neither nearby; d0/d3 alphas
+    # all have a beta or gamma within +-1
+    nt5 = se.span_not("alpha", "beta gamma", pre=1, post=1, k=10).collect()
+    assert [(r["doc_id"], r["near_tf"]) for r in nt5] == [(2, 1)]
 
 
 def test_bm25f_multi_field(spark):
