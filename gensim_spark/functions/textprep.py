@@ -212,7 +212,14 @@ def tokenize_pages(
     tokens_col_name: str = "tokens",
     ascii_fast_path: bool = False,
 ) -> DataFrame:
-    """pages → + ``tokens: array<string>`` via simple_preprocess semantics."""
-    return pages.withColumn(
+    """pages → + ``tokens: array<string>`` via simple_preprocess semantics.
+
+    The input is width-guarded first (scanwidth.widen_if_narrow): a
+    single-row-group parquet input would otherwise pin tokenization AND
+    every downstream token consumer to one task. No-op on real multi-split
+    corpora."""
+    from gensim_spark.functions.scanwidth import widen_if_narrow
+
+    return widen_if_narrow(pages).withColumn(
         tokens_col_name, tokens_col(F.col(text_col), ascii_fast_path=ascii_fast_path)
     )

@@ -248,10 +248,15 @@ def bm25f_topk_served(field_dirs: dict, tokens: list[str],
     the same rows the distributed fusion's score legs shuffle; a
     stopword-heavy query pays the same union either way."""
     boosts = boosts or {}
-    fused: dict[int, float] = {}
     toks = sorted(set(tokens))
     if not toks:
         return []
+    # per-field (docs, boost·scores) arrays; fusion stays vectorized all the
+    # way down — the per-doc Python dict walk this replaces is O(candidate
+    # set) interpreter work per query, the exact scale-killer shape the
+    # served phrase matcher shed in round 4 (3.13 s → 0.104 s)
+    field_docs: list[np.ndarray] = []
+    field_scores: list[np.ndarray] = []
     for fname, d in field_dirs.items():
         import pyarrow.dataset as pads
 
@@ -281,13 +286,23 @@ def bm25f_topk_served(field_dirs: dict, tokens: list[str],
         allw = np.concatenate(w_parts)
         uniq, inv = np.unique(alld, return_inverse=True)
         sums = np.bincount(inv, weights=allw)
-        boost = float(boosts.get(fname, 1.0))
-        for doc, s in zip(uniq.tolist(), sums.tolist()):
-            fused[doc] = fused.get(doc, 0.0) + boost * s
-    cand = [(doc, s) for doc, s in fused.items() if s != 0.0]
-    cand.sort(key=lambda p: (-abs(p[1]), p[0]))
-    return [(doc, float(s), rank)
-            for rank, (doc, s) in enumerate(cand[:k], start=1)]
+        field_docs.append(uniq)
+        field_scores.append(float(boosts.get(fname, 1.0)) * sums)
+    if not field_docs:
+        return []
+    # fuse: one more unique/bincount pass over the concatenated per-field
+    # (doc, boost·score) arrays, then argsort top-k on the contract key
+    alld = np.concatenate(field_docs)
+    alls = np.concatenate(field_scores)
+    uniq, inv = np.unique(alld, return_inverse=True)
+    fused = np.bincount(inv, weights=alls)
+    nz = fused != 0.0
+    uniq, fused = uniq[nz], fused[nz]
+    # |score| desc, doc asc ties: lexsort on (doc asc) then stable argsort
+    # on -|score| preserves doc order within equal scores
+    order = np.argsort(-np.abs(fused), kind="stable")[:k]
+    return [(int(uniq[i]), float(fused[i]), rank)
+            for rank, i in enumerate(order.tolist(), start=1)]
 
 
 def np_idf(dfs: np.ndarray, num_docs: int, variant: str = "okapi",
@@ -308,6 +323,147 @@ def np_idf(dfs: np.ndarray, num_docs: int, variant: str = "okapi",
     raise ValueError(f"unknown BM25 variant {variant!r}")
 
 
+class PositionalIndexServer:
+    """Warm in-process query node over the positional bucketed store
+    written by ``build_index --positional`` — the positional twin of
+    :class:`PackedIndexServer`. Construction loads build_metrics.json and
+    the vocab once (token → term_id map, the full idf array incl. the
+    Okapi ε-clamp's global mean, avgdl); per-term positional reads and the
+    doclen table warm lazily into caches on first touch, so repeated
+    queries pay numpy-kernel cost only. ``phrase_topk_served`` keeps the
+    old per-call API on top of a small keyed server cache.
+
+    ``preload_doclen=True`` (default) reads the whole doclen table into two
+    sorted arrays on first use — the deployment trade a RAM-resident query
+    node makes (same as PackedIndexServer preload); ``False`` re-reads the
+    hit docs' doclens per query (cold / bigger-than-RAM node)."""
+
+    def __init__(self, index_dir: str, *, preload_doclen: bool = True):
+        import json as _json
+
+        import pyarrow.dataset as pads
+
+        self._dir = index_dir
+        with open(os.path.join(index_dir, "build_metrics.json")) as f:
+            meta = _json.load(f)
+        if not meta.get("positional"):
+            raise FileNotFoundError(
+                "index has no positional store — rebuild with "
+                "build_index --positional")
+        self.n_buckets = meta.get("positional_n_buckets") or 64
+        self.variant = meta.get("variant", "okapi")
+        self.num_docs = meta["num_docs"]
+        # fit parameters recorded at build time (build_index.run); the
+        # fallbacks are bm25.fit_from_vocab's defaults for stores written
+        # before the metrics carried them
+        self.k1 = float(meta.get("k1", 1.5))
+        self.b = float(meta.get("b", 0.75))
+        self.epsilon = float(meta.get("epsilon", 0.25))
+
+        vocab = pads.dataset(os.path.join(index_dir, "vocab"),
+                             format="parquet").to_table(
+            columns=["token", "term_id", "df", "cf"])
+        vtok = vocab.column("token").to_pylist()
+        vterm = vocab.column("term_id").to_numpy()
+        vdf = vocab.column("df").to_numpy()
+        vcf = vocab.column("cf").to_numpy()
+        self.tid = dict(zip(vtok, (int(t) for t in vterm)))
+        idf_all = np_idf(vdf, self.num_docs, self.variant, self.epsilon)
+        self.idf_by_term = dict(zip((int(t) for t in vterm), idf_all))
+        self.avgdl = float(vcf.sum()) / self.num_docs
+        self._pos_ds = pads.dataset(os.path.join(index_dir, "positional"),
+                                    format="parquet", partitioning="hive")
+        self._preload_doclen = preload_doclen
+        self._dl_docs: np.ndarray | None = None
+        self._dl_vals: np.ndarray | None = None
+        self._term_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _term_positions(self, term_ids) -> dict:
+        """(docs, positions) int64 arrays per term, cache-warmed; misses are
+        fetched in ONE bucket-pruned + term-filtered dataset read."""
+        import pyarrow.compute as pc
+
+        missing = sorted(t for t in set(term_ids) if t not in self._term_cache)
+        if missing:
+            buckets = sorted({t % self.n_buckets for t in missing})
+            tbl = self._pos_ds.to_table(
+                columns=["doc_id", "term_id", "positions"],
+                filter=pc.field("bucket").isin(buckets)
+                & pc.field("term_id").isin(missing))
+            # flatten (doc, position) pairs per term WITHOUT a python row
+            # loop: list_flatten + repeat-by-length keeps everything
+            # columnar — head terms with millions of positions stay
+            # numpy-speed
+            for t in missing:
+                sub = tbl.filter(pc.equal(tbl.column("term_id"), t))
+                plist = sub.column("positions").combine_chunks()
+                flat = pc.list_flatten(plist).to_numpy().astype(np.int64)
+                lens = pc.list_value_length(plist).to_numpy().astype(np.int64)
+                docs = np.repeat(
+                    sub.column("doc_id").to_numpy().astype(np.int64), lens)
+                self._term_cache[int(t)] = (docs, flat)
+        return {int(t): self._term_cache[int(t)] for t in set(term_ids)}
+
+    def _doclens(self, doc_ids: list) -> dict:
+        """doc_id → dl for the hit docs; docs with positional rows but no
+        doclen row (the half-appended-crash state) are simply absent —
+        callers skip them, matching the distributed plans' inner-join drop
+        (ADVICE r5)."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        if self._preload_doclen:
+            if self._dl_docs is None:
+                tbl = pads.dataset(os.path.join(self._dir, "doclen"),
+                                   format="parquet").to_table(
+                    columns=["doc_id", "dl"])
+                d = tbl.column("doc_id").to_numpy().astype(np.int64)
+                v = tbl.column("dl").to_numpy().astype(np.int64)
+                order = np.argsort(d, kind="stable")
+                self._dl_docs, self._dl_vals = d[order], v[order]
+            q = np.asarray(sorted(doc_ids), dtype=np.int64)
+            pos = np.searchsorted(self._dl_docs, q)
+            ok = (pos < self._dl_docs.size) & (
+                self._dl_docs[np.minimum(pos, self._dl_docs.size - 1)] == q)
+            return dict(zip(q[ok].tolist(),
+                            self._dl_vals[pos[ok]].tolist()))
+        dl_tbl = pads.dataset(os.path.join(self._dir, "doclen"),
+                              format="parquet").to_table(
+            columns=["doc_id", "dl"],
+            filter=pc.field("doc_id").isin(sorted(doc_ids)))
+        return dict(zip(dl_tbl.column("doc_id").to_pylist(),
+                        dl_tbl.column("dl").to_pylist()))
+
+    def query(self, tokens: list[str], k: int = 10,
+              slop: int | None = None,
+              ordered: bool = True) -> list[tuple[int, int, float, int]]:
+        return _phrase_topk_on_server(self, tokens, k=k, slop=slop,
+                                      ordered=ordered)
+
+
+# small warm-server cache behind the per-call API: keyed on the store path
+# plus build_metrics.json's identity (every build/append commit rewrites
+# that file, so appends invalidate), bounded so long-lived processes
+# serving many stores do not pin every store's vocab
+_SERVER_CACHE: dict = {}
+_SERVER_CACHE_MAX = 8
+
+
+def _positional_server(index_dir: str) -> PositionalIndexServer:
+    st = os.stat(os.path.join(index_dir, "build_metrics.json"))
+    key = (os.path.realpath(index_dir), st.st_mtime_ns, st.st_size)
+    srv = _SERVER_CACHE.get(key)
+    if srv is None:
+        # drop stale entries for the same dir (superseded by a newer build)
+        for old in [k for k in _SERVER_CACHE if k[0] == key[0]]:
+            _SERVER_CACHE.pop(old, None)
+        if len(_SERVER_CACHE) >= _SERVER_CACHE_MAX:
+            _SERVER_CACHE.pop(next(iter(_SERVER_CACHE)))
+        srv = PositionalIndexServer(index_dir)
+        _SERVER_CACHE[key] = srv
+    return srv
+
+
 def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
                        slop: int | None = None,
                        ordered: bool = True) -> list[tuple[int, int, float, int]]:
@@ -322,39 +478,27 @@ def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
     from the stored vocab (``np_idf`` + Σcf/N avgdl, the build's variant
     from build_metrics.json). Returns [(doc_id, tf, score, rank)].
 
+    Serving is WARM: calls against the same (unmodified) store reuse a
+    cached :class:`PositionalIndexServer` — vocab/idf load once, per-term
+    positional reads and doclens cache across calls; a rebuilt or appended
+    store (build_metrics.json rewritten) gets a fresh server.
+
     Scale note: the in-process cost is intersection-sized (the pruned
     buckets' rows for the query terms), exactly what the distributed legs
     shuffle — a node serving a shard slice applies ``merge_topk`` as with
     term queries."""
-    import json as _json
+    return _phrase_topk_on_server(_positional_server(index_dir), tokens,
+                                  k=k, slop=slop, ordered=ordered)
 
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
 
-    with open(os.path.join(index_dir, "build_metrics.json")) as f:
-        meta = _json.load(f)
-    if not meta.get("positional"):
-        raise FileNotFoundError(
-            "index has no positional store — rebuild with "
-            "build_index --positional")
-    n_buckets = meta.get("positional_n_buckets") or 64
-    variant = meta.get("variant", "okapi")
-    num_docs = meta["num_docs"]
-    # fit parameters recorded at build time (build_index.run); the
-    # fallbacks are bm25.fit_from_vocab's defaults for stores written
-    # before the metrics carried them
-    k1 = float(meta.get("k1", 1.5))
-    b = float(meta.get("b", 0.75))
-    epsilon = float(meta.get("epsilon", 0.25))
-
-    vocab = pads.dataset(os.path.join(index_dir, "vocab"),
-                         format="parquet").to_table(
-        columns=["token", "term_id", "df", "cf"])
-    vtok = vocab.column("token").to_pylist()
-    vterm = vocab.column("term_id").to_numpy()
-    vdf = vocab.column("df").to_numpy()
-    vcf = vocab.column("cf").to_numpy()
-    tid = dict(zip(vtok, (int(t) for t in vterm)))
+def _phrase_topk_on_server(srv: PositionalIndexServer, tokens: list[str],
+                           k: int = 10, slop: int | None = None,
+                           ordered: bool = True,
+                           ) -> list[tuple[int, int, float, int]]:
+    tid = srv.tid
+    idf_by_term = srv.idf_by_term
+    variant, num_docs, avgdl = srv.variant, srv.num_docs, srv.avgdl
+    k1, b = srv.k1, srv.b
     # a clause is a token (str) or a list of alternative tokens — the
     # served MultiPhrase / spanOr form; any OOV member answers []
     tok_clauses = [[t] if isinstance(t, str) else list(t) for t in tokens]
@@ -372,29 +516,7 @@ def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
         # parity with the distributed span_near_occurrences validation —
         # a one-clause slop query is not a span
         raise ValueError("SpanNear needs >= 2 clauses")
-    idf_all = np_idf(vdf, num_docs, variant, epsilon)
-    idf_by_term = dict(zip((int(t) for t in vterm), idf_all))
-    avgdl = float(vcf.sum()) / num_docs
-
-    buckets = sorted({t % n_buckets for t in flat_ids})
-    ds = pads.dataset(os.path.join(index_dir, "positional"),
-                      format="parquet", partitioning="hive")
-    tbl = ds.to_table(
-        columns=["doc_id", "term_id", "positions"],
-        filter=pc.field("bucket").isin(buckets)
-        & pc.field("term_id").isin(sorted(set(flat_ids))))
-    # flatten (doc, position) pairs per term WITHOUT a python row loop:
-    # list_flatten + repeat-by-length keeps everything columnar — head
-    # terms with millions of positions stay numpy-speed
-    term_pairs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for t in sorted(set(flat_ids)):
-        sub = tbl.filter(pc.equal(tbl.column("term_id"), t))
-        plist = sub.column("positions").combine_chunks()
-        flat = pc.list_flatten(plist).to_numpy().astype(np.int64)
-        lens = pc.list_value_length(plist).to_numpy().astype(np.int64)
-        docs = np.repeat(sub.column("doc_id").to_numpy().astype(np.int64),
-                         lens)
-        term_pairs[int(t)] = (docs, flat)
+    term_pairs = srv._term_positions(flat_ids)
     # an OR-clause matches if ANY member has postings; a clause with no
     # postings at all can never match
     if any(all(term_pairs[t][0].size == 0 for t in c) for c in clauses):
@@ -517,16 +639,15 @@ def phrase_topk_served(index_dir: str, tokens: list[str], k: int = 10,
     if not hits:
         return []
 
-    dl_ds = pads.dataset(os.path.join(index_dir, "doclen"),
-                         format="parquet")
-    dl_tbl = dl_ds.to_table(
-        columns=["doc_id", "dl"],
-        filter=pc.field("doc_id").isin(sorted(hits)))
-    dl_map = dict(zip(dl_tbl.column("doc_id").to_pylist(),
-                      dl_tbl.column("dl").to_pylist()))
+    dl_map = srv._doclens(sorted(hits))
     scored = []
     for d, tf in hits.items():
-        dl = float(dl_map[d])
+        dl = dl_map.get(d)
+        if dl is None:
+            # positional rows without a doclen row (half-appended crash
+            # state): drop the doc like the distributed inner join does
+            continue
+        dl = float(dl)
         denom = tf + k1 * (1.0 - b + b * dl / avgdl)
         num = tf * (k1 + 1.0) if variant in ("okapi", "atire") else float(tf)
         scored.append((d, tf, idf_sum * num / denom))

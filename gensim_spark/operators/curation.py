@@ -39,6 +39,9 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
     Pure JVM ``regexp_count``/``regexp_replace`` projection — zero shuffle,
     scan speed at any corpus size.
     """
+    from gensim_spark.functions.scanwidth import widen_if_narrow
+
+    docs = widen_if_narrow(docs)  # regex scrub of a 1-split input: 1 task
     # null-safe: a crawl row with no extracted text scrubs to "" with zero
     # counts instead of propagating nulls into every output column
     t = F.coalesce(F.col(text_col), F.lit(""))
@@ -80,23 +83,25 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     handful of false ``n_hits`` per 10^18 probes); the exact string path
     stays the default and the oracle target.
     """
-    # corpus grams stay NON-distinct: dedup after the broadcast probe, so
-    # the only gram shuffle carries hits, not the whole corpus gram stream
+    # corpus grams are deduped PER ROW (array_distinct before the explode —
+    # zero exchanges), so the broadcast probe sees each doc-gram once and the
+    # per-doc hit count is a plain count, not a countDistinct: the distinct
+    # semantics ride the row-local array, never a corpus-gram-sized shuffle
     if hashed:
         gram_col = "gram_hash"
-        doc_grams = gram_hashes(docs, tokens_col, n, doc_col, distinct=False)
+        doc_grams = gram_hashes(docs, tokens_col, n, doc_col, distinct="row")
         bench_grams = (gram_hashes(benchmark, tokens_col, n, doc_col)
                        .select(gram_col).distinct())
     else:
         gram_col = "shingle"
-        doc_grams = shingles(docs, tokens_col, n, doc_col, distinct=False)
+        doc_grams = shingles(docs, tokens_col, n, doc_col, distinct="row")
         bench_grams = (shingles(benchmark, tokens_col, n, doc_col)
                        .select(gram_col).distinct())
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
     hits = (doc_grams.join(bench_grams, gram_col)
             .groupBy("doc_id")
-            .agg(F.countDistinct(gram_col).alias("n_hits")))
+            .agg(F.count(F.lit(1)).alias("n_hits")))
     return (
         docs.select(F.col(doc_col).alias("doc_id"))
         .join(hits, "doc_id", "left")

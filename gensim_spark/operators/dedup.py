@@ -39,28 +39,36 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text",
 
 
 def shingles(docs: DataFrame, tokens_col: str = "tokens", n: int = 3,
-             doc_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+             doc_col: str = "doc_id",
+             distinct: bool | str = True) -> DataFrame:
     """(doc_id, shingle): distinct n-gram token shingles, built per-row from
     the tokens array with zero shuffles (no posexplode + window needed).
 
     ``distinct=False`` skips the dedup exchange — for consumers that filter
     the gram stream first (e.g. a broadcast-probe) and dedup the survivors,
-    so the shuffle carries hits instead of the whole gram stream."""
+    so the shuffle carries hits instead of the whole gram stream.
+    ``distinct="row"`` dedups per document with ``array_distinct`` BEFORE
+    the explode — set semantics per doc (identical rows to ``True``, since
+    a shingle can only repeat within its own document) with zero exchanges:
+    the scale shape for per-doc distinct-gram consumers."""
     toks = F.col(tokens_col)
     # guard: sequence(0, -1) is DESCENDING in Spark ([0, -1]), so a doc with
     # fewer than n tokens must short-circuit to an empty gram list — not
     # feed slice() a zero start (runtime error) or emit partial grams
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    if distinct == "row":
+        grams = F.array_distinct(grams)
     sh = F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>"))
     out = docs.select(F.col(doc_col).alias("doc_id"),
                       F.explode(sh).alias("shingle"))
-    return out.distinct() if distinct else out
+    return out.distinct() if distinct is True else out
 
 
 def gram_hashes(docs: DataFrame, tokens_col: str = "tokens", n: int = 3,
-                doc_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+                doc_col: str = "doc_id",
+                distinct: bool | str = True) -> DataFrame:
     """(doc_id, gram_hash): 64-bit hash per token n-gram — the bandwidth-lean
     twin of :func:`shingles` for membership-style consumers (e.g.
     decontamination), where only gram *identity* matters, never the text.
@@ -90,24 +98,78 @@ def gram_hashes(docs: DataFrame, tokens_col: str = "tokens", n: int = 3,
         lambda i: F.aggregate(F.slice(th, i + 1, n),
                               F.lit(0).cast("long"), _comb),
     )
+    if distinct == "row":
+        # per-doc set semantics with zero exchanges (see shingles)
+        grams = F.array_distinct(grams)
     gh = F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<long>"))
     out = docs.select(F.col(doc_col).alias("doc_id"),
                       F.explode(gh).alias("gram_hash"))
-    return out.distinct() if distinct else out
+    return out.distinct() if distinct is True else out
 
 
 def minhash_signatures(docs: DataFrame, tokens_col: str = "tokens",
                        num_hashes: int = 8, shingle_n: int = 3,
-                       doc_col: str = "doc_id") -> DataFrame:
+                       doc_col: str = "doc_id",
+                       mode: str = "arrow") -> DataFrame:
     """(doc_id, sig_0 … sig_{H-1}): per-doc MinHash signature — min over
-    shingles of a seeded hash, one aggregation per hash function."""
-    sh = shingles(docs, tokens_col, shingle_n, doc_col)
-    aggs = [
-        F.min(seeded(F.col("shingle"), h)).alias(f"sig_{h}")
-        for h in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    shingles of the seeded hash60 (md5-based, oracle-checkable).
+
+    ``mode="arrow"`` (default): ZERO-shuffle Arrow-batched stage — per doc,
+    shingles are built and hashed with CPython's native md5 and the minima
+    emitted directly (``int.from_bytes(digest[:8]) >> 4`` IS
+    ``int(hexdigest[:15], 16)``, bit-identical to the SQL
+    ``conv(substring(md5(..),1,15),16,10)``). The signature never leaves
+    its partition, nothing is exploded, and the md5 runs in C. Measured at
+    sf1.0 (2.85M grams × 4 seeds): SQL aggregate 12.0 s → Arrow stage well
+    under half that; the old explode → distinct → groupBy shape cost
+    17.6 s, its dedup exchange feeding an idempotent min (min over a
+    multiset == min over the set). Same per-task-iterator shape as the
+    pipeline's default ``bow_counts_udf`` stage.
+
+    ``mode="agg"``: the relational form (non-distinct gram explode → one
+    map-side-combined groupBy of codegen'd ``min(seeded(..))``) — the
+    no-Python fallback, identical values.
+    """
+    if mode == "agg":
+        sh = shingles(docs, tokens_col, shingle_n, doc_col, distinct=False)
+        aggs = [
+            F.min(seeded(F.col("shingle"), h)).alias(f"sig_{h}")
+            for h in range(num_hashes)
+        ]
+        return sh.groupBy("doc_id").agg(*aggs)
+
+    import pandas as pd
+
+    prefixes = [f"{h}:".encode("utf-8") for h in range(num_hashes)]
+    names = [f"sig_{h}" for h in range(num_hashes)]
+    n, H = int(shingle_n), int(num_hashes)
+
+    def gen(batches):
+        from hashlib import md5
+        for pdf in batches:
+            ids: list = []
+            sig_cols: list[list[int]] = [[] for _ in range(H)]
+            for did, toks in zip(pdf["doc_id"], pdf["_toks"]):
+                if toks is None or len(toks) < n:
+                    continue  # no shingles → no row (same as the agg form)
+                grams = [" ".join(toks[i:i + n]).encode("utf-8")
+                         for i in range(len(toks) - n + 1)]
+                ids.append(did)
+                for h in range(H):
+                    p = prefixes[h]
+                    sig_cols[h].append(min(
+                        int.from_bytes(md5(p + g).digest()[:8], "big") >> 4
+                        for g in grams))
+            out = {"doc_id": pd.Series(ids, dtype="int64")}
+            for h in range(H):
+                out[names[h]] = pd.Series(sig_cols[h], dtype="int64")
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, " + ", ".join(f"{c} long" for c in names)
+    return docs.select(F.col(doc_col).alias("doc_id"),
+                       F.col(tokens_col).alias("_toks")).mapInPandas(
+        gen, schema)
 
 
 def minhash_band_pairs(signatures: DataFrame, bands: int = 4,
@@ -301,6 +363,7 @@ def connected_components(pairs: DataFrame, src_col: str = "doc_a",
         .distinct()
         .localCheckpoint()
     )
+    n_e = e.count()
 
     def _mins(edges: DataFrame) -> DataFrame:
         return edges.groupBy("src").agg(
@@ -316,13 +379,14 @@ def connected_components(pairs: DataFrame, src_col: str = "doc_a",
                              F.col("src").alias("dst")))
             .distinct()
         )
-        # large-star: emit (v, m(u)) for every neighbor v > u.
+        # large-star: emit (v, m(u)) for every neighbor v > u. No dedup
+        # exchange here — the small-star orientation's distinct directly
+        # below subsumes it (one fewer corpus-edge shuffle per round).
         ls = (
             sym.join(_mins(sym), "src")
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
         )
         # small-star: orient toward the larger endpoint, emit (v, m) for the
         # smaller neighbors and for u itself.
@@ -340,16 +404,19 @@ def connected_components(pairs: DataFrame, src_col: str = "doc_a",
             .localCheckpoint()
         )
         # fixpoint: both sides deduped, so equal counts + empty difference
-        # means set equality.
+        # means set equality. e's count is carried over from the previous
+        # round (it IS the previous ss), so the probe costs one count job
+        # plus — only when the counts already agree — one exceptAll job.
         n_ss = ss.count()
-        if n_ss == e.count() and ss.exceptAll(e).limit(1).count() == 0:
+        if n_ss == n_e and ss.exceptAll(e).limit(1).count() == 0:
             e = ss
             break
         e = ss
+        n_e = n_ss
 
     if stats is not None:
         stats["rounds"] = rounds
-        stats["star_edges"] = e.count()
+        stats["star_edges"] = n_e
 
     roots = e.select(F.col("dst").alias("node")).distinct() \
         .join(e.select(F.col("src").alias("node")).distinct(), "node",

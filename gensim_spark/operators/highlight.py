@@ -83,7 +83,15 @@ def highlight_topk(docs: DataFrame, topk: DataFrame, query_tokens,
     """Join a top-k result (doc_id, score, rank, …) with its best snippet:
     the search-results page in one plan. The semi-join prunes the snippet
     fold to the k result docs BEFORE any array work runs (broadcast-sized
-    right side), so snippet cost is O(k), not corpus-sized."""
+    right side), so snippet cost is O(k), not corpus-sized.
+
+    The top-k frame is referenced twice in the final plan (once broadcast
+    for the prune, once as the join's left side); without materialization
+    the whole scoring subtree executes once per reference (measured: the
+    full snippet query cost ~3.4x the underlying search). ``topk`` results
+    are k-sized per query, so an eager ``localCheckpoint`` pins them once
+    and truncates the plan."""
+    topk = topk.localCheckpoint(eager=True)
     pruned = docs.join(F.broadcast(topk.select(doc_col)), doc_col, "left_semi")
     snips = best_snippets(pruned, query_tokens, width=width, mark=mark,
                           doc_col=doc_col, tokens_col=tokens_col)

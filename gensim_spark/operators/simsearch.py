@@ -50,11 +50,14 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     ``queries``: (query_id, embedding). Broadcast (queries ≪ corpus); ties
     broken by vec_id ascending; self-matches are the caller's concern.
     """
+    from gensim_spark.functions.scanwidth import widen_if_narrow
+
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"))
     scored = (
-        embeddings.select(F.col(id_col).alias("vec_id"),
-                          F.col(vec_col).alias("_v"))
+        widen_if_narrow(embeddings)
+        .select(F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("_v"))
         .crossJoin(F.broadcast(q))
         .select("query_id", "vec_id",
                 cosine_expr(F.col("_v"), F.col("_qv")).alias("cosine"))

@@ -66,6 +66,15 @@ def build(tokenized: DataFrame, variant: str = M.OKAPI, k1: float = 1.5,
     """
     if num_docs is None:
         num_docs = tokenized.count()
+    if cache:
+        # persist the tokenized frame too: IndexedCorpus.docs feeds every
+        # token-consuming query path (dedup, curation, positional, BPE,
+        # snippets, WMD) and without this each of them re-runs the tokenize
+        # projection from the raw text per action. The cache materializes
+        # as a side effect of the counts materialization below (counts read
+        # tokens), costs one in-memory copy of the token arrays, and is
+        # LRU-evictable under memory pressure like any persist.
+        tokenized = tokenized.persist()
     # row-local doc2bow: (doc_id, token, tf, dl) with no shuffle.
     # "udf": per-doc Counter fused into an Arrow batch stage;
     # "jvm": array-expression counting (no Python at all; O(distinct·len)
