@@ -500,12 +500,17 @@ def _phrase_topk_on_server(srv: PositionalIndexServer, tokens: list[str],
     variant, num_docs, avgdl = srv.variant, srv.num_docs, srv.avgdl
     k1, b = srv.k1, srv.b
     # a clause is a token (str) or a list of alternative tokens — the
-    # served MultiPhrase / spanOr form; any OOV member answers []
+    # served MultiPhrase / spanOr form. Lucene parity (ADVICE r5): an OOV
+    # ALTERNATIVE drops from its clause ('(table|zzz)' still matches via
+    # table, like SearchEngine.multi_phrase); [] only when a whole clause
+    # empties (a bare OOV word is the unit-clause case).
     tok_clauses = [[t] if isinstance(t, str) else list(t) for t in tokens]
-    if not tok_clauses or any(not c for c in tok_clauses) or \
-            any(t not in tid for c in tok_clauses for t in c):
+    if not tok_clauses or any(not c for c in tok_clauses):
         return []
-    clauses = [sorted({tid[t] for t in c}) for c in tok_clauses]
+    clauses = [sorted({tid[t] for t in c if t in tid})
+               for c in tok_clauses]
+    if any(not c for c in clauses):
+        return []
     ids = [c[0] for c in clauses]           # unit-clause view (n = len)
     flat_ids = [t for c in clauses for t in c]
     multi = any(len(c) > 1 for c in clauses)

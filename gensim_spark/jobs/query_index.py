@@ -89,6 +89,13 @@ def _parse_phrase_clauses(phrase_text: str) -> list[list[str]]:
             clause_toks.append([w for part in grp.split("|")
                                 for w in textref.simple_preprocess(part)])
         else:
+            if "(" in bare or ")" in bare:
+                # an unmatched paren would otherwise fall through here and
+                # run as a silently different plain phrase (the tokenizer
+                # strips punctuation) — refuse loudly instead (ADVICE r5)
+                raise ValueError(
+                    f"unbalanced parenthesis in phrase near {bare!r} — "
+                    f"alternative groups must be closed: '(a|b)'")
             clause_toks.extend([[t] for t in
                                 textref.simple_preprocess(bare)])
     return clause_toks
@@ -143,12 +150,15 @@ def run_phrase(spark, index_dir: str, phrase_text: str, k: int = 10,
             vocab.filter(F.col("token").isin(flat)).collect()}
     t0 = time.perf_counter()
     oov = [t for c in clause_toks for t in c if t not in vmap]
-    # an alternative group whose members all tokenized away — e.g.
-    # '(a|b)' with sub-2-char words — can never match; answer [] like an
-    # OOV member (the served path does the same) instead of crashing
-    if not clause_toks or oov or any(not c for c in clause_toks):
+    # Lucene parity (ADVICE r5): an OOV ALTERNATIVE drops from its clause
+    # — '(table|zzz)' still matches via table, same as the
+    # SearchEngine.multi_phrase facade — and the query answers [] only
+    # when a whole clause empties (every alternative OOV or tokenized
+    # away; a bare OOV word is the unit-clause case of that rule).
+    kept_toks = [[t for t in c if t in vmap] for c in clause_toks]
+    if not clause_toks or any(not c for c in kept_toks):
         return {"results": [], "wall_sec": 0.0, "oov": oov}
-    clauses = [[int(vmap[t]) for t in c] for c in clause_toks]
+    clauses = [[int(vmap[t]) for t in c] for c in kept_toks]
     multi = any(len(c) > 1 for c in clauses)
     ids = [c[0] for c in clauses]
     ex_ids = [int(vmap[t]) for t in ex_toks if t in vmap]

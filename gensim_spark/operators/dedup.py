@@ -192,13 +192,19 @@ def minhash_band_pairs(signatures: DataFrame, bands: int = 4,
     banded = signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
+    # bucket-size gate: singleton buckets (the overwhelming majority on a
+    # mostly-unique corpus) can never emit a pair, and buckets above
+    # max_bucket are the degenerate-boilerplate guard — both pruned BEFORE
+    # the self-join via an aggregated size frame (one map-side-combined
+    # groupBy on the band keys) instead of the old window-over-partition
+    # (exchange + sort of the full banded frame just to tag sizes). Pair
+    # output is identical: size-1 buckets contribute nothing after the
+    # doc_a < doc_b filter.
+    sizes = banded.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("_sz")).filter(F.col("_sz") >= 2)
     if max_bucket is not None:
-        w = Window.partitionBy("band_id", "band_hash")
-        banded = (
-            banded.withColumn("_sz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_sz") <= max_bucket)
-            .drop("_sz")
-        )
+        sizes = sizes.filter(F.col("_sz") <= max_bucket)
+    banded = banded.join(sizes.drop("_sz"), ["band_id", "band_hash"])
     a = banded.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
     b = banded.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
     return (

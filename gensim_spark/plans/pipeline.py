@@ -133,6 +133,35 @@ def index_from_counts(counts: DataFrame, num_docs: int,
     vocabulary aggregation (vocab-sized output, map-side partial agg);
     postings/weights are broadcast joins + projections over counts."""
     if cache:
+        # size the cached counts by DATA VOLUME, not by the upstream task
+        # count: counts rows ≈ num_docs × distinct-terms/doc (~40 B/row), so
+        # ~25k docs/partition ≈ the guide's advisory partition size. Every
+        # light downstream pass (per-query weighted scans, vocab agg, LSI/LDA
+        # map sides) then launches a handful of tasks instead of one per
+        # upstream tokenize split — measured at sf1.0: query rows ran ~2x
+        # slower from a 32-wide cache than from a volume-sized one, pure
+        # per-task floor. Narrowing only (a big corpus keeps its natural
+        # width — this is not a local-core-count constant), via ROUND-ROBIN
+        # repartition: a keyed repartition (hash on doc_id) would satisfy
+        # every downstream doc-keyed ClusteredDistribution and silently pin
+        # corpus_bow / positional / score aggregations to this narrow width
+        # (measured: the LDA E-step collapsed to 2 tasks, 8.8 s → 77 s);
+        # round-robin keeps the cache narrow for cheap scans while every
+        # aggregation still exchanges to its AQE-sized width.
+        # floor at min(8, defaultParallelism): a corpus-wide partial
+        # aggregation reading the cache (e.g. a 32-query scoring batch)
+        # should not be bound to 1-2 map tasks even when the volume rule
+        # says so — measured: the batch32 row lost 0.9 s at width 2 and
+        # the single-query rows lost 0.6 s at width 32; 8 carries both.
+        sc = counts.sparkSession.sparkContext
+        target = max(1, min(8, sc.defaultParallelism),
+                     (int(num_docs) + 24_999) // 25_000)
+        try:
+            cur = counts.rdd.getNumPartitions()
+        except Exception:
+            cur = None
+        if cur is not None and target < cur:
+            counts = counts.repartition(target)
         # materialize NOW: every downstream consumer (vocab agg, postings,
         # stats) then reads the cache; without the explicit action the first
         # consumer to run — historically the zipWithIndex rank, whose two
@@ -162,6 +191,12 @@ def index_from_counts(counts: DataFrame, num_docs: int,
     # row per doc per task BEFORE the wire (VERDICT r4: distinct shuffles
     # the full (doc,term)-sized frame to emit a doc-sized one)
     dl = counts.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    if cache:
+        # doclen joins into every positional/phrase scoring plan; without
+        # the cache each query re-runs the doc-sized aggregation off the
+        # counts cache (~0.25 s/query measured at sf1.0). Lazy — the first
+        # consumer materializes it; doc-sized, LRU-evictable.
+        dl = dl.cache()
     return IndexedCorpus(docs=docs, vocab=vocab, postings=postings,
                          doclen=dl, num_docs=num_docs, stats=stats,
                          weighted=weighted)
