@@ -166,10 +166,17 @@ def minhash_signatures(docs: DataFrame, tokens_col: str = "tokens",
                 out[names[h]] = pd.Series(sig_cols[h], dtype="int64")
             yield pd.DataFrame(out)
 
+    from gensim_spark.functions.scanwidth import widen_if_narrow
+
     schema = "doc_id long, " + ", ".join(f"{c} long" for c in names)
-    return docs.select(F.col(doc_col).alias("doc_id"),
-                       F.col(tokens_col).alias("_toks")).mapInPandas(
-        gen, schema)
+    # md5-per-gram is the heaviest per-byte stage in the repo (~2 s per
+    # compressed input MB per core) — fan the Arrow stage out on fine
+    # byte-proportional chunks; no-op when the frame is already wide
+    return widen_if_narrow(
+        docs.select(F.col(doc_col).alias("doc_id"),
+                    F.col(tokens_col).alias("_toks")),
+        bytes_per_partition=64 * 1024,
+    ).mapInPandas(gen, schema)
 
 
 def minhash_band_pairs(signatures: DataFrame, bands: int = 4,
@@ -200,6 +207,12 @@ def minhash_band_pairs(signatures: DataFrame, bands: int = 4,
     # (exchange + sort of the full banded frame just to tag sizes). Pair
     # output is identical: size-1 buckets contribute nothing after the
     # doc_a < doc_b filter.
+    # one explicit hash exchange on the band keys: the size frame and BOTH
+    # self-join sides consume identical subtrees, so this single shuffle is
+    # planned once and reused (ReuseExchange) — without it each consumer
+    # re-evaluated the whole signature pipeline (measured: 3x the Arrow
+    # stage), and the groupBy/join below need no further exchange.
+    banded = banded.repartition("band_id", "band_hash")
     sizes = banded.groupBy("band_id", "band_hash").agg(
         F.count(F.lit(1)).alias("_sz")).filter(F.col("_sz") >= 2)
     if max_bucket is not None:

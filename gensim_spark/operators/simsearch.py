@@ -55,7 +55,8 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"))
     scored = (
-        widen_if_narrow(embeddings)
+        # light per-row arithmetic → coarser chunks than the tokenize path
+        widen_if_narrow(embeddings, bytes_per_partition=1024 * 1024)
         .select(F.col(id_col).alias("vec_id"),
                 F.col(vec_col).alias("_v"))
         .crossJoin(F.broadcast(q))
