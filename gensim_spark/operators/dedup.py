@@ -199,31 +199,39 @@ def minhash_band_pairs(signatures: DataFrame, bands: int = 4,
     banded = signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
-    # bucket-size gate: singleton buckets (the overwhelming majority on a
-    # mostly-unique corpus) can never emit a pair, and buckets above
-    # max_bucket are the degenerate-boilerplate guard — both pruned BEFORE
-    # the self-join via an aggregated size frame (one map-side-combined
-    # groupBy on the band keys) instead of the old window-over-partition
-    # (exchange + sort of the full banded frame just to tag sizes). Pair
-    # output is identical: size-1 buckets contribute nothing after the
-    # doc_a < doc_b filter.
-    # one explicit hash exchange on the band keys: the size frame and BOTH
-    # self-join sides consume identical subtrees, so this single shuffle is
-    # planned once and reused (ReuseExchange) — without it each consumer
-    # re-evaluated the whole signature pipeline (measured: 3x the Arrow
-    # stage), and the groupBy/join below need no further exchange.
-    banded = banded.repartition("band_id", "band_hash")
-    sizes = banded.groupBy("band_id", "band_hash").agg(
-        F.count(F.lit(1)).alias("_sz")).filter(F.col("_sz") >= 2)
+    # ONE bucket aggregation, then pairs generated ROW-LOCALLY from each
+    # bucket's sorted member list — replacing the old self-join shape,
+    # which (a) paid a window-over-partition exchange+sort purely to tag
+    # bucket sizes for the max_bucket gate, and (b) embedded the whole
+    # signature pipeline once per join side (plan-level exchange reuse did
+    # NOT kick in — verified on the executed AQE plan — so lazy signatures
+    # were evaluated up to 4x). Here the signature stage feeds exactly one
+    # map-side-combined collect_list shuffle; singleton buckets (the
+    # overwhelming majority on a mostly-unique corpus) emit nothing, the
+    # max_bucket boilerplate guard is a size filter on the same row, and
+    # each surviving bucket expands its own sorted member array to
+    # (doc_a < doc_b) combinations in a per-row JVM fold. Gated bucket
+    # width bounds the per-row expansion at max_bucket²/2. Pair output is
+    # identical to the join form (docs are unique within a bucket; the
+    # final distinct dedups across bands, as before).
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ds"))
+        .filter(F.size("_ds") >= 2)
+    )
     if max_bucket is not None:
-        sizes = sizes.filter(F.col("_sz") <= max_bucket)
-    banded = banded.join(sizes.drop("_sz"), ["band_id", "band_hash"])
-    a = banded.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
-    b = banded.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
+        buckets = buckets.filter(F.size("_ds") <= max_bucket)
+    ds = F.col("_ds")
+    pair_arr = F.flatten(F.transform(
+        ds,
+        lambda x, i: F.transform(
+            F.slice(ds, i + 2, F.size(ds)),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        ),
+    ))
     return (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pair_arr).alias("_p"))
+        .select("_p.doc_a", "_p.doc_b")
         .distinct()
     )
 
