@@ -213,3 +213,79 @@ if __name__ == "__main__":
         lsi_lda()
     else:
         raise SystemExit(f"unknown command {cmd}")
+
+
+def bm25f_evidence(n_docs: int = 1_000_000):
+    """VERDICT r5 item 1 'done' evidence: head-term two-field served BM25F
+    at 1M docs — the vectorized fusion (np.unique/bincount over the
+    concatenated per-field arrays) vs the per-doc Python dict walk it
+    replaced, plus rank identity vs the distributed topk.bm25f_topk."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bench import _synth_weighted, timed
+    from gensim_spark.index import layout, serving
+    from gensim_spark.operators import topk as T
+    from gensim_spark.session import get_spark
+
+    spark = get_spark(f"bm25f_ev_{n_docs}", master=f"local[{CPUS}]",
+                      shuffle_partitions=2 * CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"docs": n_docs, "cores": CPUS}
+    dirs = {}
+    try:
+        for fname, nd in (("body", n_docs), ("title", n_docs // 4)):
+            w = _synth_weighted(spark, nd, CPUS)
+            d = tempfile.mkdtemp(prefix=f"bm25f_ev_{fname}_")
+            dirs[fname] = d
+            layout.write_packed_shards(w, d, num_groups=4, resume=False)
+            # vocab dir with token -> term_id (synth token = 't<id>')
+            (w.select("term_id").distinct()
+             .select(F.concat(F.lit("t"), F.col("term_id")).alias("token"),
+                     "term_id")
+             .write.mode("overwrite").parquet(f"{d}/vocab"))
+        # head terms: the smallest ids have the highest df under the
+        # log-uniform synth law
+        toks = ["t1", "t2", "t500"]
+        boosts = {"title": 2.0, "body": 1.0}
+        servers = {f: serving.PackedIndexServer(d, preload=True)
+                   for f, d in dirs.items()}
+        serving.bm25f_topk_served(dirs, toks, boosts, k=10,
+                                  servers=servers)  # warm (decode cached)
+        t_min = None
+        for _ in range(5):
+            t, rows = timed(lambda: serving.bm25f_topk_served(
+                dirs, toks, boosts, k=10, servers=servers))
+            t_min = t if t_min is None else min(t_min, t)
+        out["served_warm_ms"] = round(1000 * t_min, 2)
+        out["hits"] = len(rows)
+        # identity vs the distributed fusion over the same stored weights
+        fq = {}
+        for fname, d in dirs.items():
+            vt = spark.read.parquet(f"{d}/vocab").filter(
+                F.col("token").isin(toks))
+            ids = [r["term_id"] for r in vt.collect()]
+            fq[fname] = T.query_terms_df(spark, {0: sorted(ids)})
+        # distributed comparison over the same f32-stored weights (the
+        # synth frames are deterministic, so regenerating them reproduces
+        # exactly what was packed; f32 cast mirrors the store encoding)
+        fw = {
+            "body": _synth_weighted(spark, n_docs, CPUS),
+            "title": _synth_weighted(spark, n_docs // 4, CPUS),
+        }
+        fw = {f: w.withColumn(
+            "weight", F.col("weight").cast("float").cast("double"))
+            for f, w in fw.items()}
+        want = T.bm25f_topk(fw, fq, boosts, k=10).collect()
+        got = [(doc, round(s, 6), rk) for doc, s, rk in rows]
+        wanted = [(r["doc_id"], round(r["score"], 6), r["rank"])
+                  for r in want]
+        out["identity"] = got == wanted
+    finally:
+        for d in dirs.values():
+            shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+    return out
